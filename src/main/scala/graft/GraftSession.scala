@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-oriented defaults every graft entrypoint
+  * (Verify, Bench, tests) shares. See SURVEY.md §H.
+  *
+  * Design notes for cluster scale (tested on local[N]):
+  *  - AQE on: post-shuffle coalescing + runtime skew-join splitting mean the
+  *    static `spark.sql.shuffle.partitions` only needs to be an upper bound.
+  *  - shuffle partitions default to the local core count, not 200 — on a
+  *    real cluster this would be ~2-3x total executor cores.
+  *  - broadcast threshold kept at default 10 MB; dimension tables in graft
+  *    operators are additionally hinted with `broadcast()` explicitly.
+  *  - UTC session timezone so timestamp semantics match the DuckDB oracle
+  *    and are stable across cluster node timezones.
+  */
+object GraftSession {
+
+  /** Apply graft tuning to an existing builder (lets Verify/Bench keep
+    * their driver-contract master/memory settings). */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Standalone session, e.g. for tests. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = tune(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      shufflePartitions = math.max(cores, 4)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

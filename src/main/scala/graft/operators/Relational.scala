@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Lake
+
+/** Relational query surface (SURVEY.md §B) over the TPC-H-ish testdata.
+  *
+  * Every query is a declarative DataFrame plan: filters/projections push to
+  * the parquet scan, dimension joins are explicitly `broadcast()` hinted,
+  * aggregations get map-side partials for free, top-k is orderBy+limit
+  * (planned as TakeOrderedAndProject — no global sort materialization).
+  *
+  * Oracle parity conventions (see SURVEY.md §6): every double aggregate is
+  * rounded to 2dp on both sides, every output column is aliased identically
+  * on both sides, every query ends in a deterministic ORDER BY.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing-summary shape: full-scan grouped agg; partial aggregation
+    // (map-side combine) means the shuffle carries 6 rows per task at any
+    // scale — this plan is flat-scalable to 100 TB.
+    "q1_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          round(avg(col("l_discount")), 2).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 2) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
+}

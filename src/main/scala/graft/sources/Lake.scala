@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Lake ingestion/persistence surface (SURVEY.md §A).
+  *
+  * Mirrors the reference's capabilities (schema-on-read JSON with glob /
+  * multi-path / multiLine, CSV, parquet, partitioned writes, write modes,
+  * S3A-style config wiring — reference etl.py:21-38,102-120) re-expressed
+  * as a thin, schema-explicit Scala API. All readers take an explicit
+  * `StructType`: schema inference is a full extra pass over 100 TB, so the
+  * engine never relies on it.
+  */
+object Lake {
+
+  /** TPC-H-ish driver testdata tables, by scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Schema-on-read JSON (reference etl.py:106,149). `paths` supports
+    * globs and multiple resources, matching the reference's single-path,
+    * glob, and path-list ingestion modes. */
+  def readJson(spark: SparkSession, schema: StructType, multiLine: Boolean, paths: String*): DataFrame =
+    spark.read.schema(schema).option("multiLine", multiLine).json(paths: _*)
+
+  /** Schema'd CSV read (reference ETL_from_Notebook.py:120 writes CSV). */
+  def readCsv(spark: SparkSession, schema: StructType, header: Boolean, paths: String*): DataFrame =
+    spark.read.schema(schema).option("header", header).csv(paths: _*)
+
+  /** Parquet write with mode (reference uses overwrite throughout). */
+  def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** Partitioned parquet write (reference etl.py:120,190,226). Partition
+    * columns become directory keys → partition pruning on read. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Small-file compaction: rewrite with bounded file count / records per
+    * file. At 100 TB, ingest produces millions of small files; periodic
+    * compaction keeps scan task counts sane. */
+  def compact(df: DataFrame, path: String, targetPartitions: Int,
+              maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(targetPartitions)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
+  /** Sort-on-write (z-order-lite): range-repartition by the given columns so
+    * each output file covers a narrow key range → parquet min/max row-group
+    * stats become effective data-skipping indexes. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  partitions: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(partitions, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** S3A-style lake credential wiring (reference etl.py:33-36) — sets
+    * Hadoop conf on the live session; values come from the caller (config
+    * file / env), never hard-coded. */
+  def configureS3(spark: SparkSession, accessKey: String, secretKey: String,
+                  endpoint: Option[String] = None): Unit = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.access.key", accessKey)
+    hc.set("fs.s3a.secret.key", secretKey)
+    endpoint.foreach(hc.set("fs.s3a.endpoint", _))
+  }
+}

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Runs each oracle SQL from outDir/oracle_sql.json against the sf parquet
+tables, loads the Spark-dumped parquet for the same key, sorts columns by
+name and rows by all columns, and value-compares.
+"""
+import sys, json, glob, os
+import duckdb, pandas as pd
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+names = [os.path.basename(p) for p in sorted(glob.glob(f"{outdir}/*")) if os.path.isdir(p)]
+for name in names:
+    spark_df = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+    if name not in oracle:
+        print(f"{name}: rows-only ({len(spark_df)} rows)", "OK" if len(spark_df) > 0 else "EMPTY!")
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}"); fails += 1; continue
+    def norm(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    s, d = norm(spark_df), norm(duck_df)
+    if list(s.columns) != list(d.columns):
+        print(f"{name}: COLUMN MISMATCH spark={list(s.columns)} duck={list(d.columns)}"); fails += 1; continue
+    if len(s) != len(d):
+        print(f"{name}: ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"); fails += 1; continue
+    try:
+        pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+        print(f"{name}: OK ({len(s)} rows)")
+    except AssertionError as e:
+        print(f"{name}: VALUE MISMATCH: {str(e)[:500]}"); fails += 1
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
