@@ -11,10 +11,10 @@ object SparkEntry {
 
   /** One entry per implemented capability from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++ etl.StarSchema.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles
+    operators.Relational.oracles ++ etl.StarSchema.oracles
 }

@@ -1,0 +1,251 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Lake
+
+/** Reference ETL surface (SURVEY.md §A): the data-lake star-schema pipeline
+  * of the reference (etl.py / ETL_from_Notebook.py) re-expressed Spark-first
+  * over the `events` (log stream) × `customer` (entity dim) testdata.
+  *
+  * Reference behaviors covered (cited file:line):
+  *  - schema-on-read JSON/CSV ingestion with explicit StructType
+  *    (etl.py:41-106, Load_Json_Data.py:26-70) → `etl_ingest_json/csv`
+  *    round-trip through a real lake write+read with explicit schema.
+  *  - predicate filter on the event stream (etl.py:153, page='NextSong')
+  *    → `etl_filter_events` (event_type='purchase').
+  *  - time-dimension derivation (etl.py:156-186) → `etl_time_dim`.
+  *  - dimension extraction with dedup-to-latest (etl.py:116-128,166-177)
+  *    → `etl_dim_users`.
+  *  - fact construction via fact×dim join + surrogate key (etl.py:199-227)
+  *    → `etl_fact_join`. The reference uses `monotonically_increasing_id`;
+  *    graft uses a content hash (md5 of the natural key) instead —
+  *    deterministic under retries/re-runs, no driver coordination (§5).
+  *  - partitioned parquet persistence + pruned read-back (etl.py:120,190,226)
+  *    → `etl_partitioned_write`.
+  *  - temp views + spark.sql (ETL_from_Notebook.py:255-278) → `sql_surface`.
+  */
+object StarSchema {
+
+  private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
+
+  /** Scratch area for lake round-trips; inside the repo target dir so
+    * nothing outside /root/repo is touched. */
+  private def scratch(name: String): String = {
+    val p = s"/root/repo/target/graft-scratch/$name"
+    new java.io.File(p).getParentFile.mkdirs()
+    p
+  }
+
+  /** Explicit schema for events — schema-on-read, never inference (a
+    * schema-inference pass over 100 TB is a full extra scan). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  // Micro-precision timestamp format shared by JSON/CSV write+read so the
+  // lake round-trip is lossless (default formats drop sub-millis).
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  private def ingestSummary(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+           round(sum(col("value")), 2).as("sum_value"),
+           min(col("ts")).as("min_ts"),
+           max(col("ts")).as("max_ts"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Lake JSON round-trip: parquet → JSON lake files → schema-on-read with
+    // explicit StructType (+ glob path) → aggregate. Proves schema'd
+    // ingestion incl. timestamp parsing is lossless.
+    "etl_ingest_json" -> ((s, dir) => {
+      val path = scratch("etl_ingest_json")
+      t(s, dir, "events").write.mode("overwrite")
+        .option("timestampFormat", TsFmt).json(path)
+      val ev = s.read.schema(eventsSchema)
+        .option("timestampFormat", TsFmt).json(s"$path/part-*.json")
+      ingestSummary(ev)
+    }),
+
+    // Same round-trip through CSV (header + quoted fields survive the
+    // JSON-ish `props` column).
+    "etl_ingest_csv" -> ((s, dir) => {
+      val path = scratch("etl_ingest_csv")
+      t(s, dir, "events").write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", TsFmt).csv(path)
+      val ev = Lake.readCsv(s, eventsSchema, header = true, s"$path/part-*.csv")
+        .withColumn("ts", to_timestamp(col("ts"), TsFmt))
+      ingestSummary(ev)
+    }),
+
+    // Reference filter (etl.py:153): page == 'NextSong' ≙ event_type ==
+    // 'purchase'. Predicate + projection both push to the parquet scan.
+    "etl_filter_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+                round(col("value"), 2).as("value"),
+                to_date(col("ts")).as("event_date"))
+        .orderBy(col("event_id"))),
+
+    // Time dimension (etl.py:156-186): distinct start_time + calendar
+    // attributes. `weekday` is ISO-adjusted to match the oracle exactly.
+    "etl_time_dim" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("ts").as("start_time"))
+        .distinct()
+        .select(col("start_time"),
+          hour(col("start_time")).as("hour"),
+          dayofmonth(col("start_time")).as("day"),
+          weekofyear(col("start_time")).as("week"),
+          month(col("start_time")).as("month"),
+          year(col("start_time")).as("year"),
+          dayofweek(col("start_time")).as("weekday"))
+        .orderBy(col("start_time"))),
+
+    // Users dimension (etl.py:166-177): latest row per user via a window —
+    // one shuffle on user_id; row_number (not dropDuplicates) so "latest"
+    // is well-defined and deterministic.
+    "etl_dim_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_events", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("last_seen"),
+                col("event_type").as("last_event_type"), col("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Fact table (etl.py:199-227): event log × entity dims; dims broadcast;
+    // surrogate key = md5 content hash of the natural key (idempotent at
+    // scale, unlike the reference's monotonically_increasing_id); year/month
+    // derived as partition columns.
+    "etl_fact_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .select(
+          md5(col("event_id").cast("string")).as("fact_id"),
+          col("event_id"), col("user_id"), col("c_name"), col("n_name"),
+          round(col("value"), 2).as("value"),
+          year(col("ts")).as("year"), month(col("ts")).as("month"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Partitioned persistence (etl.py:120,190,226): partitionBy(event_date)
+    // parquet write, then a pruned read-back (the date filter prunes
+    // partition directories — no data files outside the range are opened).
+    "etl_partitioned_write" -> ((s, dir) => {
+      val path = scratch("etl_partitioned_write")
+      t(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      s.read.parquet(path)
+        .filter(col("event_date") >= lit("2024-01-10") &&
+                col("event_date") <= lit("2024-01-12"))
+        .groupBy(col("event_date").cast("date").as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_date"), col("event_type"))
+    }),
+
+    // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
+    // the reference's songplay query shape end-to-end in SQL.
+    "sql_surface" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("ev")
+      t(s, dir, "customer").createOrReplaceTempView("cust")
+      s.sql(
+        """SELECT c.c_mktsegment AS segment,
+          |       month(e.ts) AS month,
+          |       count(*) AS n_purchases,
+          |       round(sum(e.value), 2) AS revenue,
+          |       count(DISTINCT e.user_id) AS n_users
+          |FROM ev e JOIN cust c ON e.user_id = c.c_custkey
+          |WHERE e.event_type = 'purchase'
+          |GROUP BY c.c_mktsegment, month(e.ts)
+          |ORDER BY segment, month""".stripMargin)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "etl_ingest_json" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_ingest_csv" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_filter_events" ->
+      """SELECT event_id, user_id, round(value, 2) AS value,
+        |  CAST(ts AS DATE) AS event_date
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "etl_time_dim" ->
+      """SELECT start_time,
+        |  hour(start_time) AS hour,
+        |  dayofmonth(start_time) AS day,
+        |  weekofyear(start_time) AS week,
+        |  month(start_time) AS month,
+        |  year(start_time) AS year,
+        |  dayofweek(start_time) + 1 AS weekday
+        |FROM (SELECT DISTINCT ts AS start_time FROM events)
+        |ORDER BY start_time""".stripMargin,
+
+    "etl_dim_users" ->
+      """SELECT user_id, ts AS last_seen, event_type AS last_event_type,
+        |  n_events
+        |FROM (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_events
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "etl_fact_join" ->
+      """SELECT md5(CAST(event_id AS VARCHAR)) AS fact_id,
+        |  event_id, user_id, c_name, n_name,
+        |  round(value, 2) AS value,
+        |  year(ts) AS year, month(ts) AS month
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "etl_partitioned_write" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+        |  AND CAST(ts AS DATE) <= DATE '2024-01-12'
+        |GROUP BY 1, 2
+        |ORDER BY event_date, event_type""".stripMargin,
+
+    "sql_surface" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  month(e.ts) AS month,
+        |  count(*) AS n_purchases,
+        |  round(sum(e.value), 2) AS revenue,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY c.c_mktsegment, month(e.ts)
+        |ORDER BY segment, month""".stripMargin
+  )
+}

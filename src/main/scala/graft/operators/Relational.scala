@@ -13,7 +13,8 @@ import graft.sources.Lake
   *
   * Oracle parity conventions (see SURVEY.md §6): every double aggregate is
   * rounded to 2dp on both sides, every output column is aliased identically
-  * on both sides, every query ends in a deterministic ORDER BY.
+  * on both sides, every query ends in a deterministic ORDER BY (ties broken
+  * by a key column so LIMIT boundaries are stable).
   */
 object Relational {
 
@@ -21,7 +22,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pricing-summary shape: full-scan grouped agg; partial aggregation
-    // (map-side combine) means the shuffle carries 6 rows per task at any
+    // (map-side combine) means the shuffle carries ~6 rows per task at any
     // scale — this plan is flat-scalable to 100 TB.
     "q1_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -37,6 +38,205 @@ object Relational {
           round(avg(col("l_discount")), 2).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Shipping-priority shape: selective dim filter broadcast into two fact
+    // joins, then top-k via orderBy+limit → TakeOrderedAndProject (per
+    // partition heap + driver merge of k rows, no global sort shuffle).
+    "q3_join_agg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+          li("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // EXISTS → left-semi join: the probe side streams, the build side only
+    // carries the join key (column-pruned), no row duplication.
+    "q4_semijoin" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val bigLines = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select("l_orderkey")
+      ord.join(bigLines, ord("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // 6-table star join: region→nation→{customer,supplier} dims broadcast;
+    // only the orders×lineitem fact-fact join shuffles, keyed on orderkey.
+    "q5_multijoin" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(broadcast(sup),
+          li("l_suppkey") === sup("s_suppkey") && cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Tight-range filter agg: every predicate pushes to the parquet scan
+    // (PushedFilters), only 3 columns read (ReadSchema) — the scan does the
+    // work, the agg reduces to one row.
+    "q6_filter_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // Window functions: one shuffle on the partition key serves all three
+    // window specs (rank, row_number, running sum share the partitioning).
+    "q7_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        .withColumn("price_rank", rank().over(byPrice))
+        .withColumn("price_rn", row_number().over(byPrice))
+        .withColumn("running_total", round(sum(col("o_totalprice")).over(byDate), 2))
+        .drop("o_orderdate")
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ROLLUP grouping sets: one pass, Expand feeds a single partial agg.
+    // Null grouping markers are coalesced to 'ALL' so ordering/compare is
+    // deterministic across engines.
+    "q8_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"), round(sum(col("o_totalprice")), 2).as("total_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          col("order_count"), col("total_price"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // NOT EXISTS → left-anti join; dim side broadcast after the fact filter.
+    "q10_antijoin" -> ((s, dir) => {
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cust_count"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Customer-order histogram: left outer join with an ON-clause filter
+    // (kept out of WHERE so unmatched customers survive), null-safe count,
+    // then a second tiny agg over the per-customer counts.
+    "q13_outer_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select("c_custkey")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+      cust.join(ord,
+          cust("c_custkey") === ord("o_custkey") && ord("o_orderpriority") =!= "1-URGENT",
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // CASE-based conditional aggregation (promo revenue share) — one scan,
+    // both branches computed in the same partial agg.
+    "q14_conditional_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      val part = t(s, dir, "part").select("p_partkey", "p_type")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev),
+          2).as("promo_revenue"))
+    }),
+
+    // Multi-distinct aggregation: two COUNT(DISTINCT) over different keys in
+    // one grouped agg (planned via Expand; no self-join needed).
+    "q16_distinct_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      val part = t(s, dir, "part").filter(col("p_size") >= 10)
+        .select("p_partkey", "p_brand", "p_type")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+             countDistinct(col("l_partkey")).as("part_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    }),
+
+    // HAVING-filtered group + semi-join back to the facts: the heavy-qty
+    // order list is computed once (group+having), then semi-joined into the
+    // orders×customer×lineitem re-aggregation.
+    "q18_having" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val bigOrders = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 250)
+        .select(col("l_orderkey").as("big_orderkey"))
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_name")
+      ord.join(bigOrders, ord("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Pivot (wide aggregation): event_type values become columns; the pivot
+    // values are declared explicitly so the plan is single-pass (no extra
+    // distinct-values job) and the schema is stable.
+    "q19_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy(col("event_date"))
+    }),
+
+    // approx_count_distinct (HLL++) next to the exact count — rows-only
+    // check (HLL isn't reproducible in the oracle); the spec asserts the
+    // 5% relative-error contract instead.
+    "q20_approx" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+             countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -54,6 +254,128 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_window" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rn,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q8_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(*) AS order_count,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q10_antijoin" ->
+      """SELECT n_name, count(*) AS cust_count,
+        |  round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q13_outer_join" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_conditional_agg" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1.0 - l_discount)), 2) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
+
+    "q16_distinct_agg" ->
+      """SELECT p_brand, p_type,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt,
+        |  count(DISTINCT l_partkey) AS part_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 10
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+
+    "q18_having" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  round(sum(l_quantity), 2) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_pivot" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |  round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
+        |  round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error,
+        |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
+        |  round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
+        |  round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_date""".stripMargin
+    // q20_approx: intentionally no oracle — HLL sketch values are
+    // engine-specific; driver records the rows-only check, the ScalaTest
+    // spec asserts |approx-exact|/exact <= 0.05.
   )
 }

@@ -14,9 +14,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Lake {
 
-  /** TPC-H-ish driver testdata tables, by scale-factor directory. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** TPC-H-ish driver testdata tables, by scale-factor directory.
+    *
+    * The `events` table is written as parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for (its timestamps are micros). We read nanos as
+    * long (`legacy.parquet.nanosAsLong`) and convert with integer division
+    * — `ts div 1000` stays in long arithmetic; a double division would lose
+    * precision at 1.7e18 ns epoch values. Testdata is micro-aligned, so the
+    * conversion is lossless and matches the DuckDB oracle exactly. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Schema-on-read JSON (reference etl.py:106,149). `paths` supports
     * globs and multiple resources, matching the reference's single-path,
