@@ -11,10 +11,16 @@ object SparkEntry {
 
   /** One entry per implemented capability from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ etl.StarSchema.queries
+    operators.Relational.queries ++ etl.StarSchema.queries ++
+      functions.TextAnalysis.queries ++ dedup.Dedup.queries ++
+      ann.Similarity.queries ++ multimodal.Multimodal.queries ++
+      streaming.Streams.queries
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles ++ etl.StarSchema.oracles
+    operators.Relational.oracles ++ etl.StarSchema.oracles ++
+      functions.TextAnalysis.oracles ++ dedup.Dedup.oracles ++
+      ann.Similarity.oracles ++ multimodal.Multimodal.oracles ++
+      streaming.Streams.oracles
 }

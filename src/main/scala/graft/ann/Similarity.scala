@@ -1,0 +1,90 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Lake
+import graft.functions.expressions.GraftFunctions
+
+/** Similarity search over the `embeddings` table (SURVEY.md §D).
+  *
+  * Scale design (SURVEY.md §5):
+  *  - brute force: the (small) query set is broadcast; every corpus
+  *    partition scores its vectors locally against the broadcast side —
+  *    one pass over the corpus, no shuffle of the corpus. Per-query
+  *    top-k goes through a window on (query, score): at 1000 executors
+  *    the corpus side stays partition-local until the k·|Q| survivors.
+  *  - LSH: random-hyperplane buckets (4 tables × 8 bits, derived
+  *    deterministically — no plane matrix to broadcast). Corpus and
+  *    queries bucket independently; candidates meet in a bucket
+  *    equi-join, so each query scores ~|corpus|/2^bits vectors per
+  *    table instead of the whole corpus. Recall vs brute force is
+  *    asserted in the spec.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
+
+  private val K = 10
+  private val NumQueries = 10
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact cosine top-k per query vector — the recall=1 baseline.
+    "ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_full").desc, col("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+                round(col("cos_full"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN: both sides explode to (bucket, vec); candidates
+    // are the bucket-join survivors, scored exactly, then per-query top-k.
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("buckets", GraftFunctions.lshBuckets(col("embedding")))
+      val corpus = emb.select(col("vec_id"), col("embedding"),
+        explode(col("buckets")).as("bucket"))
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(col("buckets")).as("bucket"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_full").desc, col("neighbor_id"))
+      corpus.join(broadcast(q), Seq("bucket"))
+        .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"), col("embedding"))
+        .distinct()                                  // same pair can meet in several tables
+        .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+                round(col("cos_full"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      s"""SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine
+         |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                               CAST(c.embedding AS DOUBLE[])) AS cos_full,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                     CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+         |      FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q
+         |      CROSS JOIN embeddings c)
+         |WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin
+    // ann_lsh: rows-only — bucket membership depends on the hash-derived
+    // hyperplanes; the spec asserts recall ≥ 0.6 vs ann_bruteforce and
+    // that every returned neighbor's cosine matches the exact kernel.
+  )
+}

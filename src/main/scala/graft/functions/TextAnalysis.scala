@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Lake
+import graft.functions.expressions.GraftFunctions
+
+/** Text-analysis operators (SURVEY.md §E) over the `documents` table —
+  * the per-document scoring/statistics pass of a training-data pipeline.
+  *
+  * All per-doc metrics are single-pass narrow transforms (no shuffle at
+  * all except the final presentation ORDER BY and the n-gram count) —
+  * at 100 TB this runs at scan speed. Token ops use Spark's codegen'd
+  * string/array builtins; the only custom kernel is the Karp-Rabin
+  * rolling-hash fingerprint (codegen'd Catalyst expression).
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
+
+  /** Whitespace tokens — split on single space, matching the oracle's
+    * string_split exactly (documents are single-spaced). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish lexer token count: alpha runs | digit runs | single
+    * non-alnum-space chars — the shape of a byte-pair pre-tokenizer. */
+  val BpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Small function-word list shared with the oracle SQL (en). */
+  val StopwordsEn = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+  val StopwordsDe = Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "zu", "auf")
+  val StopwordsFr = Seq("le", "la", "les", "et", "est", "de", "un", "une", "dans", "pour")
+
+  private def stopHits(ws: Column, words: Seq[String]): Column =
+    size(filter(ws, w => w.isin(words.map(lit(_)): _*)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting + char/word stats: whitespace tokens and a BPE-ish
+    // regex lexer count, all from Spark codegen'd builtins.
+    "text_stats" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(ws).as("n_tokens"),
+          expr(s"regexp_count(text, '$BpeishPattern')").as("n_bpeish"),
+          round(length(regexp_replace(col("text"), " ", "")).cast("double") / size(ws), 4)
+            .as("avg_token_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: stopword / punctuation / uniqueness ratios blended
+    // into one score — the usual cheap pre-filter before expensive dedup.
+    "text_quality" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      val nTok = size(ws).cast("double")
+      val stopRatio = stopHits(ws, StopwordsEn) / nTok
+      val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+      val punctRatio = nPunct / length(col("text"))
+      val uniqRatio = size(array_distinct(ws)).cast("double") / nTok
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(stopRatio, 4).as("stop_ratio"),
+          round(punctRatio, 4).as("punct_ratio"),
+          round(uniqRatio, 4).as("uniq_ratio"),
+          round(lit(0.4) * stopRatio + lit(0.4) * uniqRatio - lit(0.2) * punctRatio, 4)
+            .as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID: stopword-hit voting across per-language function-word
+    // lists; argmax with a deterministic tie order (en > de > fr).
+    "text_langid" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      val en = stopHits(ws, StopwordsEn)
+      val de = stopHits(ws, StopwordsDe)
+      val fr = stopHits(ws, StopwordsFr)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          en.as("en_hits"), de.as("de_hits"), fr.as("fr_hits"))
+        .withColumn("lang_pred",
+          when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+            .when(col("de_hits") >= col("fr_hits"), "de")
+            .otherwise("fr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Karp-Rabin rolling-hash fingerprint (codegen'd custom expression) —
+    // a 61-bit polynomial content fingerprint per document.
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          GraftFunctions.rollingHash(col("text")).as("fingerprint"),
+          GraftFunctions.rollingHash(lower(trim(col("text")))).as("fingerprint_norm"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus-wide top bigrams: explode→count→top-k. Partial aggregation
+    // collapses each partition's counts before the shuffle; top-k is
+    // TakeOrderedAndProject, so the driver sees k rows, not the corpus.
+    "text_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram"))
+        .limit(25))
+  )
+
+  private val stopListSql = StopwordsEn.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  len(string_split(text, ' ')) AS n_tokens,
+         |  len(regexp_extract_all(text, '$BpeishPattern')) AS n_bpeish,
+         |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 4) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct,
+         |    CAST(length(text) AS DOUBLE) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(len(list_filter(ws, w -> w IN ($stopListSql))) / n_tok, 4) AS stop_ratio,
+         |  round(n_punct / n_chars, 4) AS punct_ratio,
+         |  round(len(list_distinct(ws)) / n_tok, 4) AS uniq_ratio,
+         |  round(0.4 * (len(list_filter(ws, w -> w IN ($stopListSql))) / n_tok)
+         |      + 0.4 * (len(list_distinct(ws)) / n_tok)
+         |      - 0.2 * (n_punct / n_chars), 4) AS quality
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_ngrams" ->
+      """SELECT ngram, count(*) AS cnt
+        |FROM (SELECT unnest(list_transform(range(1, len(ws)),
+        |               i -> ws[i] || ' ' || ws[i + 1])) AS ngram
+        |      FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+        |      WHERE len(ws) >= 2)
+        |GROUP BY ngram
+        |ORDER BY cnt DESC, ngram
+        |LIMIT 25""".stripMargin
+    // text_langid / text_fingerprint: rows-only (heuristic vote and custom
+    // 61-bit hash aren't oracle-SQL-expressible); specs pin their semantics.
+  )
+}

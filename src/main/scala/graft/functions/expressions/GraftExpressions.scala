@@ -1,0 +1,93 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for graft's vector/hash hot paths
+  * (SURVEY.md §H). Each generates a direct static call into
+  * [[Kernels]], so the inner loop runs inside whole-stage codegen —
+  * no UDF serialization, no per-row boxing, no codegen fallback.
+  */
+private[graft] object K {
+  final val Cls = "graft.functions.expressions.Kernels"
+}
+
+/** cosine(array<float>, array<float>) → double. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.Cls}.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** simhash64(array<string> tokens) → long fingerprint. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any =
+    Kernels.simhash64(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"${K.Cls}.simhash64($in)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** minhash(array<string> shingles, numPerms) → array<long> signature. */
+case class MinHashSignature(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    Kernels.minhash(in.asInstanceOf[ArrayData], numPerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"${K.Cls}.minhash($in, $numPerms)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** lsh_buckets(array<float>) → array<long> hyperplane bucket ids. */
+case class LshBuckets(child: Expression, tables: Int, bits: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    Kernels.lshBuckets(in.asInstanceOf[ArrayData], tables, bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"${K.Cls}.lshBuckets($in, $tables, $bits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lsh_buckets"
+}
+
+/** rolling_hash(string) → long Karp-Rabin document fingerprint. */
+case class RollingHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any =
+    Kernels.rollingHash(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"${K.Cls}.rollingHash($in)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "rolling_hash"
+}
+
+/** Column-API entry points for the custom expressions. */
+object GraftFunctions {
+  private def e(c: Column): Expression = Bridge.expression(c)
+  private def col(x: Expression): Column = Bridge.column(x)
+
+  def cosineSim(a: Column, b: Column): Column = col(CosineSimilarity(e(a), e(b)))
+  def simhash64(tokens: Column): Column = col(SimHash64(e(tokens)))
+  def minhashSig(shingles: Column, numPerms: Int = 128): Column =
+    col(MinHashSignature(e(shingles), numPerms))
+  def rollingHash(text: Column): Column = col(RollingHash(e(text)))
+  def lshBuckets(vec: Column, tables: Int = 4, bits: Int = 8, seed: Long = 42L): Column =
+    col(LshBuckets(e(vec), tables, bits, seed))
+}

@@ -1,0 +1,157 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar kernels behind graft's custom Catalyst expressions.
+  *
+  * Each is a small tight loop over catalyst containers (ArrayData /
+  * UTF8String) so both the interpreted path (`nullSafeEval`) and the
+  * generated code (`doGenCode` emits a direct call to these) share one
+  * implementation and stay inside whole-stage codegen — no Scala-UDF
+  * serialization, no boxing per element.
+  */
+object Kernels {
+
+  /** Cosine similarity between two float vectors, accumulated in double
+    * (deterministic left-to-right order — bit-identical to the DuckDB
+    * oracle's sequential accumulation). Returns 0 for zero-norm inputs. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private final val XxSeed = 42L
+
+  /** xxhash64 of a UTF8String, matching Spark's built-in xxhash64(col, 42). */
+  def xxhash(s: UTF8String): Long =
+    XXH64.hashUTF8String(s, XxSeed)
+
+  /** 64-bit SimHash over an array of string tokens: per-token xxhash64,
+    * each bit votes ±1, sign of the vote is the fingerprint bit. */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = xxhash(tokens.getUTF8String(i))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** SplitMix64 — deterministic per-permutation constants for MinHash. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: for each of `numPerms` universal-hash permutations
+    * h_i(x) = a_i*x + b_i (odd a_i from SplitMix64), the min over the
+    * input element hashes. Input is an array of string shingles; empty
+    * input yields Long.MaxValue per slot (no shingles → matches nothing). */
+  def minhash(shingles: ArrayData, numPerms: Int): ArrayData = {
+    val sig = new Array[Long](numPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = xxhash(shingles.getUTF8String(i))
+      var p = 0
+      while (p < numPerms) {
+        val a = splitmix64(2L * p) | 1L
+        val b = splitmix64(2L * p + 1)
+        val v = a * h + b
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** Random-hyperplane LSH bucket ids for a float vector: `tables`
+    * independent tables of `bits` hyperplanes each. Plane weights are
+    * derived on the fly from SplitMix64 (deterministic, no broadcast
+    * needed); bucket id = (table << 32) | sign-bit pattern, so a single
+    * long equi-join key carries (table, bucket). */
+  def lshBuckets(vec: ArrayData, tables: Int, bits: Int, seed: Long): ArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          // deterministic pseudo-random weight in [-1, 1)
+          val h = splitmix64(seed + ((t.toLong * bits + b) * 4096 + d))
+          val w = (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+          dot += w * vec.getFloat(d)
+          d += 1
+        }
+        if (dot >= 0.0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = (t.toLong << 32) | sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Karp-Rabin rolling polynomial hash of a document's bytes:
+    * h = sum(byte_i * B^i) mod M with B=257, M=2^61-1. The same recurrence
+    * a streaming fingerprinter would maintain windowed; here the full-doc
+    * fold is the document fingerprint. */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val M = (1L << 61) - 1
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      // (h*257 + byte) mod M without overflow: 2^61-1 fits multiply-by-257
+      // in unsigned 128 via two Math.multiplyHigh-free steps on < 2^61 values.
+      h = mulmod257(h, M) + (bytes(i) & 0xffL)
+      if (h >= M) h -= M
+      i += 1
+    }
+    h
+  }
+
+  /** (h * 257) mod (2^61-1) for h < 2^61, overflow-safe: 257 = 256 + 1,
+    * h*256 = h<<8; reduce the top bits with the Mersenne identity
+    * 2^61 ≡ 1 (mod M). */
+  private def mulmod257(h: Long, M: Long): Long = {
+    val hi = h >>> 53            // bits that overflow 61 after <<8
+    val lo = (h << 8) & M
+    var r = lo + hi              // 2^61*x ≡ x (mod M)
+    if (r >= M) r -= M
+    r = r + h
+    if (r >= M) r -= M
+    r
+  }
+}

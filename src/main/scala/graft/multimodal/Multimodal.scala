@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Lake
+
+/** Multimodal column handling (SURVEY.md §F): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, plus the decode /
+  * feature-extract pipeline plumbing.
+  *
+  * The container has no codec libraries, so the decode step is a
+  * deterministic STUB (documented below); everything around it — the
+  * binary column, the typed metadata struct, batched per-partition
+  * processing, the output schema — is real and is what a cluster would
+  * run with a real codec dropped in.
+  *
+  * Scale notes: payload bytes never shuffle — metadata extraction is a
+  * narrow projection; the decode pass is `mapPartitions`-shaped
+  * (per-partition batching ≙ `mapInPandas` batch semantics in the
+  * PySpark incarnation), so at 100 TB each executor streams its own
+  * partition's payloads through the codec without a collect or shuffle.
+  */
+object Multimodal {
+
+  private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
+
+  /** documents → opaque binary payload column, standing in for image
+    * bytes. Deterministic: payload = UTF-8 bytes of the text. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.withColumn("payload", col("text").cast("binary"))
+
+  /** Typed metadata struct extracted without decoding: byte size, leading
+    * magic bytes, content checksum — parquet-stats-friendly columns a
+    * 100 TB pipeline filters on before ever touching a codec. */
+  def withMeta(df: DataFrame): DataFrame =
+    df.withColumn("size_bytes", octet_length(col("payload")))
+      .withColumn("magic", hex(substring(col("payload"), 1, 4)))
+      .withColumn("checksum", md5(col("payload")))
+
+  /** Decoded-frame schema the stubbed codec produces. */
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", DoubleType)))
+
+  /** STUBBED CODEC — stands in for image/audio decode (no codec libs in
+    * this container). Deterministic fake: "decodes" a payload into
+    * `payload_len mod 3 + 1` frames whose dimensions/feature derive from
+    * the bytes. The Spark-side plumbing (binary in, iterator of typed
+    * rows out, per-partition batching) is the real contract a codec UDF
+    * would plug into. */
+  def decodeFrames(payload: Array[Byte]): Iterator[(Int, Int, Int, Double)] = {
+    val n = payload.length % 3 + 1
+    (0 until n).iterator.map { i =>
+      val w = 16 + (payload.length + i) % 64
+      val h = 16 + (payload.headOption.getOrElse(0: Byte).toInt & 0x3f)
+      val feat = payload.iterator.map(_ & 0xff).sum.toDouble / math.max(payload.length, 1)
+      (i, w, h, feat)
+    }
+  }
+
+  /** Batched decode pipeline: binary column → per-partition stream through
+    * the (stubbed) codec → typed frame rows. mapPartitions keeps the codec
+    * call amortized per batch, mirroring mapInPandas batch shape. */
+  def decodePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val payloads = withPayload(docs).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+    payloads.mapPartitions(_.flatMap { case (docId, payload) =>
+      decodeFrames(payload).map { case (i, w, h, f) => (docId, i, w, h, f) }
+    }).toDF("doc_id", "frame_idx", "width", "height", "feature")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Opaque-payload metadata extraction — size/magic/checksum typed
+    // columns from the binary payload, no decode.
+    "mm_meta" -> ((s, dir) =>
+      withMeta(withPayload(t(s, dir, "documents")))
+        .select(col("doc_id"), col("size_bytes"), col("magic"), col("checksum"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    // The payload is the text's UTF-8 bytes, so the oracle can reproduce
+    // size (octet_length of the encoded blob), magic (hex of the first 4
+    // bytes) and checksum (md5 over the same bytes) in SQL.
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS size_bytes,
+        |  hex(encode(substring(text, 1, 4))) AS magic,
+        |  md5(text) AS checksum
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,195 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §G).
+  *
+  * `stream_window`: the events parquet is consumed as a *file stream*
+  * (readStream), watermarked, windowed into tumbling 1 h aggregates and
+  * materialized through a memory sink — the result is batch-equivalent,
+  * which is exactly what the DuckDB oracle checks.
+  *
+  * `stream_session`: 30-minute-gap sessionization. The same fold is
+  * exposed two ways: a deterministic batch path (groupByKey +
+  * flatMapGroups — the correctness surface) and a streaming path via
+  * flatMapGroupsWithState with event-time timeout (exercised in the
+  * spec, asserted equal to the batch path). State per key is one open
+  * session; the watermark bounds it, so state size is O(active users),
+  * not O(events) — the property that matters at 100 TB/day.
+  */
+object Streams {
+
+  /** File-source streaming read of the events table. The file stream
+    * source needs a *directory*; the testdata table is a single file, so
+    * it is staged (once, Spark-written, ts already micros) into scratch —
+    * which is also the honest shape: a streaming ingest watches a landing
+    * directory of arriving files. */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = s"/root/repo/target/graft-scratch/stream_events_src"
+    graft.sources.Lake.table(spark, sfDir, "events")
+      .write.mode("overwrite").parquet(staged)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(staged)
+  }
+
+  /** Run a streaming DataFrame through a memory sink to completion and
+    * return the materialized table. */
+  private def materialize(spark: SparkSession, df: DataFrame, name: String,
+                          mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  final case class Ev(user_id: Long, tsMicros: Long, event_id: Long, value: Double)
+  /** Streaming state: the one open session per user. */
+  final case class Open(startMicros: Long, lastMicros: Long, n: Long, sum: Double)
+  /** Session with micro-precision epoch bounds (converted to timestamps
+    * at the presentation layer — java.sql.Timestamp construction would
+    * truncate to millis). */
+  final case class Session(user_id: Long, startMicros: Long, endMicros: Long,
+                           n_events: Long, sum_value: Double)
+
+  private val GapMicros: Long = 30L * 60 * 1000 * 1000
+
+  /** Fold a user's time-ordered events into gap-separated sessions. */
+  def sessionsOf(userId: Long, evs: Iterator[Ev]): Iterator[Session] = {
+    val sorted = evs.toVector.sortBy(e => (e.tsMicros, e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = Vector.newBuilder[Session]
+      var start = sorted.head.tsMicros
+      var last = start
+      var n = 0L
+      var sum = 0.0
+      def emit(): Unit = out += Session(userId, start, last, n, sum)
+      sorted.foreach { e =>
+        if (e.tsMicros - last > GapMicros) { emit(); start = e.tsMicros; n = 0; sum = 0.0 }
+        last = e.tsMicros; n += 1; sum += e.value
+      }
+      emit()
+      out.result().iterator
+    }
+  }
+
+  /** Typed event view used by both sessionization paths. */
+  def typedEvents(spark: SparkSession, events: DataFrame): Dataset[Ev] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("tsMicros"),
+        col("event_id"), col("value"))
+      .as[Ev]
+  }
+
+  /** Batch sessionization: one shuffle on user_id, per-key local fold. */
+  def sessionizeBatch(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    typedEvents(spark, events)
+      .groupByKey(_.user_id)
+      .flatMapGroups((uid: Long, evs: Iterator[Ev]) => sessionsOf(uid, evs))
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: state is the
+    * open session per user; event-time timeout (watermark) closes idle
+    * sessions, bounding state. Used by the spec; semantics match
+    * sessionizeBatch on a closed input. */
+  def sessionizeStreaming(spark: SparkSession, events: DataFrame): Dataset[Session] = {
+    import spark.implicits._
+    events.withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("event_id"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Open, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Open]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, s.startMicros, s.lastMicros, s.n, s.sum))
+          } else {
+            val sorted = evs.toVector.sortBy(e => (e.tsMicros, e.event_id))
+            val closed = Vector.newBuilder[Session]
+            var open = state.getOption
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.tsMicros - s.lastMicros > GapMicros =>
+                  closed += Session(uid, s.startMicros, s.lastMicros, s.n, s.sum)
+                  open = Some(Open(e.tsMicros, e.tsMicros, 1, e.value))
+                case Some(s) =>
+                  open = Some(Open(s.startMicros, e.tsMicros, s.n + 1, s.sum + e.value))
+                case None =>
+                  open = Some(Open(e.tsMicros, e.tsMicros, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMicros / 1000 + 45 * 60 * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Watermark + tumbling 1 h window over a file stream, materialized via
+    // a memory sink in Complete mode — batch-equivalent by construction.
+    "stream_window" -> ((s, dir) => {
+      val agg = readEventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      val res = materialize(s, agg, "graft_stream_window", OutputMode.Complete())
+      res.select(col("w.start").as("window_start"), col("event_type"),
+          col("cnt"), round(col("sv"), 2).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Gap sessionization (batch path of the shared fold; the streaming
+    // flatMapGroupsWithState path is asserted equal in the spec).
+    "stream_session" -> ((s, dir) => {
+      val ev = graft.sources.Lake.table(s, dir, "events")
+      sessionizeBatch(s, ev).toDF()
+        .select(col("user_id"),
+          timestamp_micros(col("startMicros")).as("session_start"),
+          timestamp_micros(col("endMicros")).as("session_end"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. `classic.ExpressionUtils` is
+  * `private[sql]`, so this one-file shim lives under the spark.sql
+  * namespace to expose the two conversions graft's custom Catalyst
+  * expressions need. No Spark internals are modified. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
