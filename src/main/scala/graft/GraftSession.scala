@@ -26,6 +26,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Standalone session, e.g. for tests. */

@@ -70,6 +70,42 @@ object Similarity {
     })
   )
 
+  /** IVF-style centroid partition pruning (SURVEY §D spec item): vectors
+    * are assigned to their nearest centroid ("inverted list"); a query
+    * probes only its `nProbe` nearest centroids' lists instead of the
+    * whole corpus. Centroid selection here is deterministic (first
+    * `nCentroids` vectors) standing in for a k-means training step — the
+    * pruning topology, the broadcast of the (tiny) centroid set, and the
+    * list-join shape are what carry to 100 TB. */
+  def ivfTopK(emb: DataFrame, queryIds: Int, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", GraftFunctions.cosineSim(col("embedding"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(wAssign))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_cos").desc, col("centroid_id"))
+    val probes = emb.filter(col("vec_id") < queryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("q_cos", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("p_rank", row_number().over(wProbe))
+      .filter(col("p_rank") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+              round(col("cos_full"), 6).as("cosine"))
+  }
+
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine

@@ -55,18 +55,18 @@ object Dedup {
   /** docs → (doc_id, 32 LSH band keys) via 128-perm MinHash, 32 bands × 4
     * rows. band_key folds the band index in, so one equi-join column
     * carries (band, bucket). */
-  private def bandedSignatures(docs: DataFrame): DataFrame =
+  def bandedSignatures(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), GraftFunctions.minhashSig(shingles(col("text"), 3), 128).as("sig"))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))")).as("band_key"))
 
   /** Exact-set Jaccard between two array columns. */
-  private def jaccard(a: Column, b: Column): Column =
+  def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures. */
-  private def lshCandidates(docs: DataFrame): DataFrame = {
+  def lshCandidates(docs: DataFrame): DataFrame = {
     val bands = bandedSignatures(docs)
     val a = bands.select(col("doc_id").as("doc_a"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_key"))
@@ -76,77 +76,76 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact dedup groups: normalize → md5 content hash → keep lowest
+    * doc_id per group. Only (hash, doc_id) shuffles. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(normalize(col("text"))).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification ≥ thr. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    lshCandidates(docs)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit fingerprint, 4×16-bit chunk blocking
+    * (complete by pigeonhole for hamming ≤ 3), XOR-popcount verification. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val fp = docs.select(col("doc_id"),
+      GraftFunctions.simhash64(TextAnalysis.tokens(normalize(col("text")))).as("simhash"))
+    val chunks = fp.select(col("doc_id"), col("simhash"), explode(expr(
+      "transform(sequence(0, 3), c -> concat(c, ':', (simhash >> (c * 16)) & 65535))")).as("chunk"))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("chunk"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("chunk"))
+    a.join(b, Seq("chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Character-n-gram Jaccard verification of the LSH candidates — the
+    * precision pass after recall-oriented LSH. */
+  def charJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val grams = docs.select(col("doc_id"), charGrams(col("text"), 5).as("g"))
+    lshCandidates(docs)
+      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
+      .withColumn("char_jaccard", round(jaccard(col("g_a"), col("g_b")), 4))
+      .filter(col("char_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "char_jaccard")
+  }
+
+  /** Embedding-cosine near-dup pairs (exact all-pairs — the correctness
+    * surface; ann_lsh is the bucketed scale path). */
+  def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // Exact dedup: normalize → md5 content hash → keep lowest doc_id per
-    // group. Only (hash, doc_id) shuffles; text stays in the scan.
     "dedup_exact" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(md5(normalize(col("text"))).as("content_hash"), col("doc_id"))
-        .groupBy(col("content_hash"))
-        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-        .orderBy(col("keep_doc_id"))),
-
-    // MinHash+LSH near-dup: shingle → 128 minhashes → 32 band buckets →
-    // bucket equi-join → exact-Jaccard verification of candidates at 0.8.
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      lshCandidates(docs)
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
-        .filter(col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // SimHash near-dup: 64-bit fingerprint, 4×16-bit chunk blocking
-    // (complete for hamming ≤ 3), XOR-popcount verification.
-    "dedup_simhash" -> ((s, dir) => {
-      val fp = t(s, dir, "documents")
-        .select(col("doc_id"),
-          GraftFunctions.simhash64(TextAnalysis.tokens(normalize(col("text")))).as("simhash"))
-      val chunks = fp.select(col("doc_id"), col("simhash"), explode(expr(
-        "transform(sequence(0, 3), c -> concat(c, ':', (simhash >> (c * 16)) & 65535))")).as("chunk"))
-      val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("chunk"))
-      val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("chunk"))
-      a.join(b, Seq("chunk"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(sim_a ^ sim_b)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // n-gram Jaccard: exact character-5-gram overlap verification of the
-    // LSH candidate pairs — the precision pass after recall-oriented LSH.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val grams = docs.select(col("doc_id"), charGrams(col("text"), 5).as("g"))
-      lshCandidates(docs)
-        .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
-        .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
-        .withColumn("char_jaccard", round(jaccard(col("g_a"), col("g_b")), 4))
-        .filter(col("char_jaccard") >= 0.6)
-        .select("doc_a", "doc_b", "char_jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
-
-    // Embedding-cosine near-dup: exact pairwise cosine ≥ 0.45 over the
-    // embeddings table via the codegen'd cosine kernel. (Exact all-pairs is
-    // the correctness surface; ann_lsh is the bucketed scale path.)
-    "dedup_embedding" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cosine", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
-        .filter(col("cosine") >= 0.45)
-        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
-        .orderBy("vec_a", "vec_b")
-    })
+      exactGroups(t(s, dir, "documents")).orderBy(col("keep_doc_id"))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      minhashPairs(t(s, dir, "documents"), 0.8).orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      simhashPairs(t(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      charJaccardPairs(t(s, dir, "documents"), 0.6).orderBy("doc_a", "doc_b")),
+    "dedup_embedding" -> ((s, dir) =>
+      embeddingPairs(t(s, dir, "embeddings"), 0.45).orderBy("vec_a", "vec_b"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -88,6 +88,6 @@ object GraftFunctions {
   def minhashSig(shingles: Column, numPerms: Int = 128): Column =
     col(MinHashSignature(e(shingles), numPerms))
   def rollingHash(text: Column): Column = col(RollingHash(e(text)))
-  def lshBuckets(vec: Column, tables: Int = 4, bits: Int = 8, seed: Long = 42L): Column =
+  def lshBuckets(vec: Column, tables: Int = 8, bits: Int = 8, seed: Long = 42L): Column =
     col(LshBuckets(e(vec), tables, bits, seed))
 }

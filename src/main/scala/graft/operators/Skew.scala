@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation helpers (SURVEY.md §H).
+  *
+  * AQE's runtime skew-join splitting handles most skew; this explicit
+  * salting helper is for *known*-hot keys where even a single map task's
+  * input for one key is too large (the classic null-key / power-user
+  * key at 100 TB). Result-equality with the plain join is asserted in
+  * the spec.
+  */
+object Skew {
+
+  /** Salted inner equi-join: the (large, skewed) left side gets a
+    * deterministic per-row salt in [0, salt); the (smaller) right side is
+    * replicated once per salt value. The join key becomes (key, salt), so
+    * one hot key spreads across `salt` reducers.
+    *
+    * The salt is xxhash64 over the whole left row — deterministic (no
+    * rand(), so retries/re-runs produce identical partitioning) and
+    * uniform. Right-side replication multiplies its shuffle volume by
+    * `salt`: size the factor to the skew, not to the cluster.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String, salt: Int): DataFrame = {
+    val saltedL = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt.toLong)))
+    val saltedR = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    saltedL.join(saltedR,
+        saltedL(leftKey) === saltedR(rightKey) && saltedL("__salt") === saltedR("__salt"))
+      .drop("__salt")
+  }
+}

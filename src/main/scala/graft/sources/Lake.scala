@@ -71,6 +71,20 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Bucketed persistence: pre-shuffles the data into `buckets` stable
+    * hash buckets on `bucketCol` at write time, so repeated joins /
+    * aggregations on that key read back shuffle-free (the scan itself
+    * reports the hash partitioning). The 100 TB pattern: bucket the big
+    * fact tables once on their join key, amortize the exchange across
+    * every downstream query. Requires a table (not a bare path) because
+    * bucket metadata lives in the catalog. */
+  def writeBucketed(df: DataFrame, tableName: String, buckets: Int,
+                    bucketCol: String, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path)
+      .saveAsTable(tableName)
+
   /** S3A-style lake credential wiring (reference etl.py:33-36) — sets
     * Hadoop conf on the live session; values come from the caller (config
     * file / env), never hard-coded. */

@@ -51,6 +51,12 @@ object Streams {
   }
 
   final case class Ev(user_id: Long, tsMicros: Long, event_id: Long, value: Double)
+  /** Streaming-side event row: keeps the watermarked `ts` column itself
+    * (projecting it away would detach the watermark from the stateful
+    * operator). */
+  final case class StreamEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double) {
+    def micros: Long = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+  }
   /** Streaming state: the one open session per user. */
   final case class Open(startMicros: Long, lastMicros: Long, n: Long, sum: Double)
   /** Session with micro-precision epoch bounds (converted to timestamps
@@ -103,19 +109,21 @@ object Streams {
     * sessionizeBatch on a closed input. */
   def sessionizeStreaming(spark: SparkSession, events: DataFrame): Dataset[Session] = {
     import spark.implicits._
-    events.withWatermark("ts", "1 hour")
-      .select(col("user_id"), unix_micros(col("ts")).as("tsMicros"), col("event_id"), col("value"))
-      .as[Ev]
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .as[StreamEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Open, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, evs: Iterator[Ev], state: GroupState[Open]) =>
+        (uid: Long, evs: Iterator[StreamEv], state: GroupState[Open]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
             Iterator(Session(uid, s.startMicros, s.lastMicros, s.n, s.sum))
           } else {
-            val sorted = evs.toVector.sortBy(e => (e.tsMicros, e.event_id))
+            val sorted = evs.map(e => Ev(e.user_id, e.micros, e.event_id, e.value))
+              .toVector.sortBy(e => (e.tsMicros, e.event_id))
             val closed = Vector.newBuilder[Session]
             var open = state.getOption
             sorted.foreach { e =>

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ann.Similarity
+import graft.functions.expressions.GraftFunctions
+
+/** §D similarity search: kernel exactness, LSH recall bound, IVF pruning
+  * sketch recall. */
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+
+  test("cosine kernel matches a driver-side double computation") {
+    val two = sources.Lake.table(spark, TestSpark.Sf, "embeddings")
+      .filter(col("vec_id") < 2).as[(Long, Seq[Float], Int)].collect()
+    val Array(a, b) = two.sortBy(_._1).map(_._2.map(_.toDouble))
+    val expected = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val Array(af, bf) = two.sortBy(_._1).map(_._2)
+    val got = Seq((af, bf)).toDF("a", "b")
+      .select(GraftFunctions.cosineSim(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("LSH ANN achieves reasonable recall against brute force") {
+    val exact = topkSet(Similarity.queries("ann_bruteforce")(spark, TestSpark.Sf))
+    val approx = topkSet(Similarity.queries("ann_lsh")(spark, TestSpark.Sf))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall")
+    // every query at least finds itself
+    assert((0L until 10L).forall(q => approx.contains((q, q))))
+  }
+
+  test("IVF centroid pruning returns ranked neighbors with bounded probing") {
+    val emb = sources.Lake.table(spark, TestSpark.Sf, "embeddings")
+    val exact = topkSet(Similarity.queries("ann_bruteforce")(spark, TestSpark.Sf))
+    val ivf = Similarity.ivfTopK(emb, queryIds = 10, nCentroids = 8, nProbe = 4, k = 10)
+    val got = topkSet(ivf)
+    assert(got.nonEmpty)
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"ivf recall=$recall")
+  }
+}

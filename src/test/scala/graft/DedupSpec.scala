@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.expressions.GraftFunctions
+
+/** §C dedup semantics on a crafted corpus with known duplicates —
+  * verifies the pair sets the rows-only driver check can't. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while seven " +
+    "wizards brew strange potions under a pale winter moon near the old stone bridge"
+  private lazy val corpus = Seq(
+    (0L, base),
+    (1L, base),                                       // exact dup of 0
+    (2L, "  THE quick   brown fox jumps over the lazy dog while seven " +
+      "wizards brew strange potions under a pale winter moon near the old stone bridge "), // dup after normalize
+    (3L, base.replace("winter", "summer")),           // near dup (1 word)
+    (4L, "completely different content about spark catalyst expressions " +
+      "and whole stage code generation across many executor nodes tonight"),
+    (5L, "ab")                                        // shorter than shingle k
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates and keeps the lowest doc_id") {
+    val groups = Dedup.exactGroups(corpus).collect()
+      .map(r => (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies"))).toMap
+    assert(groups(0L) == 3)       // docs 0, 1, 2 collapse
+    assert(groups(3L) == 1)
+    assert(groups(4L) == 1)
+  }
+
+  test("minhash-LSH finds the planted near-dup pairs and nothing else") {
+    val pairs = Dedup.minhashPairs(corpus, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs.contains((0L, 3L)), "one-word-changed doc must be a candidate pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("minhash-LSH verified jaccard matches brute-force set jaccard") {
+    val sh = corpus.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      ja = sh(a).toSet; jb = sh(b).toSet
+      if ja.nonEmpty || jb.nonEmpty
+      j = ja.intersect(jb).size.toDouble / ja.union(jb).size
+      if j >= 0.5
+    } yield (a, b) -> math.rint(j * 10000) / 10000).toMap
+    val got = Dedup.minhashPairs(corpus, 0.5).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(got == expected)
+  }
+
+  test("simhash puts near-identical docs within small hamming distance") {
+    val pairs = Dedup.simhashPairs(corpus, 8).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Int]("hamming"))).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 0, "identical docs → distance 0")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("char-ngram jaccard verification keeps near-dups, rejects low overlap") {
+    val pairs = Dedup.charJaccardPairs(corpus, 0.6).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding pairs match a driver-side exact computation") {
+    val emb = sources.Lake.table(spark, TestSpark.Sf, "embeddings")
+    val vecs = emb.as[(Long, Seq[Float], Int)].collect().map(v => v._1 -> v._2).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (dot, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, x, y), (p, q)) => (d + p.toDouble * q, x + p.toDouble * p, y + q.toDouble * q)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+      c = cos(vecs(a), vecs(b)) if c >= 0.45
+    } yield (a, b)).toSet
+    val got = Dedup.embeddingPairs(emb, 0.45).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(got == expected)
+  }
+
+  test("minhash signatures are deterministic across evaluations") {
+    val sig1 = corpus.select(GraftFunctions.minhashSig(Dedup.shingles(col("text"), 3), 128))
+      .collect().map(_.getSeq[Long](0).toVector).toVector
+    val sig2 = corpus.select(GraftFunctions.minhashSig(Dedup.shingles(col("text"), 3), 128))
+      .collect().map(_.getSeq[Long](0).toVector).toVector
+    assert(sig1 == sig2)
+    assert(sig1.head.size == 128)
+  }
+}

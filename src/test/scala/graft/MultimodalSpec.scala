@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** §F: binary payload plumbing — schema, determinism, batch shape. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("decode pipeline yields the declared frame schema, deterministically") {
+    val docs = sources.Lake.table(spark, TestSpark.Sf, "documents").limit(50)
+    val frames = Multimodal.decodePipeline(spark, docs)
+    assert(frames.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.FrameSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val c1 = frames.count()
+    val c2 = Multimodal.decodePipeline(spark, docs).count()
+    assert(c1 == c2 && c1 >= 50, s"stub emits 1..3 frames per doc, got $c1")
+    // every doc decodes between 1 and 3 frames
+    val perDoc = frames.groupBy("doc_id").count().agg(min("count"), max("count")).head()
+    assert(perDoc.getLong(0) >= 1 && perDoc.getLong(1) <= 3)
+  }
+
+  test("metadata extraction never decodes: size, magic, checksum from bytes") {
+    val docs = sources.Lake.table(spark, TestSpark.Sf, "documents").limit(5)
+    val meta = Multimodal.withMeta(Multimodal.withPayload(docs))
+      .select("doc_id", "size_bytes", "magic", "checksum").collect()
+    meta.foreach { r =>
+      assert(r.getAs[Int]("size_bytes") > 0)
+      assert(r.getAs[String]("magic").length == 8)      // 4 bytes hex
+      assert(r.getAs[String]("checksum").length == 32)  // md5 hex
+    }
+  }
+}

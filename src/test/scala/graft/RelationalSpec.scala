@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** §B query surface: result sanity the oracle can't check (HLL error
+  * contract) + the plan-shape discipline of SURVEY §H (pushdown, broadcast,
+  * no cartesian, top-k without global sort). */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def plan(name: String): String =
+    Relational.queries(name)(spark, TestSpark.Sf).queryExecution.executedPlan.toString
+
+  test("q20 approx_count_distinct stays within the 5% HLL contract") {
+    val rows = Relational.queries("q20_approx")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("q6 pushes every predicate into the parquet scan and prunes columns") {
+    val p = plan("q6_filter_agg")
+    assert(p.contains("PushedFilters:"), p)
+    // the PushedFilters list is elided in toString — membership of the
+    // leading entries plus the full DataFilters text proves the pushdown
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("(l_quantity"), p)
+    // projection pruning: untouched wide columns never leave the scan
+    assert(!p.contains("l_returnflag"), "scan reads columns the query never uses")
+  }
+
+  test("q5 star join broadcasts every dimension and has no cartesian product") {
+    val p = plan("q5_multijoin")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only shuffle join is the orders×lineitem fact-fact join
+    assert(p.split("ShuffledHashJoin|SortMergeJoin").length <= 2, p)
+  }
+
+  test("q3 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1 aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial"), p)
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** §H scale infra: salted skew join equivalence, session tuning. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join returns exactly the plain join's rows") {
+    val orders = sources.Lake.table(spark, TestSpark.Sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = sources.Lake.table(spark, TestSpark.Sf, "customer")
+      .select("c_custkey", "c_name")
+    val plain = orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+    val salted = Skew.saltedJoin(orders, cust, "o_custkey", "c_custkey", salt = 8)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("GraftSession tuning: AQE, skew join handling, UTC") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(spark.conf.get("spark.sql.parquet.filterPushdown") == "true")
+  }
+
+  test("no operator plan materializes data on the driver") {
+    // structural guard: driver-collected data re-entering a plan shows up
+    // as LocalTableScan / Scan ExistingRDD — no query may contain either
+    // (the lake scans must stay distributed FileScans).
+    val lakeQueries = SparkEntry.queries.keySet --
+      Set("etl_ingest_json", "etl_ingest_csv", "etl_partitioned_write",
+          "stream_window", "stream_session")
+    lakeQueries.foreach { k =>
+      val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("LocalRelation"), s"$k materializes on the driver")
+      assert(plan.contains("Relation") || plan.contains("relation"), k)
+    }
+  }
+}

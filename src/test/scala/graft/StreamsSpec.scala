@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** §G: the streaming flatMapGroupsWithState sessionizer must agree with
+  * the batch fold once the watermark has flushed all state. */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming sessionization equals the batch fold after state flush") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val events = sources.Lake.table(spark, TestSpark.Sf, "events")
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val rows = events.as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    val maxTs = rows.map(_._2.getTime).max
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    input.addData(rows.toSeq)
+    // sentinel far past every session + watermark delay: advances the
+    // event-time watermark so every open session times out and flushes
+    input.addData(Seq((-1L, new java.sql.Timestamp(maxTs + 10L * 3600 * 1000), -1L, 0.0)))
+
+    val sessions = Streams.sessionizeStreaming(
+      spark, input.toDF().toDF("event_id", "ts", "user_id", "value"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("graft_sessions_test").outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+
+    val streamed = spark.table("graft_sessions_test")
+      .filter(col("user_id") >= 0)
+      .as[Streams.Session].collect().toSet
+    val batch = Streams.sessionizeBatch(spark, events).collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("session fold: gap splitting, counts and sums") {
+    def ev(uid: Long, minute: Long, v: Double, id: Long) =
+      Streams.Ev(uid, minute * 60L * 1000000, id, v)
+    val sessions = Streams.sessionsOf(7L, Iterator(
+      ev(7, 0, 1.0, 1), ev(7, 10, 2.0, 2), ev(7, 39, 3.0, 3),  // gaps ≤ 30 min
+      ev(7, 120, 4.0, 4)                                        // new session
+    )).toVector
+    assert(sessions.map(s => (s.n_events, s.sum_value)) == Vector((3L, 6.0), (1L, 4.0)))
+    assert(sessions.head.startMicros == 0L)
+    assert(sessions.head.endMicros == 39L * 60 * 1000000)
+  }
+}

@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared tuned session for the whole forked test JVM. */
+object TestSpark {
+  lazy val spark: SparkSession = GraftSession.local(4)
+  val Sf = "/root/testdata/sf0.001"
+  def scratch(name: String): String = {
+    val p = s"/root/repo/target/test-scratch/$name"
+    new java.io.File(p).getParentFile.mkdirs()
+    p
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.TextAnalysis
+import graft.functions.expressions.{GraftFunctions, Kernels}
+
+/** §E: semantics of the rows-only text operators (language ID vote,
+  * rolling-hash fingerprint) plus kernel math checks. */
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("language ID votes correctly on clearly-marked samples") {
+    val samples = Seq(
+      (1L, "the cat is on the mat and the dog is in the house", "en"),
+      (2L, "der hund ist mit der katze und das haus ist von dem mann", "de"),
+      (3L, "le chat est dans la maison et les chiens pour un homme", "fr")
+    ).toDF("doc_id", "text", "lang")
+    samples.createOrReplaceTempView("x")
+    // reuse the query body by mimicking its expressions on the sample
+    val ws = split(col("text"), " ")
+    def hits(words: Seq[String]) = size(filter(ws, w => w.isin(words.map(lit(_)): _*)))
+    val pred = samples.select(col("doc_id"), col("lang"),
+        hits(TextAnalysis.StopwordsEn).as("en_hits"),
+        hits(TextAnalysis.StopwordsDe).as("de_hits"),
+        hits(TextAnalysis.StopwordsFr).as("fr_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[String]("lang_pred"))
+    pred.foreach { case (expected, got) => assert(got == expected) }
+  }
+
+  test("rolling hash matches a BigInt reference implementation") {
+    val M = BigInt((1L << 61) - 1)
+    def ref(s: String): Long = {
+      var h = BigInt(0)
+      s.getBytes("UTF-8").foreach { b => h = (h * 257 + (b & 0xff)) % M }
+      h.toLong
+    }
+    Seq("", "a", "spark", "the quick brown fox", "ü¢€ unicode ƒ").foreach { s =>
+      assert(Kernels.rollingHash(UTF8String.fromString(s)) == ref(s), s"mismatch for '$s'")
+    }
+  }
+
+  test("rolling hash distinguishes and is stable through the expression") {
+    val df = Seq((1L, "hello world"), (2L, "hello worle"), (3L, "hello world"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), GraftFunctions.rollingHash(col("text")).as("fp"))
+    val fps = df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fp")).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("simhash of identical token streams is identical; distance grows with change") {
+    def sh(s: String) = {
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        s.split(" ").map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+      Kernels.simhash64(arr)
+    }
+    val a = sh("alpha beta gamma delta epsilon zeta eta theta")
+    val b = sh("alpha beta gamma delta epsilon zeta eta theta")
+    val c = sh("alpha beta gamma delta epsilon zeta eta iota")
+    val d = sh("one two three four five six seven eight")
+    assert(a == b)
+    assert(java.lang.Long.bitCount(a ^ c) < java.lang.Long.bitCount(a ^ d))
+  }
+}
