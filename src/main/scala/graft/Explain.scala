@@ -1,0 +1,25 @@
+package graft
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: dump the formatted physical plan of every SparkEntry query
+  * (non-materializing ones) to target/explain/<name>.txt for review. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = GraftSession.local(4)
+    val out = Paths.get("/root/repo/target/explain")
+    Files.createDirectories(out)
+    val skip = Set("stream_window", "stream_session", "etl_ingest_json",
+      "etl_ingest_csv", "etl_partitioned_write")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip(name)) {
+        val df = fn(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(out.resolve(s"$name.txt"), txt)
+      }
+    }
+    spark.stop()
+  }
+}

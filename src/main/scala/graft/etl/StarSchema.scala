@@ -160,6 +160,20 @@ object StarSchema {
         .orderBy(col("event_date"), col("event_type"))
     }),
 
+    // Semi-structured props parsing: the JSON column every event lake has
+    // (reference's raw log payloads) — schema-on-read with from_json into
+    // typed fields, aggregated. No UDF: from_json is codegen'd.
+    "etl_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"),
+             round(avg(col("k")), 2).as("avg_k"),
+             max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
     // the reference's songplay query shape end-to-end in SQL.
     "sql_surface" -> ((s, dir) => {
@@ -236,6 +250,15 @@ object StarSchema {
         |  AND CAST(ts AS DATE) <= DATE '2024-01-12'
         |GROUP BY 1, 2
         |ORDER BY event_date, event_type""".stripMargin,
+
+    "etl_json_props" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "sql_surface" ->
       """SELECT c.c_mktsegment AS segment,

@@ -237,6 +237,93 @@ object Relational {
         .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
              countDistinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type"))
+    }),
+
+    // Correlated-min shape (TPC-H q2's pattern): each customer's cheapest
+    // order, via a per-key min re-joined as a semi-filter — the decorrelated
+    // form Catalyst produces for the subquery, written directly.
+    "q2_correlated" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val mins = ord.groupBy(col("o_custkey").as("m_custkey"))
+        .agg(min(col("o_totalprice")).as("min_price"))
+      ord.join(mins, ord("o_custkey") === col("m_custkey") &&
+                     ord("o_totalprice") === col("min_price"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Scalar-subquery share filter (q11 shape): groups whose value exceeds
+    // a fraction of the global total. The global total is a one-row
+    // broadcast, not a shuffle barrier on the group side.
+    "q11_havingshare" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val grouped = li.groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * col("l_quantity")), 2).as("supplier_value"))
+      val total = li.agg(sum(col("l_extendedprice") * col("l_quantity")).as("t"))
+      grouped.crossJoin(broadcast(total))
+        .filter(col("supplier_value") > col("t") * 0.0012)
+        .select(col("l_suppkey"), col("supplier_value"))
+        .orderBy(col("supplier_value").desc, col("l_suppkey"))
+    }),
+
+    // Max-over-derived-view selection (q15 shape): revenue per supplier,
+    // keep the max-revenue supplier(s) via a scalar max re-join.
+    "q15_maxrev" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("total_revenue"))
+      val sup = t(s, dir, "supplier")
+      val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("mr"))
+        .join(broadcast(sup), col("l_suppkey") === sup("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Correlated-avg subquery (q17 shape): lineitems far below their
+    // part's average quantity. The per-part avg joins back broadcast —
+    // two scans, one shuffle on l_partkey.
+    "q17_avg_subquery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+      li.join(avgQty, li("l_partkey") === col("a_partkey"))
+        .filter(col("l_quantity") < col("half_avg_qty"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // NOT IN + scalar-avg filter (q22 shape): above-average-balance
+    // customers with no orders at all — scalar subquery + left-anti join.
+    "q22_notin" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders").select("o_custkey")
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("ab"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Set operations: UNION / INTERSECT / EXCEPT over keyed projections —
+    // planned as aggregates / semi / anti joins, no driver materialization.
+    "q23_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val clickers = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val signups = ev.filter(col("event_type") === "signup").select(col("user_id"))
+      val engaged = buyers.intersect(clickers)
+      val silent = signups.except(buyers.union(clickers))
+      engaged.withColumn("cohort", lit("engaged"))
+        .union(silent.withColumn("cohort", lit("silent")))
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"))
     })
   )
 
@@ -373,9 +460,67 @@ object Relational {
         |  round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view
         |FROM events
         |GROUP BY 1
-        |ORDER BY event_date""".stripMargin
+        |ORDER BY event_date""".stripMargin,
     // q20_approx: intentionally no oracle — HLL sketch values are
     // engine-specific; driver records the rows-only check, the ScalaTest
     // spec asserts |approx-exact|/exact <= 0.05.
+
+    "q2_correlated" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT min(o_totalprice) FROM orders i
+        |                      WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q11_havingshare" ->
+      """SELECT l_suppkey,
+        |  round(sum(l_extendedprice * l_quantity), 2) AS supplier_value
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING round(sum(l_extendedprice * l_quantity), 2) >
+        |  (SELECT sum(l_extendedprice * l_quantity) * 0.0012 FROM lineitem)
+        |ORDER BY supplier_value DESC, l_suppkey""".stripMargin,
+
+    "q15_maxrev" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_avg_subquery" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem i
+        |                    WHERE i.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q22_notin" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q23_setops" ->
+      """WITH buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |clickers AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |signups AS (SELECT user_id FROM events WHERE event_type = 'signup'),
+        |engaged AS (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM clickers),
+        |silent AS (SELECT user_id FROM signups
+        |           EXCEPT (SELECT user_id FROM buyers UNION SELECT user_id FROM clickers))
+        |SELECT cohort, count(*) AS n_users FROM (
+        |  SELECT user_id, 'engaged' AS cohort FROM engaged
+        |  UNION ALL
+        |  SELECT user_id, 'silent' AS cohort FROM silent)
+        |GROUP BY cohort
+        |ORDER BY cohort""".stripMargin
   )
 }
