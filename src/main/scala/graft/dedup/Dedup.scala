@@ -65,9 +65,13 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures. */
+  /** LSH candidate pairs (doc_a < doc_b) from banded minhash signatures.
+    * The banded-signature table is cached: it is read twice here (both
+    * sides of the self-join) and again by any sibling query over the same
+    * corpus (Spark's cache manager matches canonicalized plans). At scale
+    * it is 32 longs/doc — ~0.25 KB/doc, far smaller than the corpus. */
   def lshCandidates(docs: DataFrame): DataFrame = {
-    val bands = bandedSignatures(docs)
+    val bands = bandedSignatures(docs).cache()
     val a = bands.select(col("doc_id").as("doc_a"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_key"))
     a.join(b, Seq("band_key"))
@@ -84,9 +88,11 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash+LSH near-dup pairs with exact-Jaccard verification ≥ thr. */
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification ≥ thr.
+    * The shingle table feeds both sides of the verification join — cached
+    * so the shingling pass runs once. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+    val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh")).cache()
     lshCandidates(docs)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -115,7 +121,7 @@ object Dedup {
   /** Character-n-gram Jaccard verification of the LSH candidates — the
     * precision pass after recall-oriented LSH. */
   def charJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val grams = docs.select(col("doc_id"), charGrams(col("text"), 5).as("g"))
+    val grams = docs.select(col("doc_id"), charGrams(col("text"), 5).as("g")).cache()
     lshCandidates(docs)
       .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
