@@ -310,6 +310,29 @@ object Relational {
         .orderBy(col("c_nationkey"))
     }),
 
+    // CUBE grouping sets: all 4 combinations of (event_type, weekday) in
+    // one Expand pass — same machinery as rollup, wider lattice.
+    "q24_cube" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("weekday", dayofweek(col("ts")))
+        .cube(col("event_type"), col("weekday"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("weekday"), lit(-1)).as("weekday"),
+          col("cnt"), col("sum_value"))
+        .orderBy(col("event_type"), col("weekday"))
+    }),
+
+    // Exact percentiles (continuous interpolation): median + p90 per group.
+    "q25_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(median(col("value")), 4).as("median_value"),
+             round(percentile(col("value"), lit(0.9)), 4).as("p90_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Set operations: UNION / INTERSECT / EXCEPT over keyed projections —
     // planned as aggregates / semi / anti joins, no driver materialization.
     "q23_setops" -> ((s, dir) => {
@@ -508,6 +531,22 @@ object Relational {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+
+    "q24_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(dayofweek(ts) + 1, -1) AS weekday,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+        |ORDER BY event_type, weekday""".stripMargin,
+
+    "q25_percentiles" ->
+      """SELECT event_type,
+        |  round(median(value), 4) AS median_value,
+        |  round(quantile_cont(value, 0.9), 4) AS p90_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q23_setops" ->
       """WITH buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase'),

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.etl.EtlJob
+
+/** End-to-end star-schema job: outputs land partitioned, re-read
+  * consistently, and the fact reconciles with its source. */
+class EtlJobSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("ETL job builds a consistent star schema on disk") {
+    val out = TestSpark.scratch("etljob")
+    val res = EtlJob.run(spark, TestSpark.Sf, out)
+
+    val events = sources.Lake.table(spark, TestSpark.Sf, "events")
+    val purchases = events.filter(col("event_type") === "purchase").count()
+    assert(res.fact.count() == purchases)
+    assert(res.dimUsers.count() ==
+      events.select("user_id").distinct().count())
+    assert(res.dimTime.count() == events.select("ts").distinct().count())
+
+    // partition layout on disk (year=/month=) → partition pruning on read
+    val janDir = new java.io.File(s"$out/fact_purchases/year=2024/month=1")
+    assert(janDir.exists, "fact must be partitioned by year/month")
+
+    // surrogate keys are unique and deterministic across re-runs
+    // (materialize before the overwrite — the lazy frame re-reads the path)
+    assert(res.fact.select("purchase_id").distinct().count() == purchases)
+    val ids1 = res.fact.select("purchase_id").collect().map(_.getString(0)).toSet
+    val rerun = EtlJob.run(spark, TestSpark.Sf, out)
+    val ids2 = rerun.fact.select("purchase_id").collect().map(_.getString(0)).toSet
+    assert(ids1 == ids2, "content-hash surrogate keys must be idempotent")
+  }
+}
