@@ -97,6 +97,29 @@ object TextAnalysis {
           GraftFunctions.rollingHash(lower(trim(col("text")))).as("fingerprint_norm"))
         .orderBy(col("doc_id"))),
 
+    // TF-IDF: term frequency per doc × inverse document frequency, top
+    // term per document. Two aggregations (term-per-doc, df-per-term) and
+    // one broadcast-able join on term — the df table is |vocab|-sized,
+    // tiny next to the corpus.
+    "text_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.count()
+      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_full").desc, col("term"))
+      tf.join(broadcast(df), Seq("term"))
+        .withColumn("score_full",
+          col("tf") * log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+                round(col("score_full"), 4).as("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide top bigrams: explode→count→top-k. Partial aggregation
     // collapses each partition's counts before the shuffle; top-k is
     // TakeOrderedAndProject, so the driver sees k rows, not the corpus.
@@ -139,6 +162,22 @@ object TextAnalysis {
          |      + 0.4 * (len(list_distinct(ws)) / n_tok)
          |      - 0.2 * (n_punct / n_chars), 4) AS quality
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    tf * ln((n_docs + 1.0) / (df + 1.0)) AS score_full,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * ln((n_docs + 1.0) / (df + 1.0)) DESC, term) AS rn
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, round(score_full, 4) AS tfidf
+        |FROM scored WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "text_ngrams" ->
       """SELECT ngram, count(*) AS cnt

@@ -161,6 +161,27 @@ object Streams {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // Exactly-once streaming ingestion: the landing stream carries every
+    // event twice (staged duplicated); watermarked dropDuplicates on the
+    // event key emits each exactly once — state is bounded by the
+    // watermark horizon. The batch oracle sees each event once.
+    "stream_dedup" -> ((s, dir) => {
+      val staged = "/root/repo/target/graft-scratch/stream_dedup_src"
+      val ev = graft.sources.Lake.table(s, dir, "events")
+      ev.union(ev).write.mode("overwrite").parquet(staged)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val deduped = s.readStream.schema(schema).parquet(staged)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates("event_id", "ts")
+      val res = materialize(s, deduped, "graft_stream_dedup", OutputMode.Append())
+      res.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gap sessionization (batch path of the shared fold; the streaming
     // flatMapGroupsWithState path is asserted equal in the spec).
     "stream_session" -> ((s, dir) => {
@@ -175,6 +196,12 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
     "stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |  count(*) AS cnt, round(sum(value), 2) AS sum_value
