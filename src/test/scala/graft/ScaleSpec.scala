@@ -33,7 +33,7 @@ class ScaleSpec extends AnyFunSuite {
     // (the lake scans must stay distributed FileScans).
     val lakeQueries = SparkEntry.queries.keySet --
       Set("etl_ingest_json", "etl_ingest_csv", "etl_partitioned_write",
-          "stream_window", "stream_session")
+          "stream_window", "stream_session", "stream_dedup")
     lakeQueries.foreach { k =>
       val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
         .queryExecution.optimizedPlan.toString
