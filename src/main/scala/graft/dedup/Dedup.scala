@@ -141,6 +141,23 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** End-to-end corpus dedup: drop exact duplicates (all but the lowest
+    * doc_id per content hash) and near-duplicates (the higher doc_id of
+    * every verified pair — greedy, keeps ≥1 doc per duplicate cluster).
+    * Both drop lists are (doc_id)-only anti-join keys: the corpus text
+    * flows straight from scan to output, nothing wide shuffles. */
+  def dedupedCorpus(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(normalize(col("text"))).as("content_hash"))
+    val exactLosers = hashed
+      .join(exactGroups(docs).select(col("content_hash"), col("keep_doc_id")), Seq("content_hash"))
+      .filter(col("doc_id") =!= col("keep_doc_id"))
+      .select(col("doc_id").as("drop_id"))
+    val nearLosers = minhashPairs(docs, jaccardThreshold)
+      .select(col("doc_b").as("drop_id"))
+    val drops = exactLosers.union(nearLosers).distinct()
+    docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       exactGroups(t(s, dir, "documents")).orderBy(col("keep_doc_id"))),
@@ -151,7 +168,11 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       charJaccardPairs(t(s, dir, "documents"), 0.6).orderBy("doc_a", "doc_b")),
     "dedup_embedding" -> ((s, dir) =>
-      embeddingPairs(t(s, dir, "embeddings"), 0.45).orderBy("vec_a", "vec_b"))
+      embeddingPairs(t(s, dir, "embeddings"), 0.45).orderBy("vec_a", "vec_b")),
+    "dedup_corpus" -> ((s, dir) =>
+      dedupedCorpus(t(s, dir, "documents"), 0.8)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(

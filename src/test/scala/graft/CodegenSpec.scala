@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.expressions.GraftFunctions
+
+/** The custom Catalyst expressions must compile inside whole-stage
+  * codegen: with codegen fallback disabled, any doGenCode bug throws
+  * instead of silently degrading to the interpreted path. */
+class CodegenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withStrictCodegen[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try f finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("all custom expressions compile under strict whole-stage codegen") {
+    withStrictCodegen {
+      val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "one two three four five"))
+        .toDF("doc_id", "text")
+      val emb = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(3.0f, 2.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      val r1 = docs.select(
+        GraftFunctions.simhash64(split(col("text"), " ")).as("sh"),
+        GraftFunctions.minhashSig(Dedup.shingles(col("text"), 3)).as("mh"),
+        GraftFunctions.rollingHash(col("text")).as("rh")).collect()
+      assert(r1.length == 2 && r1.forall(_.getSeq[Long](1).length == 128))
+      val r2 = emb.select(
+        GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("cos"),
+        GraftFunctions.lshBuckets(col("embedding")).as("b")).collect()
+      assert(r2.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+      assert(r2.forall(_.getSeq[Long](1).length == 8))
+    }
+  }
+}

@@ -88,6 +88,14 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("deduped corpus has no remaining near-dup pairs and keeps one per cluster") {
+    val kept = Dedup.dedupedCorpus(corpus, 0.5)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(0L) && !ids.contains(1L) && !ids.contains(2L) && !ids.contains(3L))
+    assert(ids.contains(4L) && ids.contains(5L))
+    assert(Dedup.minhashPairs(kept, 0.5).isEmpty)
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val sig1 = corpus.select(GraftFunctions.minhashSig(Dedup.shingles(col("text"), 3), 128))
       .collect().map(_.getSeq[Long](0).toVector).toVector
