@@ -95,4 +95,31 @@ object Lake {
     hc.set("fs.s3a.secret.key", secretKey)
     endpoint.foreach(hc.set("fs.s3a.endpoint", _))
   }
+
+  /** Ini-style config loader (reference etl.py:21-27 reads dl.cfg with
+    * configparser): `[SECTION]` + `key=value` lines → "SECTION.key" map.
+    * Comments (#/;) and blanks ignored; keys are case-preserved. */
+  def loadConfig(path: String): Map[String, String] = {
+    var section = ""
+    scala.io.Source.fromFile(path).getLines().foldLeft(Map.empty[String, String]) {
+      (acc, raw) =>
+        val line = raw.trim
+        if (line.isEmpty || line.startsWith("#") || line.startsWith(";")) acc
+        else if (line.startsWith("[") && line.endsWith("]")) {
+          section = line.substring(1, line.length - 1); acc
+        } else line.indexOf('=') match {
+          case -1 => acc
+          case i => acc + (s"$section.${line.take(i).trim}" -> line.drop(i + 1).trim)
+        }
+    }
+  }
+
+  /** Reference main-path: wire S3A credentials straight from a config
+    * file (etl.py:21-38). */
+  def configureS3FromConfig(spark: SparkSession, cfgPath: String): Unit = {
+    val cfg = loadConfig(cfgPath)
+    configureS3(spark,
+      cfg("AWS.AWS_ACCESS_KEY_ID"), cfg("AWS.AWS_SECRET_ACCESS_KEY"),
+      cfg.get("AWS.AWS_ENDPOINT"))
+  }
 }

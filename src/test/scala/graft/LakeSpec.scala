@@ -90,6 +90,20 @@ class LakeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ini config loading wires S3A credentials like the reference's dl.cfg") {
+    val cfg = TestSpark.scratch("cfg/dl.cfg")
+    Files.writeString(Paths.get(cfg),
+      """# lake credentials
+        |[AWS]
+        |AWS_ACCESS_KEY_ID = k123
+        |AWS_SECRET_ACCESS_KEY=s456
+        |""".stripMargin)
+    Lake.configureS3FromConfig(spark, cfg)
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.access.key") == "k123")
+    assert(hc.get("fs.s3a.secret.key") == "s456")
+  }
+
   test("S3A conf wiring lands in the Hadoop configuration") {
     Lake.configureS3(spark, "ak", "sk", Some("http://localhost:9000"))
     val hc = spark.sparkContext.hadoopConfiguration
