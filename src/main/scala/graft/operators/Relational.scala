@@ -140,6 +140,37 @@ object Relational {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // Profit-by-nation-and-year shape (q9): fact×fact join on orderkey
+    // for the order year, supplier→nation broadcast chain, two-level
+    // grouping. The only shuffle joins are fact-fact; everything keyed.
+    "q9_profit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+      val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nation = t(s, dir, "nation")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Shipping-priority-class shape (q12): CASE bucketing inside a grouped
+    // agg over the fact-fact join.
+    "q12_caseagg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val isUrgent = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(isUrgent, 1L).otherwise(0L)).as("high_line_count"),
+             sum(when(isUrgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // NOT EXISTS → left-anti join; dim side broadcast after the fact filter.
     "q10_antijoin" -> ((s, dir) => {
       val recent = t(s, dir, "orders")
@@ -426,6 +457,28 @@ object Relational {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q12_caseagg" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
 
     "q10_antijoin" ->
       """SELECT n_name, count(*) AS cust_count,
