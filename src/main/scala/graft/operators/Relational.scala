@@ -12,9 +12,18 @@ import graft.sources.Lake
   * (planned as TakeOrderedAndProject — no global sort materialization).
   *
   * Oracle parity conventions (see SURVEY.md §6): every double aggregate is
-  * rounded to 2dp on both sides, every output column is aliased identically
-  * on both sides, every query ends in a deterministic ORDER BY (ties broken
-  * by a key column so LIMIT boundaries are stable).
+  * rounded identically on both sides, every output column is aliased
+  * identically on both sides, every query ends in a deterministic ORDER BY
+  * (ties broken by a key column so LIMIT boundaries are stable).
+  *
+  * Rounding grid rule: sums of decimal-quantized inputs land EXACTLY on a
+  * decimal grid (price=2dp, price×(1-disc)=4dp), so rounding COARSER than
+  * the grid puts ~1% of values on a rounding boundary where engine
+  * summation order flips the direction. Rounding AT the grid (4dp for
+  * disc-price sums) recovers the exact decimal on both engines — float
+  * accumulation error (≪ half-grid at the verification SF) cancels.
+  * Continuous-valued aggregates (avgs, ratios, event values) are safe at
+  * any precision and stay at 2dp.
   */
 object Relational {
 
@@ -31,7 +40,7 @@ object Relational {
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           round(avg(col("l_extendedprice")), 2).as("avg_price"),
@@ -55,7 +64,7 @@ object Relational {
       li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
           li("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -92,7 +101,7 @@ object Relational {
         .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -105,7 +114,7 @@ object Relational {
                 col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
                 col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
                 col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
     }),
 
     // Window functions: one shuffle on the partition key serves all three
@@ -152,7 +161,7 @@ object Relational {
         .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("profit"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
@@ -304,7 +313,7 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("total_revenue"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("total_revenue"))
       val sup = t(s, dir, "supplier")
       val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
       rev.crossJoin(broadcast(maxRev))
@@ -386,7 +395,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
         |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
         |  round(avg(l_quantity), 2) AS avg_qty,
         |  round(avg(l_extendedprice), 2) AS avg_price,
@@ -399,7 +408,7 @@ object Relational {
 
     "q3_join_agg" ->
       """SELECT l_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
         |FROM customer, orders, lineitem
         |WHERE c_mktsegment = 'BUILDING'
         |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -421,7 +430,7 @@ object Relational {
 
     "q5_multijoin" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -433,7 +442,7 @@ object Relational {
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q6_filter_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -460,7 +469,7 @@ object Relational {
 
     "q9_profit" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS profit
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS profit
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -560,7 +569,7 @@ object Relational {
     "q15_maxrev" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'

@@ -71,6 +71,13 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Schema-evolution read: merge the footers of all files so early
+    * files (written before a column existed) surface nulls for the new
+    * columns. At 100 TB, turn this on only for evolving tables — footer
+    * merging scans every file's metadata. */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Bucketed persistence: pre-shuffles the data into `buckets` stable
     * hash buckets on `bucketCol` at write time, so repeated joins /
     * aggregations on that key read back shuffle-free (the scan itself

@@ -52,6 +52,17 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.readJson(spark, schema, multiLine = false, mlDir).filter(col("id").isNotNull).count() < 2)
   }
 
+  test("schema evolution: mergeSchema surfaces later-added columns") {
+    val p = TestSpark.scratch("evolve")
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(p)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.mode("append").parquet(p)
+    val merged = Lake.readParquetMerged(spark, p)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getAs[Double]("score") == 9.5)
+  }
+
   test("compaction bounds the output file count") {
     val p = TestSpark.scratch("compact")
     val df = spark.range(1000).repartition(16).toDF("id")
