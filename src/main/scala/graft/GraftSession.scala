@@ -27,6 +27,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/graft-warehouse")
+      .config("spark.sql.extensions", "graft.functions.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   /** Standalone session, e.g. for tests. */

@@ -67,7 +67,14 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
                 round(col("cos_full"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // IVF centroid pruning as a query surface (rows-only; AnnSpec pins
+    // recall against the brute-force baseline).
+    "ann_ivf" -> ((s, dir) =>
+      ivfTopK(t(s, dir, "embeddings"), queryIds = NumQueries,
+        nCentroids = 8, nProbe = 4, k = K)
+        .orderBy(col("query_id"), col("rank")))
   )
 
   /** IVF-style centroid partition pruning (SURVEY §D spec item): vectors

@@ -1,0 +1,36 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: registers graft's custom Catalyst
+  * expressions as SQL functions, so the SQL surface (`spark.sql`, temp
+  * views, JDBC clients on a thrift server) can call them exactly like
+  * built-ins. Activated via
+  * `spark.sql.extensions=graft.functions.expressions.GraftExtensions`
+  * (GraftSession sets this by default).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles) - 128-perm MinHash signature"),
+      (es: Seq[Expression]) => MinHashSignature(es.head, 128)))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(text) - Karp-Rabin 61-bit fingerprint"),
+      (es: Seq[Expression]) => RollingHash(es.head)))
+    e.injectFunction((FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets", "lsh_buckets(vec) - random-hyperplane LSH bucket ids"),
+      (es: Seq[Expression]) => LshBuckets(es.head, tables = 8, bits = 8, seed = 42L)))
+  }
+}

@@ -18,6 +18,20 @@ class CodegenSpec extends AnyFunSuite {
     try f finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("custom expressions are SQL-callable via SparkSessionExtensions") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                  array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS cos,
+        |       simhash64(array('a', 'b')) AS sh,
+        |       rolling_hash('spark') AS rh,
+        |       size(minhash_sig(array('x y z'))) AS mh_len,
+        |       size(lsh_buckets(array(CAST(1.0 AS FLOAT)))) AS lsh_len""".stripMargin)
+      .head()
+    assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(r.getAs[Int]("mh_len") == 128)
+    assert(r.getAs[Int]("lsh_len") == 8)
+  }
+
   test("all custom expressions compile under strict whole-stage codegen") {
     withStrictCodegen {
       val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "one two three four five"))
