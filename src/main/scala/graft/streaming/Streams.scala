@@ -28,9 +28,8 @@ object Streams {
     * which is also the honest shape: a streaming ingest watches a landing
     * directory of arriving files. */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val staged = s"/root/repo/target/graft-scratch/stream_events_src"
-    graft.sources.Lake.table(spark, sfDir, "events")
-      .write.mode("overwrite").parquet(staged)
+    val staged = stage(spark, sfDir, "stream_events_src",
+      graft.sources.Lake.table(spark, sfDir, "events"))
     val schema = StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", TimestampType),
@@ -39,6 +38,18 @@ object Streams {
       StructField("value", DoubleType),
       StructField("props", StringType)))
     spark.readStream.schema(schema).parquet(staged)
+  }
+
+  /** Stage a DataFrame as a landing directory for the file-stream source,
+    * keyed by the source sf dir — skipped when already staged for the same
+    * input (the landing data is deterministic). */
+  private def stage(spark: SparkSession, sfDir: String, name: String,
+                    df: => org.apache.spark.sql.DataFrame): String = {
+    val key = java.lang.Long.toHexString(sfDir.hashCode.toLong & 0xffffffffL)
+    val path = s"/root/repo/target/graft-scratch/$name-$key"
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      df.write.mode("overwrite").parquet(path)
+    path
   }
 
   /** Run a streaming DataFrame through a memory sink to completion and
@@ -166,9 +177,8 @@ object Streams {
     // event key emits each exactly once — state is bounded by the
     // watermark horizon. The batch oracle sees each event once.
     "stream_dedup" -> ((s, dir) => {
-      val staged = "/root/repo/target/graft-scratch/stream_dedup_src"
       val ev = graft.sources.Lake.table(s, dir, "events")
-      ev.union(ev).write.mode("overwrite").parquet(staged)
+      val staged = stage(s, dir, "stream_dedup_src", ev.union(ev))
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("user_id", LongType), StructField("event_type", StringType),
