@@ -11,6 +11,12 @@ class RelationalSpec extends AnyFunSuite {
   private def plan(name: String): String =
     Relational.queries(name)(spark, TestSpark.Sf).queryExecution.executedPlan.toString
 
+  test("driver entry point returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every declared oracle has a matching query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("q20 approx_count_distinct stays within the 5% HLL contract") {
     val rows = Relational.queries("q20_approx")(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
