@@ -97,6 +97,20 @@ object TextAnalysis {
           GraftFunctions.rollingHash(lower(trim(col("text")))).as("fingerprint_norm"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic content-hash sampling — the reproducible data-mixing
+    // primitive: a doc is in the p% sample iff the leading byte of its
+    // content md5 falls under the threshold. No rand(), so the sample is
+    // stable across runs, retries, and engines, and composes with
+    // stratification (here: per source).
+    "text_sample" -> ((s, dir) => {
+      val inSample = substring(md5(col("text")), 1, 2) < lit("40") // 64/256 = 25%
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(inSample, 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    }),
+
     // TF-IDF: term frequency per doc × inverse document frequency, top
     // term per document. Two aggregations (term-per-doc, df-per-term) and
     // one broadcast-able join on term — the df table is |vocab|-sized,
@@ -162,6 +176,14 @@ object TextAnalysis {
          |      + 0.4 * (len(list_distinct(ws)) / n_tok)
          |      - 0.2 * (n_punct / n_chars), 4) AS quality
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_sample" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN substring(md5(text), 1, 2) < '40'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (
