@@ -1,6 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -12,19 +13,59 @@ import org.apache.spark.unsafe.types.UTF8String
   * (SURVEY.md §H). Each generates a direct static call into
   * [[Kernels]], so the inner loop runs inside whole-stage codegen —
   * no UDF serialization, no per-row boxing, no codegen fallback.
+  *
+  * Input types are validated in `checkInputDataTypes` (Spark 4 keeps
+  * `ExpectsInputTypes` private[sql], so the check is hand-rolled): a
+  * wrong-typed SQL call — e.g. `cosine_sim(array('a'), ...)` — fails at
+  * analysis instead of reading garbage off the UnsafeArrayData path.
+  * Vector expressions accept both `array<float>` and `array<double>`
+  * (the natural type of a cast SQL array literal) and dispatch to the
+  * matching kernel.
   */
 private[graft] object K {
   final val Cls = "graft.functions.expressions.Kernels"
+
+  /** Is `dt` an array of float or double? Returns Some(isDouble). */
+  def vectorElem(dt: DataType): Option[Boolean] = dt match {
+    case ArrayType(FloatType, _)  => Some(false)
+    case ArrayType(DoubleType, _) => Some(true)
+    case _                        => None
+  }
+
+  def fail(fn: String, expected: String, got: Seq[DataType]): TypeCheckResult =
+    TypeCheckResult.TypeCheckFailure(
+      s"$fn expects $expected, got (${got.map(_.catalogString).mkString(", ")})")
+
+  def checkStringArray(fn: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other                    => fail(fn, "array<string>", Seq(other))
+  }
 }
 
-/** cosine(array<float>, array<float>) → double. */
+/** cosine(array<float|double>, array<float|double>) → double.
+  * Both sides must have the same element type. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  private lazy val isDouble: Boolean = K.vectorElem(left.dataType).contains(true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (K.vectorElem(left.dataType), K.vectorElem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => K.fail(prettyName,
+        "two array<float> or two array<double> arguments",
+        Seq(left.dataType, right.dataType))
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"${K.Cls}.cosine($a, $b)")
+    if (isDouble) Kernels.cosineDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = if (isDouble) "cosineDouble" else "cosine"
+    defineCodeGen(ctx, ev, (a, b) => s"${K.Cls}.$k($a, $b)")
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
@@ -34,6 +75,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class SimHash64(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    K.checkStringArray(prettyName, child.dataType)
   override def nullSafeEval(in: Any): Any =
     Kernels.simhash64(in.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -46,6 +89,8 @@ case class SimHash64(child: Expression)
 case class MinHashSignature(child: Expression, numPerms: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    K.checkStringArray(prettyName, child.dataType)
   override def nullSafeEval(in: Any): Any =
     Kernels.minhash(in.asInstanceOf[ArrayData], numPerms)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -54,14 +99,27 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   override def prettyName: String = "minhash_sig"
 }
 
-/** lsh_buckets(array<float>) → array<long> hyperplane bucket ids. */
+/** lsh_buckets(array<float|double>) → array<long> hyperplane bucket ids. */
 case class LshBuckets(child: Expression, tables: Int, bits: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val isDouble: Boolean = K.vectorElem(child.dataType).contains(true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    K.vectorElem(child.dataType) match {
+      case Some(_) => TypeCheckResult.TypeCheckSuccess
+      case None => K.fail(prettyName, "array<float> or array<double>", Seq(child.dataType))
+    }
+
   override def nullSafeEval(in: Any): Any =
-    Kernels.lshBuckets(in.asInstanceOf[ArrayData], tables, bits, seed)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, in => s"${K.Cls}.lshBuckets($in, $tables, $bits, ${seed}L)")
+    if (isDouble) Kernels.lshBucketsDouble(in.asInstanceOf[ArrayData], tables, bits, seed)
+    else Kernels.lshBuckets(in.asInstanceOf[ArrayData], tables, bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = if (isDouble) "lshBucketsDouble" else "lshBuckets"
+    defineCodeGen(ctx, ev, in => s"${K.Cls}.$k($in, $tables, $bits, ${seed}L)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "lsh_buckets"
 }
@@ -70,6 +128,10 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int, seed: Long)
 case class RollingHash(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => K.fail(prettyName, "string", Seq(other))
+  }
   override def nullSafeEval(in: Any): Any =
     Kernels.rollingHash(in.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -30,6 +30,21 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Cosine similarity over double vectors (the natural type of SQL array
+    * literals after a DOUBLE cast) — same accumulation as [[cosine]]. */
+  def cosineDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private final val XxSeed = 42L
 
   /** xxhash64 of a UTF8String, matching Spark's built-in xxhash64(col, 42). */
@@ -97,7 +112,15 @@ object Kernels {
     * derived on the fly from SplitMix64 (deterministic, no broadcast
     * needed); bucket id = (table << 32) | sign-bit pattern, so a single
     * long equi-join key carries (table, bucket). */
-  def lshBuckets(vec: ArrayData, tables: Int, bits: Int, seed: Long): ArrayData = {
+  def lshBuckets(vec: ArrayData, tables: Int, bits: Int, seed: Long): ArrayData =
+    lshBucketsImpl(vec, tables, bits, seed, isDouble = false)
+
+  /** [[lshBuckets]] over a double vector. */
+  def lshBucketsDouble(vec: ArrayData, tables: Int, bits: Int, seed: Long): ArrayData =
+    lshBucketsImpl(vec, tables, bits, seed, isDouble = true)
+
+  private def lshBucketsImpl(vec: ArrayData, tables: Int, bits: Int, seed: Long,
+                             isDouble: Boolean): ArrayData = {
     val n = vec.numElements()
     val out = new Array[Long](tables)
     var t = 0
@@ -111,7 +134,7 @@ object Kernels {
           // deterministic pseudo-random weight in [-1, 1)
           val h = splitmix64(seed + ((t.toLong * bits + b) * 4096 + d))
           val w = (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-          dot += w * vec.getFloat(d)
+          dot += w * (if (isDouble) vec.getDouble(d) else vec.getFloat(d).toDouble)
           d += 1
         }
         if (dot >= 0.0) sig |= (1L << b)

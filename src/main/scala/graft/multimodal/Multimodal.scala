@@ -86,11 +86,14 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     // The payload is the text's UTF-8 bytes, so the oracle can reproduce
     // size (octet_length of the encoded blob), magic (hex of the first 4
-    // bytes) and checksum (md5 over the same bytes) in SQL.
+    // BYTES — DuckDB 1.0 has no BLOB substring, so slice the hex string:
+    // 8 hex chars = 4 bytes; unlike slicing the VARCHAR first, this stays
+    // byte-parity with Spark's binary substring on multi-byte UTF-8) and
+    // checksum (md5 over the same bytes) in SQL.
     "mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS size_bytes,
-        |  hex(encode(substring(text, 1, 4))) AS magic,
+        |  substring(hex(encode(text)), 1, 8) AS magic,
         |  md5(text) AS checksum
         |FROM documents
         |ORDER BY doc_id""".stripMargin

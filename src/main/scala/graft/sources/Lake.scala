@@ -108,8 +108,8 @@ object Lake {
     * Comments (#/;) and blanks ignored; keys are case-preserved. */
   def loadConfig(path: String): Map[String, String] = {
     var section = ""
-    scala.io.Source.fromFile(path).getLines().foldLeft(Map.empty[String, String]) {
-      (acc, raw) =>
+    scala.util.Using.resource(scala.io.Source.fromFile(path)) { src =>
+      src.getLines().foldLeft(Map.empty[String, String]) { (acc, raw) =>
         val line = raw.trim
         if (line.isEmpty || line.startsWith("#") || line.startsWith(";")) acc
         else if (line.startsWith("[") && line.endsWith("]")) {
@@ -118,6 +118,7 @@ object Lake {
           case -1 => acc
           case i => acc + (s"$section.${line.take(i).trim}" -> line.drop(i + 1).trim)
         }
+      }
     }
   }
 

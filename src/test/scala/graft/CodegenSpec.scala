@@ -32,6 +32,31 @@ class CodegenSpec extends AnyFunSuite {
     assert(r.getAs[Int]("lsh_len") == 8)
   }
 
+  test("double arrays work natively; wrong-typed input fails at analysis") {
+    // array(1.0, 2.0) in SQL is array<decimal>; a DOUBLE cast is the
+    // natural literal type — must work without a FLOAT cast.
+    val r = spark.sql(
+      """SELECT cosine_sim(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                  CAST(array(2.0, 4.0) AS ARRAY<DOUBLE>)) AS cos,
+        |       size(lsh_buckets(CAST(array(1.0) AS ARRAY<DOUBLE>))) AS lsh_len
+        |""".stripMargin).head()
+    assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(r.getAs[Int]("lsh_len") == 8)
+    // Wrong types must be an analysis error, not silent garbage: decimal
+    // arrays, string args, mixed float/double sides all rejected.
+    for (bad <- Seq(
+        "SELECT cosine_sim(array(1.0, 2.0), array(2.0, 4.0))",
+        "SELECT cosine_sim(CAST(array(1.0) AS ARRAY<FLOAT>), CAST(array(1.0) AS ARRAY<DOUBLE>))",
+        "SELECT lsh_buckets(array('a'))",
+        "SELECT simhash64('not an array')",
+        "SELECT minhash_sig(array(1, 2))",
+        "SELECT rolling_hash(array('x'))")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      assert(e.getMessage.toLowerCase.contains("expects") ||
+        e.getMessage.toLowerCase.contains("data type mismatch"), s"query: $bad → ${e.getMessage}")
+    }
+  }
+
   test("all custom expressions compile under strict whole-stage codegen") {
     withStrictCodegen {
       val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "one two three four five"))
