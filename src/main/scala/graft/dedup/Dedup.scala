@@ -175,7 +175,120 @@ object Dedup {
         .orderBy("doc_id"))
   )
 
+  /** DuckDB CTE: distinct word-3-shingles per doc, mirroring [[shingles]]
+    * (docs with <3 tokens shingle to empty and can never reach a ≥0.8
+    * Jaccard, so they are excluded outright). */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(ws[i:i+2], ' ')
+      |                   for i in range(1, len(ws) - 1)]) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 3)""".stripMargin
+
+  /** All-pairs exact-Jaccard pair query over [[shingleCte]]. The length
+    * ratio prefilter is lossless: round(j,4) ≥ t ⇒ j ≥ t−5e−5 ⇒
+    * |A|/|B| ≥ t−1e−4 (since |A∩B| ≤ min, |A∪B| ≥ max).
+    *
+    * The Spark side generates candidates by MinHash-LSH instead of
+    * all-pairs; at the verified threshold 0.8 a true pair escapes the 32
+    * bands with probability (1−0.8⁴)³² ≈ 5e−8, so the exact oracle and
+    * the LSH+verify pipeline agree (validated at sf0.001/0.01/0.1). */
+  private def jaccardPairsSql(thr: Double): String = {
+    val margin = thr - 1e-4
+    s"""SELECT doc_a, doc_b, jaccard
+       |FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id < b.doc_id
+       |   AND len(a.s) >= $margin * len(b.s)
+       |   AND len(b.s) >= $margin * len(a.s))
+       |WHERE jaccard >= $thr""".stripMargin
+  }
+
+  /** DuckDB fragment reproducing the simhash fingerprint bit-exactly:
+    * per-token hash = first 8 bytes of md5 (16 hex nibbles, unpacked to
+    * 64 (bit, value) votes via integer ops — no 64-bit shifts needed),
+    * per-bit ±1 vote sum, fingerprint bit = vote > 0, reassembled as a
+    * signed BIGINT (bit 63 contributes −2^63). */
+  private val simhashFpCte =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |nibbles AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(substring(md5(tok), 1, 16), '')) AS c,
+      |    generate_subscripts(string_split(substring(md5(tok), 1, 16), ''), 1) AS j
+      |  FROM toks),
+      |votes AS (
+      |  SELECT doc_id, (16 - j) * 4 + r.k AS bit,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', c) - 1) >> r.k) & 1 = 1
+      |             THEN 1 ELSE -1 END) AS vote
+      |  FROM nibbles, range(4) r(k)
+      |  GROUP BY doc_id, bit),
+      |fp AS (
+      |  SELECT doc_id, CAST(sum(CASE
+      |      WHEN vote <= 0 THEN 0
+      |      WHEN bit = 63 THEN -9223372036854775808
+      |      ELSE (1::BIGINT << bit) END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCte
+         |${jaccardPairsSql(0.8)}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      // Char-5-gram variant of the same all-pairs exact compare (docs
+      // shorter than 5 chars gram to empty — excluded, like the Spark
+      // side where their 0/0 Jaccard is null and filtered).
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substring(text, i, 5)
+        |                   for i in range(1, length(text) - 3)]) AS s
+        |  FROM documents WHERE length(text) >= 5)
+        |SELECT doc_a, doc_b, char_jaccard
+        |FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))), 4) AS char_jaccard
+        |  FROM g a JOIN g b
+        |    ON a.doc_id < b.doc_id
+        |   AND len(a.s) >= 0.5999 * len(b.s)
+        |   AND len(b.s) >= 0.5999 * len(a.s))
+        |WHERE char_jaccard >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $simhashFpCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_corpus" ->
+      s"""WITH $shingleCte,
+         |near_losers AS (
+         |  SELECT DISTINCT doc_b AS drop_id FROM (${jaccardPairsSql(0.8)})),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+         |  FROM documents),
+         |exact_losers AS (
+         |  SELECT doc_id AS drop_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY content_hash) AS keep
+         |    FROM hashed)
+         |  WHERE doc_id <> keep)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT drop_id FROM near_losers
+         |                     UNION SELECT drop_id FROM exact_losers)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
         |  min(doc_id) AS keep_doc_id, count(*) AS n_copies
@@ -191,8 +304,5 @@ object Dedup {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin
-    // dedup_minhash_lsh / dedup_simhash / dedup_ngram_jaccard: rows-only —
-    // signature hashes aren't reproducible in SQL; specs verify pair sets
-    // against brute-force Jaccard on crafted corpora.
   )
 }

@@ -151,6 +151,20 @@ object TextAnalysis {
   )
 
   private val stopListSql = StopwordsEn.map(w => s"'$w'").mkString(", ")
+  private val stopListDeSql = StopwordsDe.map(w => s"'$w'").mkString(", ")
+  private val stopListFrSql = StopwordsFr.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB fragment reproducing [[graft.functions.expressions.Kernels.rollingHash]]:
+    * fold (h*257 + codepoint) mod 2^61-1 over the character stream, in
+    * HUGEINT so the multiply never overflows. Codepoint-based on both
+    * sides, so parity holds for any Unicode text, not just ASCII. */
+  private def rollingHashSql(textExpr: String): String =
+    s"""CASE WHEN length($textExpr) = 0 THEN 0 ELSE
+       |  CAST(list_reduce(
+       |    list_prepend(0::HUGEINT,
+       |      [unicode(c)::HUGEINT for c in string_split($textExpr, '')]),
+       |    (h, c) -> (h * 257 + c) % 2305843009213693951::HUGEINT) AS BIGINT)
+       |END""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_stats" ->
@@ -209,8 +223,25 @@ object TextAnalysis {
         |      WHERE len(ws) >= 2)
         |GROUP BY ngram
         |ORDER BY cnt DESC, ngram
-        |LIMIT 25""".stripMargin
-    // text_langid / text_fingerprint: rows-only (heuristic vote and custom
-    // 61-bit hash aren't oracle-SQL-expressible); specs pin their semantics.
+        |LIMIT 25""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopListSql))) AS en_hits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopListDeSql))) AS de_hits,
+         |    len(list_filter(string_split(text, ' '), w -> w IN ($stopListFrSql))) AS fr_hits
+         |  FROM documents)
+         |SELECT doc_id, lang, en_hits, de_hits, fr_hits,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |       WHEN de_hits >= fr_hits THEN 'de'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${rollingHashSql("text")} AS fingerprint,
+         |  ${rollingHashSql("lower(trim(text))")} AS fingerprint_norm
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -51,14 +51,31 @@ object Kernels {
   def xxhash(s: UTF8String): Long =
     XXH64.hashUTF8String(s, XxSeed)
 
-  /** 64-bit SimHash over an array of string tokens: per-token xxhash64,
-    * each bit votes ±1, sign of the vote is the fingerprint bit. */
+  private val md5Digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 bytes of md5(s), big-endian, as a signed long. Used as the
+    * per-token hash for SimHash because md5 is computable bit-identically
+    * by any SQL engine (DuckDB: the first 16 hex chars of md5()) — an
+    * engine-portable hash, unlike xxhash64 whose seeding is Spark-local. */
+  def md5Top8(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over an array of string tokens: per-token md5-top-8
+    * hash, each bit votes ±1, sign of the vote is the fingerprint bit. */
   def simhash64(tokens: ArrayData): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = xxhash(tokens.getUTF8String(i))
+      val h = md5Top8(tokens.getUTF8String(i))
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
@@ -146,21 +163,24 @@ object Kernels {
     new GenericArrayData(out)
   }
 
-  /** Karp-Rabin rolling polynomial hash of a document's bytes:
-    * h = sum(byte_i * B^i) mod M with B=257, M=2^61-1. The same recurrence
-    * a streaming fingerprinter would maintain windowed; here the full-doc
-    * fold is the document fingerprint. */
+  /** Karp-Rabin rolling polynomial hash of a document's Unicode
+    * codepoints: h = fold((h*257 + cp) mod M) with M=2^61-1. The same
+    * recurrence a streaming fingerprinter would maintain windowed; here
+    * the full-doc fold is the document fingerprint. Codepoints, not
+    * UTF-8 bytes, so the fingerprint is encoding-independent and any SQL
+    * engine can reproduce it from its native character stream. */
   def rollingHash(s: UTF8String): Long = {
-    val bytes = s.getBytes
+    val str = s.toString
     val M = (1L << 61) - 1
     var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      // (h*257 + byte) mod M without overflow: 2^61-1 fits multiply-by-257
-      // in unsigned 128 via two Math.multiplyHigh-free steps on < 2^61 values.
-      h = mulmod257(h, M) + (bytes(i) & 0xffL)
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      // (h*257 + cp) mod M without overflow (cp < 2^21 << M, so a single
+      // conditional subtract after the modular multiply suffices).
+      h = mulmod257(h, M) + cp
       if (h >= M) h -= M
-      i += 1
+      i += java.lang.Character.charCount(cp)
     }
     h
   }

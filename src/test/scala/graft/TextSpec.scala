@@ -38,7 +38,7 @@ class TextSpec extends AnyFunSuite {
     val M = BigInt((1L << 61) - 1)
     def ref(s: String): Long = {
       var h = BigInt(0)
-      s.getBytes("UTF-8").foreach { b => h = (h * 257 + (b & 0xff)) % M }
+      s.codePoints().toArray.foreach { cp => h = (h * 257 + cp) % M }
       h.toLong
     }
     Seq("", "a", "spark", "the quick brown fox", "ü¢€ unicode ƒ").foreach { s =>
