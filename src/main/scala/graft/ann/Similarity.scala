@@ -14,8 +14,8 @@ import graft.functions.expressions.GraftFunctions
   *    one pass over the corpus, no shuffle of the corpus. Per-query
   *    top-k goes through a window on (query, score): at 1000 executors
   *    the corpus side stays partition-local until the k·|Q| survivors.
-  *  - LSH: random-hyperplane buckets (4 tables × 8 bits, derived
-  *    deterministically — no plane matrix to broadcast). Corpus and
+  *  - LSH: random-hyperplane buckets (md5-derived planes — no plane
+  *    matrix to broadcast, and SQL-reproducible). Corpus and
   *    queries bucket independently; candidates meet in a bucket
   *    equi-join, so each query scores ~|corpus|/2^bits vectors per
   *    table instead of the whole corpus. Recall vs brute force is
@@ -27,6 +27,12 @@ object Similarity {
 
   private val K = 10
   private val NumQueries = 10
+  /** LSH geometry: 8 tables × 6 bits ≈ 64-way bucketing per table —
+    * sized so a few-thousand-vector corpus keeps enough candidates per
+    * bucket for useful recall; at larger corpora raise `bits` to hold
+    * candidates/bucket roughly constant. */
+  private val LshTables = 8
+  private val LshBits = 6
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -50,7 +56,8 @@ object Similarity {
     // are the bucket-join survivors, scored exactly, then per-query top-k.
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-        .withColumn("buckets", GraftFunctions.lshBuckets(col("embedding")))
+        .withColumn("buckets",
+          GraftFunctions.lshBuckets(col("embedding"), tables = LshTables, bits = LshBits))
       val corpus = emb.select(col("vec_id"), col("embedding"),
         explode(col("buckets")).as("bucket"))
       val q = emb.filter(col("vec_id") < NumQueries)
@@ -125,9 +132,81 @@ object Similarity {
          |      FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q
          |      CROSS JOIN embeddings c)
          |WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Bit-exact replica of the LSH pipeline: the hyperplane weights are
+    // md5-derived (Kernels.planes — w = (md5Top8("42:plane:d") >>> 11)
+    // / 2^53 * 2 − 1), so DuckDB rebuilds the same planes from its own
+    // md5; the dot product is the same sequential left fold, so every
+    // bucket id — including near-zero dot signs — matches the kernel.
+    "ann_lsh" ->
+      s"""WITH w AS (
+         |  SELECT p.plane AS plane, d.d AS d,
+         |    ((list_reduce(list_prepend(0::HUGEINT,
+         |        [(strpos('0123456789abcdef', ch) - 1)::HUGEINT
+         |         for ch in string_split(substring(md5('42:' || p.plane || ':' || d.d), 1, 16), '')]),
+         |      (a, x) -> a * 16 + x) // 2048)::DOUBLE
+         |     / 9007199254740992.0 * 2.0 - 1.0) AS w
+         |  FROM range(${LshTables * LshBits}) p(plane), range(64) d(d)),
+         |wl AS (SELECT plane, list(w ORDER BY d) AS ws FROM w GROUP BY plane),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |dots AS (
+         |  SELECT e.vec_id, wl.plane,
+         |    list_reduce(list_prepend(0.0,
+         |      [wl.ws[i] * e.emb[i] for i in range(1, len(e.emb) + 1)]),
+         |      (a, x) -> a + x) AS dot
+         |  FROM e CROSS JOIN wl),
+         |buckets AS (
+         |  SELECT vec_id, (plane // $LshBits) * 4294967296 +
+         |    CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (plane % $LshBits))
+         |             ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots
+         |  GROUP BY vec_id, (plane // $LshBits)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, cb.vec_id AS neighbor_id
+         |  FROM buckets q JOIN buckets cb ON q.bucket = cb.bucket
+         |  WHERE q.vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_cosine_similarity(qe.emb, ne.emb) AS cos_full,
+         |    row_number() OVER (PARTITION BY c.query_id
+         |      ORDER BY list_cosine_similarity(qe.emb, ne.emb) DESC, c.neighbor_id) AS rank
+         |  FROM cand c JOIN e qe ON qe.vec_id = c.query_id
+         |              JOIN e ne ON ne.vec_id = c.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine
+         |FROM scored WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF centroids are deterministic (vec_id < nCentroids stands in for
+    // the k-means step), so the whole assign→probe→score pipeline is
+    // plain SQL.
+    "ann_ivf" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+         |  FROM embeddings WHERE vec_id < 8),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, emb, centroid_id FROM (
+         |    SELECT e.vec_id, e.emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c)
+         |  WHERE rnk = 1),
+         |probes AS (
+         |  SELECT query_id, q_emb, centroid_id FROM (
+         |    SELECT e.vec_id AS query_id, e.emb AS q_emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries)
+         |  WHERE rnk <= 4)
+         |SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine
+         |FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_cosine_similarity(p.q_emb, a.emb) AS cos_full,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY list_cosine_similarity(p.q_emb, a.emb) DESC, a.vec_id) AS rank
+         |  FROM assigned a JOIN probes p USING (centroid_id))
+         |WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin
-    // ann_lsh: rows-only — bucket membership depends on the hash-derived
-    // hyperplanes; the spec asserts recall ≥ 0.6 vs ann_bruteforce and
-    // that every returned neighbor's cosine matches the exact kernel.
   )
 }

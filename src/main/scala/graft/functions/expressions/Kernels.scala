@@ -100,6 +100,23 @@ object Kernels {
     z ^ (z >>> 31)
   }
 
+  /** Per-permutation (a, b) constants, derived once per numPerms and
+    * cached — deriving them inside the per-shingle loop would spend more
+    * cycles on SplitMix64 than on the hashing itself. Interleaved as
+    * [a0,b0,a1,b1,…] for locality. */
+  private val minhashConsts = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def permConsts(numPerms: Int): Array[Long] =
+    minhashConsts.computeIfAbsent(numPerms, np => {
+      val ab = new Array[Long](2 * np)
+      var p = 0
+      while (p < np) {
+        ab(2 * p) = splitmix64(2L * p) | 1L
+        ab(2 * p + 1) = splitmix64(2L * p + 1)
+        p += 1
+      }
+      ab
+    })
+
   /** MinHash signature: for each of `numPerms` universal-hash permutations
     * h_i(x) = a_i*x + b_i (odd a_i from SplitMix64), the min over the
     * input element hashes. Input is an array of string shingles; empty
@@ -107,15 +124,14 @@ object Kernels {
   def minhash(shingles: ArrayData, numPerms: Int): ArrayData = {
     val sig = new Array[Long](numPerms)
     java.util.Arrays.fill(sig, Long.MaxValue)
+    val ab = permConsts(numPerms)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       val h = xxhash(shingles.getUTF8String(i))
       var p = 0
       while (p < numPerms) {
-        val a = splitmix64(2L * p) | 1L
-        val b = splitmix64(2L * p + 1)
-        val v = a * h + b
+        val v = ab(2 * p) * h + ab(2 * p + 1)
         if (v < sig(p)) sig(p) = v
         p += 1
       }
@@ -136,22 +152,50 @@ object Kernels {
   def lshBucketsDouble(vec: ArrayData, tables: Int, bits: Int, seed: Long): ArrayData =
     lshBucketsImpl(vec, tables, bits, seed, isDouble = true)
 
+  /** Hyperplane weight table for (tables, bits, seed, dim), derived once
+    * and cached: the weights are identical for every row, so deriving
+    * them per row would double the per-vector cost. Layout: plane-major,
+    * weights((t*bits + b)*dim + d).
+    *
+    * Weights are md5-derived — w = (md5Top8("seed:plane:d") >>> 11) /
+    * 2^53 * 2 − 1, uniform in [-1, 1) — so a SQL oracle can rebuild the
+    * exact planes from its own md5 and reproduce every bucket id
+    * bit-for-bit (the dot product is a sequential left fold on both
+    * sides, so even the sign of a near-zero dot agrees). */
+  private final case class PlaneKey(tables: Int, bits: Int, seed: Long, dim: Int)
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[PlaneKey, Array[Double]]()
+  private def planes(key: PlaneKey): Array[Double] =
+    planeCache.computeIfAbsent(key, k => {
+      val w = new Array[Double](k.tables * k.bits * k.dim)
+      var plane = 0
+      while (plane < k.tables * k.bits) {
+        var d = 0
+        while (d < k.dim) {
+          val h = md5Top8(UTF8String.fromString(s"${k.seed}:$plane:$d"))
+          w(plane * k.dim + d) =
+            (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+          d += 1
+        }
+        plane += 1
+      }
+      w
+    })
+
   private def lshBucketsImpl(vec: ArrayData, tables: Int, bits: Int, seed: Long,
                              isDouble: Boolean): ArrayData = {
     val n = vec.numElements()
+    val w = planes(PlaneKey(tables, bits, seed, n))
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var sig = 0L
       var b = 0
       while (b < bits) {
+        val base = (t * bits + b) * n
         var dot = 0.0
         var d = 0
         while (d < n) {
-          // deterministic pseudo-random weight in [-1, 1)
-          val h = splitmix64(seed + ((t.toLong * bits + b) * 4096 + d))
-          val w = (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-          dot += w * (if (isDouble) vec.getDouble(d) else vec.getFloat(d).toDouble)
+          dot += w(base + d) * (if (isDouble) vec.getDouble(d) else vec.getFloat(d).toDouble)
           d += 1
         }
         if (dot >= 0.0) sig |= (1L << b)
