@@ -387,6 +387,40 @@ object Relational {
         .groupBy(col("cohort"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("cohort"))
+    }),
+
+    // As-of join (point-in-time lookup): for every event, the latest
+    // purchase at-or-before it by the same user. Implemented the way that
+    // scales — union the probe and reference streams, one shuffle on
+    // user_id, sort within partition, carry the last reference row
+    // forward with last(_, ignoreNulls) — instead of a per-row range
+    // join, whose candidate set explodes with history length. Reference
+    // rows are pre-deduped to one per (user_id, ts) so the lookup is
+    // deterministic under timestamp collisions.
+    "q26_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val ref = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("ref_event_id"),
+             max_by(col("value"), col("event_id")).as("ref_value"))
+      val probe = ev.select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("long").as("ref_event_id"),
+        lit(null).cast("double").as("ref_value"), lit(0).as("is_ref"))
+      val state = ref.select(col("user_id"), col("ts"),
+        lit(null).cast("long").as("event_id"),
+        col("ref_event_id"), col("ref_value"), lit(1).as("is_ref"))
+      // at equal ts the reference sorts first, so "at-or-before" includes it
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_ref").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probe.unionByName(state)
+        .withColumn("asof_event_id", last(col("ref_event_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(col("ref_value"), ignoreNulls = true).over(w))
+        .filter(col("is_ref") === 0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id"), round(col("asof_value"), 2).as("asof_value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -622,6 +656,19 @@ object Relational {
         |  UNION ALL
         |  SELECT user_id, 'silent' AS cohort FROM silent)
         |GROUP BY cohort
-        |ORDER BY cohort""".stripMargin
+        |ORDER BY cohort""".stripMargin,
+
+    "q26_asof" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, max(event_id) AS ref_event_id,
+        |         max_by(value, event_id) AS ref_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       r.ref_event_id AS asof_event_id,
+        |       round(r.ref_value, 2) AS asof_value
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ts
+        |ORDER BY e.event_id""".stripMargin
   )
 }

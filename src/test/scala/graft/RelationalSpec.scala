@@ -56,4 +56,30 @@ class RelationalSpec extends AnyFunSuite {
     val p = plan("q1_agg")
     assert(p.contains("partial"), p)
   }
+
+  test("q26 as-of lookup equals the brute-force range-join definition") {
+    import org.apache.spark.sql.functions._
+    val asof = Relational.queries("q26_asof")(spark, TestSpark.Sf)
+      .select("event_id", "asof_event_id").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_event_id"))).toMap
+    // brute force: for each event, max ref event_id among purchases
+    // at-or-before it by the same user (the O(n·m)-per-key plan the
+    // union+window implementation avoids)
+    val ev = graft.sources.Lake.table(spark, TestSpark.Sf, "events")
+    val ref = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_uid"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    val brute = ev.join(ref, col("user_id") === col("r_uid") && col("r_ts") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max_by(col("r_id"), struct(col("r_ts"), col("r_id"))).as("want"))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[java.lang.Long]("want"))).toMap
+    assert(asof.size == brute.size)
+    brute.foreach { case (id, want) => assert(asof(id) == want, s"event $id") }
+  }
+
+  test("q26 as-of plans one shuffle on the key, not a range join") {
+    val p = plan("q26_asof")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
 }
