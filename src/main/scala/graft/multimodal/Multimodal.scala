@@ -80,7 +80,15 @@ object Multimodal {
     "mm_meta" -> ((s, dir) =>
       withMeta(withPayload(t(s, dir, "documents")))
         .select(col("doc_id"), col("size_bytes"), col("magic"), col("checksum"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Batched decode through the real mapPartitions pipeline: the stub
+    // codec is a pure function of the payload bytes, so the oracle
+    // recomputes every frame row from the same bytes in SQL — gating the
+    // actual per-partition decode path, not just its schema.
+    "mm_decode" -> ((s, dir) =>
+      decodePipeline(s, t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -96,6 +104,31 @@ object Multimodal {
         |  substring(hex(encode(text)), 1, 8) AS magic,
         |  md5(text) AS checksum
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Replica of decodeFrames: n = len%3+1 frames; width = 16+(len+i)%64;
+    // height = 16 + (first byte & 0x3f); feature = unsigned byte sum /
+    // max(len,1). Bytes come from hex(blob) pairs (DuckDB hex is
+    // uppercase), so multi-byte UTF-8 stays byte-parity with the JVM's
+    // signed-byte arithmetic (x & 0x3f and x & 0xff see the same bits).
+    "mm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents),
+        |f AS (SELECT doc_id, hx, len, unnest(range((len % 3) + 1)) AS frame_idx FROM d)
+        |SELECT doc_id, frame_idx,
+        |  16 + (len + frame_idx) % 64 AS width,
+        |  16 + (CASE WHEN len = 0 THEN 0 ELSE
+        |    ((strpos('0123456789ABCDEF', substring(hx, 1, 1)) - 1) * 16 +
+        |     (strpos('0123456789ABCDEF', substring(hx, 2, 1)) - 1)) & 63 END) AS height,
+        |  (CASE WHEN len = 0 THEN 0.0 ELSE
+        |    list_aggregate(
+        |      [(strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1) * 16 +
+        |       (strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 1)
+        |       for i in range(1, len + 1)], 'sum')::DOUBLE END)
+        |    / greatest(len, 1) AS feature
+        |FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -389,6 +389,33 @@ object Relational {
         .orderBy(col("cohort"))
     }),
 
+    // Band (interval) join: for every error event, how many events the
+    // same user produced within ±5 minutes. A naive theta-join on
+    // |Δt| ≤ band is quadratic per key; the scalable plan buckets time
+    // into band-sized cells, equi-joins on (user, cell) with the probe
+    // side exploded to its 3 adjacent cells (any in-band match lands in
+    // one of them — cells are disjoint so nothing double-counts), and
+    // applies the exact band predicate as a residual filter.
+    "q27_bandjoin" -> ((s, dir) => {
+      val BandMicros = 300000000L // 5 minutes
+      val ev = t(s, dir, "events")
+      // integral `div`, not `/`: double division can misround at a cell
+      // boundary and shift computed cells two apart for an in-band pair
+      val probe = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .withColumn("cell", explode(array(
+          expr(s"p_us div $BandMicros") - 1,
+          expr(s"p_us div $BandMicros"),
+          expr(s"p_us div $BandMicros") + 1)))
+      val build = ev.select(col("user_id"), unix_micros(col("ts")).as("b_us"))
+        .withColumn("cell", expr(s"b_us div $BandMicros"))
+      probe.join(build, Seq("user_id", "cell"))
+        .filter(abs(col("b_us") - col("p_us")) <= BandMicros)
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(count(lit(1)).as("n_nearby"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join (point-in-time lookup): for every event, the latest
     // purchase at-or-before it by the same user. Implemented the way that
     // scales — union the probe and reference streams, one shuffle on
@@ -669,6 +696,16 @@ object Relational {
         |       round(r.ref_value, 2) AS asof_value
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.user_id AND e.ts >= r.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q27_bandjoin" ->
+      """SELECT e.event_id, e.user_id, count(*) AS n_nearby
+        |FROM events e JOIN events x
+        |  ON e.user_id = x.user_id
+        | AND x.ts BETWEEN e.ts - INTERVAL 5 MINUTE
+        |              AND e.ts + INTERVAL 5 MINUTE
+        |WHERE e.event_type = 'error'
+        |GROUP BY e.event_id, e.user_id
         |ORDER BY e.event_id""".stripMargin
   )
 }
