@@ -11,7 +11,8 @@ object Explain {
     val out = Paths.get("/root/repo/target/explain")
     Files.createDirectories(out)
     val skip = Set("stream_window", "stream_session", "stream_dedup",
-      "etl_ingest_json", "etl_ingest_csv", "etl_partitioned_write")
+      "stream_join", "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
+      "etl_partitioned_write")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         val df = fn(spark, sfDir)

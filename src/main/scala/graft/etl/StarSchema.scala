@@ -85,6 +85,15 @@ object StarSchema {
       ingestSummary(ev)
     }),
 
+    // Columnar-format round-trip through ORC (Spark's other built-in
+    // columnar source): binary-faithful for timestamps/doubles, so no
+    // format string is needed — the summary must equal the parquet truth.
+    "etl_ingest_orc" -> ((s, dir) => {
+      val path = scratch("etl_ingest_orc")
+      t(s, dir, "events").write.mode("overwrite").orc(path)
+      ingestSummary(s.read.schema(eventsSchema).orc(path))
+    }),
+
     // Reference filter (etl.py:153): page == 'NextSong' ≙ event_type ==
     // 'purchase'. Predicate + projection both push to the parquet scan.
     "etl_filter_events" -> ((s, dir) =>
@@ -199,6 +208,11 @@ object StarSchema {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "etl_ingest_csv" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_ingest_orc" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
         |  min(ts) AS min_ts, max(ts) AS max_ts
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

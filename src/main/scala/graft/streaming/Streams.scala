@@ -192,6 +192,27 @@ object Streams {
         .orderBy(col("event_type"))
     }),
 
+    // Stream-stream interval join (attribution shape): purchases joined
+    // to the same user's clicks from the 10 minutes before. Both sides
+    // are watermarked and the join carries a time-range constraint, so
+    // each side's buffered state is bounded by watermark + band — the
+    // property that keeps a 100 TB/day double-stream join feasible.
+    "stream_join" -> ((s, dir) => {
+      val purchases = readEventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = readEventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks, expr(
+        "user_id = c_uid AND c_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts"))
+      val res = materialize(s, joined, "graft_stream_join", OutputMode.Append())
+      res.select(col("purchase_id"), col("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // Gap sessionization (batch path of the shared fold; the streaming
     // flatMapGroupsWithState path is asserted equal in the spec).
     "stream_session" -> ((s, dir) => {
@@ -206,6 +227,14 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
     "stream_dedup" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events

@@ -32,8 +32,9 @@ class ScaleSpec extends AnyFunSuite {
     // as LocalTableScan / Scan ExistingRDD — no query may contain either
     // (the lake scans must stay distributed FileScans).
     val lakeQueries = SparkEntry.queries.keySet --
-      Set("etl_ingest_json", "etl_ingest_csv", "etl_partitioned_write",
-          "stream_window", "stream_session", "stream_dedup")
+      Set("etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
+          "etl_partitioned_write", "stream_window", "stream_session",
+          "stream_dedup", "stream_join")
     lakeQueries.foreach { k =>
       val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
         .queryExecution.optimizedPlan.toString
