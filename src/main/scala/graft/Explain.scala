@@ -10,9 +10,7 @@ object Explain {
     val spark = GraftSession.local(4)
     val out = Paths.get("/root/repo/target/explain")
     Files.createDirectories(out)
-    val skip = Set("stream_window", "stream_session", "stream_dedup",
-      "stream_join", "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
-      "etl_partitioned_write")
+    val skip = SparkEntry.materializingQueries
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!skip(name)) {
         val df = fn(spark, sfDir)

@@ -16,6 +16,16 @@ object SparkEntry {
       ann.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.Streams.queries
 
+  /** Queries whose lambda performs real work beyond building a plan —
+    * lake round-trip writes and streaming materializations. Shared by
+    * the plan-audit tool (which must not execute them) and the
+    * no-driver-materialization spec (whose LocalRelation check doesn't
+    * apply to them), so a new side-effecting query is registered once. */
+  val materializingQueries: Set[String] = Set(
+    "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
+    "etl_partitioned_write",
+    "stream_window", "stream_session", "stream_dedup", "stream_join")
+
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */
   def oracleSql: Map[String, String] =

@@ -33,6 +33,12 @@ object Similarity {
     * candidates/bucket roughly constant. */
   private val LshTables = 8
   private val LshBits = 6
+  /** Embedding dimensionality of the testdata (the kernel reads each
+    * vector's own length; the oracle builds planes for exactly this many
+    * dims — one constant feeds both). */
+  private val EmbDim = 64
+  private val IvfCentroids = 8
+  private val IvfProbe = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -76,11 +82,12 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF centroid pruning as a query surface (rows-only; AnnSpec pins
-    // recall against the brute-force baseline).
+    // IVF centroid pruning as a query surface (deterministic centroids →
+    // full SQL oracle below; AnnSpec additionally pins recall against the
+    // brute-force baseline).
     "ann_ivf" -> ((s, dir) =>
       ivfTopK(t(s, dir, "embeddings"), queryIds = NumQueries,
-        nCentroids = 8, nProbe = 4, k = K)
+        nCentroids = IvfCentroids, nProbe = IvfProbe, k = K)
         .orderBy(col("query_id"), col("rank")))
   )
 
@@ -147,7 +154,7 @@ object Similarity {
          |         for ch in string_split(substring(md5('42:' || p.plane || ':' || d.d), 1, 16), '')]),
          |      (a, x) -> a * 16 + x) // 2048)::DOUBLE
          |     / 9007199254740992.0 * 2.0 - 1.0) AS w
-         |  FROM range(${LshTables * LshBits}) p(plane), range(64) d(d)),
+         |  FROM range(${LshTables * LshBits}) p(plane), range($EmbDim) d(d)),
          |wl AS (SELECT plane, list(w ORDER BY d) AS ws FROM w GROUP BY plane),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |dots AS (
@@ -183,7 +190,7 @@ object Similarity {
     "ann_ivf" ->
       s"""WITH c AS (
          |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
-         |  FROM embeddings WHERE vec_id < 8),
+         |  FROM embeddings WHERE vec_id < $IvfCentroids),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |assigned AS (
          |  SELECT vec_id, emb, centroid_id FROM (
@@ -198,7 +205,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.centroid_id) AS rnk
          |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries)
-         |  WHERE rnk <= 4)
+         |  WHERE rnk <= $IvfProbe)
          |SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine
          |FROM (
          |  SELECT p.query_id, a.vec_id AS neighbor_id,

@@ -52,14 +52,20 @@ object Dedup {
         i => text.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
-  /** docs → (doc_id, 32 LSH band keys) via 128-perm MinHash, 32 bands × 4
-    * rows. band_key folds the band index in, so one equi-join column
-    * carries (band, bucket). */
-  def bandedSignatures(docs: DataFrame): DataFrame =
+  /** docs → (doc_id, band keys) via 128-perm MinHash over `grams`,
+    * banded as `bands` × (128/bands) rows. band_key folds the band index
+    * in, so one equi-join column carries (band, bucket). Band geometry
+    * sets the recall floor: a pair at Jaccard s escapes with
+    * (1 − s^rows)^bands — choose rows so that's negligible at the
+    * verification threshold. */
+  def bandedSignatures(docs: DataFrame, grams: Column, bands: Int): DataFrame = {
+    val rows = 128 / bands
     docs
-      .select(col("doc_id"), GraftFunctions.minhashSig(shingles(col("text"), 3), 128).as("sig"))
+      .select(col("doc_id"), GraftFunctions.minhashSig(grams, 128).as("sig"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 31), b -> xxhash64(b, slice(sig, b * 4 + 1, 4)))")).as("band_key"))
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
+        .as("band_key"))
+  }
 
   /** Exact-set Jaccard between two array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -69,11 +75,12 @@ object Dedup {
     * The banded-signature table is cached: it is read twice here (both
     * sides of the self-join) and again by any sibling query over the same
     * corpus (Spark's cache manager matches canonicalized plans). At scale
-    * it is 32 longs/doc — ~0.25 KB/doc, far smaller than the corpus. */
-  def lshCandidates(docs: DataFrame): DataFrame = {
-    val bands = bandedSignatures(docs).cache()
-    val a = bands.select(col("doc_id").as("doc_a"), col("band_key"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("band_key"))
+    * it is `bands` longs/doc — well under 1 KB/doc, far smaller than the
+    * corpus. */
+  def lshCandidates(docs: DataFrame, grams: Column, bands: Int): DataFrame = {
+    val sigs = bandedSignatures(docs, grams, bands).cache()
+    val a = sigs.select(col("doc_id").as("doc_a"), col("band_key"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("band_key"))
     a.join(b, Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -89,11 +96,12 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification ≥ thr.
-    * The shingle table feeds both sides of the verification join — cached
-    * so the shingling pass runs once. */
+    * 32 bands × 4 rows: a true pair at s=0.8 escapes with
+    * (1−0.8⁴)³² ≈ 5e−8. The shingle table feeds both sides of the
+    * verification join — cached so the shingling pass runs once. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh")).cache()
-    lshCandidates(docs)
+    lshCandidates(docs, shingles(col("text"), 3), bands = 32)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
@@ -118,11 +126,15 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Character-n-gram Jaccard verification of the LSH candidates — the
-    * precision pass after recall-oriented LSH. */
+  /** Character-n-gram Jaccard near-dup pairs — candidates come from
+    * MinHash-LSH over the SAME char-5-grams the verification measures,
+    * banded 64 × 2 for the lower threshold: a pair at s=0.6 escapes with
+    * (1−0.6²)⁶⁴ ≈ 4e−13. (Banding the word-shingle signatures here would
+    * be unsound: word-level and char-level Jaccard can diverge, and the
+    * word geometry only guarantees recall at 0.8.) */
   def charJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val grams = docs.select(col("doc_id"), charGrams(col("text"), 5).as("g")).cache()
-    lshCandidates(docs)
+    lshCandidates(docs, charGrams(col("text"), 5), bands = 64)
       .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
       .withColumn("char_jaccard", round(jaccard(col("g_a"), col("g_b")), 4))

@@ -52,6 +52,13 @@ object StarSchema {
   // lake round-trip is lossless (default formats drop sub-millis).
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Oracle twin of [[ingestSummary]] — one definition for every ingest
+    * round-trip format, so a summary change can't skew the copies. */
+  private val IngestSummarySql =
+    """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+      |  min(ts) AS min_ts, max(ts) AS max_ts
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private def ingestSummary(ev: DataFrame): DataFrame =
     ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"),
@@ -202,20 +209,9 @@ object StarSchema {
   )
 
   val oracles: Map[String, String] = Map(
-    "etl_ingest_json" ->
-      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
-        |  min(ts) AS min_ts, max(ts) AS max_ts
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "etl_ingest_csv" ->
-      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
-        |  min(ts) AS min_ts, max(ts) AS max_ts
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "etl_ingest_orc" ->
-      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
-        |  min(ts) AS min_ts, max(ts) AS max_ts
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_ingest_json" -> IngestSummarySql,
+    "etl_ingest_csv" -> IngestSummarySql,
+    "etl_ingest_orc" -> IngestSummarySql,
 
     "etl_filter_events" ->
       """SELECT event_id, user_id, round(value, 2) AS value,

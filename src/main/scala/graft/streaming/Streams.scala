@@ -53,11 +53,24 @@ object Streams {
   }
 
   /** Run a streaming DataFrame through a memory sink to completion and
-    * return the materialized table. */
+    * return the materialized table.
+    *
+    * Stateful-operator overhead is per state-store instance (one per
+    * shuffle partition per stateful exchange), so the micro-batch run
+    * uses a small partition count — results are partition-invariant,
+    * only the fixed cost changes. The session's setting is restored
+    * afterwards; the set/restore assumes no OTHER query on this session
+    * is planned concurrently (Verify/Bench/specs all run queries
+    * sequentially — revisit if that ever parallelizes). */
   private def materialize(spark: SparkSession, df: DataFrame, name: String,
                           mode: OutputMode): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 

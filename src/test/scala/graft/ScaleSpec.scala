@@ -31,10 +31,7 @@ class ScaleSpec extends AnyFunSuite {
     // structural guard: driver-collected data re-entering a plan shows up
     // as LocalTableScan / Scan ExistingRDD — no query may contain either
     // (the lake scans must stay distributed FileScans).
-    val lakeQueries = SparkEntry.queries.keySet --
-      Set("etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
-          "etl_partitioned_write", "stream_window", "stream_session",
-          "stream_dedup", "stream_join")
+    val lakeQueries = SparkEntry.queries.keySet -- SparkEntry.materializingQueries
     lakeQueries.foreach { k =>
       val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
         .queryExecution.optimizedPlan.toString
