@@ -60,7 +60,7 @@ object Dedup {
     * verification threshold. */
   def bandedSignatures(docs: DataFrame, grams: Column, bands: Int): DataFrame = {
     val rows = 128 / bands
-    docs
+    Lake.fanOut(docs)
       .select(col("doc_id"), GraftFunctions.minhashSig(grams, 128).as("sig"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
@@ -79,6 +79,10 @@ object Dedup {
     * corpus. */
   def lshCandidates(docs: DataFrame, grams: Column, bands: Int): DataFrame = {
     val sigs = bandedSignatures(docs, grams, bands).cache()
+    // materialize eagerly: both legs of the self-join read this cache in
+    // the same stage, and concurrently-scheduled tasks each recompute a
+    // not-yet-cached partition — one cheap pass beats the double compute
+    sigs.count()
     val a = sigs.select(col("doc_id").as("doc_a"), col("band_key"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("band_key"))
     a.join(b, Seq("band_key"))
@@ -100,7 +104,9 @@ object Dedup {
     * (1−0.8⁴)³² ≈ 5e−8. The shingle table feeds both sides of the
     * verification join — cached so the shingling pass runs once. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), 3).as("sh")).cache()
+    val sh = Lake.fanOut(docs)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh")).cache()
+    sh.count() // eager — read by both verification-join legs (see above)
     lshCandidates(docs, shingles(col("text"), 3), bands = 32)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -112,7 +118,7 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit fingerprint, 4×16-bit chunk blocking
     * (complete by pigeonhole for hamming ≤ 3), XOR-popcount verification. */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val fp = docs.select(col("doc_id"),
+    val fp = Lake.fanOut(docs).select(col("doc_id"),
       GraftFunctions.simhash64(TextAnalysis.tokens(normalize(col("text")))).as("simhash"))
     val chunks = fp.select(col("doc_id"), col("simhash"), explode(expr(
       "transform(sequence(0, 3), c -> concat(c, ':', (simhash >> (c * 16)) & 65535))")).as("chunk"))
@@ -127,14 +133,22 @@ object Dedup {
   }
 
   /** Character-n-gram Jaccard near-dup pairs — candidates come from
-    * MinHash-LSH over the SAME char-5-grams the verification measures,
-    * banded 64 × 2 for the lower threshold: a pair at s=0.6 escapes with
-    * (1−0.6²)⁶⁴ ≈ 4e−13. (Banding the word-shingle signatures here would
-    * be unsound: word-level and char-level Jaccard can diverge, and the
-    * word geometry only guarantees recall at 0.8.) */
+    * MinHash-LSH over the SAME char-5-grams the verification measures
+    * (banding word-shingle signatures here would be unsound: word-level
+    * and char-level Jaccard diverge). 32 bands × 4 rows supports
+    * thresholds ≥ 0.8 — escape (1−0.8⁴)³² ≈ 5e−8. Gram width 7, not 5:
+    * common short grams ("the ", " and") give unrelated documents ~0.17
+    * five-gram Jaccard, which makes 4-row bands collide on a meaningful
+    * fraction of all pairs and degrades LSH toward all-pairs; at width 7
+    * the unrelated-pair similarity drops ~3× and candidates stay sparse.
+    * Band geometry and threshold must agree — at 0.6 the sound geometry
+    * is 2-row bands, whose random collisions degenerate likewise. */
   def charJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val grams = docs.select(col("doc_id"), charGrams(col("text"), 5).as("g")).cache()
-    lshCandidates(docs, charGrams(col("text"), 5), bands = 64)
+    require(threshold >= 0.8, s"32x4 banding only guarantees recall at >= 0.8, got $threshold")
+    val grams = Lake.fanOut(docs)
+      .select(col("doc_id"), charGrams(col("text"), 7).as("g")).cache()
+    grams.count() // eager — read by both verification-join legs (see above)
+    lshCandidates(docs, charGrams(col("text"), 7), bands = 32)
       .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
       .withColumn("char_jaccard", round(jaccard(col("g_a"), col("g_b")), 4))
@@ -145,7 +159,7 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (exact all-pairs — the correctness
     * surface; ann_lsh is the bucketed scale path). */
   def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val a = Lake.fanOut(emb).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cosine", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
@@ -178,7 +192,7 @@ object Dedup {
     "dedup_simhash" -> ((s, dir) =>
       simhashPairs(t(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      charJaccardPairs(t(s, dir, "documents"), 0.6).orderBy("doc_a", "doc_b")),
+      charJaccardPairs(t(s, dir, "documents"), 0.8).orderBy("doc_a", "doc_b")),
     "dedup_embedding" -> ((s, dir) =>
       embeddingPairs(t(s, dir, "embeddings"), 0.45).orderBy("vec_a", "vec_b")),
     "dedup_corpus" -> ((s, dir) =>
@@ -255,14 +269,14 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      // Char-5-gram variant of the same all-pairs exact compare (docs
-      // shorter than 5 chars gram to empty — excluded, like the Spark
+      // Char-7-gram variant of the same all-pairs exact compare (docs
+      // shorter than 7 chars gram to empty — excluded, like the Spark
       // side where their 0/0 Jaccard is null and filtered).
       """WITH g AS (
         |  SELECT doc_id,
-        |    list_distinct([substring(text, i, 5)
-        |                   for i in range(1, length(text) - 3)]) AS s
-        |  FROM documents WHERE length(text) >= 5)
+        |    list_distinct([substring(text, i, 7)
+        |                   for i in range(1, length(text) - 5)]) AS s
+        |  FROM documents WHERE length(text) >= 7)
         |SELECT doc_a, doc_b, char_jaccard
         |FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -270,9 +284,9 @@ object Dedup {
         |          / len(list_distinct(list_concat(a.s, b.s))), 4) AS char_jaccard
         |  FROM g a JOIN g b
         |    ON a.doc_id < b.doc_id
-        |   AND len(a.s) >= 0.5999 * len(b.s)
-        |   AND len(b.s) >= 0.5999 * len(a.s))
-        |WHERE char_jaccard >= 0.6
+        |   AND len(a.s) >= 0.7999 * len(b.s)
+        |   AND len(b.s) >= 0.7999 * len(a.s))
+        |WHERE char_jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->

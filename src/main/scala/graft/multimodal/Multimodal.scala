@@ -67,7 +67,7 @@ object Multimodal {
     * call amortized per batch, mirroring mapInPandas batch shape. */
   def decodePipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val payloads = withPayload(docs).select(col("doc_id"), col("payload"))
+    val payloads = withPayload(Lake.fanOut(docs)).select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
     payloads.mapPartitions(_.flatMap { case (docId, payload) =>
       decodeFrames(payload).map { case (i, w, h, f) => (docId, i, w, h, f) }

@@ -30,6 +30,20 @@ object Lake {
     else df
   }
 
+  /** Fan a scan out to the session's parallelism when the source planned
+    * fewer splits. A production lake arrives as thousands of row groups
+    * and this is a no-op; the testdata is single-row-group files whose
+    * scans plan as ONE partition, which would serialize every
+    * kernel-heavy per-row pass (minhash, simhash, decode) onto one core.
+    * For those passes the one-time exchange of a small input is noise
+    * next to the compute it parallelizes — use only in front of heavy
+    * per-row compute, never on plain relational scans (it would break
+    * their exchange-free plans). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Schema-on-read JSON (reference etl.py:106,149). `paths` supports
     * globs and multiple resources, matching the reference's single-path,
     * glob, and path-list ingestion modes. */

@@ -63,7 +63,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("char-ngram jaccard verification keeps near-dups, rejects low overlap") {
-    val pairs = Dedup.charJaccardPairs(corpus, 0.6).collect()
+    val pairs = Dedup.charJaccardPairs(corpus, 0.8).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((0L, 1L)))
     assert(pairs.contains((0L, 3L)))
