@@ -55,6 +55,13 @@ class TextSpec extends AnyFunSuite {
     assert(fps(1L) != fps(2L))
   }
 
+  test("md5Top8 matches the first 16 hex chars of a known md5 digest") {
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72 (RFC 1321 test vector)
+    assert(Kernels.md5Top8(UTF8String.fromString("abc")) == 0x900150983cd24fb0L)
+    // md5("") = d41d8cd98f00b204e9800998ecf8427e
+    assert(Kernels.md5Top8(UTF8String.fromString("")) == 0xd41d8cd98f00b204L)
+  }
+
   test("simhash of identical token streams is identical; distance grows with change") {
     def sh(s: String) = {
       val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
