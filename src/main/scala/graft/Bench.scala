@@ -17,11 +17,20 @@ object Bench {
       shufflePartitions = math.max(cpus.toInt, 4)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the FS cache + JIT on a cheap scan so the first measured query
-    // isn't charged for session bring-up
-    try SparkEntry.queries("q6_filter_agg")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    // Warm pass at the smallest scale factor: compiles every query's
+    // generated code and JITs the expression kernels, so the timed run
+    // measures steady-state execution instead of charging first-touch
+    // compilation to whichever query runs a kernel first. Caches built
+    // during warmup are dropped so the timed run does its own work.
+    val warmDir = "/root/testdata/sf0.001"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, if (new java.io.File(warmDir).isDirectory) warmDir else sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
+    }
+    spark.sharedState.cacheManager.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
