@@ -389,6 +389,30 @@ object Relational {
         .orderBy(col("cohort"))
     }),
 
+    // TPC-H q21 shape (EXISTS + NOT EXISTS correlated self-joins on the
+    // fact table): suppliers who were the sole latest shipper on
+    // multi-supplier orders. Both subqueries plan as one semi and one
+    // anti join on the l_orderkey equi-key (the supplier inequality and
+    // date comparison ride along as join residuals — no cartesian),
+    // then a broadcast dim join and a distinct count.
+    "q21_waiting" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val other = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val later = li.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      val sole = li
+        .join(other, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(later, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3")
+          && col("d3") > col("l_shipdate"), "left_anti")
+      sole.join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("s_name"))
+        .limit(20)
+    }),
+
     // Band (interval) join: for every error event, how many events the
     // same user produced within ±5 minutes. A naive theta-join on
     // |Δt| ≤ band is quadratic per key; the scalable plan buckets time
@@ -697,6 +721,20 @@ object Relational {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.user_id AND e.ts >= r.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q21_waiting" ->
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS n_orders
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY n_orders DESC, s_name
+        |LIMIT 20""".stripMargin,
 
     "q27_bandjoin" ->
       """SELECT e.event_id, e.user_id, count(*) AS n_nearby
