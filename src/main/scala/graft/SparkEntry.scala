@@ -16,11 +16,14 @@ object SparkEntry {
       ann.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.Streams.queries
 
-  /** Queries whose lambda performs real work beyond building a plan —
+  /** Queries whose lambda performs HEAVY work beyond building a plan —
     * lake round-trip writes and streaming materializations. Shared by
     * the plan-audit tool (which must not execute them) and the
     * no-driver-materialization spec (whose LocalRelation check doesn't
-    * apply to them), so a new side-effecting query is registered once. */
+    * apply to them), so a new side-effecting query is registered once.
+    * (The dedup builders are not listed: they eagerly materialize their
+    * small shared sketch caches — bounded narrow passes, acceptable in a
+    * plan audit.) */
   val materializingQueries: Set[String] = Set(
     "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
     "etl_partitioned_write",

@@ -52,16 +52,28 @@ object Dedup {
         i => text.substr(i, lit(k)))))
       .otherwise(array().cast("array<string>"))
 
-  /** docs → (doc_id, band keys) via 128-perm MinHash over `grams`,
+  /** Escape probability of the banding scheme: chance a true pair at
+    * Jaccard `threshold` shares NO band. The guard in the pair
+    * generators keeps this negligible — band geometry and verification
+    * threshold must agree or LSH silently loses recall. */
+  def lshEscapeProb(threshold: Double, bands: Int): Double =
+    math.pow(1.0 - math.pow(threshold, 128.0 / bands), bands)
+
+  private def requireSoundBanding(threshold: Double, bands: Int): Unit = {
+    val esc = lshEscapeProb(threshold, bands)
+    require(esc < 1e-6,
+      f"banding ${bands}x${128 / bands} is unsound at threshold $threshold " +
+        f"(escape probability $esc%.2g >= 1e-6); use more rows per band or a higher threshold")
+  }
+
+  /** grams(doc_id, g) → (doc_id, band keys) via 128-perm MinHash,
     * banded as `bands` × (128/bands) rows. band_key folds the band index
-    * in, so one equi-join column carries (band, bucket). Band geometry
-    * sets the recall floor: a pair at Jaccard s escapes with
-    * (1 − s^rows)^bands — choose rows so that's negligible at the
-    * verification threshold. */
-  def bandedSignatures(docs: DataFrame, grams: Column, bands: Int): DataFrame = {
+    * in, so one equi-join column carries (band, bucket). */
+  def bandedSignatures(grams: DataFrame, bands: Int): DataFrame = {
+    require(128 % bands == 0, s"bands must divide 128, got $bands")
     val rows = 128 / bands
-    Lake.fanOut(docs)
-      .select(col("doc_id"), GraftFunctions.minhashSig(grams, 128).as("sig"))
+    grams
+      .select(col("doc_id"), GraftFunctions.minhashSig(col("g"), 128).as("sig"))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
         .as("band_key"))
@@ -77,8 +89,8 @@ object Dedup {
     * corpus (Spark's cache manager matches canonicalized plans). At scale
     * it is `bands` longs/doc — well under 1 KB/doc, far smaller than the
     * corpus. */
-  def lshCandidates(docs: DataFrame, grams: Column, bands: Int): DataFrame = {
-    val sigs = bandedSignatures(docs, grams, bands).cache()
+  def lshCandidates(grams: DataFrame, bands: Int): DataFrame = {
+    val sigs = bandedSignatures(grams, bands).cache()
     // materialize eagerly: both legs of the self-join read this cache in
     // the same stage, and concurrently-scheduled tasks each recompute a
     // not-yet-cached partition — one cheap pass beats the double compute
@@ -100,16 +112,18 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification ≥ thr.
-    * 32 bands × 4 rows: a true pair at s=0.8 escapes with
-    * (1−0.8⁴)³² ≈ 5e−8. The shingle table feeds both sides of the
-    * verification join — cached so the shingling pass runs once. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * Default 32 bands × 4 rows: a true pair at s=0.8 escapes with
+    * (1−0.8⁴)³² ≈ 5e−8; lower thresholds need more bands (fewer rows) —
+    * the soundness guard enforces the match. One cached shingle table
+    * feeds the signature pass AND both verification-join legs. */
+  def minhashPairs(docs: DataFrame, threshold: Double, bands: Int = 32): DataFrame = {
+    requireSoundBanding(threshold, bands)
     val sh = Lake.fanOut(docs)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh")).cache()
-    sh.count() // eager — read by both verification-join legs (see above)
-    lshCandidates(docs, shingles(col("text"), 3), bands = 32)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_id"), shingles(col("text"), 3).as("g")).cache()
+    sh.count() // eager — read by the sig pass and both verification legs
+    lshCandidates(sh, bands)
+      .join(sh.select(col("doc_id").as("doc_a"), col("g").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -144,11 +158,11 @@ object Dedup {
     * Band geometry and threshold must agree — at 0.6 the sound geometry
     * is 2-row bands, whose random collisions degenerate likewise. */
   def charJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    require(threshold >= 0.8, s"32x4 banding only guarantees recall at >= 0.8, got $threshold")
+    requireSoundBanding(threshold, bands = 32)
     val grams = Lake.fanOut(docs)
       .select(col("doc_id"), charGrams(col("text"), 7).as("g")).cache()
-    grams.count() // eager — read by both verification-join legs (see above)
-    lshCandidates(docs, charGrams(col("text"), 7), bands = 32)
+    grams.count() // eager — read by the sig pass and both verification legs
+    lshCandidates(grams, bands = 32)
       .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
       .withColumn("char_jaccard", round(jaccard(col("g_a"), col("g_b")), 4))
@@ -172,13 +186,13 @@ object Dedup {
     * every verified pair — greedy, keeps ≥1 doc per duplicate cluster).
     * Both drop lists are (doc_id)-only anti-join keys: the corpus text
     * flows straight from scan to output, nothing wide shuffles. */
-  def dedupedCorpus(docs: DataFrame, jaccardThreshold: Double): DataFrame = {
+  def dedupedCorpus(docs: DataFrame, jaccardThreshold: Double, bands: Int = 32): DataFrame = {
     val hashed = docs.select(col("doc_id"), md5(normalize(col("text"))).as("content_hash"))
     val exactLosers = hashed
       .join(exactGroups(docs).select(col("content_hash"), col("keep_doc_id")), Seq("content_hash"))
       .filter(col("doc_id") =!= col("keep_doc_id"))
       .select(col("doc_id").as("drop_id"))
-    val nearLosers = minhashPairs(docs, jaccardThreshold)
+    val nearLosers = minhashPairs(docs, jaccardThreshold, bands)
       .select(col("doc_b").as("drop_id"))
     val drops = exactLosers.union(nearLosers).distinct()
     docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")

@@ -33,7 +33,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("minhash-LSH finds the planted near-dup pairs and nothing else") {
-    val pairs = Dedup.minhashPairs(corpus, 0.5).collect()
+    val pairs = Dedup.minhashPairs(corpus, 0.5, bands = 64).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
     assert(pairs.contains((0L, 3L)), "one-word-changed doc must be a candidate pair")
@@ -50,7 +50,7 @@ class DedupSpec extends AnyFunSuite {
       j = ja.intersect(jb).size.toDouble / ja.union(jb).size
       if j >= 0.5
     } yield (a, b) -> math.rint(j * 10000) / 10000).toMap
-    val got = Dedup.minhashPairs(corpus, 0.5).collect()
+    val got = Dedup.minhashPairs(corpus, 0.5, bands = 64).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
     assert(got == expected)
   }
@@ -89,11 +89,11 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("deduped corpus has no remaining near-dup pairs and keeps one per cluster") {
-    val kept = Dedup.dedupedCorpus(corpus, 0.5)
+    val kept = Dedup.dedupedCorpus(corpus, 0.5, bands = 64)
     val ids = kept.select("doc_id").as[Long].collect().toSet
     assert(ids.contains(0L) && !ids.contains(1L) && !ids.contains(2L) && !ids.contains(3L))
     assert(ids.contains(4L) && ids.contains(5L))
-    assert(Dedup.minhashPairs(kept, 0.5).isEmpty)
+    assert(Dedup.minhashPairs(kept, 0.5, bands = 64).isEmpty)
   }
 
   test("minhash signatures are deterministic across evaluations") {
