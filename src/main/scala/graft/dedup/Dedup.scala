@@ -69,14 +69,17 @@ object Dedup {
   /** grams(doc_id, g) → (doc_id, band keys) via 128-perm MinHash,
     * banded as `bands` × (128/bands) rows. band_key folds the band index
     * in, so one equi-join column carries (band, bucket). */
-  def bandedSignatures(grams: DataFrame, bands: Int): DataFrame = {
+  def bandedSignatures(grams: DataFrame, bands: Int): DataFrame =
+    bandKeys(grams.select(col("doc_id"),
+      GraftFunctions.minhashSig(col("g"), 128).as("sig")), bands)
+
+  /** sigs(doc_id, sig: array<long>[128]) → (doc_id, band_key) rows. */
+  def bandKeys(sigs: DataFrame, bands: Int): DataFrame = {
     require(128 % bands == 0, s"bands must divide 128, got $bands")
     val rows = 128 / bands
-    grams
-      .select(col("doc_id"), GraftFunctions.minhashSig(col("g"), 128).as("sig"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
-        .as("band_key"))
+    sigs.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> xxhash64(b, slice(sig, b * $rows + 1, $rows)))"))
+      .as("band_key"))
   }
 
   /** Exact-set Jaccard between two array columns. */
@@ -89,14 +92,18 @@ object Dedup {
     * corpus (Spark's cache manager matches canonicalized plans). At scale
     * it is `bands` longs/doc — well under 1 KB/doc, far smaller than the
     * corpus. */
-  def lshCandidates(grams: DataFrame, bands: Int): DataFrame = {
-    val sigs = bandedSignatures(grams, bands).cache()
+  def lshCandidates(grams: DataFrame, bands: Int): DataFrame =
+    selfJoinBandKeys(bandedSignatures(grams, bands))
+
+  /** (doc_id, band_key) rows → distinct candidate pairs (doc_a < doc_b). */
+  private def selfJoinBandKeys(keys: DataFrame): DataFrame = {
     // materialize eagerly: both legs of the self-join read this cache in
     // the same stage, and concurrently-scheduled tasks each recompute a
     // not-yet-cached partition — one cheap pass beats the double compute
-    sigs.count()
-    val a = sigs.select(col("doc_id").as("doc_a"), col("band_key"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("band_key"))
+    val cached = keys.cache()
+    cached.count()
+    val a = cached.select(col("doc_id").as("doc_a"), col("band_key"))
+    val b = cached.select(col("doc_id").as("doc_b"), col("band_key"))
     a.join(b, Seq("band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -159,23 +166,122 @@ object Dedup {
     * is 2-row bands, whose random collisions degenerate likewise. */
   def charJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     requireSoundBanding(threshold, bands = 32)
-    val grams = Lake.fanOut(docs)
-      .select(col("doc_id"), charGrams(col("text"), 7).as("g")).cache()
-    grams.count() // eager — read by the sig pass and both verification legs
-    lshCandidates(grams, bands = 32)
-      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), Seq("doc_a"))
-      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), Seq("doc_b"))
-      .withColumn("char_jaccard", round(jaccard(col("g_a"), col("g_b")), 4))
+    // Signatures come from the fused kernel (Kernels.charGramMinHash):
+    // the gram array is never materialized for the signature pass — the
+    // old shape built and cached a |text|-sized array of substrings per
+    // row just to minhash it, which dominated the whole query's cost.
+    // Grams are materialized ONLY for verification, and only after the
+    // candidate join has cut the corpus down to candidate-pair rows — a
+    // vanishing fraction at scale.
+    val keys = bandKeys(Lake.fanOut(docs)
+      .select(col("doc_id"), GraftFunctions.charGramMinHash(col("text"), 7, 128).as("sig")),
+      bands = 32)
+    val texts = docs.select(col("doc_id"), col("text"))
+    selfJoinBandKeys(keys)
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .withColumn("char_jaccard",
+        round(jaccard(charGrams(col("text_a"), 7), charGrams(col("text_b"), 7)), 4))
       .filter(col("char_jaccard") >= threshold)
       .select("doc_a", "doc_b", "char_jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs (exact all-pairs — the correctness
-    * surface; ann_lsh is the bucketed scale path). */
-  def embeddingPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = Lake.fanOut(emb).select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, col("vec_a") < col("vec_b"))
+  /** Exact embedding-cosine pairs over a block-grid equi-join.
+    *
+    * Why not LSH candidates at this threshold: random-hyperplane LSH with
+    * a sound recall guarantee (escape < 1e-6) at cosine 0.45 needs
+    * b ≥ 13.8/p^r tables with p = 1 − arccos(0.45)/π ≈ 0.649, and its
+    * candidate volume is b·n²/2^r ≈ 13.8·n²·(2p)^-r — at p < 0.5+ε that
+    * EXCEEDS the n²/2 all-pairs it replaces for every r. Measured on the
+    * testdata the pair-cosine distribution is a continuum through 0.45
+    * (no near-dup/background gap at any SF), so no data-dependent recall
+    * argument rescues it either. Sub-0.5-cosine exact pair search is
+    * inherently Ω(n²); what CAN be fixed is the physical plan:
+    *
+    * The old shape was a BroadcastNestedLoopJoin on `vec_a < vec_b` —
+    * the whole corpus broadcast to every executor, every task scanning
+    * all of it. This shape assigns each vector a block (vec_id mod B)
+    * and emits each row to its block-pair grid cells: side A covers
+    * cells (b, j≥b), side B cells (i≤b, b), so every unordered pair of
+    * blocks meets in exactly one cell of a plain shuffle equi-join. No
+    * broadcast, per-task memory bounded by two blocks (~n/B rows),
+    * compute spread evenly over B·(B+1)/2 cells, and the `vec_a < vec_b`
+    * dedup stays a residual filter. The O(n²) work that remains is the
+    * task's intrinsic cost, now distributed instead of replicated.
+    *
+    * For thresholds in the true near-dup regime (≥ 0.9) use
+    * [[embeddingLshPairs]], which prunes candidates sub-quadratically. */
+  def embeddingPairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    val B = blocks
+    val a = emb
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        (col("vec_id") % B).cast("int").as("ba"))
+      .withColumn("cell", explode(expr(s"transform(sequence(ba, ${B - 1}), j -> ba * $B + j)")))
+      .drop("ba")
+    val b = emb
+      .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        (col("vec_id") % B).cast("int").as("bb"))
+      .withColumn("cell", explode(expr(s"transform(sequence(0, bb), i -> i * $B + bb)")))
+      .drop("bb")
+    // Every unordered block pair meets in exactly one cell, but the side
+    // a vector lands on follows its BLOCK, not its id: only diagonal
+    // cells (cell % (B+1) == 0, both sides the same block) see a pair in
+    // both orientations and need the a<b dedup; off-diagonal cells see it
+    // once, possibly swapped, so the canonical (least, greatest) order is
+    // restored on output instead of filtered on.
+    a.join(b, Seq("cell"))
+      .filter((col("cell") % (B + 1) =!= 0) || (col("vec_a") < col("vec_b")))
+      .withColumn("cosine", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Escape probability of `tables` × `bits` random-hyperplane banding
+    * for a pair at `cosine`: chance the pair agrees on no table's full
+    * bit pattern. Per-bit agreement is 1 − θ/π (Goemans–Williamson). */
+  def hyperplaneEscapeProb(cosine: Double, tables: Int, bits: Int): Double = {
+    val p = 1.0 - math.acos(cosine) / math.Pi
+    math.pow(1.0 - math.pow(p, bits), tables)
+  }
+
+  private def requireSoundHyperplanes(threshold: Double, tables: Int, bits: Int): Unit = {
+    val esc = hyperplaneEscapeProb(threshold, tables, bits)
+    require(esc < 1e-6,
+      f"hyperplane banding ${tables}x$bits is unsound at cosine $threshold " +
+        f"(escape probability $esc%.2g >= 1e-6); use more tables or fewer bits")
+    // Candidate volume on a random corpus is ~tables/2^bits of all pairs;
+    // past 1 the scheme generates MORE work than the all-pairs scan it
+    // replaces — a silent scale-killer, so refuse outright.
+    require(tables.toDouble / (1L << bits) < 0.5,
+      s"hyperplane banding ${tables}x$bits generates ~${tables.toDouble / (1L << bits)} " +
+        "of all pairs as candidates — not a pruning scheme; raise bits (and tables to re-anchor recall)")
+  }
+
+  /** Embedding near-dup pairs in the true near-dup regime (cosine ≥ 0.9)
+    * via random-hyperplane LSH buckets: candidates meet in a bucket
+    * equi-join (90 tables × 12 bits — per-bit agreement at 0.9 is
+    * 1 − arccos(0.9)/π ≈ 0.856, per-table collision 0.856¹² ≈ 0.156,
+    * escape (1 − 0.156)⁹⁰ ≈ 2.4e-7 < 1e-6; candidate volume on a random
+    * corpus ~90/2¹² ≈ 2% of all pairs, collapsing toward the true-pair
+    * count on clustered real data), then exact-cosine verification.
+    * The same md5-derived planes as ann_lsh (Kernels.planes), so a SQL
+    * engine can replay the buckets; the oracle is the exact all-pairs
+    * compare, which the escape bound makes equivalent. */
+  def embeddingLshPairs(emb: DataFrame, threshold: Double,
+                        tables: Int = 90, bits: Int = 12): DataFrame = {
+    requireSoundHyperplanes(threshold, tables, bits)
+    val bucketed = Lake.fanOut(emb).select(col("vec_id"), col("embedding"),
+      explode(GraftFunctions.lshBuckets(col("embedding"), tables, bits)).as("bucket"))
+      .cache()
+    bucketed.count() // eager — both legs of the self-join read this cache
+    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "emb_a", "emb_b")
+      .distinct()
       .withColumn("cosine", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
@@ -209,6 +315,8 @@ object Dedup {
       charJaccardPairs(t(s, dir, "documents"), 0.8).orderBy("doc_a", "doc_b")),
     "dedup_embedding" -> ((s, dir) =>
       embeddingPairs(t(s, dir, "embeddings"), 0.45).orderBy("vec_a", "vec_b")),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      embeddingLshPairs(t(s, dir, "embeddings"), 0.9).orderBy("vec_a", "vec_b")),
     "dedup_corpus" -> ((s, dir) =>
       dedupedCorpus(t(s, dir, "documents"), 0.8)
         .select("doc_id", "lang", "source", "n_chars")
@@ -343,6 +451,20 @@ object Dedup {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Same exact all-pairs compare at the near-dup threshold: the
+    // hyperplane escape bound (< 1e-6 at 0.9) makes the LSH pipeline and
+    // the exact oracle equivalent. The testdata has no pairs at 0.9 —
+    // the gate then pins the no-false-positive side; recall is pinned by
+    // DedupSpec on a planted-near-dup corpus.
+    "dedup_embedding_lsh" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.9
         |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

@@ -114,19 +114,23 @@ object TextAnalysis {
     // TF-IDF: term frequency per doc × inverse document frequency, top
     // term per document. Two aggregations (term-per-doc, df-per-term) and
     // one broadcast-able join on term — the df table is |vocab|-sized,
-    // tiny next to the corpus.
+    // tiny next to the corpus. The corpus size N enters as a broadcast
+    // one-row scalar aggregate (same pattern as q11_havingshare), not a
+    // driver-side count() — a count() at plan-build time is a whole extra
+    // job and a scan of the corpus before the query even starts.
     "text_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
-      val nDocs = docs.count()
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_full").desc, col("term"))
       tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .withColumn("score_full",
-          col("tf") * log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0))))
+          col("tf") * log((col("n_docs") + 1.0) / (col("df") + lit(1.0))))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("term").as("top_term"),

@@ -124,6 +124,25 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int, seed: Long)
   override def prettyName: String = "lsh_buckets"
 }
 
+/** chargram_minhash(string text, k, numPerms) → array<long> — fused
+  * char-k-gram MinHash signature (see [[Kernels.charGramMinHash]]):
+  * semantically `minhash_sig(array_distinct(char k-grams))` without ever
+  * materializing the gram array. */
+case class CharGramMinHash(child: Expression, k: Int, numPerms: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => K.fail(prettyName, "string", Seq(other))
+  }
+  override def nullSafeEval(in: Any): Any =
+    Kernels.charGramMinHash(in.asInstanceOf[UTF8String], k, numPerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"${K.Cls}.charGramMinHash($in, $k, $numPerms)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "chargram_minhash"
+}
+
 /** rolling_hash(string) → long Karp-Rabin document fingerprint. */
 case class RollingHash(child: Expression)
     extends UnaryExpression {
@@ -150,6 +169,11 @@ object GraftFunctions {
   def minhashSig(shingles: Column, numPerms: Int = 128): Column =
     col(MinHashSignature(e(shingles), numPerms))
   def rollingHash(text: Column): Column = col(RollingHash(e(text)))
-  def lshBuckets(vec: Column, tables: Int = 8, bits: Int = 8, seed: Long = 42L): Column =
+  /** Defaults match the ann_lsh query geometry (8 tables × 6 bits) — the
+    * SQL registration in GraftExtensions uses the same defaults, so the
+    * SQL surface and the Column API bucket identically. */
+  def lshBuckets(vec: Column, tables: Int = 8, bits: Int = 6, seed: Long = 42L): Column =
     col(LshBuckets(e(vec), tables, bits, seed))
+  def charGramMinHash(text: Column, k: Int = 7, numPerms: Int = 128): Column =
+    col(CharGramMinHash(e(text), k, numPerms))
 }

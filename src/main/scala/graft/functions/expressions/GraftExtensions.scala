@@ -2,7 +2,8 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SparkSessionExtensions hook: registers graft's custom Catalyst
   * expressions as SQL functions, so the SQL surface (`spark.sql`, temp
@@ -15,6 +16,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** Geometry arguments must be literals (they parameterize codegen). */
+  private def intLit(fn: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType)   => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn expects literal integer geometry arguments, got $other")
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
@@ -29,8 +38,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(text) - Karp-Rabin 61-bit fingerprint"),
       (es: Seq[Expression]) => RollingHash(es.head)))
+    // Default geometry matches the ann_lsh query (8 tables × 6 bits, seed
+    // 42) so a SQL user verifying ann_lsh through this surface gets the
+    // same buckets as the Column API; pass (vec, tables, bits[, seed]) to
+    // override.
     e.injectFunction((FunctionIdentifier("lsh_buckets"),
-      info("lsh_buckets", "lsh_buckets(vec) - random-hyperplane LSH bucket ids"),
-      (es: Seq[Expression]) => LshBuckets(es.head, tables = 8, bits = 8, seed = 42L)))
+      info("lsh_buckets",
+        "lsh_buckets(vec[, tables, bits[, seed]]) - random-hyperplane LSH bucket ids"),
+      (es: Seq[Expression]) => es match {
+        case Seq(v)          => LshBuckets(v, tables = 8, bits = 6, seed = 42L)
+        case Seq(v, t, b)    => LshBuckets(v, intLit("lsh_buckets", t),
+                                           intLit("lsh_buckets", b), seed = 42L)
+        case Seq(v, t, b, s) => LshBuckets(v, intLit("lsh_buckets", t),
+                                           intLit("lsh_buckets", b),
+                                           intLit("lsh_buckets", s).toLong)
+        case _ => throw new IllegalArgumentException(
+          "lsh_buckets takes (vec[, tables, bits[, seed]])")
+      }))
+    e.injectFunction((FunctionIdentifier("chargram_minhash"),
+      info("chargram_minhash",
+        "chargram_minhash(text[, k]) - fused char-k-gram 128-perm MinHash signature"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t)    => CharGramMinHash(t, k = 7, numPerms = 128)
+        case Seq(t, k) => CharGramMinHash(t, intLit("chargram_minhash", k), numPerms = 128)
+        case _ => throw new IllegalArgumentException("chargram_minhash takes (text[, k])")
+      }))
   }
 }

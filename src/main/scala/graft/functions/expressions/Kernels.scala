@@ -140,6 +140,49 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  /** Fused char-k-gram MinHash: equivalent to
+    * `minhash(array_distinct(char k-grams of s), numPerms)` but rolls a
+    * window of k code points over the string and hashes each gram's byte
+    * range in place — no per-gram UTF8String, no gram array, no
+    * array_distinct pass (duplicate grams can't change a min). The gram
+    * materialization was the dominant cost of char-gram LSH dedup: a
+    * |text|-sized array of small objects per row, allocated just to be
+    * hashed and thrown away. Byte ranges are exact because a substring of
+    * k code points is a contiguous byte slice [off(i), off(i+k)) of the
+    * UTF-8 encoding — the same bytes `substr` would copy, so the per-gram
+    * xxhash64 is bit-identical to hashing the materialized gram. */
+  def charGramMinHash(s: UTF8String, k: Int, numPerms: Int): ArrayData = {
+    val sig = new Array[Long](numPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val numChars = s.numChars()
+    if (numChars >= k) {
+      val ab = permConsts(numPerms)
+      val offs = new Array[Int](numChars + 1)
+      var i = 0
+      var b = 0
+      while (i < numChars) {
+        offs(i) = b
+        b += UTF8String.numBytesForFirstByte(s.getByte(b))
+        i += 1
+      }
+      offs(numChars) = s.numBytes()
+      val base = s.getBaseObject
+      val off = s.getBaseOffset
+      i = 0
+      while (i <= numChars - k) {
+        val h = XXH64.hashUnsafeBytes(base, off + offs(i), offs(i + k) - offs(i), XxSeed)
+        var p = 0
+        while (p < numPerms) {
+          val v = ab(2 * p) * h + ab(2 * p + 1)
+          if (v < sig(p)) sig(p) = v
+          p += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
   /** Random-hyperplane LSH bucket ids for a float vector: `tables`
     * independent tables of `bits` hyperplanes each. Plane weights are
     * derived on the fly from SplitMix64 (deterministic, no broadcast

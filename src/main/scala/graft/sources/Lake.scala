@@ -40,8 +40,22 @@ object Lake {
     * per-row compute, never on plain relational scans (it would break
     * their exchange-free plans). */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    if (spark.conf.get("spark.graft.fanOut", "auto") == "off") df
+    else {
+      val target = spark.sparkContext.defaultParallelism
+      // inputFiles reads the (session-cached) file listing off the
+      // logical plan — no physical planning, unlike a df.rdd probe (which
+      // built the whole physical plan + RDD lineage per call, at
+      // query-construction time). File count under-estimates the split
+      // count for large splittable files, but that error is harmless
+      // here: a lake with >= cores files is left untouched, and a lake
+      // with fewer, larger files only over-parallelizes a kernel pass.
+      // Production plans that must never pay the exchange (or the probe)
+      // set spark.graft.fanOut=off.
+      val files = df.inputFiles.length
+      if (files > 0 && files < target) df.repartition(target) else df
+    }
   }
 
   /** Schema-on-read JSON (reference etl.py:106,149). `paths` supports
