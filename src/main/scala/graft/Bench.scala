@@ -23,9 +23,10 @@ object Bench {
     // compilation to whichever query runs a kernel first. Caches built
     // during warmup are dropped so the timed run does its own work.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", {
-      // default: the smallest sf* sibling of the timed directory
-      val parent = new java.io.File(sfDir).getParentFile
-      Option(parent.listFiles()).toSeq.flatten
+      // default: the smallest sf* sibling of the timed directory. A bare
+      // relative sfDir has no parent — fall back to sfDir, don't NPE.
+      Option(new java.io.File(sfDir).getParentFile)
+        .flatMap(p => Option(p.listFiles())).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("sf"))
         .sortBy(f => f.getName.drop(2).toDoubleOption.getOrElse(Double.MaxValue))
         .headOption.map(_.getPath).getOrElse(sfDir)

@@ -167,21 +167,36 @@ object Dedup {
   def charJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     requireSoundBanding(threshold, bands = 32)
     // Signatures come from the fused kernel (Kernels.charGramMinHash):
-    // the gram array is never materialized for the signature pass — the
-    // old shape built and cached a |text|-sized array of substrings per
-    // row just to minhash it, which dominated the whole query's cost.
-    // Grams are materialized ONLY for verification, and only after the
-    // candidate join has cut the corpus down to candidate-pair rows — a
-    // vanishing fraction at scale.
-    val keys = bandKeys(Lake.fanOut(docs)
+    // the gram array is never materialized for the signature pass.
+    // Verification never materializes grams either: each DISTINCT
+    // candidate document computes its sorted gram-HASH set once
+    // (charGramHashSet, 8 bytes/gram), and per-pair exact Jaccard is a
+    // linear merge of two sorted long arrays (sortedSetJaccard). The old
+    // shape joined full texts into every candidate-pair row and expanded
+    // `jaccard(charGrams(a),charGrams(b))` to array_intersect/array_union
+    // — up to four |text|-sized gram materializations per pair, outside
+    // whole-stage codegen; it was 45% of the whole bench. Candidate docs
+    // are a vanishing fraction of the corpus at scale, so the semi-join
+    // also prunes the second text scan.
+    val fanned = Lake.fanOut(docs)
+    val keys = bandKeys(fanned
       .select(col("doc_id"), GraftFunctions.charGramMinHash(col("text"), 7, 128).as("sig")),
       bands = 32)
-    val texts = docs.select(col("doc_id"), col("text"))
-    selfJoinBandKeys(keys)
-      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
-      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+    // cached: read once to derive the candidate-doc set and again as the
+    // pair-join spine (sequential actions — no eager count needed)
+    val cand = selfJoinBandKeys(keys).cache()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val gsets = fanned.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), GraftFunctions.charGramHashSet(col("text"), 7).as("gs"))
+      .cache()
+    gsets.count() // eager — both pair-join legs read this cache
+    cand
+      .join(gsets.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), Seq("doc_a"))
+      .join(gsets.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), Seq("doc_b"))
       .withColumn("char_jaccard",
-        round(jaccard(charGrams(col("text_a"), 7), charGrams(col("text_b"), 7)), 4))
+        round(GraftFunctions.sortedSetJaccard(col("gs_a"), col("gs_b")), 4))
       .filter(col("char_jaccard") >= threshold)
       .select("doc_a", "doc_b", "char_jaccard")
   }
@@ -213,14 +228,17 @@ object Dedup {
     * [[embeddingLshPairs]], which prunes candidates sub-quadratically. */
   def embeddingPairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
     val B = blocks
+    // pmod, not %: Scala's % is signed remainder, so a negative vec_id
+    // would land in a negative "block" and emit malformed grid cells —
+    // silently dropping or duplicating its pairs.
     val a = emb
       .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        (col("vec_id") % B).cast("int").as("ba"))
+        pmod(col("vec_id"), lit(B)).cast("int").as("ba"))
       .withColumn("cell", explode(expr(s"transform(sequence(ba, ${B - 1}), j -> ba * $B + j)")))
       .drop("ba")
     val b = emb
       .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        (col("vec_id") % B).cast("int").as("bb"))
+        pmod(col("vec_id"), lit(B)).cast("int").as("bb"))
       .withColumn("cell", explode(expr(s"transform(sequence(0, bb), i -> i * $B + bb)")))
       .drop("bb")
     // Every unordered block pair meets in exactly one cell, but the side

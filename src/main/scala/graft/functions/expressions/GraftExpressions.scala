@@ -143,6 +143,45 @@ case class CharGramMinHash(child: Expression, k: Int, numPerms: Int)
   override def prettyName: String = "chargram_minhash"
 }
 
+/** chargram_hashset(string text, k) → sorted distinct array<long> of
+  * char-k-gram xxhash64s (see [[Kernels.charGramHashSet]]) — the
+  * once-per-document verification set for char-gram Jaccard. */
+case class CharGramHashSet(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other      => K.fail(prettyName, "string", Seq(other))
+  }
+  override def nullSafeEval(in: Any): Any =
+    Kernels.charGramHashSet(in.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"${K.Cls}.charGramHashSet($in, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "chargram_hashset"
+}
+
+/** sorted_set_jaccard(array<long>, array<long>) → double exact Jaccard by
+  * linear merge; inputs must be sorted distinct ([[CharGramHashSet]]'s
+  * output is). */
+case class SortedSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => K.fail(prettyName, "two array<bigint> arguments",
+        Seq(left.dataType, right.dataType))
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedSetJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"${K.Cls}.sortedSetJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_set_jaccard"
+}
+
 /** rolling_hash(string) → long Karp-Rabin document fingerprint. */
 case class RollingHash(child: Expression)
     extends UnaryExpression {
@@ -176,4 +215,8 @@ object GraftFunctions {
     col(LshBuckets(e(vec), tables, bits, seed))
   def charGramMinHash(text: Column, k: Int = 7, numPerms: Int = 128): Column =
     col(CharGramMinHash(e(text), k, numPerms))
+  def charGramHashSet(text: Column, k: Int = 7): Column =
+    col(CharGramHashSet(e(text), k))
+  def sortedSetJaccard(a: Column, b: Column): Column =
+    col(SortedSetJaccard(e(a), e(b)))
 }

@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects literal integer geometry arguments, got $other")
   }
 
+  /** Long literal (seeds) — full 64-bit range, no silent truncation. */
+  private def longLit(fn: String, e: Expression): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType)   => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer seed argument, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
@@ -51,7 +59,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                                            intLit("lsh_buckets", b), seed = 42L)
         case Seq(v, t, b, s) => LshBuckets(v, intLit("lsh_buckets", t),
                                            intLit("lsh_buckets", b),
-                                           intLit("lsh_buckets", s).toLong)
+                                           longLit("lsh_buckets", s))
         case _ => throw new IllegalArgumentException(
           "lsh_buckets takes (vec[, tables, bits[, seed]])")
       }))
@@ -63,5 +71,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t, k) => CharGramMinHash(t, intLit("chargram_minhash", k), numPerms = 128)
         case _ => throw new IllegalArgumentException("chargram_minhash takes (text[, k])")
       }))
+    e.injectFunction((FunctionIdentifier("chargram_hashset"),
+      info("chargram_hashset",
+        "chargram_hashset(text[, k]) - sorted distinct char-k-gram hash set"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t)    => CharGramHashSet(t, k = 7)
+        case Seq(t, k) => CharGramHashSet(t, intLit("chargram_hashset", k))
+        case _ => throw new IllegalArgumentException("chargram_hashset takes (text[, k])")
+      }))
+    e.injectFunction((FunctionIdentifier("sorted_set_jaccard"),
+      info("sorted_set_jaccard",
+        "sorted_set_jaccard(a, b) - exact Jaccard of two sorted distinct bigint arrays"),
+      (es: Seq[Expression]) => SortedSetJaccard(es(0), es(1))))
   }
 }

@@ -183,6 +183,64 @@ object Kernels {
     new GenericArrayData(sig)
   }
 
+  /** Sorted distinct xxhash64 set of a string's char-k-grams — the
+    * verification-side companion of [[charGramMinHash]]: the same byte
+    * ranges, the same per-gram hash, but ALL distinct gram hashes instead
+    * of a minhash sketch. 8 bytes per gram and computed once per
+    * document; exact-set Jaccard between two documents then reduces to a
+    * linear merge over two sorted long arrays ([[sortedSetJaccard]]) —
+    * no per-pair gram rematerialization, no string arrays shuffling into
+    * candidate-pair rows. */
+  def charGramHashSet(s: UTF8String, k: Int): ArrayData = {
+    val numChars = s.numChars()
+    if (numChars < k) return new GenericArrayData(Array.emptyLongArray)
+    val offs = new Array[Int](numChars + 1)
+    var i = 0
+    var b = 0
+    while (i < numChars) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(s.getByte(b))
+      i += 1
+    }
+    offs(numChars) = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = numChars - k + 1
+    val hs = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      hs(i) = XXH64.hashUnsafeBytes(base, off + offs(i), offs(i + k) - offs(i), XxSeed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted run
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Exact Jaccard |A∩B| / |A∪B| of two SORTED DISTINCT long arrays via a
+    * single merge pass. Empty-vs-empty is 0.0 (not null), matching the
+    * "too short to gram" documents that can never clear a threshold. */
+  def sortedSetJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Random-hyperplane LSH bucket ids for a float vector: `tables`
     * independent tables of `bits` hyperplanes each. Plane weights are
     * derived on the fly from SplitMix64 (deterministic, no broadcast

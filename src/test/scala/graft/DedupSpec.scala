@@ -88,6 +88,88 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  /** Unit vector at `c` cosine from e0, rotated toward e1 — pairwise
+    * cosine of two such vectors is c1·c2 + √(1−c1²)·√(1−c2²). */
+  private def vecAtCosine(c: Double, dim: Int = 64): Array[Float] = {
+    val v = new Array[Float](dim)
+    v(0) = c.toFloat
+    v(1) = math.sqrt(1.0 - c * c).toFloat
+    v
+  }
+
+  private def exactCos(a: Seq[Float], b: Seq[Float]): Double = {
+    val (dot, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+      case ((d, x, y), (p, q)) => (d + p.toDouble * q, x + p.toDouble * p, y + q.toDouble * q)
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("embedding LSH recovers every planted >=0.9 pair and none below") {
+    // Planted near-dup corpus: vectors at cosines {1.0, 0.97, 0.92, 0.85}
+    // from a common anchor (pairwise cosines known in closed form), plus
+    // far-away distractors on other axes. The testdata has no pairs at
+    // 0.9, so the driver oracle only pins the no-false-positive side;
+    // THIS test pins recall on a corpus where the answer is non-empty.
+    val planted = Seq(
+      10L -> vecAtCosine(1.0), 11L -> vecAtCosine(0.97),
+      12L -> vecAtCosine(0.92), 13L -> vecAtCosine(0.85)
+    )
+    val distractors = (0 until 6).map { i =>
+      val v = new Array[Float](64); v(i + 4) = 1.0f
+      (20L + i) -> v
+    }
+    val all = planted ++ distractors
+    val emb = all.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val expected = (for {
+      (a, va) <- all; (b, vb) <- all if a < b
+      if exactCos(va.toSeq, vb.toSeq) >= 0.9
+    } yield (a, b)).toSet
+    val got = Dedup.embeddingLshPairs(emb, 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(expected.nonEmpty, "planted corpus must contain >=0.9 pairs — vacuous otherwise")
+    assert(got == expected)
+    assert(!got.contains((10L, 13L)), "0.85-cosine pair must stay below the 0.9 gate")
+  }
+
+  test("embedding pairs handle negative vec_ids (pmod block assignment)") {
+    val vecs = Seq(-33L, -17L, -1L, 0L, 5L).zipWithIndex.map { case (id, i) =>
+      // two planted near-dup clusters spanning negative and positive ids
+      id -> vecAtCosine(if (i % 2 == 0) 1.0 else 0.98)
+    }
+    val emb = vecs.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val expected = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+      if exactCos(va.toSeq, vb.toSeq) >= 0.45
+    } yield (a, b)).toSet
+    val got = Dedup.embeddingPairs(emb, 0.45).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(got == expected)
+  }
+
+  test("char-gram hash-set jaccard equals string-set jaccard") {
+    // the fused verification path (charGramHashSet + sortedSetJaccard)
+    // must agree with the definitional string-set Jaccard it replaces
+    val gs = corpus.select(col("doc_id"), Dedup.charGrams(col("text"), 7).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val expected = (for {
+      a <- gs.keys; b <- gs.keys if a < b
+      sa = gs(a).toSet; sb = gs(b).toSet
+      if sa.nonEmpty || sb.nonEmpty
+    } yield (a, b) -> sa.intersect(sb).size.toDouble / sa.union(sb).size).toMap
+    val hs = corpus.select(col("doc_id"), GraftFunctions.charGramHashSet(col("text"), 7).as("h"))
+    val got = hs.select(col("doc_id").as("doc_a"), col("h").as("ha"))
+      .crossJoin(hs.select(col("doc_id").as("doc_b"), col("h").as("hb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), GraftFunctions.sortedSetJaccard(col("ha"), col("hb")))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    expected.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-12, s"pair $k: got ${got(k)}, expected $v")
+    }
+  }
+
   test("deduped corpus has no remaining near-dup pairs and keeps one per cluster") {
     val kept = Dedup.dedupedCorpus(corpus, 0.5, bands = 64)
     val ids = kept.select("doc_id").as[Long].collect().toSet
