@@ -27,6 +27,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.parquet.filterPushdown") == "true")
   }
 
+  test("embedding dedup plans stay bucketed equi-joins (no BNLJ, no cartesian)") {
+    // the old dedup_embedding shape was a BroadcastNestedLoopJoin on
+    // vec_a < vec_b — whole corpus broadcast, every task scanning all of
+    // it; the block-grid / LSH-bucket rewrites must not silently regress
+    Seq("dedup_embedding", "dedup_embedding_lsh").foreach { k =>
+      val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$k plans a BNLJ")
+      assert(!plan.contains("CartesianProduct"), s"$k plans a cartesian product")
+    }
+  }
+
   test("no operator plan materializes data on the driver") {
     // structural guard: driver-collected data re-entering a plan shows up
     // as LocalTableScan / Scan ExistingRDD — no query may contain either
