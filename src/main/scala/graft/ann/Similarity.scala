@@ -91,27 +91,66 @@ object Similarity {
         .orderBy(col("query_id"), col("rank")))
   )
 
-  /** IVF-style centroid partition pruning (SURVEY §D spec item): vectors
-    * are assigned to their nearest centroid ("inverted list"); a query
-    * probes only its `nProbe` nearest centroids' lists instead of the
-    * whole corpus. Centroid selection here is deterministic (first
-    * `nCentroids` vectors) standing in for a k-means training step — the
-    * pruning topology, the broadcast of the (tiny) centroid set, and the
-    * list-join shape are what carry to 100 TB. */
+  /** k-means training sweeps (fixed — unrolled in the SQL oracle). */
+  private val KmeansIters = 3
+  /** Centroid coordinates are rounded to this many decimals after every
+    * mean: double-sum order across partitions (Spark) vs a sequential
+    * scan (a SQL oracle) differs in the last bits, and k-means iterates —
+    * an un-rounded 1e-15 wobble could flip an assignment and diverge the
+    * training. Rounded, both engines land on identical centroids. */
+  private val CentRound = 6
+
+  /** Deterministic spherical-k-means centroid training, DataFrame ops
+    * only: seeded by the first `nCentroids` vectors (deterministic, no
+    * RNG), `iters` fixed sweeps of assign-to-nearest-cosine + per-
+    * dimension mean. The mean is left un-normalized — cosine against it
+    * equals cosine against the normalized mean. Each sweep broadcasts
+    * only the (tiny) centroid table and shuffles (centroid, dim, partial
+    * sum) — at 100 TB the corpus is scanned `iters` times but never
+    * shuffled. Returns (centroid_id, c_emb: array<double>). */
+  def trainCentroids(emb: DataFrame, nCentroids: Int, iters: Int = KmeansIters): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    var cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("centroid_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("c_cos", GraftFunctions.cosineSim(col("emb"), col("c_emb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("centroid_id"), col("emb"))
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("emb")).as(Seq("d", "x")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(expr(s"transform(array_sort(collect_list(struct(d, m))), s -> round(s.m, $CentRound))")
+          .as("c_emb"))
+    }
+    cents
+  }
+
+  /** IVF centroid pruning: vectors are assigned to their nearest trained
+    * centroid ("inverted list"); a query probes only its `nProbe` nearest
+    * centroids' lists instead of the whole corpus. Centroids come from
+    * [[trainCentroids]] — deterministic k-means the SQL oracle replays
+    * sweep-for-sweep. The pruning topology, the broadcast of the (tiny)
+    * centroid set, and the list-join shape carry unchanged to 100 TB. */
   def ivfTopK(emb: DataFrame, queryIds: Int, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
-    val centroids = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val centroids = trainCentroids(emb, nCentroids).cache()
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("centroid_id"))
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", GraftFunctions.cosineSim(col("embedding"), col("c_emb")))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", GraftFunctions.cosineSim(col("emb"), col("c_emb")))
       .withColumn("c_rank", row_number().over(wAssign))
       .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .select(col("vec_id"), col("emb"), col("centroid_id"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("q_cos").desc, col("centroid_id"))
-    val probes = emb.filter(col("vec_id") < queryIds)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes = e.filter(col("vec_id") < queryIds)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
       .crossJoin(broadcast(centroids))
       .withColumn("q_cos", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
       .withColumn("p_rank", row_number().over(wProbe))
@@ -120,11 +159,38 @@ object Similarity {
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_full").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("centroid_id"))
-      .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("emb")))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
               round(col("cos_full"), 6).as("cosine"))
+  }
+
+  /** DuckDB replay of [[trainCentroids]]: cent0 = seed vectors, then
+    * `iters` unrolled (assign_i, cent_i) CTE pairs — same nearest-cosine
+    * assignment, same per-dimension mean, same 6-decimal rounding, so the
+    * trained centroids agree digit-for-digit. Expects a CTE `e(vec_id,
+    * emb DOUBLE[])` to be in scope. */
+  private def kmeansCtes(nCentroids: Int, iters: Int): String = {
+    val init = s"""cent0 AS (
+                  |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
+                  |  FROM embeddings WHERE vec_id < $nCentroids)""".stripMargin
+    val sweeps = (1 to iters).map { i =>
+      s"""assign$i AS (
+         |  SELECT vec_id, emb, centroid_id FROM (
+         |    SELECT e.vec_id, e.emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN cent${i - 1} c)
+         |  WHERE rnk = 1),
+         |cent$i AS (
+         |  SELECT centroid_id, list(round(m, $CentRound) ORDER BY d) AS c_emb FROM (
+         |    SELECT centroid_id, d.d AS d, avg(emb[d.d + 1]) AS m
+         |    FROM assign$i, range($EmbDim) d(d)
+         |    GROUP BY centroid_id, d.d)
+         |  GROUP BY centroid_id)""".stripMargin
+    }
+    (init +: sweeps).mkString(",\n")
   }
 
   val oracles: Map[String, String] = Map(
@@ -184,14 +250,13 @@ object Similarity {
          |FROM scored WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
 
-    // IVF centroids are deterministic (vec_id < nCentroids stands in for
-    // the k-means step), so the whole assign→probe→score pipeline is
-    // plain SQL.
+    // IVF centroid training is deterministic seeded k-means (fixed
+    // sweeps, 6-decimal centroid rounding), so the whole
+    // train→assign→probe→score pipeline replays as plain SQL.
     "ann_ivf" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
-         |  FROM embeddings WHERE vec_id < $IvfCentroids),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |${kmeansCtes(IvfCentroids, KmeansIters)},
+         |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
          |assigned AS (
          |  SELECT vec_id, emb, centroid_id FROM (
          |    SELECT e.vec_id, e.emb, c.centroid_id,

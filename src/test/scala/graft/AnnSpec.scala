@@ -45,6 +45,29 @@ class AnnSpec extends AnyFunSuite {
     val got = topkSet(ivf)
     assert(got.nonEmpty)
     val recall = exact.intersect(got).size.toDouble / exact.size
-    assert(recall >= 0.2, s"ivf recall=$recall")
+    info(s"ivf recall@10 = $recall")
+    // measured 0.92 with trained centroids (untrained seed geometry sat
+    // at the old 0.2 floor) — pinned with margin for testdata reseeds
+    assert(recall >= 0.6, s"ivf recall=$recall")
+  }
+
+  test("k-means training beats untrained seed centroids on assignment quality") {
+    // trained centroids must explain the corpus at least as well as the
+    // seed ("first N vectors") they started from — measured as the mean
+    // best-centroid cosine over all vectors (the k-means objective).
+    val emb = sources.Lake.table(spark, TestSpark.Sf, "embeddings")
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    def objective(cents: org.apache.spark.sql.DataFrame): Double =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), GraftFunctions.cosineSim(col("emb"), col("c_emb")).as("c"))
+        .groupBy("vec_id").agg(max("c").as("best"))
+        .agg(avg("best")).head().getDouble(0)
+    val seed = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
+    val seedObj = objective(seed)
+    val trainedObj = objective(Similarity.trainCentroids(emb, nCentroids = 8))
+    info(f"kmeans objective: seed=$seedObj%.4f trained=$trainedObj%.4f")
+    assert(trainedObj >= seedObj - 1e-9,
+      s"training degraded the k-means objective: $seedObj -> $trainedObj")
   }
 }
