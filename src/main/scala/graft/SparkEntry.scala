@@ -23,11 +23,14 @@ object SparkEntry {
     * apply to them), so a new side-effecting query is registered once.
     * (The dedup builders are not listed: they eagerly materialize their
     * small shared sketch caches — bounded narrow passes, acceptable in a
-    * plan audit.) */
+    * plan audit. etl_bucketed_join is not listed either: its bucketed
+    * table writes are the cheap setup the audited exchange-free join
+    * plan exists to prove.) */
   val materializingQueries: Set[String] = Set(
     "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
     "etl_partitioned_write",
-    "stream_window", "stream_session", "stream_dedup", "stream_join")
+    "stream_window", "stream_session", "stream_dedup", "stream_join",
+    "stream_content_dedup")
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */

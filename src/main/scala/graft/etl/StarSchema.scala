@@ -190,6 +190,28 @@ object StarSchema {
              max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    // Bucketed persistence exercised end-to-end (§H writeBucketed as a
+    // query surface): both fact tables bucket on the join key at write
+    // time, and the read-back join consumes the bucketed layout with NO
+    // shuffle exchange under the join (merge hint keeps the plan a
+    // SortMergeJoin so broadcast doesn't mask the layout at test scale).
+    // The 100 TB pattern: bucket the big fact tables once, amortize the
+    // join exchange across every downstream query; bucket count scales
+    // with the cluster (8 here for local testdata).
+    "etl_bucketed_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Lake.writeBucketed(li, "graft_b_lineitem", 8, "l_orderkey", scratch("graft_b_lineitem"))
+      Lake.writeBucketed(ord, "graft_b_orders", 8, "o_orderkey", scratch("graft_b_orders"))
+      s.table("graft_b_lineitem").hint("merge")
+        .join(s.table("graft_b_orders").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
     // the reference's songplay query shape end-to-end in SQL.
     "sql_surface" -> ((s, dir) => {
@@ -269,6 +291,13 @@ object StarSchema {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "etl_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "sql_surface" ->
       """SELECT c.c_mktsegment AS segment,

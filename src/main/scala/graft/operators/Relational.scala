@@ -373,6 +373,24 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Sketch percentiles next to the exact gate: approx_percentile
+    // (Greenwald-Khanna, bounded memory per group) is what a real user
+    // runs at 100 TB — exact per-group percentiles need a full sort /
+    // materialized groups, GK needs O(1/accuracy) state on a single
+    // streaming pass. Rows-only driver check (the sketch isn't oracle-
+    // reproducible); the spec pins the GK error contract against the
+    // exact percentiles.
+    "q25_approx_percentiles" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(approx_percentile(col("value"), lit(0.5), lit(10000)), 4).as("approx_median"),
+          round(approx_percentile(col("value"), lit(0.9), lit(10000)), 4).as("approx_p90"),
+          round(median(col("value")), 4).as("exact_median"),
+          round(percentile(col("value"), lit(0.9)), 4).as("exact_p90"))
+        .orderBy(col("event_type"))
+    }),
+
     // Set operations: UNION / INTERSECT / EXCEPT over keyed projections —
     // planned as aggregates / semi / anti joins, no driver materialization.
     "q23_setops" -> ((s, dir) => {
@@ -634,6 +652,9 @@ object Relational {
     // q20_approx: intentionally no oracle — HLL sketch values are
     // engine-specific; driver records the rows-only check, the ScalaTest
     // spec asserts |approx-exact|/exact <= 0.05.
+    // q25_approx_percentiles: likewise no oracle (Greenwald-Khanna sketch
+    // output is engine-specific); the spec pins the GK rank contract
+    // against exact percentiles computed in the same row.
 
     "q2_correlated" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

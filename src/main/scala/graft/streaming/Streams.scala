@@ -82,6 +82,18 @@ object Streams {
     val ev = graft.sources.Lake.table(spark, sfDir, "events")
     stage(spark, sfDir, "stream_events_src", ev)
     stage(spark, sfDir, "stream_dedup_src", ev.union(ev))
+    stage(spark, sfDir, "stream_content_dedup_src", contentLanding(spark, sfDir))
+  }
+
+  /** Landing stream for content-hash dedup: every document arrives twice
+    * (duplicated feed), stamped with a deterministic synthetic arrival
+    * time (100 ms per doc_id) so the run is replayable. */
+  private def contentLanding(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.sources.Lake.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.union(docs)
+      .withColumn("arrival_ts",
+        expr("timestamp_micros(1704067200000000 + doc_id * 100000)"))
   }
 
   final case class Ev(user_id: Long, tsMicros: Long, event_id: Long, value: Double)
@@ -215,6 +227,33 @@ object Streams {
         .orderBy(col("event_type"))
     }),
 
+    // LLM landing-zone dedup: documents stream in (every one arrives
+    // twice here), and dedup keys on md5(normalized text) — not on an
+    // event id — via dropDuplicatesWithinWatermark, so re-crawled /
+    // re-submitted content is dropped no matter what id it carries.
+    // State holds only 16-byte hashes (text never enters the state
+    // store) and is evicted at the watermark horizon — the property that
+    // bounds a 100 TB/day landing zone. Output projects only
+    // hash-determined columns, so the result is batch-equivalent
+    // (DISTINCT over normalized-content hashes) regardless of which
+    // physical copy won.
+    "stream_content_dedup" -> ((s, dir) => {
+      val staged = stage(s, dir, "stream_content_dedup_src", contentLanding(s, dir))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("arrival_ts", TimestampType)))
+      val deduped = s.readStream.schema(schema).parquet(staged)
+        .withColumn("content_hash",
+          md5(graft.dedup.Dedup.normalize(col("text"))))
+        .withColumn("n_chars_norm",
+          length(graft.dedup.Dedup.normalize(col("text"))))
+        .withWatermark("arrival_ts", "2 hours")
+        .dropDuplicatesWithinWatermark("content_hash")
+      val res = materialize(s, deduped, "graft_stream_content_dedup", OutputMode.Append())
+      res.select(col("content_hash"), col("n_chars_norm"))
+        .orderBy(col("content_hash"))
+    }),
+
     // Stream-stream interval join (attribution shape): purchases joined
     // to the same user's clicks from the 10 minutes before. Both sides
     // are watermarked and the join carries a time-range constraint, so
@@ -263,6 +302,16 @@ object Streams {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // Batch equivalent of the landing-zone content dedup: one row per
+    // distinct normalized-content hash (columns are hash-determined, so
+    // DISTINCT over the pair equals dedup-then-project).
+    "stream_content_dedup" ->
+      """SELECT DISTINCT
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+        |  length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_chars_norm
+        |FROM documents
+        |ORDER BY content_hash""".stripMargin,
 
     "stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

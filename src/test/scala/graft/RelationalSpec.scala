@@ -28,6 +28,34 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q25 approx_percentile honors the Greenwald-Khanna rank contract") {
+    // GK bounds RANK error (<= n/accuracy), not value error, and returns
+    // an actual sample rather than an interpolated value — so the gate
+    // checks that each approximation's empirical rank covers the target
+    // quantile within the contract (+1 for value-rounding at 4dp).
+    val rows = Relational.queries("q25_approx_percentiles")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val byType = sources.Lake.table(spark, TestSpark.Sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+              org.apache.spark.sql.functions.col("value"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Double]("value")).sorted).toMap
+    rows.foreach { r =>
+      val vals = byType(r.getAs[String]("event_type"))
+      val slack = vals.length / 10000.0 + 1
+      Seq(("approx_median", 0.5), ("approx_p90", 0.9)).foreach { case (colName, q) =>
+        val approx = r.getAs[Double](colName)
+        val below = vals.count(_ < approx - 5e-5) // 4dp rounding margin
+        val atOrBelow = vals.count(_ <= approx + 5e-5)
+        val target = q * vals.length
+        assert(below - slack <= target && target <= atOrBelow + slack,
+          s"${r.getAs[String]("event_type")} $colName=$approx: rank window " +
+            s"[$below, $atOrBelow] misses target $target")
+      }
+    }
+  }
+
   test("q6 pushes every predicate into the parquet scan and prunes columns") {
     val p = plan("q6_filter_agg")
     assert(p.contains("PushedFilters:"), p)

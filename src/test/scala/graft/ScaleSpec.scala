@@ -39,6 +39,17 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_bucketed_join consumes the bucketed layout without a join-side shuffle") {
+    val plan = SparkEntry.queries("etl_bucketed_join")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    val smj = plan.indexOf("SortMergeJoin")
+    assert(smj >= 0, s"expected a SortMergeJoin over the bucketed scans:\n$plan")
+    // everything printed after the join node is its subtree: the bucketed
+    // scans must feed it directly, no shuffle exchange in between
+    assert(!plan.substring(smj).contains("Exchange"),
+      s"bucketed join must read shuffle-free below the join:\n$plan")
+  }
+
   test("no operator plan materializes data on the driver") {
     // structural guard: driver-collected data re-entering a plan shows up
     // as LocalTableScan / Scan ExistingRDD — no query may contain either
