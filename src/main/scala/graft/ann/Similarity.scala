@@ -113,13 +113,7 @@ object Similarity {
     var cents = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("c_cos").desc, col("centroid_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("c_cos", GraftFunctions.cosineSim(col("emb"), col("c_emb")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("centroid_id"), col("emb"))
+      val assigned = assignNearest(e, cents).select(col("centroid_id"), col("emb"))
       cents = assigned
         .select(col("centroid_id"), posexplode(col("emb")).as(Seq("d", "x")))
         .groupBy(col("centroid_id"), col("d"))
@@ -131,6 +125,21 @@ object Similarity {
     cents
   }
 
+  /** Nearest-centroid assignment as an argmax AGGREGATION, not a window:
+    * max(struct(cosine, -centroid_id)) gets a map-side partial combine,
+    * so only one row per vector reaches the shuffle (a window would
+    * shuffle every (vector × centroid) row and sort it). Tie-break on
+    * exact-equal cosines is lowest centroid_id — identical to the
+    * `ORDER BY cos DESC, centroid_id` the oracle replays. */
+  private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"),
+        struct(GraftFunctions.cosineSim(col("emb"), col("c_emb")).as("c"),
+               (-col("centroid_id")).as("nid")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("best"), first(col("emb")).as("emb"))
+      .select(col("vec_id"), col("emb"), (-col("best.nid")).as("centroid_id"))
+
   /** IVF centroid pruning: vectors are assigned to their nearest trained
     * centroid ("inverted list"); a query probes only its `nProbe` nearest
     * centroids' lists instead of the whole corpus. Centroids come from
@@ -140,13 +149,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryIds: Int, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val centroids = trainCentroids(emb, nCentroids).cache()
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("centroid_id"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("c_cos", GraftFunctions.cosineSim(col("emb"), col("c_emb")))
-      .withColumn("c_rank", row_number().over(wAssign))
-      .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("emb"), col("centroid_id"))
+    val assigned = assignNearest(e, centroids)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("q_cos").desc, col("centroid_id"))
     val probes = e.filter(col("vec_id") < queryIds)
