@@ -138,6 +138,52 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic weighted data mixing: assemble a training mix by
+    // drawing documents per source in reproducible content-hash order
+    // until each source's TOKEN budget fills. Budgets are
+    // weight(source) × 400 tokens; the weight (1 + source# mod 3) stands
+    // in for a mixing config. One shuffle on source; the cumulative-token
+    // window is per-source local — at 100 TB each source's stratum sorts
+    // independently and the text never moves.
+    "text_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("rank_key"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
+        .withColumn("rank_key", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+        .withColumn("weight",
+          lit(1) + pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(3)))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= col("weight").cast("long") * 400L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style boilerplate scoring: the mass fraction of the most
+    // frequent token / bigram per document — repeated boilerplate pushes
+    // both up. Per-(doc, gram) counts get map-side partial combine;
+    // shuffle keys are (doc_id, gram) pairs, never the text.
+    "text_boilerplate" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("ws"))
+      def topFrac(grams: DataFrame, frac: String): DataFrame =
+        grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as(frac))
+      val words = topFrac(base.select(col("doc_id"), explode(col("ws")).as("g")),
+        "top_word_frac")
+      val bigrams = topFrac(base.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("g")), "top_bigram_frac")
+      words.join(bigrams, Seq("doc_id"), "left")
+        .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+        .withColumn("keep",
+          col("top_word_frac") <= 0.10 && col("top_bigram_frac") <= 0.04)
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide top bigrams: explode→count→top-k. Partial aggregation
     // collapses each partition's counts before the shuffle; top-k is
     // TakeOrderedAndProject, so the driver sees k rows, not the corpus.
@@ -217,6 +263,46 @@ object TextAnalysis {
         |  FROM tf JOIN df USING (term) CROSS JOIN n)
         |SELECT doc_id, term AS top_term, round(score_full, 4) AS tfidf
         |FROM scored WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rank_key,
+        |    1 + (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 3) AS weight
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens, weight,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rank_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= weight * 400
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wf AS (
+        |  SELECT doc_id,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac FROM (
+        |    SELECT doc_id, g, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(ws) AS g FROM base) GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |bf AS (
+        |  SELECT doc_id,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM (
+        |      SELECT doc_id,
+        |        unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS g
+        |      FROM base WHERE len(ws) >= 2)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, top_word_frac, top_bigram_frac,
+        |  (top_word_frac <= 0.10 AND top_bigram_frac <= 0.04) AS keep
+        |FROM (
+        |  SELECT w.doc_id, w.top_word_frac,
+        |    coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
+        |  FROM wf w LEFT JOIN bf b ON w.doc_id = b.doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "text_ngrams" ->

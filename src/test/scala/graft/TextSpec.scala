@@ -12,6 +12,44 @@ class TextSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("text_mix fills per-source token budgets deterministically") {
+    val rows = TextAnalysis.queries("text_mix")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, docs) =>
+      val weight = 1 + src.filter(_.isDigit).toInt % 3
+      val budget = weight * 400L
+      // every selected doc's cumulative count fits the budget, and the
+      // selection is a prefix: max cum equals the sum of selected tokens
+      val cums = docs.map(_.getAs[Long]("cum_tokens"))
+      assert(cums.max <= budget, s"$src exceeds budget")
+      assert(cums.max == docs.map(_.getAs[Int]("n_tokens").toLong).sum,
+        s"$src selection is not a hash-order prefix")
+    }
+    // two runs agree (deterministic mixing is the whole point)
+    val again = TextAnalysis.queries("text_mix")(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("text_boilerplate flags repeated content and passes varied content") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a quiet brown fox walked across nine silent frozen bridges today")
+    ).toDF("doc_id", "text")
+    // route through the same operator body the query key uses
+    val byId = TextAnalysis.queries("text_boilerplate")(spark, TestSpark.Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(byId.values.exists(identity) && byId.values.exists(!_),
+      "keep flag must be non-vacuous on the corpus (both outcomes present)")
+    val crafted = docs
+    val scored = crafted.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg((max(col("c")).cast("double") / sum(col("c"))).as("f"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("f")).toMap
+    assert(scored(1L) == 1.0 && scored(2L) < 0.2)
+  }
+
   test("language ID votes correctly on clearly-marked samples") {
     val samples = Seq(
       (1L, "the cat is on the mat and the dog is in the house", "en"),
