@@ -25,11 +25,16 @@ class CodegenSpec extends AnyFunSuite {
         |       simhash64(array('a', 'b')) AS sh,
         |       rolling_hash('spark') AS rh,
         |       size(minhash_sig(array('x y z'))) AS mh_len,
-        |       size(lsh_buckets(array(CAST(1.0 AS FLOAT)))) AS lsh_len""".stripMargin)
+        |       size(lsh_buckets(array(CAST(1.0 AS FLOAT)))) AS lsh_len,
+        |       size(chargram_minhash('hello world')) AS cgm_len,
+        |       sorted_set_jaccard(chargram_hashset('hello world'),
+        |                          chargram_hashset('hello world')) AS ssj""".stripMargin)
       .head()
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
     assert(r.getAs[Int]("mh_len") == 128)
     assert(r.getAs[Int]("lsh_len") == 8)
+    assert(r.getAs[Int]("cgm_len") == 128)
+    assert(r.getAs[Double]("ssj") == 1.0)
   }
 
   test("double arrays work natively; wrong-typed input fails at analysis") {
@@ -66,8 +71,14 @@ class CodegenSpec extends AnyFunSuite {
       val r1 = docs.select(
         GraftFunctions.simhash64(split(col("text"), " ")).as("sh"),
         GraftFunctions.minhashSig(Dedup.shingles(col("text"), 3)).as("mh"),
-        GraftFunctions.rollingHash(col("text")).as("rh")).collect()
+        GraftFunctions.rollingHash(col("text")).as("rh"),
+        GraftFunctions.charGramMinHash(col("text"), 7, 128).as("cgm"),
+        GraftFunctions.sortedSetJaccard(
+          GraftFunctions.charGramHashSet(col("text"), 7),
+          GraftFunctions.charGramHashSet(col("text"), 7)).as("ssj")).collect()
       assert(r1.length == 2 && r1.forall(_.getSeq[Long](1).length == 128))
+      assert(r1.forall(_.getSeq[Long](3).length == 128))
+      assert(r1.forall(_.getDouble(4) == 1.0))
       val r2 = emb.select(
         GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("cos"),
         GraftFunctions.lshBuckets(col("embedding")).as("b")).collect()
