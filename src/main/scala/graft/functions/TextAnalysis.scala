@@ -163,22 +163,31 @@ object TextAnalysis {
 
     // Gopher-style boilerplate scoring: the mass fraction of the most
     // frequent token / bigram per document — repeated boilerplate pushes
-    // both up. Per-(doc, gram) counts get map-side partial combine;
-    // shuffle keys are (doc_id, gram) pairs, never the text.
+    // both up. The max count is a per-row fold over the SORTED gram
+    // array (equal grams become the longest equal run), so the whole
+    // metric is a narrow scan-speed transform like the rest of §E — no
+    // per-gram explode, nothing shuffles but the presentation sort.
     "text_boilerplate" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(col("doc_id"), tokens(col("text")).as("ws"))
-      def topFrac(grams: DataFrame, frac: String): DataFrame =
-        grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(round(max(col("c")).cast("double") / sum(col("c")), 4).as(frac))
-      val words = topFrac(base.select(col("doc_id"), explode(col("ws")).as("g")),
-        "top_word_frac")
-      val bigrams = topFrac(base.filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-          .as("g")), "top_bigram_frac")
-      words.join(bigrams, Seq("doc_id"), "left")
-        .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
+      // longest equal run of a sorted array == count of its modal element
+      def maxRun(arr: String): String =
+        s"""aggregate(array_sort($arr),
+           |  named_struct('prev', CAST(NULL AS STRING),
+           |               'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+           |  (a, x) -> named_struct('prev', x,
+           |    'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),
+           |    'best', greatest(a.best, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),
+           |  a -> a.best)""".stripMargin
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .withColumn("bg", expr(
+          "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+            "ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .select(col("doc_id"),
+          round(expr(maxRun("ws")).cast("double") / size(col("ws")), 4).as("top_word_frac"),
+          round(coalesce(
+            expr(maxRun("bg")).cast("double") / nullif(size(col("bg")), lit(0)), lit(0.0)),
+            4).as("top_bigram_frac"))
         .withColumn("keep",
           col("top_word_frac") <= 0.10 && col("top_bigram_frac") <= 0.04)
         .orderBy(col("doc_id"))
