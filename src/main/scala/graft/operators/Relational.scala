@@ -458,6 +458,26 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // Unpivot / melt (wide → long reshaping): the measure columns of a
+    // row become (measure, val) rows — Spark plans it as a narrow Expand
+    // (no shuffle, no join), and the per-measure aggregate gets map-side
+    // partial combine, so at 100 TB this is one scan + a 4-row shuffle.
+    "q28_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("val")), 2).as("total"),
+             round(avg(col("val")), 4).as("mean"))
+        .orderBy(col("measure"))),
+
     // As-of join (point-in-time lookup): for every event, the latest
     // purchase at-or-before it by the same user. Implemented the way that
     // scales — union the probe and reference streams, one shuffle on
@@ -765,6 +785,17 @@ object Relational {
         |              AND e.ts + INTERVAL 5 MINUTE
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q28_unpivot" ->
+      """SELECT measure, count(*) AS cnt,
+        |  round(sum(val), 2) AS total, round(avg(val), 4) AS mean
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+        |GROUP BY measure
+        |ORDER BY measure""".stripMargin
   )
 }
