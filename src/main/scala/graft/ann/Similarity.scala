@@ -149,6 +149,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryIds: Int, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val centroids = trainCentroids(emb, nCentroids).cache()
+    centroids.count() // eager — assignNearest and probes read it concurrently
     val assigned = assignNearest(e, centroids)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("q_cos").desc, col("centroid_id"))

@@ -182,9 +182,11 @@ object Dedup {
     val keys = bandKeys(fanned
       .select(col("doc_id"), GraftFunctions.charGramMinHash(col("text"), 7, 128).as("sig")),
       bands = 32)
-    // cached: read once to derive the candidate-doc set and again as the
-    // pair-join spine (sequential actions — no eager count needed)
+    // eager cache: candDocs unions TWO projections of cand, which read it
+    // concurrently within one job — the same double-compute race the
+    // self-join caches guard against — and the pair join reads it again
     val cand = selfJoinBandKeys(keys).cache()
+    cand.count()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -411,7 +413,8 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       // Char-7-gram variant of the same all-pairs exact compare (docs
       // shorter than 7 chars gram to empty — excluded, like the Spark
-      // side where their 0/0 Jaccard is null and filtered).
+      // side where sortedSetJaccard yields 0.0 for empty hash sets and
+      // the threshold filter drops them).
       """WITH g AS (
         |  SELECT doc_id,
         |    list_distinct([substring(text, i, 7)

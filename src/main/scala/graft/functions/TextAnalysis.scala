@@ -153,8 +153,13 @@ object TextAnalysis {
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
         .withColumn("rank_key", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+        // a digitless source name weights as 0 → weight 1, identically in
+        // the oracle and the spec (regexp_extract returns '' there, which
+        // must not become a silent null-drop here or a cast error there)
         .withColumn("weight",
-          lit(1) + pmod(regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(3)))
+          lit(1) + pmod(
+            coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(0)),
+            lit(3)))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= col("weight").cast("long") * 400L)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
@@ -278,7 +283,7 @@ object TextAnalysis {
       """WITH d AS (
         |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS rank_key,
-        |    1 + (CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 3) AS weight
+        |    1 + (CAST(coalesce(nullif(regexp_extract(source, '(\d+)', 1), ''), '0') AS INT) % 3) AS weight
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tokens, weight,

@@ -82,6 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("sorted_set_jaccard"),
       info("sorted_set_jaccard",
         "sorted_set_jaccard(a, b) - exact Jaccard of two sorted distinct bigint arrays"),
-      (es: Seq[Expression]) => SortedSetJaccard(es(0), es(1))))
+      (es: Seq[Expression]) => es match {
+        case Seq(a, b) => SortedSetJaccard(a, b)
+        case _ => throw new IllegalArgumentException("sorted_set_jaccard takes (a, b)")
+      }))
   }
 }

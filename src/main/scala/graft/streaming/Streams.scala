@@ -82,18 +82,23 @@ object Streams {
     val ev = graft.sources.Lake.table(spark, sfDir, "events")
     stage(spark, sfDir, "stream_events_src", ev)
     stage(spark, sfDir, "stream_dedup_src", ev.union(ev))
-    stage(spark, sfDir, "stream_content_dedup_src", contentLanding(spark, sfDir))
+    stage(spark, sfDir, "stream_content_dedup_src_v2", contentLanding(spark, sfDir))
   }
 
   /** Landing stream for content-hash dedup: every document arrives twice
     * (duplicated feed), stamped with a deterministic synthetic arrival
-    * time (100 ms per doc_id) so the run is replayable. */
+    * time so the run is replayable. Arrival cycles over doc_id mod 1000
+    * seconds: the whole stream spans ≤ 1000 s at EVERY scale factor, so
+    * any two copies of the same content are always inside the 2 h
+    * watermark and the batch-DISTINCT oracle equivalence cannot break on
+    * larger corpora or multi-micro-batch configs (a doc_id-proportional
+    * arrival would outgrow the watermark with the corpus). */
   private def contentLanding(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.sources.Lake.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     docs.union(docs)
       .withColumn("arrival_ts",
-        expr("timestamp_micros(1704067200000000 + doc_id * 100000)"))
+        expr("timestamp_micros(1704067200000000 + pmod(doc_id, 1000) * 1000000)"))
   }
 
   final case class Ev(user_id: Long, tsMicros: Long, event_id: Long, value: Double)
@@ -238,7 +243,7 @@ object Streams {
     // (DISTINCT over normalized-content hashes) regardless of which
     // physical copy won.
     "stream_content_dedup" -> ((s, dir) => {
-      val staged = stage(s, dir, "stream_content_dedup_src", contentLanding(s, dir))
+      val staged = stage(s, dir, "stream_content_dedup_src_v2", contentLanding(s, dir))
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("arrival_ts", TimestampType)))

@@ -17,7 +17,8 @@ class TextSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val bySource = rows.groupBy(_.getAs[String]("source"))
     bySource.foreach { case (src, docs) =>
-      val weight = 1 + src.filter(_.isDigit).toInt % 3
+      // same first-digit-run rule as the query/oracle, 0 when digitless
+      val weight = 1 + "\\d+".r.findFirstIn(src).getOrElse("0").toInt % 3
       val budget = weight * 400L
       // every selected doc's cumulative count fits the budget, and the
       // selection is a prefix: max cum equals the sum of selected tokens
