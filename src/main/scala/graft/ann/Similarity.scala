@@ -93,12 +93,17 @@ object Similarity {
 
   /** k-means training sweeps (fixed — unrolled in the SQL oracle). */
   private val KmeansIters = 3
-  /** Centroid coordinates are rounded to this many decimals after every
-    * mean: double-sum order across partitions (Spark) vs a sequential
-    * scan (a SQL oracle) differs in the last bits, and k-means iterates —
-    * an un-rounded 1e-15 wobble could flip an assignment and diverge the
-    * training. Rounded, both engines land on identical centroids. */
-  private val CentRound = 6
+  /** Centroid coordinates are quantized to 1e-6 after every mean:
+    * double-sum order across partitions (Spark) vs a sequential scan (a
+    * SQL oracle) differs in the last bits, and k-means iterates — an
+    * un-quantized 1e-15 wobble could flip an assignment and diverge the
+    * training. The quantizer is floor(m·1e6 + 0.5)/1e6, spelled
+    * IDENTICALLY in both engines, because the engines' native round()
+    * functions disagree on half-way patterns (Spark rounds the shortest
+    * decimal rendering via BigDecimal, DuckDB rounds the scaled binary
+    * double) — with the shared formula, both sides apply the same pure
+    * double arithmetic and land on identical centroids. */
+  private val CentQuant = "floor(%s * 1e6 + 0.5) / 1e6"
 
   /** Deterministic spherical-k-means centroid training, DataFrame ops
     * only: seeded by the first `nCentroids` vectors (deterministic, no
@@ -119,7 +124,8 @@ object Similarity {
         .groupBy(col("centroid_id"), col("d"))
         .agg(avg(col("x")).as("m"))
         .groupBy(col("centroid_id"))
-        .agg(expr(s"transform(array_sort(collect_list(struct(d, m))), s -> round(s.m, $CentRound))")
+        .agg(expr(s"transform(array_sort(collect_list(struct(d, m))), " +
+            s"s -> ${CentQuant.format("s.m")})")
           .as("c_emb"))
     }
     cents
@@ -172,9 +178,9 @@ object Similarity {
 
   /** DuckDB replay of [[trainCentroids]]: cent0 = seed vectors, then
     * `iters` unrolled (assign_i, cent_i) CTE pairs — same nearest-cosine
-    * assignment, same per-dimension mean, same 6-decimal rounding, so the
-    * trained centroids agree digit-for-digit. Expects a CTE `e(vec_id,
-    * emb DOUBLE[])` to be in scope. */
+    * assignment, same per-dimension mean, same floor-based 1e-6
+    * quantizer, so the trained centroids agree digit-for-digit. Expects
+    * a CTE `e(vec_id, emb DOUBLE[])` to be in scope. */
   private def kmeansCtes(nCentroids: Int, iters: Int): String = {
     val init = s"""cent0 AS (
                   |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
@@ -188,7 +194,7 @@ object Similarity {
          |    FROM e CROSS JOIN cent${i - 1} c)
          |  WHERE rnk = 1),
          |cent$i AS (
-         |  SELECT centroid_id, list(round(m, $CentRound) ORDER BY d) AS c_emb FROM (
+         |  SELECT centroid_id, list(${CentQuant.format("m")} ORDER BY d) AS c_emb FROM (
          |    SELECT centroid_id, d.d AS d, avg(emb[d.d + 1]) AS m
          |    FROM assign$i, range($EmbDim) d(d)
          |    GROUP BY centroid_id, d.d)
@@ -255,7 +261,7 @@ object Similarity {
          |ORDER BY query_id, rank""".stripMargin,
 
     // IVF centroid training is deterministic seeded k-means (fixed
-    // sweeps, 6-decimal centroid rounding), so the whole
+    // sweeps, floor-based 1e-6 centroid quantization), so the whole
     // train→assign→probe→score pipeline replays as plain SQL.
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

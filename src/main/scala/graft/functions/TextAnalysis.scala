@@ -154,11 +154,13 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
         .withColumn("rank_key", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
         // a digitless source name weights as 0 → weight 1, identically in
-        // the oracle and the spec (regexp_extract returns '' there, which
-        // must not become a silent null-drop here or a cast error there)
+        // the oracle and the spec. regexp_extract returns '' on no match,
+        // and under ANSI mode (Spark 4 default) CAST('' AS INT) THROWS —
+        // nullif first so the cast only ever sees digits or NULL
         .withColumn("weight",
           lit(1) + pmod(
-            coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(0)),
+            coalesce(nullif(regexp_extract(col("source"), "(\\d+)", 1), lit("")).cast("int"),
+              lit(0)),
             lit(3)))
         .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
         .filter(col("cum_tokens") <= col("weight").cast("long") * 400L)

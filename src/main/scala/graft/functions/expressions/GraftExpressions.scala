@@ -169,8 +169,12 @@ case class SortedSetJaccard(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
-      case _ => K.fail(prettyName, "two array<bigint> arguments",
+      // element nulls would silently read as 0L off the ArrayData fast
+      // path and corrupt the intersection count — reject them at
+      // analysis (CharGramHashSet's output is containsNull=false)
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => K.fail(prettyName, "two array<bigint> arguments with non-null elements",
         Seq(left.dataType, right.dataType))
     }
   override def nullSafeEval(a: Any, b: Any): Any =

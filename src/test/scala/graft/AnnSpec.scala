@@ -67,7 +67,10 @@ class AnnSpec extends AnyFunSuite {
     val seedObj = objective(seed)
     val trainedObj = objective(Similarity.trainCentroids(emb, nCentroids = 8))
     info(f"kmeans objective: seed=$seedObj%.4f trained=$trainedObj%.4f")
-    assert(trainedObj >= seedObj - 1e-9,
+    // tolerance sits above the ~1e-6 noise the 6-decimal centroid
+    // quantization injects per sweep (exact-arithmetic k-means is
+    // monotone; the quantized variant is monotone only up to that noise)
+    assert(trainedObj >= seedObj - 1e-5,
       s"training degraded the k-means objective: $seedObj -> $trainedObj")
   }
 }
