@@ -458,6 +458,47 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // Full-outer reconciliation (two-source diff — the lake op behind
+    // "does system A agree with system B"): per-user purchase vs click
+    // totals, keeping users present on either side only. One shuffle per
+    // side on the join key; null-safe classification of the mismatch.
+    "q29_full_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def side(tpe: String, cnt: String) =
+        ev.filter(col("event_type") === tpe)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as(cnt))
+      side("purchase", "n_purchases")
+        .join(side("click", "n_clicks"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          when(col("n_purchases").isNull, "click_only")
+            .when(col("n_clicks").isNull, "purchase_only")
+            .otherwise("both").as("presence"))
+        .orderBy(col("user_id"))
+    }),
+
+    // lead/lag windows (event-gap analysis): per-user seconds since the
+    // previous event and whether the next event escalates to an error —
+    // one shuffle on user_id, then partition-local window evaluation.
+    "q30_leadlag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        // integral `div`, not `/`: Spark's / is double division and the
+        // engines' double→int casts disagree (truncate vs round-nearest)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("gap_s", expr("gap_us div 1000000"))
+        .withColumn("next_is_error",
+          coalesce(lead(col("event_type"), 1).over(w) === "error", lit(false)))
+        .filter(col("gap_s").isNotNull)
+        .select(col("user_id"), col("event_id"), col("gap_s"), col("next_is_error"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Unpivot / melt (wide → long reshaping): the measure columns of a
     // row become (measure, val) rows — Spark plans it as a narrow Expand
     // (no shuffle, no join), and the per-measure aggregate gets map-side
@@ -786,6 +827,32 @@ object Relational {
         |WHERE e.event_type = 'error'
         |GROUP BY e.event_id, e.user_id
         |ORDER BY e.event_id""".stripMargin,
+
+    "q29_full_outer" ->
+      """SELECT user_id,
+        |  coalesce(n_purchases, 0) AS n_purchases,
+        |  coalesce(n_clicks, 0) AS n_clicks,
+        |  CASE WHEN n_purchases IS NULL THEN 'click_only'
+        |       WHEN n_clicks IS NULL THEN 'purchase_only'
+        |       ELSE 'both' END AS presence
+        |FROM (SELECT user_id, count(*) AS n_purchases FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id) p
+        |FULL OUTER JOIN
+        |     (SELECT user_id, count(*) AS n_clicks FROM events
+        |      WHERE event_type = 'click' GROUP BY user_id) c
+        |USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q30_leadlag" ->
+      """SELECT user_id, event_id, gap_s, next_is_error
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s,
+        |    coalesce(lead(event_type) OVER w = 'error', false) AS next_is_error
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE gap_s IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q28_unpivot" ->
       """SELECT measure, count(*) AS cnt,
