@@ -113,11 +113,15 @@ object TextAnalysis {
 
     // TF-IDF: term frequency per doc × inverse document frequency, top
     // term per document. Two aggregations (term-per-doc, df-per-term) and
-    // one broadcast-able join on term — the df table is |vocab|-sized,
-    // tiny next to the corpus. The corpus size N enters as a broadcast
-    // one-row scalar aggregate (same pattern as q11_havingshare), not a
-    // driver-side count() — a count() at plan-build time is a whole extra
-    // job and a scan of the corpus before the query even starts.
+    // an equi-join on term between them. The df table is |vocab|-sized —
+    // small RELATIVELY but not absolutely (a web-scale corpus has 1e8+
+    // distinct tokens, past any executor broadcast limit), so the join
+    // carries NO broadcast hint: it shuffles on term when the vocabulary
+    // is big, and AQE still broadcasts when df is measured small at
+    // runtime. The corpus size N enters as a broadcast one-row scalar
+    // aggregate (same pattern as q11_havingshare), not a driver-side
+    // count() — a count() at plan-build time is a whole extra job and a
+    // scan of the corpus before the query even starts.
     "text_tfidf" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
@@ -127,7 +131,7 @@ object TextAnalysis {
       val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_full").desc, col("term"))
-      tf.join(broadcast(df), Seq("term"))
+      tf.join(df, Seq("term"))
         .crossJoin(broadcast(nDocs))
         .withColumn("score_full",
           col("tf") * log((col("n_docs") + 1.0) / (col("df") + lit(1.0))))
@@ -142,15 +146,24 @@ object TextAnalysis {
     // drawing documents per source in reproducible content-hash order
     // until each source's TOKEN budget fills. Budgets are
     // weight(source) × 400 tokens; the weight (1 + source# mod 3) stands
-    // in for a mixing config. One shuffle on source; the cumulative-token
-    // window is per-source local — at 100 TB each source's stratum sorts
-    // independently and the text never moves.
+    // in for a mixing config.
+    //
+    // The running token sum is a TWO-LEVEL prefix sum, not a per-source
+    // window: a window partitioned only by source sorts and folds each
+    // source's entire stratum in ONE task — with O(10) sources over
+    // 100 TB that's a multi-TB single-task skew cliff. Instead each
+    // source splits into 256 buckets by the leading rank_key hex byte
+    // (bucket order IS rank order — the bucket is a prefix of the sort
+    // key), the cumulative sum runs per (source, bucket) with 256-way
+    // parallelism per source, and a tiny per-bucket offset table
+    // (sources × 256 rows, windowed over 256 rows per source) broadcasts
+    // back to lift local sums to global ones. Output is row-identical to
+    // the single-window formulation (pinned by TextSpec). Costs one extra
+    // scan of the narrow (doc_id, source, n_tokens) projection — cheap
+    // next to a single-task sort of a stratum.
     "text_mix" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("rank_key"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
+      val base = t(s, dir, "documents")
         .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
         .withColumn("rank_key", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
         // a digitless source name weights as 0 → weight 1, identically in
@@ -162,7 +175,22 @@ object TextAnalysis {
             coalesce(nullif(regexp_extract(col("source"), "(\\d+)", 1), lit("")).cast("int"),
               lit(0)),
             lit(3)))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bkt", substring(col("rank_key"), 1, 2))
+      val wLocal = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("rank_key"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // exclusive running offset of each bucket = total tokens of all
+      // earlier buckets in the same source
+      val wOffset = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("source"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("bkt_tokens"))
+        .withColumn("bkt_offset", coalesce(sum(col("bkt_tokens")).over(wOffset), lit(0L)))
+        .select(col("source"), col("bkt"), col("bkt_offset"))
+      base
+        .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+        .join(broadcast(offsets), Seq("source", "bkt"))
+        .withColumn("cum_tokens", col("bkt_offset") + col("local_cum"))
         .filter(col("cum_tokens") <= col("weight").cast("long") * 400L)
         .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
         .orderBy(col("doc_id"))
@@ -184,7 +212,12 @@ object TextAnalysis {
            |    'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),
            |    'best', greatest(a.best, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),
            |  a -> a.best)""".stripMargin
+      // NULL text would diverge the engines (Spark's tokens(NULL)
+      // propagates NULL fractions; DuckDB's string_split(NULL) unnests to
+      // zero rows and drops the doc) — filter it on BOTH sides so they
+      // agree if nullable text ever appears.
       t(s, dir, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), tokens(col("text")).as("ws"))
         .withColumn("bg", expr(
           "CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
@@ -297,7 +330,8 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin,
 
     "text_boilerplate" ->
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |              FROM documents WHERE text IS NOT NULL),
         |wf AS (
         |  SELECT doc_id,
         |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_word_frac FROM (

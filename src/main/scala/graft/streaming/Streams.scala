@@ -85,20 +85,34 @@ object Streams {
     stage(spark, sfDir, "stream_content_dedup_src_v2", contentLanding(spark, sfDir))
   }
 
+  /** Content-landing arrival clock — these three constants form ONE
+    * safety contract and must move together: arrivals start at
+    * [[ArrivalBaseMicros]] (2024-01-01T00:00:00Z) and cycle over doc_id
+    * mod [[ArrivalCycleSecs]] seconds, so the whole stream spans
+    * ≤ ArrivalCycleSecs at EVERY scale factor and any two copies of the
+    * same content always co-exist inside [[ContentDedupWatermark]]
+    * (checked at class-init below). A doc_id-proportional arrival would
+    * outgrow the watermark with the corpus. */
+  private val ArrivalBaseMicros = 1704067200000000L
+  private val ArrivalCycleSecs = 1000L
+  private val ContentDedupWatermarkSecs = 2L * 3600
+  private val ContentDedupWatermark = "2 hours"
+  require(ArrivalCycleSecs < ContentDedupWatermarkSecs,
+    s"content-dedup arrival cycle (${ArrivalCycleSecs}s) outgrows the " +
+      s"watermark horizon (${ContentDedupWatermarkSecs}s) — dup copies could separate")
+
   /** Landing stream for content-hash dedup: every document arrives twice
     * (duplicated feed), stamped with a deterministic synthetic arrival
-    * time so the run is replayable. Arrival cycles over doc_id mod 1000
-    * seconds: the whole stream spans ≤ 1000 s at EVERY scale factor, so
-    * any two copies of the same content are always inside the 2 h
-    * watermark and the batch-DISTINCT oracle equivalence cannot break on
-    * larger corpora or multi-micro-batch configs (a doc_id-proportional
-    * arrival would outgrow the watermark with the corpus). */
+    * time (see the arrival-clock contract above) so the run is
+    * replayable and the batch-DISTINCT oracle equivalence cannot break
+    * on larger corpora or multi-micro-batch configs. */
   private def contentLanding(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.sources.Lake.table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
     docs.union(docs)
       .withColumn("arrival_ts",
-        expr("timestamp_micros(1704067200000000 + pmod(doc_id, 1000) * 1000000)"))
+        expr(s"timestamp_micros($ArrivalBaseMicros + " +
+          s"pmod(doc_id, $ArrivalCycleSecs) * 1000000)"))
   }
 
   final case class Ev(user_id: Long, tsMicros: Long, event_id: Long, value: Double)
@@ -252,7 +266,7 @@ object Streams {
           md5(graft.dedup.Dedup.normalize(col("text"))))
         .withColumn("n_chars_norm",
           length(graft.dedup.Dedup.normalize(col("text"))))
-        .withWatermark("arrival_ts", "2 hours")
+        .withWatermark("arrival_ts", ContentDedupWatermark)
         .dropDuplicatesWithinWatermark("content_hash")
       val res = materialize(s, deduped, "graft_stream_content_dedup", OutputMode.Append())
       res.select(col("content_hash"), col("n_chars_norm"))

@@ -32,6 +32,32 @@ class TextSpec extends AnyFunSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("text_mix two-level prefix sum equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // definitional reference: one cumulative window per source stratum
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rank_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = sources.Lake.table(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("rank_key", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .withColumn("weight",
+        lit(1) + pmod(
+          coalesce(nullif(regexp_extract(col("source"), "(\\d+)", 1), lit("")).cast("int"),
+            lit(0)),
+          lit(3)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= col("weight").cast("long") * 400L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+    val got = TextAnalysis.queries("text_mix")(spark, TestSpark.Sf)
+    assert(got.collect().toSeq == ref.collect().toSeq)
+    // the cumulative window must partition by (source, bucket), not by
+    // source alone — per-source parallelism is the point of the rewrite
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("bkt"), s"expected bucketed window partitioning in:\n$plan")
+  }
+
   test("text_boilerplate flags repeated content and passes varied content") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
