@@ -307,6 +307,50 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Planted near-dup vectors for the dedup_embedding_lsh driver gate.
+    * The testdata has no pair at cosine ≥ 0.9, so the gate over the raw
+    * corpus would compare 0 rows to 0 rows — vacuous on the recall side.
+    * These four 64-dim unit vectors sit at cosines {1.0, 0.97, 0.92,
+    * 0.85} from a common anchor axis (v = (c, √(1−c²), 0, …)); their
+    * pairwise cosines put five pairs ≥ 0.9, so the production
+    * CORRECTNESS row exercises recall with spark_rows > 0. Both engines
+    * rebuild the SAME vectors: the (v0, v1) doubles are rendered as
+    * shortest-roundtrip decimal literals (parse back to identical
+    * doubles in Spark and DuckDB) and cast to float exactly once, and
+    * DedupSpec's planted-recall test uses the same construction, so LSH
+    * recovery of exactly these pairs under the fixed md5-derived planes
+    * is spec-proven. Negative vec_ids can never collide with testdata
+    * ids at any scale factor. Generated via spark.range — a distributed
+    * one-task plan, not a driver-side LocalRelation. */
+  private val PlantedCos = Seq(1.0, 0.97, 0.92, 0.85)
+  private[graft] def plantedNearDups(s: SparkSession): DataFrame = {
+    val v0s = PlantedCos.map(c => s"CAST($c AS DOUBLE)").mkString(", ")
+    val v1s = PlantedCos.map(c => s"CAST(${math.sqrt(1.0 - c * c)} AS DOUBLE)")
+      .mkString(", ")
+    s.range(PlantedCos.size)
+      .select((-(col("id") + 1)).as("vec_id"),
+        expr(s"""transform(sequence(0, 63), d -> CAST(
+                |  CASE WHEN d = 0 THEN element_at(array($v0s), CAST(id AS INT) + 1)
+                |       WHEN d = 1 THEN element_at(array($v1s), CAST(id AS INT) + 1)
+                |       ELSE CAST(0.0 AS DOUBLE) END AS FLOAT))""".stripMargin)
+          .as("embedding"))
+  }
+
+  /** DuckDB twin of [[plantedNearDups]] — same ids, same double
+    * literals, same single double→float rounding. */
+  private[graft] def plantedNearDupsSql: String = {
+    val v0s = PlantedCos.map(c => s"CAST($c AS DOUBLE)").mkString(", ")
+    val v1s = PlantedCos.map(c => s"CAST(${math.sqrt(1.0 - c * c)} AS DOUBLE)")
+      .mkString(", ")
+    s"""planted AS (
+       |  SELECT CAST(-(i + 1) AS BIGINT) AS vec_id,
+       |    CAST([CASE WHEN d = 0 THEN [$v0s][i + 1]
+       |               WHEN d = 1 THEN [$v1s][i + 1]
+       |               ELSE CAST(0.0 AS DOUBLE) END
+       |          for d in range(0, 64)] AS FLOAT[]) AS embedding
+       |  FROM range(${PlantedCos.size}) t(i))""".stripMargin
+  }
+
   /** End-to-end corpus dedup: drop exact duplicates (all but the lowest
     * doc_id per content hash) and near-duplicates (the higher doc_id of
     * every verified pair — greedy, keeps ≥1 doc per duplicate cluster).
@@ -336,7 +380,10 @@ object Dedup {
     "dedup_embedding" -> ((s, dir) =>
       embeddingPairs(t(s, dir, "embeddings"), 0.45).orderBy("vec_a", "vec_b")),
     "dedup_embedding_lsh" -> ((s, dir) =>
-      embeddingLshPairs(t(s, dir, "embeddings"), 0.9).orderBy("vec_a", "vec_b")),
+      embeddingLshPairs(
+        t(s, dir, "embeddings").select("vec_id", "embedding")
+          .unionByName(plantedNearDups(s)),
+        0.9).orderBy("vec_a", "vec_b")),
     "dedup_corpus" -> ((s, dir) =>
       dedupedCorpus(t(s, dir, "documents"), 0.8)
         .select("doc_id", "lang", "source", "n_chars")
@@ -476,16 +523,21 @@ object Dedup {
 
     // Same exact all-pairs compare at the near-dup threshold: the
     // hyperplane escape bound (< 1e-6 at 0.9) makes the LSH pipeline and
-    // the exact oracle equivalent. The testdata has no pairs at 0.9 —
-    // the gate then pins the no-false-positive side; recall is pinned by
-    // DedupSpec on a planted-near-dup corpus.
+    // the exact oracle equivalent. Both sides union the same planted
+    // near-dup vectors (the testdata alone has no pair at 0.9, which
+    // would leave the gate comparing 0 rows to 0 rows), so this
+    // production row verifies recall AND the no-false-positive side;
+    // DedupSpec additionally pins exact planted-pair recovery.
     "dedup_embedding_lsh" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.9
-        |ORDER BY vec_a, vec_b""".stripMargin
+      s"""WITH $plantedNearDupsSql,
+         |allv AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM planted)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+         |FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
 }
