@@ -105,6 +105,22 @@ object Similarity {
     * double arithmetic and land on identical centroids. */
   private val CentQuant = "floor(%s * 1e6 + 0.5) / 1e6"
 
+  /** Nearest-centroid COMPARISONS are quantized like the centroids
+    * themselves: the argmax/row_number compares engine-native cosines
+    * (Kernels.cosineSim vs DuckDB list_cosine_similarity), and a
+    * last-ULP disagreement near an assignment boundary would flip a
+    * cluster and diverge the iterated training despite the centroid
+    * quantizer. Rounding the cosine to 1e-12 with the SAME floor-based
+    * formula in both engines removes the boundary: any residual
+    * disagreement would need two centroids within 1e-12 of each other,
+    * which the deterministic id tie-break then resolves identically.
+    * 1e-12 is coarse enough to absorb sub-ULP wobble (cosines are O(1))
+    * and 6 orders finer than the 1e-6 centroid grid, so it never merges
+    * genuinely different candidates. */
+  private val CosQuantSql = "floor((%s) * 1e12 + 0.5) / 1e12"
+  private def cosQ(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 1e12 + lit(0.5)) / 1e12
+
   /** Deterministic spherical-k-means centroid training, DataFrame ops
     * only: seeded by the first `nCentroids` vectors (deterministic, no
     * RNG), `iters` fixed sweeps of assign-to-nearest-cosine + per-
@@ -118,7 +134,8 @@ object Similarity {
     var cents = e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
     for (_ <- 1 to iters) {
-      val assigned = assignNearest(e, cents).select(col("centroid_id"), col("emb"))
+      val prev = cents
+      val assigned = assignNearest(e, prev).select(col("centroid_id"), col("emb"))
       cents = assigned
         .select(col("centroid_id"), posexplode(col("emb")).as(Seq("d", "x")))
         .groupBy(col("centroid_id"), col("d"))
@@ -127,6 +144,14 @@ object Similarity {
         .agg(expr(s"transform(array_sort(collect_list(struct(d, m))), " +
             s"s -> ${CentQuant.format("s.m")})")
           .as("c_emb"))
+        .cache()
+      // materialize THIS sweep's k-row centroid table eagerly: without
+      // it, sweep i's plan embeds sweeps 1..i-1 as uncached subplans and
+      // every later broadcast re-executes the whole prefix (~O(iters²/2)
+      // corpus scans). With it, each sweep costs exactly one corpus scan
+      // and the previous sweep's (now superseded) k rows are released.
+      cents.count()
+      prev.unpersist()
     }
     cents
   }
@@ -140,7 +165,7 @@ object Similarity {
   private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("emb"),
-        struct(GraftFunctions.cosineSim(col("emb"), col("c_emb")).as("c"),
+        struct(cosQ(GraftFunctions.cosineSim(col("emb"), col("c_emb"))).as("c"),
                (-col("centroid_id")).as("nid")).as("sc"))
       .groupBy(col("vec_id"))
       .agg(max(col("sc")).as("best"), first(col("emb")).as("emb"))
@@ -154,15 +179,16 @@ object Similarity {
     * centroid set, and the list-join shape carry unchanged to 100 TB. */
   def ivfTopK(emb: DataFrame, queryIds: Int, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val centroids = trainCentroids(emb, nCentroids).cache()
-    centroids.count() // eager — assignNearest and probes read it concurrently
+    // already cached + materialized per sweep by trainCentroids, so
+    // assignNearest and the probes read k rows, not the training lineage
+    val centroids = trainCentroids(emb, nCentroids)
     val assigned = assignNearest(e, centroids)
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("q_cos").desc, col("centroid_id"))
     val probes = e.filter(col("vec_id") < queryIds)
       .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
       .crossJoin(broadcast(centroids))
-      .withColumn("q_cos", GraftFunctions.cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("q_cos", cosQ(GraftFunctions.cosineSim(col("q_emb"), col("c_emb"))))
       .withColumn("p_rank", row_number().over(wProbe))
       .filter(col("p_rank") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("centroid_id"))
@@ -190,7 +216,8 @@ object Similarity {
          |  SELECT vec_id, emb, centroid_id FROM (
          |    SELECT e.vec_id, e.emb, c.centroid_id,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.centroid_id) AS rnk
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
          |    FROM e CROSS JOIN cent${i - 1} c)
          |  WHERE rnk = 1),
          |cent$i AS (
@@ -271,14 +298,16 @@ object Similarity {
          |  SELECT vec_id, emb, centroid_id FROM (
          |    SELECT e.vec_id, e.emb, c.centroid_id,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.centroid_id) AS rnk
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
          |    FROM e CROSS JOIN c)
          |  WHERE rnk = 1),
          |probes AS (
          |  SELECT query_id, q_emb, centroid_id FROM (
          |    SELECT e.vec_id AS query_id, e.emb AS q_emb, c.centroid_id,
          |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_cosine_similarity(e.emb, c.c_emb) DESC, c.centroid_id) AS rnk
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
          |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries)
          |  WHERE rnk <= $IvfProbe)
          |SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine

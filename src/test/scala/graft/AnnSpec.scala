@@ -30,12 +30,21 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("LSH ANN achieves reasonable recall against brute force") {
-    val exact = topkSet(Similarity.queries("ann_bruteforce")(spark, TestSpark.Sf))
-    val approx = topkSet(Similarity.queries("ann_lsh")(spark, TestSpark.Sf))
-    val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.3, s"recall=$recall")
-    // every query at least finds itself
-    assert((0L until 10L).forall(q => approx.contains((q, q))))
+    // measured across both test corpora (the planes are fixed md5-derived
+    // hyperplanes — variation comes from the data, not a seed): 0.40 at
+    // sf0.001 and 0.36 at sf0.01. Pinned at the observed floor minus ~10%
+    // margin so a geometry regression (bad plane derivation, band
+    // arithmetic) fails loudly while testdata reseeds keep headroom —
+    // the old 0.3 bound predated the sf0.01 measurement.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+      val exact = topkSet(Similarity.queries("ann_bruteforce")(spark, sf))
+      val approx = topkSet(Similarity.queries("ann_lsh")(spark, sf))
+      val recall = exact.intersect(approx).size.toDouble / exact.size
+      info(s"lsh recall@10 at $sf = $recall")
+      assert(recall >= 0.32, s"recall=$recall at $sf")
+      // every query at least finds itself
+      assert((0L until 10L).forall(q => approx.contains((q, q))), s"at $sf")
+    }
   }
 
   test("IVF centroid pruning returns ranked neighbors with bounded probing") {
