@@ -212,6 +212,29 @@ object StarSchema {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Keyed MERGE/upsert (§A engine-completeness beyond the reference's
+    // overwrite-only writes): a deterministic change batch applies to the
+    // event fact — updates (a value adjustment on every 7th event)
+    // REPLACE their base rows, inserts (backfill rows keyed past the id
+    // range) APPEND — through Lake.upsert's single keyed anti-join. The
+    // content-hash fact_id is recomputed on the merged rows, so the
+    // operation is idempotent across retries (same groundwork as
+    // EtlJob.run's surrogate keys).
+    "etl_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val updates = base.filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id"), lit("adjusted").as("event_type"),
+          (col("value") + 100).as("value"))
+      val inserts = base.filter(pmod(col("event_id"), lit(13)) === 0)
+        .select((col("event_id") + 10000000000L).as("event_id"),
+          lit("backfill").as("event_type"), col("value"))
+      Lake.upsert(base, updates.unionByName(inserts), Seq("event_id"))
+        .select(md5(col("event_id").cast("string")).as("fact_id"),
+          col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
     // the reference's songplay query shape end-to-end in SQL.
     "sql_surface" -> ((s, dir) => {
@@ -298,6 +321,25 @@ object StarSchema {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "etl_merge_upsert" ->
+      """WITH base AS (SELECT event_id, event_type, value FROM events),
+        |changes AS (
+        |  SELECT event_id, 'adjusted' AS event_type, value + 100 AS value
+        |  FROM base WHERE event_id % 7 = 0
+        |  UNION ALL
+        |  SELECT event_id + 10000000000 AS event_id, 'backfill' AS event_type,
+        |    value
+        |  FROM base WHERE event_id % 13 = 0),
+        |merged AS (
+        |  SELECT * FROM base
+        |  WHERE event_id NOT IN (SELECT event_id FROM changes)
+        |  UNION ALL
+        |  SELECT * FROM changes)
+        |SELECT md5(CAST(event_id AS VARCHAR)) AS fact_id, event_id, event_type,
+        |  round(value, 2) AS value
+        |FROM merged
+        |ORDER BY event_id""".stripMargin,
 
     "sql_surface" ->
       """SELECT c.c_mktsegment AS segment,

@@ -120,6 +120,22 @@ object Lake {
       .option("path", path)
       .saveAsTable(tableName)
 
+  /** Keyed MERGE/upsert — the first maintenance operation an incremental
+    * lake needs beyond the reference's overwrite-only writes
+    * (etl.py:120). Returns base rows whose key appears in no change row,
+    * plus ALL change rows: changed keys are replaced, new keys inserted,
+    * untouched keys pass through. `changes` must be key-unique (a keyed
+    * upsert is ill-defined otherwise). Scale shape: one anti-join on the
+    * key — the base shuffles on the key at most once (not at all when it
+    * is bucketed on the key), and a typical small change batch broadcasts
+    * into the anti-join, so the base never moves. Pair with partitioned
+    * persistence to rewrite only the partitions that received changes. */
+  def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    base.join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(changes)
+  }
+
   /** S3A-style lake credential wiring (reference etl.py:33-36) — sets
     * Hadoop conf on the live session; values come from the caller (config
     * file / env), never hard-coded. */

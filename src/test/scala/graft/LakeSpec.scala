@@ -63,6 +63,14 @@ class LakeSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("score") == 9.5)
   }
 
+  test("upsert replaces changed keys, inserts new ones, passes the rest through") {
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "v", "x")
+    val changes = Seq((2L, "B", 20.0), (9L, "i", 9.0)).toDF("id", "v", "x")
+    val got = Lake.upsert(base, changes, Seq("id")).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (9L, "i", 9.0)))
+  }
+
   test("compaction bounds the output file count") {
     val p = TestSpark.scratch("compact")
     val df = spark.range(1000).repartition(16).toDF("id")
