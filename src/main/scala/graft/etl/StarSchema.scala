@@ -212,6 +212,29 @@ object StarSchema {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // SCD Type-2 dimension build — the other classic lake-maintenance
+    // operation (alongside MERGE): turn each user's event history into
+    // effective-dated state rows. Consecutive runs of the same state
+    // collapse to their first event (lag over the user timeline), then
+    // each run's valid_to is the next run's valid_from (lead) and the
+    // open run is current. Both windows partition on user_id, so the
+    // whole build is ONE shuffle — the filter between them preserves the
+    // partitioning and the second window reuses the first's exchange and
+    // sort. Deterministic because (ts, event_id) is unique per user.
+    "etl_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // Keyed MERGE/upsert (§A engine-completeness beyond the reference's
     // overwrite-only writes): a deterministic change batch applies to the
     // event fact — updates (a value adjustment on every 7th event)
@@ -321,6 +344,22 @@ object StarSchema {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "etl_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    AS is_current
+        |FROM runs
+        |ORDER BY user_id, valid_from""".stripMargin,
 
     "etl_merge_upsert" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),

@@ -233,6 +233,35 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination — the training-data hygiene pass that
+    // drops documents leaking evaluation data: find every corpus doc
+    // sharing an 8-token gram with a benchmark slice (doc_id % 10 == 0
+    // stands in for the eval set). The benchmark side is small by
+    // construction and BROADCASTS into the gram join, so the corpus
+    // explodes its grams locally and never shuffles text; output is
+    // doc-level distinct-hit counts (the drop decision input). 8-token
+    // grams make incidental phrase collisions rare while catching any
+    // meaningful verbatim overlap (the usual 13-gram choice scaled to the
+    // short synthetic docs).
+    "text_decontaminate" -> ((s, dir) => {
+      val gramLen = 8
+      def grams(df: DataFrame) = df
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= gramLen)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(ws) - ${gramLen - 1}), " +
+            s"i -> concat_ws(' ', slice(ws, i, $gramLen)))")).as("g"))
+      val corpus = grams(t(s, dir, "documents"))
+      val bench = grams(t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(10)) === 0))
+        .select(col("doc_id").as("bench_id"), col("g"))
+      corpus.join(broadcast(bench), Seq("g"))
+        .filter(col("doc_id") =!= col("bench_id"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide top bigrams: explode→count→top-k. Partial aggregation
     // collapses each partition's counts before the shuffle; top-k is
     // TakeOrderedAndProject, so the driver sees k rows, not the corpus.
@@ -354,6 +383,19 @@ object TextAnalysis {
         |    coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
         |  FROM wf w LEFT JOIN bf b ON w.doc_id = b.doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(ws[i:i+7], ' ')
+        |            for i in range(1, len(ws) - 6)]) AS g
+        |  FROM d WHERE len(ws) >= 8),
+        |bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 = 0)
+        |SELECT c.doc_id AS doc_id, count(DISTINCT c.g) AS n_hits
+        |FROM grams c JOIN bench b ON c.g = b.g AND c.doc_id <> b.doc_id
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     "text_ngrams" ->
       """SELECT ngram, count(*) AS cnt
