@@ -88,8 +88,49 @@ object Multimodal {
     // actual per-partition decode path, not just its schema.
     "mm_decode" -> ((s, dir) =>
       decodePipeline(s, t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // Frame sampling + resize — the rest of the §F pipeline after decode:
+    // keep a deterministic stride of frames (every 2nd — reproducible,
+    // no rand()) and scale each frame's dimensions to fit a 32×32 box
+    // preserving aspect ratio, in pure integer arithmetic (DIV — Spark's
+    // integral divide — mirrors DuckDB's //, no float rounding to
+    // diverge). Narrow transforms over the decode stream: at 100 TB the
+    // sampling predicate drops frames before anything shuffles, and the
+    // "resize" stands where a codec's scaler plugs in.
+    "mm_framesample" -> ((s, dir) =>
+      decodePipeline(s, t(s, dir, "documents"))
+        .filter(pmod(col("frame_idx"), lit(2)) === 0)
+        .select(col("doc_id"), col("frame_idx"),
+          expr("CAST(width * 32 DIV greatest(width, height) AS INT)").as("out_w"),
+          expr("CAST(height * 32 DIV greatest(width, height) AS INT)").as("out_h"),
+          col("feature"))
         .orderBy(col("doc_id"), col("frame_idx")))
   )
+
+  /** Shared decode-replay CTEs: `frames(doc_id, frame_idx, width,
+    * height, feature)` reproducing [[decodeFrames]] from the raw bytes —
+    * one definition feeds both mm_decode and mm_framesample so the
+    * sampled pipeline can't drift from the decode it samples. */
+  private val DecodeFramesCtes: String =
+    """d AS (
+      |  SELECT doc_id, hex(encode(text)) AS hx,
+      |         octet_length(encode(text)) AS len
+      |  FROM documents),
+      |f AS (SELECT doc_id, hx, len, unnest(range((len % 3) + 1)) AS frame_idx FROM d),
+      |frames AS (
+      |  SELECT doc_id, frame_idx,
+      |    16 + (len + frame_idx) % 64 AS width,
+      |    16 + (CASE WHEN len = 0 THEN 0 ELSE
+      |      ((strpos('0123456789ABCDEF', substring(hx, 1, 1)) - 1) * 16 +
+      |       (strpos('0123456789ABCDEF', substring(hx, 2, 1)) - 1)) & 63 END) AS height,
+      |    (CASE WHEN len = 0 THEN 0.0 ELSE
+      |      list_aggregate(
+      |        [(strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1) * 16 +
+      |         (strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 1)
+      |         for i in range(1, len + 1)], 'sum')::DOUBLE END)
+      |      / greatest(len, 1) AS feature
+      |  FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // The payload is the text's UTF-8 bytes, so the oracle can reproduce
@@ -112,23 +153,22 @@ object Multimodal {
     // uppercase), so multi-byte UTF-8 stays byte-parity with the JVM's
     // signed-byte arithmetic (x & 0x3f and x & 0xff see the same bits).
     "mm_decode" ->
-      """WITH d AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |         octet_length(encode(text)) AS len
-        |  FROM documents),
-        |f AS (SELECT doc_id, hx, len, unnest(range((len % 3) + 1)) AS frame_idx FROM d)
-        |SELECT doc_id, frame_idx,
-        |  16 + (len + frame_idx) % 64 AS width,
-        |  16 + (CASE WHEN len = 0 THEN 0 ELSE
-        |    ((strpos('0123456789ABCDEF', substring(hx, 1, 1)) - 1) * 16 +
-        |     (strpos('0123456789ABCDEF', substring(hx, 2, 1)) - 1)) & 63 END) AS height,
-        |  (CASE WHEN len = 0 THEN 0.0 ELSE
-        |    list_aggregate(
-        |      [(strpos('0123456789ABCDEF', substring(hx, 2 * i - 1, 1)) - 1) * 16 +
-        |       (strpos('0123456789ABCDEF', substring(hx, 2 * i, 1)) - 1)
-        |       for i in range(1, len + 1)], 'sum')::DOUBLE END)
-        |    / greatest(len, 1) AS feature
-        |FROM f
-        |ORDER BY doc_id, frame_idx""".stripMargin
+      s"""WITH $DecodeFramesCtes
+         |SELECT doc_id, frame_idx, width, height, feature
+         |FROM frames
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // mm_framesample replays the same decode CTEs, keeps the even-stride
+    // frames and applies the same integer box-fit scaling (// mirrors
+    // Spark's DIV).
+    "mm_framesample" ->
+      s"""WITH $DecodeFramesCtes
+         |SELECT doc_id, frame_idx,
+         |  CAST(width * 32 // greatest(width, height) AS INTEGER) AS out_w,
+         |  CAST(height * 32 // greatest(width, height) AS INTEGER) AS out_h,
+         |  feature
+         |FROM frames
+         |WHERE frame_idx % 2 = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -364,6 +364,27 @@ object Relational {
         .orderBy(col("event_type"), col("weekday"))
     }),
 
+    // Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+    // detail + one partial + grand total in a single pass, with
+    // grouping() markers distinguishing subtotal rows from genuine NULL
+    // keys. One Expand + one aggregation — same single-shuffle shape as
+    // cube, but only the requested sets are expanded.
+    "q31_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+              Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+             grouping(col("l_linestatus")).cast("int").as("g_status"),
+             count(lit(1)).as("n_items"),
+             round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+                col("g_flag"), col("g_status"), col("n_items"), col("revenue"))
+        .orderBy(col("g_flag"), col("g_status"),
+                 col("l_returnflag"), col("l_linestatus"))),
+
     // Exact percentiles (continuous interpolation): median + p90 per group.
     "q25_percentiles" -> ((s, dir) => {
       t(s, dir, "events")
@@ -768,6 +789,16 @@ object Relational {
         |FROM events
         |GROUP BY CUBE (event_type, dayofweek(ts) + 1)
         |ORDER BY event_type, weekday""".stripMargin,
+
+    "q31_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |  count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
 
     "q25_percentiles" ->
       """SELECT event_type,
