@@ -307,6 +307,48 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Connected components over a near-dup pair graph by iterative
+    * min-label propagation — the clustering step a production dedup runs
+    * between pair generation and keep-one-per-cluster (the greedy
+    * pair-drop in [[dedupedCorpus]] can over-drop chains; clusters make
+    * the keep decision transitive). Each sweep joins current labels
+    * across the edge list and takes each node's min of its own and its
+    * neighbors' labels; the fixpoint is min(doc_id) per component.
+    *
+    * Scale shape: labels and edges shuffle on doc_id only — the graph is
+    * the PAIR set, a vanishing fraction of the corpus, and text never
+    * enters it. Sweeps = cluster diameter (near-dup clusters are
+    * shallow stars/chains); each sweep's label table is cached eagerly
+    * and its predecessor released, exactly the k-means-sweep pattern.
+    * The convergence probe is an isEmpty on the changed-label join.
+    * Refuses (loudly) to return an unconverged labeling. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = edges.join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
+        .select(col("a").as("doc_id"), col("label"))
+        .union(labels)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .cache()
+      next.count()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIters sweeps")
+    labels
+  }
+
   /** Planted near-dup vectors for the dedup_embedding_lsh driver gate.
     * The testdata has no pair at cosine ≥ 0.9, so the gate over the raw
     * corpus would compare 0 rows to 0 rows — vacuous on the recall side.
@@ -387,6 +429,10 @@ object Dedup {
     "dedup_corpus" -> ((s, dir) =>
       dedupedCorpus(t(s, dir, "documents"), 0.8)
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+    "dedup_clusters" -> ((s, dir) =>
+      connectedComponents(minhashPairs(t(s, dir, "documents"), 0.8))
+        .select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id"))
   )
 
@@ -503,6 +549,26 @@ object Dedup {
          |SELECT doc_id, lang, source, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT drop_id FROM near_losers
          |                     UNION SELECT drop_id FROM exact_losers)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Transitive closure of the same exact-Jaccard pair graph: reach
+    // enumerates every (node, reachable node) and the cluster id is the
+    // min reachable doc_id — the fixpoint the Spark label propagation
+    // converges to. UNION (not UNION ALL) terminates the recursion.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |pairs AS (${jaccardPairsSql(0.8)}),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach
+         |GROUP BY src
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->

@@ -170,6 +170,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components label chains and stars with the component min") {
+    // chain 0-1-2 (transitive through 1), star 5-{6,7}, isolated pair 9-10:
+    // min-label propagation must cross the chain (greedy pair views can't)
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (5L, 7L), (9L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("label")).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L, 10L -> 9L))
+  }
+
   test("deduped corpus has no remaining near-dup pairs and keeps one per cluster") {
     val kept = Dedup.dedupedCorpus(corpus, 0.5, bands = 64)
     val ids = kept.select("doc_id").as[Long].collect().toSet
