@@ -258,6 +258,24 @@ object StarSchema {
         .orderBy(col("event_id"))
     }),
 
+    // Salted skew join as a query surface (§H): the known-hot-key
+    // mitigation AQE can't always provide (a single key too large for
+    // one map task even after splitting). The left side salts each row
+    // deterministically (xxhash64 — reproducible under retries), the
+    // dim side replicates once per salt value, and the hot key spreads
+    // over 8 reducers. The oracle is the PLAIN join aggregate — salting
+    // must be result-invariant, and this gate (plus ScaleSpec's
+    // row-equality check) pins that in the driver's compare.
+    "etl_skew_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      graft.operators.Skew.saltedJoin(orders, cust, "o_custkey", "c_custkey", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
     // the reference's songplay query shape end-to-end in SQL.
     "sql_surface" -> ((s, dir) => {
@@ -379,6 +397,13 @@ object StarSchema {
         |  round(value, 2) AS value
         |FROM merged
         |ORDER BY event_id""".stripMargin,
+
+    "etl_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "sql_surface" ->
       """SELECT c.c_mktsegment AS segment,

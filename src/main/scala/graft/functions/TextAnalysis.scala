@@ -233,6 +233,28 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Unigram-LM quality scoring (the KenLM-perplexity stand-in every
+    // quality filter starts from): score each document by the mean
+    // negative log-probability of its tokens under the CORPUS unigram
+    // distribution — gibberish and rare-token soup score high, fluent
+    // repetitive text low. Same scale shape as tfidf: one vocab-sized
+    // aggregate joined back on term WITHOUT a broadcast hint (a
+    // web-scale vocabulary must be allowed to shuffle; AQE broadcasts
+    // when it is measured small) and the corpus total as a broadcast
+    // one-row scalar.
+    "text_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = terms.agg(count(lit(1)).cast("double").as("n_total"))
+      terms.join(counts, Seq("term"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+             round(avg(-log(col("cnt") / col("n_total"))), 4).as("avg_neg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination — the training-data hygiene pass that
     // drops documents leaking evaluation data: find every corpus doc
     // sharing an 8-token gram with a benchmark slice (doc_id % 10 == 0
@@ -382,6 +404,17 @@ object TextAnalysis {
         |  SELECT w.doc_id, w.top_word_frac,
         |    coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac
         |  FROM wf w LEFT JOIN bf b ON w.doc_id = b.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_logprob" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |counts AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM terms)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(cnt / n_total)), 4) AS avg_neg_logprob
+        |FROM terms JOIN counts USING (term) CROSS JOIN tot
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "text_decontaminate" ->
