@@ -50,17 +50,19 @@ class ScaleSpec extends AnyFunSuite {
       s"bucketed join must read shuffle-free below the join:\n$plan")
   }
 
-  test("text_tfidf carries no broadcast hint on the vocabulary join") {
+  test("vocabulary joins carry no broadcast hint (tfidf, logprob)") {
     // a web-scale vocabulary (1e8+ distinct tokens) exceeds executor
-    // broadcast limits: the tf⋈df term join must be free to shuffle (AQE
-    // may still broadcast a measured-small df at runtime — that's fine;
+    // broadcast limits: the term joins must be free to shuffle (AQE
+    // may still broadcast a measured-small side at runtime — that's fine;
     // assert the LOGICAL plan's hints, not the physical join choice). The
-    // one allowed hint is the one-row corpus-size scalar broadcast.
-    val analyzed = SparkEntry.queries("text_tfidf")(spark, TestSpark.Sf)
-      .queryExecution.analyzed.toString
-    val hints = "ResolvedHint".r.findAllIn(analyzed).size
-    assert(hints == 1,
-      s"expected exactly the one-row nDocs broadcast hint, found $hints:\n$analyzed")
+    // one allowed hint is the one-row corpus-total scalar broadcast.
+    Seq("text_tfidf", "text_logprob").foreach { k =>
+      val analyzed = SparkEntry.queries(k)(spark, TestSpark.Sf)
+        .queryExecution.analyzed.toString
+      val hints = "ResolvedHint".r.findAllIn(analyzed).size
+      assert(hints == 1,
+        s"$k: expected exactly the one-row scalar broadcast hint, found $hints:\n$analyzed")
+    }
   }
 
   test("no operator plan materializes data on the driver") {
