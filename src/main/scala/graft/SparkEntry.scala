@@ -37,7 +37,7 @@ object SparkEntry {
     "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
     "etl_partitioned_write",
     "stream_window", "stream_session", "stream_dedup", "stream_join",
-    "stream_content_dedup")
+    "stream_content_dedup", "stream_trending")
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */

@@ -273,6 +273,35 @@ object Streams {
         .orderBy(col("content_hash"))
     }),
 
+    // Trending-token stream: the landing feed (every document arrives
+    // twice) explodes into tokens, counts aggregate per 5-minute arrival
+    // window in Complete mode, and top-5 per window ranks on the
+    // MATERIALIZED aggregate (|windows| × |window vocab| rows — already
+    // collapsed, so the rank window is cheap at any corpus size; the
+    // explode itself is stateless and partition-local). The batch oracle
+    // replays the synthetic arrival clock and doubles its counts for the
+    // duplicated feed. Window starts align because the arrival base
+    // epoch is a multiple of the 300 s window (Spark windows align to
+    // the 1970 epoch).
+    "stream_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val staged = stage(s, dir, "stream_content_dedup_src_v2", contentLanding(s, dir))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("arrival_ts", TimestampType)))
+      val counts = s.readStream.schema(schema).parquet(staged)
+        .select(col("arrival_ts"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(window(col("arrival_ts"), "5 minutes").as("w"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+      val res = materialize(s, counts, "graft_stream_trending", OutputMode.Complete())
+      val wr = Window.partitionBy(col("window_start"))
+        .orderBy(col("cnt").desc, col("token"))
+      res.select(col("w.start").as("window_start"), col("token"), col("cnt"))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("window_start"), col("rnk"))
+    }),
+
     // Stream-stream interval join (attribution shape): purchases joined
     // to the same user's clicks from the 10 minutes before. Both sides
     // are watermarked and the join carries a time-range constraint, so
@@ -331,6 +360,25 @@ object Streams {
         |  length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS n_chars_norm
         |FROM documents
         |ORDER BY content_hash""".stripMargin,
+
+    // Batch replay of the trending stream: same arrival clock, counts
+    // doubled for the duplicated feed, same (cnt DESC, token) tie order.
+    "stream_trending" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |counts AS (
+         |  SELECT make_timestamp($ArrivalBaseMicros +
+         |      (doc_id % $ArrivalCycleSecs) // 300 * 300 * 1000000) AS window_start,
+         |    token, CAST(count(*) * 2 AS BIGINT) AS cnt
+         |  FROM occ GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT window_start, token, cnt,
+         |    row_number() OVER (PARTITION BY window_start
+         |                       ORDER BY cnt DESC, token) AS rnk
+         |  FROM counts)
+         |SELECT window_start, token, cnt, CAST(rnk AS INTEGER) AS rnk
+         |FROM ranked WHERE rnk <= 5
+         |ORDER BY window_start, rnk""".stripMargin,
 
     "stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
