@@ -232,7 +232,11 @@ object StarSchema {
         .select(col("user_id"), col("event_type").as("state"),
           col("ts").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
-        .orderBy(col("user_id"), col("valid_from"))
+        // state joins the sort key: two runs of one user can share
+        // valid_from when change events tie on ts (adjacent runs always
+        // differ in state, so the triple is unique and the order
+        // engine-deterministic)
+        .orderBy(col("user_id"), col("valid_from"), col("state"))
     }),
 
     // Keyed MERGE/upsert (§A engine-completeness beyond the reference's
@@ -377,7 +381,7 @@ object StarSchema {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |    AS is_current
         |FROM runs
-        |ORDER BY user_id, valid_from""".stripMargin,
+        |ORDER BY user_id, valid_from, state""".stripMargin,
 
     "etl_merge_upsert" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),

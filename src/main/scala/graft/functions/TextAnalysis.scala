@@ -257,14 +257,17 @@ object TextAnalysis {
 
     // Benchmark decontamination — the training-data hygiene pass that
     // drops documents leaking evaluation data: find every corpus doc
-    // sharing an 8-token gram with a benchmark slice (doc_id % 10 == 0
-    // stands in for the eval set). The benchmark side is small by
-    // construction and BROADCASTS into the gram join, so the corpus
-    // explodes its grams locally and never shuffles text; output is
-    // doc-level distinct-hit counts (the drop decision input). 8-token
-    // grams make incidental phrase collisions rare while catching any
-    // meaningful verbatim overlap (the usual 13-gram choice scaled to the
-    // short synthetic docs).
+    // sharing an 8-token gram with a benchmark set (doc_id % 10 == 0
+    // within the first 1000 ids stands in for the eval set — the id cap
+    // makes the benchmark a BOUNDED ≤100 documents at EVERY scale
+    // factor, like a real eval suite, which is what licenses the
+    // broadcast; a corpus-proportional slice would blow the broadcast
+    // limit exactly like the tfidf vocab table did). The corpus explodes
+    // its grams locally against the broadcast set and never shuffles
+    // text; output is doc-level distinct-hit counts (the drop decision
+    // input). 8-token grams make incidental phrase collisions rare while
+    // catching any meaningful verbatim overlap (the usual 13-gram choice
+    // scaled to the short synthetic docs).
     "text_decontaminate" -> ((s, dir) => {
       val gramLen = 8
       def grams(df: DataFrame) = df
@@ -275,7 +278,7 @@ object TextAnalysis {
             s"i -> concat_ws(' ', slice(ws, i, $gramLen)))")).as("g"))
       val corpus = grams(t(s, dir, "documents"))
       val bench = grams(t(s, dir, "documents")
-          .filter(pmod(col("doc_id"), lit(10)) === 0))
+          .filter(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < 1000))
         .select(col("doc_id").as("bench_id"), col("g"))
       corpus.join(broadcast(bench), Seq("g"))
         .filter(col("doc_id") =!= col("bench_id"))
@@ -424,7 +427,8 @@ object TextAnalysis {
         |    unnest([array_to_string(ws[i:i+7], ' ')
         |            for i in range(1, len(ws) - 6)]) AS g
         |  FROM d WHERE len(ws) >= 8),
-        |bench AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 = 0)
+        |bench AS (SELECT doc_id, g FROM grams
+        |          WHERE doc_id % 10 = 0 AND doc_id < 1000)
         |SELECT c.doc_id AS doc_id, count(DISTINCT c.g) AS n_hits
         |FROM grams c JOIN bench b ON c.g = b.g AND c.doc_id <> b.doc_id
         |GROUP BY c.doc_id

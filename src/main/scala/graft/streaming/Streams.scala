@@ -276,13 +276,18 @@ object Streams {
     // Trending-token stream: the landing feed (every document arrives
     // twice) explodes into tokens, counts aggregate per 5-minute arrival
     // window in Complete mode, and top-5 per window ranks on the
-    // MATERIALIZED aggregate (|windows| × |window vocab| rows — already
-    // collapsed, so the rank window is cheap at any corpus size; the
-    // explode itself is stateless and partition-local). The batch oracle
-    // replays the synthetic arrival clock and doubles its counts for the
-    // duplicated feed. Window starts align because the arrival base
-    // epoch is a multiple of the 300 s window (Spark windows align to
-    // the 1970 epoch).
+    // materialized aggregate. The window count is FIXED by the arrival
+    // cycle (≤ 4), so a naive per-window rank would sort the whole
+    // window vocabulary in one task at web scale — what keeps it
+    // scalable is Spark's WindowGroupLimit rewrite of the rnk <= 5
+    // filter: each input partition keeps only its local top-5 per window
+    // before the shuffle, so the final per-window task sees ≤ 5×P rows,
+    // not the vocabulary (StreamsSpec pins the rewrite in the plan).
+    // The explode itself is stateless and partition-local. The batch
+    // oracle replays the synthetic arrival clock and doubles its counts
+    // for the duplicated feed. Window starts align because the arrival
+    // base epoch is a multiple of the 300 s window (Spark windows align
+    // to the 1970 epoch).
     "stream_trending" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val staged = stage(s, dir, "stream_content_dedup_src_v2", contentLanding(s, dir))

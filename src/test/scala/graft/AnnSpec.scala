@@ -36,7 +36,7 @@ class AnnSpec extends AnyFunSuite {
     // margin so a geometry regression (bad plane derivation, band
     // arithmetic) fails loudly while testdata reseeds keep headroom —
     // the old 0.3 bound predated the sf0.01 measurement.
-    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { sf =>
+    Seq(TestSpark.Sf, TestSpark.SfMedium).foreach { sf =>
       val exact = topkSet(Similarity.queries("ann_bruteforce")(spark, sf))
       val approx = topkSet(Similarity.queries("ann_lsh")(spark, sf))
       val recall = exact.intersect(approx).size.toDouble / exact.size

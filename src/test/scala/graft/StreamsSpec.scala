@@ -40,6 +40,18 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream_trending's per-window rank gets the partial top-k rewrite") {
+    // the arrival clock fixes the window count (≤ 4), so without
+    // WindowGroupLimit the rank would sort each window's whole
+    // vocabulary in a single task at web scale; the rnk <= 5 filter
+    // must rewrite to a partition-local partial top-k before the shuffle
+    val df = Streams.queries("stream_trending")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a partial top-k (WindowGroupLimit) in:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("session fold: gap splitting, counts and sums") {
     def ev(uid: Long, minute: Long, v: Double, id: Long) =
       Streams.Ev(uid, minute * 60L * 1000000, id, v)

@@ -6,6 +6,9 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = GraftSession.local(4)
   val Sf = "/root/testdata/sf0.001"
+  /** The next scale factor up — for specs that measure data-dependent
+    * quantities (recall floors) at more than one corpus size. */
+  val SfMedium = "/root/testdata/sf0.01"
   def scratch(name: String): String = {
     val p = s"/root/repo/target/test-scratch/$name"
     new java.io.File(p).getParentFile.mkdirs()
