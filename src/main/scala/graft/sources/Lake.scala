@@ -106,6 +106,50 @@ object Lake {
   def readParquetMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Morton (Z-order) interleave of two non-negative integer keys:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1, so sorting
+    * by the result clusters rows that are close in BOTH dimensions.
+    * Pure bitwise column arithmetic — codegen'd, no UDF. `bits` per
+    * dimension (≤ 31; 2·bits ≤ 62 keeps the key positive in a long). */
+  def mortonKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 21): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftright, shiftleft}
+    require(bits >= 1 && bits <= 31, s"bits per dimension must be in [1,31], got $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-ordered persistence: range-repartition + sort by the Morton key of
+    * two filter dimensions, so each parquet file covers a small rectangle
+    * of the (a, b) key space and row-group min/max stats skip data for
+    * predicates on EITHER dimension — the multi-dimensional upgrade of
+    * [[writeSorted]]'s single-key clustering. The 100 TB pattern for fact
+    * tables filtered by two independent columns (customer × date). The
+    * helper key column is dropped from the written schema. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    partitions: Int, bits: Int = 21): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", mortonKey(col(colA), col(colB), bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Incremental (CDC-style) read: only partitions past a watermark value
+    * of the partition column are listed and scanned — the filter is on a
+    * directory key, so pruning happens at file-listing time and the cost
+    * scales with the NEW data, not the table. Pair with
+    * [[writePartitioned]] on an ingestion-date column. */
+  def readSince(spark: SparkSession, path: String, partitionCol: String,
+                sinceExclusive: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    spark.read.parquet(path).filter(col(partitionCol) > lit(sinceExclusive))
+  }
+
   /** Bucketed persistence: pre-shuffles the data into `buckets` stable
     * hash buckets on `bucketCol` at write time, so repeated joins /
     * aggregations on that key read back shuffle-free (the scan itself

@@ -93,6 +93,44 @@ class LakeSpec extends AnyFunSuite {
     assert(cnt == exp)
   }
 
+  test("morton key interleaves bits and orders 2-D-close rows together") {
+    // interleave(a=0b11, b=0b00) = 0b0101 = 5; interleave(0b00, 0b11) = 0b1010 = 10
+    val rows = Seq((3L, 0L), (0L, 3L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+      .select(Lake.mortonKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(5L, 10L, 3L, 12L))
+  }
+
+  test("z-ordered write answers single-dimension filters correctly") {
+    val p = TestSpark.scratch("zorder")
+    val df = sources.Lake.table(spark, TestSpark.Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayofyear(col("o_orderdate")).as("o_day"))
+    Lake.writeZOrdered(df, p, "o_custkey", "o_day", partitions = 4)
+    val back = spark.read.parquet(p)
+    assert(back.columns.toSet == df.columns.toSet, "helper key must not leak")
+    assert(back.count() == df.count())
+    Seq(col("o_custkey") < 50, col("o_day") < 100).foreach { pred =>
+      assert(back.filter(pred).count() == df.filter(pred).count())
+    }
+  }
+
+  test("readSince prunes to partitions past the watermark at listing time") {
+    val p = TestSpark.scratch("since")
+    sources.Lake.table(spark, TestSpark.Sf, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("event_date").parquet(p)
+    val since = "2024-01-10"
+    val inc = Lake.readSince(spark, p, "event_date", since)
+    val expected = spark.read.parquet(p).filter(col("event_date") > since)
+    assert(inc.count() == expected.count() && inc.count() > 0)
+    // pruning must reach the scan: the partition filter appears on the
+    // FileScan node, so files outside the range are never opened
+    val scan = inc.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_date"),
+      s"expected a partition filter on the scan:\n$scan")
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val orders = sources.Lake.table(spark, TestSpark.Sf, "orders")
     val li = sources.Lake.table(spark, TestSpark.Sf, "lineitem")
