@@ -83,6 +83,7 @@ object Streams {
     stage(spark, sfDir, "stream_events_src", ev)
     stage(spark, sfDir, "stream_dedup_src", ev.union(ev))
     stage(spark, sfDir, "stream_content_dedup_src_v2", contentLanding(spark, sfDir))
+    stage(spark, sfDir, "stream_trending_src", trendingLanding(spark, sfDir))
   }
 
   /** Content-landing arrival clock — these three constants form ONE
@@ -113,6 +114,57 @@ object Streams {
       .withColumn("arrival_ts",
         expr(s"timestamp_micros($ArrivalBaseMicros + " +
           s"pmod(doc_id, $ArrivalCycleSecs) * 1000000)"))
+  }
+
+  /** Trending-stream clock contract: windows are
+    * [[TrendingWindowSecs]]-second tumbling buckets of the arrival clock,
+    * and the landing feed carries ONE end-of-feed sentinel (null text, so
+    * it contributes no tokens) at [[TrendingSentinelSecs]] past the
+    * arrival base. The sentinel's only job is to push the event-time
+    * watermark (delay [[TrendingDelay]]) past the end of the last real
+    * window so Append mode finalizes every window — checked at class
+    * init: sentinel − delay must clear the arrival cycle rounded up to a
+    * whole window. On a real unbounded feed no sentinel is needed; new
+    * arrivals advance the watermark themselves. */
+  private val TrendingWindowSecs = 300L
+  private val TrendingDelaySecs = 600L
+  private val TrendingDelay = "10 minutes"
+  private val TrendingSentinelSecs = 3600L
+  require(TrendingSentinelSecs - TrendingDelaySecs >=
+    (ArrivalCycleSecs + TrendingWindowSecs - 1) / TrendingWindowSecs * TrendingWindowSecs,
+    "trending sentinel does not push the watermark past the last arrival window — " +
+      "Append mode would never finalize it")
+
+  /** Landing stream for the trending-token query: the duplicated content
+    * feed plus the end-of-feed watermark sentinel (see the trending clock
+    * contract above). Kept separate from the content-dedup landing dir —
+    * a null-text sentinel row would surface as a null content hash
+    * there. */
+  private def trendingLanding(spark: SparkSession, sfDir: String): DataFrame = {
+    contentLanding(spark, sfDir).unionByName(
+      spark.range(1).select(
+        lit(-1L).as("doc_id"),
+        lit(null).cast(StringType).as("text"),
+        timestamp_micros(
+          lit(ArrivalBaseMicros + TrendingSentinelSecs * 1000000L)).as("arrival_ts")))
+  }
+
+  /** The streaming half of stream_trending: watermarked tumbling
+    * token counts. Exposed (not inlined in the query map) so the spec can
+    * pin the EventTimeWatermark node on the streaming plan — the
+    * materialized result is a batch table and no longer shows it. */
+  def trendingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stage(spark, sfDir, "stream_trending_src",
+      trendingLanding(spark, sfDir))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("arrival_ts", TimestampType)))
+    spark.readStream.schema(schema).parquet(staged)
+      .withWatermark("arrival_ts", TrendingDelay)
+      .select(col("arrival_ts"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(window(col("arrival_ts"), s"$TrendingWindowSecs seconds").as("w"),
+        col("token"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   final case class Ev(user_id: Long, tsMicros: Long, event_id: Long, value: Double)
@@ -275,9 +327,13 @@ object Streams {
 
     // Trending-token stream: the landing feed (every document arrives
     // twice) explodes into tokens, counts aggregate per 5-minute arrival
-    // window in Complete mode, and top-5 per window ranks on the
-    // materialized aggregate. The window count is FIXED by the arrival
-    // cycle (≤ 4), so a naive per-window rank would sort the whole
+    // window in APPEND mode behind an event-time watermark — each window
+    // is emitted exactly once when the watermark passes its end, and its
+    // state is evicted then, so state size is bounded by (windows inside
+    // the watermark horizon) × vocabulary, not the stream's lifetime
+    // (the end-of-feed sentinel closes the last window here; see the
+    // trending clock contract). Top-5 per window ranks the finalized
+    // windows downstream. A naive per-window rank would sort the whole
     // window vocabulary in one task at web scale — what keeps it
     // scalable is Spark's WindowGroupLimit rewrite of the rnk <= 5
     // filter: each input partition keeps only its local top-5 per window
@@ -290,15 +346,8 @@ object Streams {
     // to the 1970 epoch).
     "stream_trending" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val staged = stage(s, dir, "stream_content_dedup_src_v2", contentLanding(s, dir))
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("arrival_ts", TimestampType)))
-      val counts = s.readStream.schema(schema).parquet(staged)
-        .select(col("arrival_ts"), explode(split(col("text"), " ")).as("token"))
-        .groupBy(window(col("arrival_ts"), "5 minutes").as("w"), col("token"))
-        .agg(count(lit(1)).as("cnt"))
-      val res = materialize(s, counts, "graft_stream_trending", OutputMode.Complete())
+      val res = materialize(s, trendingCounts(s, dir),
+        "graft_stream_trending", OutputMode.Append())
       val wr = Window.partitionBy(col("window_start"))
         .orderBy(col("cnt").desc, col("token"))
       res.select(col("w.start").as("window_start"), col("token"), col("cnt"))

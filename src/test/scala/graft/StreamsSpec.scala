@@ -40,6 +40,20 @@ class StreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("stream_trending's aggregate is watermarked (state evicts, not Complete mode)") {
+    // the round-6 weak spot: Complete-mode aggregation retains every
+    // (window, token) pair for the stream's lifetime. The fix runs the
+    // windowed count in Append mode behind an event-time watermark, so
+    // the streaming plan must carry an EventTimeWatermark node — without
+    // it Append-mode aggregation is rejected at runtime and state never
+    // evicts
+    val counts = Streams.trendingCounts(spark, TestSpark.Sf)
+    assert(counts.isStreaming)
+    val plan = counts.queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"),
+      s"expected an event-time watermark on the trending aggregate in:\n$plan")
+  }
+
   test("stream_trending's per-window rank gets the partial top-k rewrite") {
     // the arrival clock fixes the window count (≤ 4), so without
     // WindowGroupLimit the rank would sort each window's whole
@@ -50,6 +64,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected a partial top-k (WindowGroupLimit) in:\n$plan")
     assert(df.count() > 0)
+  }
+
+  test("stream_trending's Append-mode output equals a batch replay (no dropped windows)") {
+    // Append mode only emits a window once the watermark passes its end —
+    // if the sentinel failed to close the final window, rows would
+    // silently go missing. Replay the identical landing data as a batch
+    // query and require set equality.
+    import org.apache.spark.sql.expressions.Window
+    val streamed = Streams.queries("stream_trending")(spark, TestSpark.Sf).collect().toSet
+    val wr = Window.partitionBy(col("window_start"))
+      .orderBy(col("cnt").desc, col("token"))
+    val batch = sources.Lake.table(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("arrival_ts", expr(
+        "timestamp_micros(1704067200000000 + pmod(doc_id, 1000) * 1000000)"))
+      .select(col("arrival_ts"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(window(col("arrival_ts"), "300 seconds").as("w"), col("token"))
+      .agg((count(lit(1)) * 2).as("cnt"))   // landing feed doubles every doc
+      .select(col("w.start").as("window_start"), col("token"), col("cnt"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 5)
+      .collect().toSet
+    assert(streamed == batch)
+    // window count is SF-dependent (doc_id span mod the 1000 s cycle) but
+    // the cycle bounds it at 4; the LAST window present must have been
+    // finalized, which is exactly what the sentinel exists for
+    val windows = streamed.map(_.getAs[java.sql.Timestamp]("window_start"))
+    assert(windows.nonEmpty && windows.size <= 4)
   }
 
   test("session fold: gap splitting, counts and sums") {
