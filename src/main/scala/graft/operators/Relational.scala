@@ -268,14 +268,19 @@ object Relational {
         .orderBy(col("event_date"))
     }),
 
-    // approx_count_distinct (HLL++) next to the exact count — rows-only
-    // check (HLL isn't reproducible in the oracle); the spec asserts the
-    // 5% relative-error contract instead.
+    // approx_count_distinct (HLL++) gated in-query: the sketch value
+    // itself is engine-specific, so the OUTPUT is the exact count plus a
+    // within_tol boolean (|approx−exact| ≤ 5%·exact) — the oracle expects
+    // exact + true, which makes the driver gate non-vacuous: an HLL
+    // regression past the contract flips the boolean and fails the hash.
     "q20_approx" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
              countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_tol"))
         .orderBy(col("event_type"))
     }),
 
@@ -398,17 +403,36 @@ object Relational {
     // (Greenwald-Khanna, bounded memory per group) is what a real user
     // runs at 100 TB — exact per-group percentiles need a full sort /
     // materialized groups, GK needs O(1/accuracy) state on a single
-    // streaming pass. Rows-only driver check (the sketch isn't oracle-
-    // reproducible); the spec pins the GK error contract against the
-    // exact percentiles.
+    // streaming pass. The sketch value is engine-specific, so the OUTPUT
+    // is the exact percentiles plus a within_contract boolean measured
+    // in-query: GK bounds RANK error (≤ n/accuracy) and returns a real
+    // sample, so each approximation's empirical rank window must cover
+    // the target quantile (±n/accuracy, +1 for 4dp value rounding). The
+    // oracle expects exact + true — a GK regression flips the boolean and
+    // fails the driver hash, making the gate non-vacuous. The sketch rows
+    // (one per group) join back broadcast; the corpus shuffles once.
     "q25_approx_percentiles" -> ((s, dir) => {
-      t(s, dir, "events")
-        .groupBy(col("event_type"))
+      val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+      val sk = ev.groupBy(col("event_type"))
         .agg(
-          round(approx_percentile(col("value"), lit(0.5), lit(10000)), 4).as("approx_median"),
-          round(approx_percentile(col("value"), lit(0.9), lit(10000)), 4).as("approx_p90"),
+          round(approx_percentile(col("value"), lit(0.5), lit(10000)), 4).as("am"),
+          round(approx_percentile(col("value"), lit(0.9), lit(10000)), 4).as("ap"),
           round(median(col("value")), 4).as("exact_median"),
           round(percentile(col("value"), lit(0.9)), 4).as("exact_p90"))
+      val slack = col("n") / 10000.0 + 1
+      ev.join(broadcast(sk), "event_type")
+        .groupBy(col("event_type"), col("am"), col("ap"),
+                 col("exact_median"), col("exact_p90"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("value") <  col("am") - 5e-5, 1L).otherwise(0L)).as("below_m"),
+             sum(when(col("value") <= col("am") + 5e-5, 1L).otherwise(0L)).as("cover_m"),
+             sum(when(col("value") <  col("ap") - 5e-5, 1L).otherwise(0L)).as("below_p"),
+             sum(when(col("value") <= col("ap") + 5e-5, 1L).otherwise(0L)).as("cover_p"))
+        .select(col("event_type"), col("exact_median"), col("exact_p90"),
+          ((col("below_m") - slack <= col("n") * 0.5) &&
+           (col("n") * 0.5 <= col("cover_m") + slack) &&
+           (col("below_p") - slack <= col("n") * 0.9) &&
+           (col("n") * 0.9 <= col("cover_p") + slack)).as("within_contract"))
         .orderBy(col("event_type"))
     }),
 
@@ -731,12 +755,26 @@ object Relational {
         |FROM events
         |GROUP BY 1
         |ORDER BY event_date""".stripMargin,
-    // q20_approx: intentionally no oracle — HLL sketch values are
-    // engine-specific; driver records the rows-only check, the ScalaTest
-    // spec asserts |approx-exact|/exact <= 0.05.
-    // q25_approx_percentiles: likewise no oracle (Greenwald-Khanna sketch
-    // output is engine-specific); the spec pins the GK rank contract
-    // against exact percentiles computed in the same row.
+    // Sketch queries: the sketch values are engine-specific, so their
+    // queries emit the exact value plus an in-query contract boolean; the
+    // oracle expects exact + true (a sketch regression flips the boolean
+    // and fails the hash — non-vacuous without demanding bit-parity on
+    // engine-specific sketches).
+    "q20_approx" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS within_tol
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q25_approx_percentiles" ->
+      """SELECT event_type,
+        |  round(median(value), 4) AS exact_median,
+        |  round(quantile_cont(value, 0.9), 4) AS exact_p90,
+        |  true AS within_contract
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q2_correlated" ->
       """SELECT o_custkey, o_orderkey, o_totalprice

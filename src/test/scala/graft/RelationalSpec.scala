@@ -18,7 +18,15 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("q20 approx_count_distinct stays within the 5% HLL contract") {
-    val rows = Relational.queries("q20_approx")(spark, TestSpark.Sf).collect()
+    import org.apache.spark.sql.functions._
+    // independent re-derivation of the sketch (the query itself now emits
+    // only exact + within_tol, so this guards against a broken in-query
+    // tolerance check masking a sketch regression)
+    val rows = sources.Lake.table(spark, TestSpark.Sf, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+           countDistinct(col("user_id")).as("exact_users"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
@@ -26,6 +34,9 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(approx - exact) / exact <= 0.05,
         s"${r.getAs[String]("event_type")}: approx=$approx exact=$exact")
     }
+    // and the driver-facing gate must agree
+    val gated = Relational.queries("q20_approx")(spark, TestSpark.Sf).collect()
+    assert(gated.nonEmpty && gated.forall(_.getAs[Boolean]("within_tol")))
   }
 
   test("q25 approx_percentile honors the Greenwald-Khanna rank contract") {
@@ -33,7 +44,15 @@ class RelationalSpec extends AnyFunSuite {
     // an actual sample rather than an interpolated value — so the gate
     // checks that each approximation's empirical rank covers the target
     // quantile within the contract (+1 for value-rounding at 4dp).
-    val rows = Relational.queries("q25_approx_percentiles")(spark, TestSpark.Sf).collect()
+    // independent re-derivation of the sketch values (the query itself
+    // now emits only exact + within_contract)
+    import org.apache.spark.sql.functions.{approx_percentile, col, lit, round}
+    val rows = sources.Lake.table(spark, TestSpark.Sf, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(approx_percentile(col("value"), lit(0.5), lit(10000)), 4).as("approx_median"),
+        round(approx_percentile(col("value"), lit(0.9), lit(10000)), 4).as("approx_p90"))
+      .collect()
     assert(rows.nonEmpty)
     val byType = sources.Lake.table(spark, TestSpark.Sf, "events")
       .select(org.apache.spark.sql.functions.col("event_type"),
@@ -54,6 +73,9 @@ class RelationalSpec extends AnyFunSuite {
             s"[$below, $atOrBelow] misses target $target")
       }
     }
+    // and the driver-facing gate must agree
+    val gated = Relational.queries("q25_approx_percentiles")(spark, TestSpark.Sf).collect()
+    assert(gated.nonEmpty && gated.forall(_.getAs[Boolean]("within_contract")))
   }
 
   test("q6 pushes every predicate into the parquet scan and prunes columns") {
