@@ -35,7 +35,7 @@ object SparkEntry {
     * prove.) */
   val materializingQueries: Set[String] = Set(
     "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
-    "etl_partitioned_write",
+    "etl_partitioned_write", "etl_zorder_read", "etl_incremental_read",
     "stream_window", "stream_session", "stream_dedup", "stream_join",
     "stream_content_dedup", "stream_trending")
 

@@ -317,10 +317,17 @@ object Dedup {
     *
     * Scale shape: labels and edges shuffle on doc_id only — the graph is
     * the PAIR set, a vanishing fraction of the corpus, and text never
-    * enters it. Sweeps = cluster diameter (near-dup clusters are
-    * shallow stars/chains); each sweep's label table is cached eagerly
-    * and its predecessor released, exactly the k-means-sweep pattern.
-    * The convergence probe is an isEmpty on the changed-label join.
+    * enters it. Each sweep takes the min over self+neighbor labels, then
+    * POINTER-JUMPS (label := label(label)): the shortcut halves any
+    * remaining chain depth, so convergence is O(log diameter) rather
+    * than O(diameter) — a web-scale near-dup chain hundreds of hops
+    * long converges in ~10 sweeps instead of aborting at maxIters
+    * (DedupSpec plants a 120-hop chain). The shortcut preserves the
+    * fixpoint: labels are node ids inside the node's own component and
+    * label(label(x)) ≤ label(x), so the limit stays min(doc_id) per
+    * component. Each sweep's tables are cached eagerly and their
+    * predecessors released, exactly the k-means-sweep pattern. The
+    * convergence probe is an isEmpty on the changed-label join.
     * Refuses (loudly) to return an unconverged labeling. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -332,12 +339,32 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val next = edges.join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
+      val nbrMin = edges.join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
         .select(col("a").as("doc_id"), col("label"))
         .union(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .cache()
-      next.count()
+      nbrMin.count()
+      // pointer jump: re-resolve each node's label through the sweep's
+      // own label table (labels are always node ids, so the lookup hits;
+      // left join + coalesce keeps a miss a no-op, never a dropped row)
+      val jumped = nbrMin.join(
+          nbrMin.select(col("doc_id").as("label"), col("label").as("jump")),
+          Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("jump"), col("label")).as("label"))
+      // lineage truncation, the load-bearing half of iterative Spark: the
+      // self-join references nbrMin twice, so without truncation the
+      // logical plan DOUBLES per sweep and plan handling alone blows the
+      // driver heap by sweep ~8. Checkpointing roots each sweep's labels
+      // at a distributed RDD (reliable checkpoint when a dir is
+      // configured — survives executor loss on a real cluster; local
+      // otherwise). The label table is node-ids-only, a vanishing
+      // fraction of the corpus, so the materialization is cheap.
+      val next =
+        if (jumped.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          jumped.checkpoint(eager = true)
+        else jumped.localCheckpoint(eager = true)
+      nbrMin.unpersist()
       converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .filter(col("label") =!= col("old")).isEmpty
       labels.unpersist()

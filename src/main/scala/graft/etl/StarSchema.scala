@@ -232,11 +232,13 @@ object StarSchema {
         .select(col("user_id"), col("event_type").as("state"),
           col("ts").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
-        // state joins the sort key: two runs of one user can share
-        // valid_from when change events tie on ts (adjacent runs always
-        // differ in state, so the triple is unique and the order
-        // engine-deterministic)
-        .orderBy(col("user_id"), col("valid_from"), col("state"))
+        // full sort key: change events tying on ts can produce two runs
+        // of one user with the SAME (valid_from, state) — e.g. types
+        // X,Y,X all at one ts — so valid_to (distinct between such runs
+        // by construction) completes a genuinely unique key; nulls-last
+        // matches DuckDB's ASC default
+        .orderBy(col("user_id"), col("valid_from"), col("state"),
+                 col("valid_to").asc_nulls_last)
     }),
 
     // Keyed MERGE/upsert (§A engine-completeness beyond the reference's
@@ -278,6 +280,48 @@ object StarSchema {
         .agg(count(lit(1)).as("n_orders"),
              round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Z-ordered persistence exercised end-to-end (§H writeZOrdered as a
+    // query surface): orders rewritten clustered by the Morton interleave
+    // of (o_custkey, o_orderkey), then read back through a rectangle
+    // predicate on BOTH dimensions. Each parquet file covers a small
+    // rectangle of the key space, so row-group min/max stats skip data
+    // for predicates on either column — the multi-dimensional layout a
+    // 100 TB fact table filtered by two independent keys wants. The
+    // oracle is the same rectangle aggregate over the un-rewritten table:
+    // the layout must be result-invariant. bits=31 keeps the interleave
+    // exact for every SF's key range (mortonKey refuses wider keys).
+    "etl_zorder_read" -> ((s, dir) => {
+      val path = scratch("etl_zorder_read")
+      Lake.writeZOrdered(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        path, "o_custkey", "o_orderkey", partitions = 8, bits = 31)
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(100, 500) &&
+                col("o_orderkey").between(1000, 50000))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"),
+             min(col("o_orderkey")).as("min_okey"),
+             max(col("o_orderkey")).as("max_okey"))
+    }),
+
+    // Incremental (CDC-style) read exercised end-to-end (§H readSince as
+    // a query surface): events land partitioned by ingestion date, and
+    // the incremental consumer reads only partitions past its watermark.
+    // The predicate is on the directory key, so pruning happens at
+    // file-listing time — cost scales with the NEW data, not the table
+    // (ScaleSpec pins PartitionFilters on this scan). The oracle replays
+    // the same cutoff over the raw table.
+    "etl_incremental_read" -> ((s, dir) => {
+      val path = scratch("etl_incremental_read")
+      Lake.writePartitioned(
+        t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
+        path, Seq("event_date"))
+      Lake.readSince(s, path, "event_date", java.sql.Date.valueOf("2024-01-15"))
+        .groupBy(col("event_date").cast("date").as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_date"), col("event_type"))
     }),
 
     // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
@@ -381,7 +425,7 @@ object StarSchema {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |    AS is_current
         |FROM runs
-        |ORDER BY user_id, valid_from, state""".stripMargin,
+        |ORDER BY user_id, valid_from, state, valid_to""".stripMargin,
 
     "etl_merge_upsert" ->
       """WITH base AS (SELECT event_id, event_type, value FROM events),
@@ -401,6 +445,21 @@ object StarSchema {
         |  round(value, 2) AS value
         |FROM merged
         |ORDER BY event_id""".stripMargin,
+
+    "etl_zorder_read" ->
+      """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+        |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 500
+        |  AND o_orderkey BETWEEN 1000 AND 50000""".stripMargin,
+
+    "etl_incremental_read" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) > DATE '2024-01-15'
+        |GROUP BY 1, 2
+        |ORDER BY event_date, event_type""".stripMargin,
 
     "etl_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -127,8 +127,17 @@ object TextAnalysis {
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      // the narrow (doc_id, term, tf) projection is cached (dedup-sketch
+      // pattern, LRU-evicted): df derives FROM tf — one row per
+      // (doc, term) means count(*) per term IS the document frequency —
+      // so the corpus is scanned+exploded ONCE at cache fill and both
+      // branches read the cache (ScaleSpec pins the InMemoryTableScans).
+      // Column pruning would otherwise specialize the two exchange
+      // subtrees apart and defeat exchange reuse, forcing a second full
+      // explode of the corpus.
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+        .persist()
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_full").desc, col("term"))
       tf.join(df, Seq("term"))
@@ -241,17 +250,28 @@ object TextAnalysis {
     // aggregate joined back on term WITHOUT a broadcast hint (a
     // web-scale vocabulary must be allowed to shuffle; AQE broadcasts
     // when it is measured small) and the corpus total as a broadcast
-    // one-row scalar.
+    // one-row scalar. The join input is pre-aggregated to per-doc term
+    // frequencies first, so the term join shuffles N_distinct(doc, term)
+    // rows — not the corpus's full token stream — and the per-doc mean
+    // comes out of the tf-weighted sum: Σ tf·(−ln p) / Σ tf ≡ avg over
+    // occurrences. tf is cached (dedup-sketch pattern) so its three
+    // consumers (join left, vocab counts, corpus total) share one
+    // scan+explode instead of re-deriving it — column pruning would
+    // otherwise specialize the subtrees apart and defeat exchange reuse.
     "text_logprob" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      val total = terms.agg(count(lit(1)).cast("double").as("n_total"))
-      terms.join(counts, Seq("term"))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist()
+      val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      val total = tf.agg(sum(col("tf")).cast("double").as("n_total"))
+      tf.join(counts, Seq("term"))
         .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-             round(avg(-log(col("cnt") / col("n_total"))), 4).as("avg_neg_logprob"))
+        .agg(sum(col("tf")).as("n_tokens"),
+             round(sum(col("tf") * -log(col("cnt") / col("n_total"))) /
+                     sum(col("tf")), 4).as("avg_neg_logprob"))
         .orderBy(col("doc_id"))
     }),
 
@@ -412,11 +432,12 @@ object TextAnalysis {
     "text_logprob" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |counts AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM terms)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  round(avg(-ln(cnt / n_total)), 4) AS avg_neg_logprob
-        |FROM terms JOIN counts USING (term) CROSS JOIN tot
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |counts AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM tf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * -ln(cnt / n_total)) / sum(tf), 4) AS avg_neg_logprob
+        |FROM tf JOIN counts USING (term) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

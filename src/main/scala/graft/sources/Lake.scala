@@ -110,16 +110,29 @@ object Lake {
     * bit i of `a` lands at position 2i, bit i of `b` at 2i+1, so sorting
     * by the result clusters rows that are close in BOTH dimensions.
     * Pure bitwise column arithmetic — codegen'd, no UDF. `bits` per
-    * dimension (≤ 31; 2·bits ≤ 62 keeps the key positive in a long). */
+    * dimension (≤ 31; 2·bits ≤ 62 keeps the key positive in a long).
+    *
+    * Keys outside [0, 2^bits) would silently truncate (high bits
+    * dropped; negative inputs interleave garbage), clustering unrelated
+    * rows together and degrading row-group skipping with no signal — so
+    * out-of-range keys raise per-row instead. The guard is a codegen'd
+    * conditional on the value already in hand, not an extra validation
+    * pass over the table. */
   def mortonKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
                 bits: Int = 21): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, shiftright, shiftleft}
+    import org.apache.spark.sql.functions.{format_string, lit, raise_error, shiftright, shiftleft, when}
     require(bits >= 1 && bits <= 31, s"bits per dimension must be in [1,31], got $bits")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+    val max = (1L << bits) - 1
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    val interleave = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+    when(al.between(0L, max) && bl.between(0L, max), interleave)
+      .otherwise(raise_error(format_string(
+        s"mortonKey: key outside [0, 2^$bits): a=%s b=%s — pre-normalize " +
+          "keys into range or raise bits", al, bl)))
   }
 
   /** Z-ordered persistence: range-repartition + sort by the Morton key of
@@ -169,15 +182,29 @@ object Lake {
     * (etl.py:120). Returns base rows whose key appears in no change row,
     * plus ALL change rows: changed keys are replaced, new keys inserted,
     * untouched keys pass through. `changes` must be key-unique (a keyed
-    * upsert is ill-defined otherwise). Scale shape: one anti-join on the
-    * key — the base shuffles on the key at most once (not at all when it
-    * is bucketed on the key), and a typical small change batch broadcasts
-    * into the anti-join, so the base never moves. Pair with partitioned
+    * upsert is ill-defined otherwise) — ENFORCED per-row: a duplicate-key
+    * change batch raises instead of silently emitting duplicate rows for
+    * the key and corrupting the merged table. The guard rides on a kept
+    * key column (so column pruning can't elide it) and its window
+    * shuffles only the change side — which is the small side by
+    * construction. Scale shape: one anti-join on the key — the base
+    * shuffles on the key at most once (not at all when it is bucketed on
+    * the key), and a typical small change batch broadcasts into the
+    * anti-join, so the base never moves. Pair with partitioned
     * persistence to rewrite only the partitions that received changes. */
   def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    base.join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(changes)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, concat_ws, count, format_string, lit, raise_error, when}
+    val k0 = keyCols.head
+    val perKey = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
+    val checked = changes.withColumn(k0,
+      when(perKey === 1, col(k0))
+        .otherwise(raise_error(format_string(
+          s"Lake.upsert: duplicate key in change batch ((${keyCols.mkString(", ")}) = (%s)) — " +
+            "a keyed upsert is ill-defined on duplicate-key changes; dedup the batch first",
+          concat_ws(", ", keyCols.map(c => col(c).cast("string")): _*)))))
+    base.join(checked.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(checked)
   }
 
   /** S3A-style lake credential wiring (reference etl.py:33-36) — sets

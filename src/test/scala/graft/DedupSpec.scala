@@ -181,6 +181,18 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L, 10L -> 9L))
   }
 
+  test("connected components converge on a 120-hop chain within maxIters=20") {
+    // one-hop-per-sweep propagation needs diameter sweeps and would abort
+    // at 20; the pointer-jumping shortcut must converge in O(log 120) ≈ 7
+    // sweeps and still land every node on the component min (0)
+    val pairs = spark.range(120)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val got = Dedup.connectedComponents(pairs).collect()
+    assert(got.length == 121)
+    assert(got.forall(_.getAs[Long]("label") == 0L),
+      got.filter(_.getAs[Long]("label") != 0L).take(5).mkString(", "))
+  }
+
   test("deduped corpus has no remaining near-dup pairs and keeps one per cluster") {
     val kept = Dedup.dedupedCorpus(corpus, 0.5, bands = 64)
     val ids = kept.select("doc_id").as[Long].collect().toSet

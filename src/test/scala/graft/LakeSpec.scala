@@ -101,6 +101,33 @@ class LakeSpec extends AnyFunSuite {
     assert(rows == Seq(5L, 10L, 3L, 12L))
   }
 
+  test("morton key refuses out-of-range inputs instead of truncating") {
+    // silent truncation would cluster unrelated rows and quietly degrade
+    // row-group skipping — the guard raises per-row
+    Seq(-1L -> 0L, (1L << 8) -> 0L, 0L -> (1L << 8)).foreach { case (a, b) =>
+      val ex = intercept[Exception] {
+        Seq((a, b)).toDF("a", "b")
+          .select(Lake.mortonKey(col("a"), col("b"), bits = 8).as("z"))
+          .collect()
+      }
+      assert(ex.getMessage.contains("mortonKey"), s"($a,$b): ${ex.getMessage}")
+    }
+    // boundary value still interleaves
+    val ok = Seq(((1L << 8) - 1, 0L)).toDF("a", "b")
+      .select(Lake.mortonKey(col("a"), col("b"), bits = 8).as("z"))
+      .collect().head.getLong(0)
+    assert(ok == 0x5555L)
+  }
+
+  test("upsert refuses a duplicate-key change batch") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dup = Seq((2L, "B"), (2L, "B2")).toDF("id", "v")
+    val ex = intercept[Exception] {
+      Lake.upsert(base, dup, Seq("id")).collect()
+    }
+    assert(ex.getMessage.contains("duplicate key"), ex.getMessage)
+  }
+
   test("z-ordered write answers single-dimension filters correctly") {
     val p = TestSpark.scratch("zorder")
     val df = sources.Lake.table(spark, TestSpark.Sf, "orders")

@@ -65,6 +65,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf and logprob explode the corpus once (consumers read the tf cache)") {
+    // tf's consumers (join left + vocab aggregate, + corpus total for
+    // logprob) must all read the cached narrow (doc_id, term, tf)
+    // projection so the corpus is scanned+exploded exactly once, at cache
+    // fill. Column pruning specializes the branches' subtrees apart, so
+    // WITHOUT the cache each branch re-explodes the corpus (no exchange
+    // reuse) — at 100 TB the second scan+explode is the single biggest
+    // avoidable cost. Every tf consumer must show as an
+    // InMemoryTableScan; the printed InMemoryRelation lineage repeats per
+    // consumer (documented in SURVEY §5), so pin the scan count, not the
+    // Generate count.
+    Seq("text_tfidf" -> 2, "text_logprob" -> 3).foreach { case (k, consumers) =>
+      val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
+        .queryExecution.executedPlan.toString
+      val scans = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(scans == consumers,
+        s"$k: expected $consumers InMemoryTableScans over the tf cache, found $scans:\n$plan")
+    }
+  }
+
+  test("etl_incremental_read prunes partitions at the scan (PartitionFilters)") {
+    // the incremental consumer's cost must scale with the NEW data: the
+    // watermark predicate has to reach the file listing as a partition
+    // filter, not run as a post-scan row filter
+    val df = SparkEntry.queries("etl_incremental_read")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"expected the watermark predicate as a partition filter on the scan:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("no operator plan materializes data on the driver") {
     // structural guard: driver-collected data re-entering a plan shows up
     // as LocalTableScan / Scan ExistingRDD — no query may contain either
@@ -74,7 +105,13 @@ class ScaleSpec extends AnyFunSuite {
       val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("LocalRelation"), s"$k materializes on the driver")
-      assert(plan.contains("Relation") || plan.contains("relation"), k)
+      // dedup_clusters' label table is lineage-truncated by a per-sweep
+      // checkpoint (the pointer-jump self-join would otherwise double the
+      // plan every sweep) — its root is a LogicalRDD over DISTRIBUTED
+      // executor partitions, not driver data, so it is the one plan
+      // allowed to lack a lake relation
+      if (k == "dedup_clusters") assert(plan.contains("LogicalRDD"), k)
+      else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
   }
 }
