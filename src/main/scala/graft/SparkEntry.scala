@@ -14,7 +14,7 @@ object SparkEntry {
     operators.Relational.queries ++ etl.StarSchema.queries ++
       functions.TextAnalysis.queries ++ dedup.Dedup.queries ++
       ann.Similarity.queries ++ multimodal.Multimodal.queries ++
-      streaming.Streams.queries
+      streaming.Streams.queries ++ quality.Quality.queries
 
   /** Queries whose lambda performs HEAVY work beyond building a plan —
     * lake round-trip writes and streaming materializations. Shared by
@@ -45,5 +45,5 @@ object SparkEntry {
     operators.Relational.oracles ++ etl.StarSchema.oracles ++
       functions.TextAnalysis.oracles ++ dedup.Dedup.oracles ++
       ann.Similarity.oracles ++ multimodal.Multimodal.oracles ++
-      streaming.Streams.oracles
+      streaming.Streams.oracles ++ quality.Quality.oracles
 }

@@ -39,6 +39,8 @@ object Similarity {
   private val EmbDim = 64
   private val IvfCentroids = 8
   private val IvfProbe = 4
+  /** Neighbors kept per vector in the corpus k-NN graph. */
+  private val KnnK = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -88,7 +90,39 @@ object Similarity {
     "ann_ivf" -> ((s, dir) =>
       ivfTopK(t(s, dir, "embeddings"), queryIds = NumQueries,
         nCentroids = IvfCentroids, nProbe = IvfProbe, k = K)
-        .orderBy(col("query_id"), col("rank")))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // Corpus k-NN GRAPH via LSH buckets — the all-vectors variant of
+    // ann_lsh (every vector is a query), the builder behind semantic
+    // dedup graphs and cluster seeding. No broadcast side at all: both
+    // sides of the candidate join are the corpus exploded by LSH table,
+    // so the only shuffle is the bucket equi-join plus the per-vector
+    // top-k window (WindowGroupLimit keeps the partial top-k
+    // partition-local before the final rank). Each vector scores only
+    // its bucket mates (~|corpus|/2^bits per table), never the corpus —
+    // the quadratic stays inside buckets. Dense regions make hot
+    // buckets; AQE skew-join handles them (GraftSession enables it).
+    "ann_knn_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("buckets",
+          GraftFunctions.lshBuckets(col("embedding"), tables = LshTables, bits = LshBits))
+      val b = emb.select(col("vec_id"), col("embedding"), explode(col("buckets")).as("bucket"))
+      val left = b.select(col("bucket"), col("vec_id"), col("embedding").as("emb_a"))
+      val right = b.select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_b"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_full").desc, col("neighbor_id"))
+      left.join(right, Seq("bucket"))
+        .filter(col("vec_id") =!= col("neighbor_id"))
+        .select(col("vec_id"), col("neighbor_id"), col("emb_a"), col("emb_b"))
+        .distinct()                                  // same pair can meet in several tables
+        .withColumn("cos_full", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KnnK)
+        .select(col("vec_id"), col("neighbor_id"), col("rank"),
+                round(col("cos_full"), 6).as("cosine"))
+        .orderBy(col("vec_id"), col("rank"))
+    })
   )
 
   /** k-means training sweeps (fixed — unrolled in the SQL oracle). */
@@ -230,7 +264,51 @@ object Similarity {
     (init +: sweeps).mkString(",\n")
   }
 
+  /** Shared DuckDB CTE chain reproducing [[GraftFunctions.lshBuckets]]
+    * bit-exactly: md5-derived hyperplanes, sequential left-fold dots,
+    * table-tagged sign buckets. Used by both ann_lsh (query→corpus) and
+    * ann_knn_join (corpus→corpus). */
+  private val lshBucketsCtes =
+    s"""w AS (
+       |  SELECT p.plane AS plane, d.d AS d,
+       |    ((list_reduce(list_prepend(0::HUGEINT,
+       |        [(strpos('0123456789abcdef', ch) - 1)::HUGEINT
+       |         for ch in string_split(substring(md5('42:' || p.plane || ':' || d.d), 1, 16), '')]),
+       |      (a, x) -> a * 16 + x) // 2048)::DOUBLE
+       |     / 9007199254740992.0 * 2.0 - 1.0) AS w
+       |  FROM range(${LshTables * LshBits}) p(plane), range($EmbDim) d(d)),
+       |wl AS (SELECT plane, list(w ORDER BY d) AS ws FROM w GROUP BY plane),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |dots AS (
+       |  SELECT e.vec_id, wl.plane,
+       |    list_reduce(list_prepend(0.0,
+       |      [wl.ws[i] * e.emb[i] for i in range(1, len(e.emb) + 1)]),
+       |      (a, x) -> a + x) AS dot
+       |  FROM e CROSS JOIN wl),
+       |buckets AS (
+       |  SELECT vec_id, (plane // $LshBits) * 4294967296 +
+       |    CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (plane % $LshBits))
+       |             ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots
+       |  GROUP BY vec_id, (plane // $LshBits))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ann_knn_join" ->
+      s"""WITH $lshBucketsCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, cb.vec_id AS neighbor_id
+         |  FROM buckets a JOIN buckets cb ON a.bucket = cb.bucket
+         |  WHERE a.vec_id <> cb.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    list_cosine_similarity(ae.emb, ne.emb) AS cos_full,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_cosine_similarity(ae.emb, ne.emb) DESC, c.neighbor_id) AS rank
+         |  FROM cand c JOIN e ae ON ae.vec_id = c.vec_id
+         |              JOIN e ne ON ne.vec_id = c.neighbor_id)
+         |SELECT vec_id, neighbor_id, rank, round(cos_full, 6) AS cosine
+         |FROM scored WHERE rank <= $KnnK
+         |ORDER BY vec_id, rank""".stripMargin,
     "ann_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine
          |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -250,28 +328,7 @@ object Similarity {
     // md5; the dot product is the same sequential left fold, so every
     // bucket id — including near-zero dot signs — matches the kernel.
     "ann_lsh" ->
-      s"""WITH w AS (
-         |  SELECT p.plane AS plane, d.d AS d,
-         |    ((list_reduce(list_prepend(0::HUGEINT,
-         |        [(strpos('0123456789abcdef', ch) - 1)::HUGEINT
-         |         for ch in string_split(substring(md5('42:' || p.plane || ':' || d.d), 1, 16), '')]),
-         |      (a, x) -> a * 16 + x) // 2048)::DOUBLE
-         |     / 9007199254740992.0 * 2.0 - 1.0) AS w
-         |  FROM range(${LshTables * LshBits}) p(plane), range($EmbDim) d(d)),
-         |wl AS (SELECT plane, list(w ORDER BY d) AS ws FROM w GROUP BY plane),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |dots AS (
-         |  SELECT e.vec_id, wl.plane,
-         |    list_reduce(list_prepend(0.0,
-         |      [wl.ws[i] * e.emb[i] for i in range(1, len(e.emb) + 1)]),
-         |      (a, x) -> a + x) AS dot
-         |  FROM e CROSS JOIN wl),
-         |buckets AS (
-         |  SELECT vec_id, (plane // $LshBits) * 4294967296 +
-         |    CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (plane % $LshBits))
-         |             ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM dots
-         |  GROUP BY vec_id, (plane // $LshBits)),
+      s"""WITH $lshBucketsCtes,
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, cb.vec_id AS neighbor_id
          |  FROM buckets q JOIN buckets cb ON q.bucket = cb.bucket

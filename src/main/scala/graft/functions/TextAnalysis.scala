@@ -307,6 +307,55 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Fixed-window token chunking with overlap — the sequence-prep step
+    // that turns raw documents into training-ready chunks (context-window
+    // slices with stride overlap so no boundary context is lost). Pure
+    // per-row narrow work: the chunk starts are a generated sequence, the
+    // slices are array ops on the already-split token list — no shuffle
+    // except the presentation ORDER BY, so at 100 TB this runs at scan
+    // speed and parallelism follows the input partitioning. Chunk window
+    // 16 / stride 12 keeps the test corpus (~54-token docs) multi-chunk;
+    // a production run would use the model context size. The chunk text
+    // itself is emitted as an md5 so the gate pins content without
+    // shipping it.
+    "text_chunk" -> ((s, dir) => {
+      val (win, stride) = (16, 12)
+      t(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("ws"),
+          explode(expr(s"sequence(1, size(ws), $stride)")).as("start"))
+        .select(col("doc_id"),
+          expr(s"CAST((start - 1) DIV $stride AS INT)").as("chunk_id"),
+          expr(s"slice(ws, start, $win)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // PII redaction — the scrubbing pass a training corpus gets before
+    // anything else: count and mask email addresses and phone numbers,
+    // emitting per-doc match counts plus an md5 of the REDACTED text (so
+    // the gate pins the replacement output, not just the counts). Pure
+    // per-row regex map over codegen'd builtins — scan-speed at 100 TB.
+    // The synthetic corpus contains no PII, so four planted docs
+    // (negative ids, spark.range-built — never a driver LocalRelation,
+    // never colliding with real ids) make the gate non-vacuous: 3 with
+    // known email/phone mixes, 1 clean negative control. The patterns
+    // stay inside the Java∩RE2 common subset so both engines match
+    // identically.
+    "text_pii" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(plantedPii(s))
+      corpus
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+          regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>")).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus-wide top bigrams: explode→count→top-k. Partial aggregation
     // collapses each partition's counts before the shuffle; top-k is
     // TakeOrderedAndProject, so the driver sees k rows, not the corpus.
@@ -322,6 +371,30 @@ object TextAnalysis {
         .orderBy(col("cnt").desc, col("ngram"))
         .limit(25))
   )
+
+  /** PII patterns, restricted to the Java∩RE2 regex common subset so
+    * Spark (java.util.regex) and DuckDB (RE2) match identical spans. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Planted PII documents for the text_pii gate — the synthetic corpus
+    * has no emails/phones, so without these the gate would pin only
+    * zeros. Three docs with known email/phone mixes plus one clean
+    * negative control; negative doc_ids can never collide with testdata
+    * ids at any scale factor. spark.range-built (distributed one-task
+    * plan, not a driver LocalRelation); the oracle rebuilds the same
+    * rows from the same literals. */
+  private[graft] val PlantedPiiTexts = Seq(
+    "contact me at alice@example.com or bob.smith@corp.io for details",
+    "call +1 555-123-4567 or 555-987-6543 now",
+    "email carol_jones@mail.example.org phone 800-555-0199",
+    "no pii here just plain words")
+  private[graft] def plantedPii(s: SparkSession): DataFrame = {
+    val texts = PlantedPiiTexts.map(t => s"'$t'").mkString(", ")
+    s.range(PlantedPiiTexts.size)
+      .select((-(col("id") + 1)).as("doc_id"),
+        expr(s"element_at(array($texts), CAST(id + 1 AS INT))").as("text"))
+  }
 
   private val stopListSql = StopwordsEn.map(w => s"'$w'").mkString(", ")
   private val stopListDeSql = StopwordsDe.map(w => s"'$w'").mkString(", ")
@@ -339,7 +412,36 @@ object TextAnalysis {
        |    (h, c) -> (h * 257 + c) % 2305843009213693951::HUGEINT) AS BIGINT)
        |END""".stripMargin
 
+  /** DuckDB replica of [[plantedPii]] — same literals, same negative
+    * ids. */
+  private val plantedPiiCte = {
+    val texts = PlantedPiiTexts.map(t => s"'$t'").mkString(", ")
+    s"""planted AS (
+       |  SELECT -(i + 1) AS doc_id, [$texts][CAST(i + 1 AS INT)] AS text
+       |  FROM range(${PlantedPiiTexts.size}) t(i))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 12)) AS p
+        |       FROM d)
+        |SELECT doc_id, CAST((p - 1) // 12 AS INT) AS chunk_id,
+        |  len(ws[p:p + 15]) AS n_tokens,
+        |  md5(array_to_string(ws[p:p + 15], ' ')) AS chunk_hash
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_pii" ->
+      s"""WITH $plantedPiiCte,
+         |corpus AS (SELECT doc_id, text FROM documents
+         |           UNION ALL SELECT doc_id, text FROM planted)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
+         |FROM corpus ORDER BY doc_id""".stripMargin,
+
     "text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,
          |  len(string_split(text, ' ')) AS n_tokens,

@@ -1,0 +1,154 @@
+package graft.quality
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Lake
+
+/** Data profiling and quality-constraint checking (SURVEY.md §I) — the
+  * Deequ-shaped validation pass a production lake runs before trusting a
+  * table, here over the `orders` fact.
+  *
+  * Scale design: every single-table metric for every column folds into
+  * ONE wide aggregate — one scan of the table no matter how many
+  * columns/constraints are profiled (the exact count-distincts share a
+  * single Expand + shuffle, which is the standard Spark multi-distinct
+  * plan; at 100 TB swap in approx_count_distinct for a one-pass sketch
+  * if exactness isn't contractual). The only non-single-table check —
+  * referential integrity — is one anti-join on the key, broadcast when
+  * the dimension is measured small by AQE. The reports themselves are
+  * O(columns) and O(constraints) rows: the stack() generators run on the
+  * one-row aggregate outputs, never on table data.
+  */
+object Quality {
+
+  private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-column profile of orders: non-null count, exact distinct
+    // count, numeric min/max (double) and lexical min/max (string) split
+    // by type so the output schema is homogeneous. Timestamps profile
+    // through their ISO string form — identical text in both engines
+    // under the UTC session.
+    "profile_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val wide = o.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("nn_okey"),
+        countDistinct(col("o_orderkey")).as("nd_okey"),
+        min(col("o_orderkey")).cast("double").as("mn_okey"),
+        max(col("o_orderkey")).cast("double").as("mx_okey"),
+        count(col("o_custkey")).as("nn_ckey"),
+        countDistinct(col("o_custkey")).as("nd_ckey"),
+        min(col("o_custkey")).cast("double").as("mn_ckey"),
+        max(col("o_custkey")).cast("double").as("mx_ckey"),
+        count(col("o_totalprice")).as("nn_price"),
+        countDistinct(col("o_totalprice")).as("nd_price"),
+        min(col("o_totalprice")).cast("double").as("mn_price"),
+        max(col("o_totalprice")).cast("double").as("mx_price"),
+        count(col("o_orderstatus")).as("nn_status"),
+        countDistinct(col("o_orderstatus")).as("nd_status"),
+        min(col("o_orderstatus")).as("mns_status"),
+        max(col("o_orderstatus")).as("mxs_status"),
+        count(col("o_orderpriority")).as("nn_prio"),
+        countDistinct(col("o_orderpriority")).as("nd_prio"),
+        min(col("o_orderpriority")).as("mns_prio"),
+        max(col("o_orderpriority")).as("mxs_prio"),
+        count(col("o_orderdate")).as("nn_date"),
+        countDistinct(col("o_orderdate")).as("nd_date"),
+        min(col("o_orderdate")).cast("string").as("mns_date"),
+        max(col("o_orderdate")).cast("string").as("mxs_date"))
+      wide.select(col("n_rows"), expr(
+        """stack(6,
+          |  'o_orderkey',      nn_okey,   nd_okey,   mn_okey,  mx_okey,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'o_custkey',       nn_ckey,   nd_ckey,   mn_ckey,  mx_ckey,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'o_totalprice',    nn_price,  nd_price,  mn_price, mx_price, CAST(NULL AS STRING), CAST(NULL AS STRING),
+          |  'o_orderstatus',   nn_status, nd_status, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_status, mxs_status,
+          |  'o_orderpriority', nn_prio,   nd_prio,   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_prio,   mxs_prio,
+          |  'o_orderdate',     nn_date,   nd_date,   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_date,   mxs_date)
+          |AS (col_name, n_nonnull, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin))
+        .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+        .orderBy(col("col_name"))
+    }),
+
+    // Constraint report: every check is expressed as a VIOLATION COUNT
+    // (passed ⇔ 0), so completeness, uniqueness, range, accepted-values
+    // fuse into the same one-scan wide aggregate, and referential
+    // integrity is the one anti-join. A failed constraint reports HOW
+    // wrong the table is, not just that it is.
+    "dq_checks" -> ((s, dir) =>
+      constraintReport(t(s, dir, "orders"), t(s, dir, "customer")))
+  )
+
+  /** The dq_checks engine over explicit inputs — split out so specs can
+    * feed planted-violation tables and pin the exact violation counts. */
+  def constraintReport(o: DataFrame, c: DataFrame): DataFrame = {
+    {
+      val single = o.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status"))
+      // nulls are completeness's violation, not referential's — count
+      // only non-null keys with no dimension row
+      val orphans = o.filter(col("o_custkey").isNotNull)
+        .join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_custkey"))
+      single.crossJoin(broadcast(orphans))
+        .select(expr(
+          """stack(5,
+            |  'accepted_values_o_orderstatus',    bad_status,
+            |  'completeness_o_custkey',           null_custkey,
+            |  'range_o_totalprice_positive',      nonpos_price,
+            |  'referential_o_custkey_in_customer', orphan_custkey,
+            |  'uniqueness_o_orderkey',            dup_orderkey)
+            |AS (check_name, violations)""".stripMargin))
+        .withColumn("passed", col("violations") === 0)
+        .orderBy(col("check_name"))
+    }
+  }
+
+  val oracles: Map[String, String] = Map(
+    "profile_stats" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |    count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM orders
+        |  UNION ALL SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE), NULL, NULL FROM orders
+        |  UNION ALL SELECT 'o_totalprice', count(*), count(o_totalprice), count(DISTINCT o_totalprice),
+        |    min(o_totalprice), max(o_totalprice), NULL, NULL FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', count(*), count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |    NULL, NULL, min(o_orderstatus), max(o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', count(*), count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |    NULL, NULL, min(o_orderpriority), max(o_orderpriority) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', count(*), count(o_orderdate), count(DISTINCT o_orderdate),
+        |    NULL, NULL, CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR) FROM orders)
+        |SELECT col_name, n_rows, n_nonnull, n_distinct, min_num, max_num, min_str, max_str
+        |FROM p ORDER BY col_name""".stripMargin,
+
+    "dq_checks" ->
+      """WITH m AS (SELECT
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |    count(*) - count(DISTINCT o_orderkey) AS dup_orderkey,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status
+        |  FROM orders),
+        |r AS (SELECT count(*) AS orphan_custkey
+        |      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |      WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL),
+        |u AS (
+        |  SELECT 'accepted_values_o_orderstatus' AS check_name, bad_status AS violations FROM m
+        |  UNION ALL SELECT 'completeness_o_custkey', null_custkey FROM m
+        |  UNION ALL SELECT 'range_o_totalprice_positive', nonpos_price FROM m
+        |  UNION ALL SELECT 'referential_o_custkey_in_customer', orphan_custkey FROM r
+        |  UNION ALL SELECT 'uniqueness_o_orderkey', dup_orderkey FROM m)
+        |SELECT check_name, violations, violations = 0 AS passed
+        |FROM u ORDER BY check_name""".stripMargin
+  )
+}

@@ -82,4 +82,33 @@ class AnnSpec extends AnyFunSuite {
     assert(trainedObj >= seedObj - 1e-5,
       s"training degraded the k-means objective: $seedObj -> $trainedObj")
   }
+
+  test("knn join builds a sane graph and agrees with brute force on queries") {
+    val rows = Similarity.queries("ann_knn_join")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    // graph invariants: no self-edges, contiguous ranks from 1, cosines
+    // non-increasing within a vector
+    val byVec = rows.groupBy(_.getAs[Long]("vec_id"))
+    byVec.foreach { case (v, es) =>
+      assert(es.forall(_.getAs[Long]("neighbor_id") != v))
+      val sorted = es.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to es.length))
+      val cs = sorted.map(_.getAs[Double]("cosine"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"vec $v")
+    }
+    // the graph's rank-1 neighbor should usually be the true nearest:
+    // compare against brute force on the query subset it covers
+    val exact1 = Similarity.queries("ann_bruteforce")(spark, TestSpark.Sf)
+      .collect()
+      .filter(r => r.getAs[Int]("rank") == 2) // rank 1 is the vector itself
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val graph1 = byVec.collect {
+      case (v, es) if exact1.contains(v) =>
+        v -> es.minBy(_.getAs[Int]("rank")).getAs[Long]("neighbor_id")
+    }
+    val agree = graph1.count { case (v, n) => exact1(v) == n }
+    info(s"knn rank-1 agreement on queries: $agree/${graph1.size}")
+    assert(agree.toDouble / graph1.size >= 0.3,
+      s"rank-1 agreement $agree/${graph1.size}")
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.quality.Quality
+
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profile_stats reports exact per-column facts for orders") {
+    val rows = Quality.queries("profile_stats")(spark, TestSpark.Sf).collect()
+    assert(rows.length == 6)
+    val byCol = rows.map(r => r.getAs[String]("col_name") -> r).toMap
+    val nRows = rows.head.getAs[Long]("n_rows")
+    // the key column is complete and unique; numeric columns carry
+    // numeric min/max, string/timestamp columns the string pair
+    val okey = byCol("o_orderkey")
+    assert(okey.getAs[Long]("n_nonnull") == nRows)
+    assert(okey.getAs[Long]("n_distinct") == nRows)
+    assert(okey.getAs[Double]("min_num") <= okey.getAs[Double]("max_num"))
+    assert(okey.isNullAt(okey.fieldIndex("min_str")))
+    val status = byCol("o_orderstatus")
+    assert(status.isNullAt(status.fieldIndex("min_num")))
+    assert(Set("F", "O", "P").contains(status.getAs[String]("min_str")))
+    val date = byCol("o_orderdate")
+    // ISO text sorts chronologically, so the string pair is ordered
+    assert(date.getAs[String]("min_str") <= date.getAs[String]("max_str"))
+  }
+
+  test("dq_checks passes the clean testdata with zero violations") {
+    val rows = Quality.queries("dq_checks")(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getAs[String]("check_name")).toSeq == Seq(
+      "accepted_values_o_orderstatus", "completeness_o_custkey",
+      "range_o_totalprice_positive", "referential_o_custkey_in_customer",
+      "uniqueness_o_orderkey"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("violations") == 0L, r.toString)
+      assert(r.getAs[Boolean]("passed"), r.toString)
+    }
+  }
+
+  test("dq_checks counts each planted violation kind exactly") {
+    // orders: duplicate key (1,1), null custkey, non-positive price,
+    // unknown status, and custkey 99 with no customer row
+    val o = Seq(
+      (1L, Option(10L), "O", 5.0),
+      (1L, Option(10L), "F", 6.0), // duplicate o_orderkey -> 1
+      (2L, None, "P", 7.0), //         null custkey        -> 1
+      (3L, Option(10L), "X", -1.0), // bad status + nonpos -> 1 each
+      (4L, Option(99L), "O", 8.0) //   orphan custkey      -> 1
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val c = Seq(10L).toDF("c_custkey")
+    val got = Quality.constraintReport(o, c).collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("violations"))
+      .toMap
+    assert(got == Map(
+      "accepted_values_o_orderstatus" -> 1L,
+      "completeness_o_custkey" -> 1L,
+      "range_o_totalprice_positive" -> 1L,
+      "referential_o_custkey_in_customer" -> 1L,
+      "uniqueness_o_orderkey" -> 1L))
+    assert(Quality.constraintReport(o, c).collect()
+      .forall(!_.getAs[Boolean]("passed")))
+  }
+}

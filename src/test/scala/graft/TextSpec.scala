@@ -127,6 +127,45 @@ class TextSpec extends AnyFunSuite {
     assert(Kernels.md5Top8(UTF8String.fromString("")) == 0xd41d8cd98f00b204L)
   }
 
+  test("text_chunk windows tile every document with stride overlap") {
+    val docs = TextAnalysis.queries("text_stats")(spark, TestSpark.Sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    val chunks = TextAnalysis.queries("text_chunk")(spark, TestSpark.Sf)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(chunks.keySet == docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = docs(id)
+      // chunk count = number of stride starts; all but the last are the
+      // full window; the tail chunk covers exactly the remaining tokens
+      val expected = (1 to n by 12).size
+      assert(cs.length == expected, s"doc $id: ${cs.length} != $expected")
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_id"))
+      sorted.init.foreach(c => assert(c.getAs[Int]("n_tokens") == 16 ||
+        c.getAs[Int]("n_tokens") == n - c.getAs[Int]("chunk_id") * 12))
+      val last = sorted.last
+      assert(last.getAs[Int]("n_tokens") == n - last.getAs[Int]("chunk_id") * 12)
+    }
+  }
+
+  test("text_pii counts and redacts the planted PII, zero on the clean corpus") {
+    val rows = TextAnalysis.queries("text_pii")(spark, TestSpark.Sf).collect()
+    val planted = rows.filter(_.getAs[Long]("doc_id") < 0)
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"))).toMap
+    assert(planted == Map(-1L -> (2, 0), -2L -> (0, 2), -3L -> (1, 1),
+      -4L -> (0, 0)))
+    // the whole real corpus is PII-free word soup
+    assert(rows.filter(_.getAs[Long]("doc_id") >= 0)
+      .forall(r => r.getAs[Int]("n_emails") == 0 && r.getAs[Int]("n_phones") == 0))
+    // redaction replaced the matched spans: planted doc -1 redacts to a
+    // known string
+    val expect = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      "contact me at <EMAIL> or <EMAIL> for details")
+    assert(rows.find(_.getAs[Long]("doc_id") == -1L).get
+      .getAs[String]("redacted_hash") == expect)
+  }
+
   test("simhash of identical token streams is identical; distance grows with change") {
     def sh(s: String) = {
       val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
