@@ -36,8 +36,9 @@ object SparkEntry {
   val materializingQueries: Set[String] = Set(
     "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
     "etl_partitioned_write", "etl_zorder_read", "etl_incremental_read",
+    "etl_incremental_agg",
     "stream_window", "stream_session", "stream_dedup", "stream_join",
-    "stream_content_dedup", "stream_trending")
+    "stream_content_dedup", "stream_trending", "stream_upsert")
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */

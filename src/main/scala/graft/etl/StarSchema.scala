@@ -324,6 +324,35 @@ object StarSchema {
         .orderBy(col("event_date"), col("event_type"))
     }),
 
+    // Incremental aggregate maintenance (the lakehouse materialized-view
+    // refresh): a BASE partial aggregate over history up to a cutoff is
+    // persisted once; each refresh aggregates ONLY the delta past the
+    // cutoff and combines partials by key — refresh cost scales with the
+    // new data, not with history (pair the delta scan with
+    // date-partitioned landing and it is partition-pruned too, the
+    // readSince shape). Partials are (count, sum), which combine
+    // associatively; derived metrics (avg) belong at read time. The
+    // oracle recomputes the aggregate over the full table — the
+    // incremental path must be result-identical to the full recompute.
+    "etl_incremental_agg" -> ((s, dir) => {
+      val cutoff = lit("2024-01-15").cast("date")
+      val path = scratch("etl_incremental_agg")
+      val ev = t(s, dir, "events").withColumn("event_date", to_date(col("ts")))
+      Lake.writeParquet(
+        ev.filter(col("event_date") <= cutoff)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value")),
+        path)
+      val delta = ev.filter(col("event_date") > cutoff)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      s.read.parquet(path).unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"),
+          round(sum(col("sum_value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
     // the reference's songplay query shape end-to-end in SQL.
     "sql_surface" -> ((s, dir) => {
@@ -452,6 +481,12 @@ object StarSchema {
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 500
         |  AND o_orderkey BETWEEN 1000 AND 50000""".stripMargin,
+
+    "etl_incremental_agg" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "etl_incremental_read" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,

@@ -79,7 +79,30 @@ object Quality {
     // integrity is the one anti-join. A failed constraint reports HOW
     // wrong the table is, not just that it is.
     "dq_checks" -> ((s, dir) =>
-      constraintReport(t(s, dir, "orders"), t(s, dir, "customer")))
+      constraintReport(t(s, dir, "orders"), t(s, dir, "customer"))),
+
+    // Equi-width histogram of a numeric column (the distribution half of
+    // profiling): 10 bins over [min, max], bounds from a one-row
+    // broadcast scalar aggregate (the q11 pattern — no driver-side
+    // collect, no second job at plan time). Two scans total — one for
+    // the bounds, one binning pass — and the binning is a codegen'd
+    // arithmetic map feeding a 10-group aggregate. The bin formula is
+    // spelled identically in both engines (same IEEE double ops in the
+    // same order), so bin edges land identically.
+    "profile_hist" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val bounds = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(bounds))
+        .select(least(lit(9), floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / 10.0))).cast("int").as("bin"),
+          col("o_totalprice"), col("mn"), col("mx"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bin"))
+    })
   )
 
   /** The dq_checks engine over explicit inputs — split out so specs can
@@ -149,6 +172,16 @@ object Quality {
         |  UNION ALL SELECT 'referential_o_custkey_in_customer', orphan_custkey FROM r
         |  UNION ALL SELECT 'uniqueness_o_orderkey', dup_orderkey FROM m)
         |SELECT check_name, violations, violations = 0 AS passed
-        |FROM u ORDER BY check_name""".stripMargin
+        |FROM u ORDER BY check_name""".stripMargin,
+
+    "profile_hist" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |           FROM orders)
+        |SELECT CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0)))
+        |            AS INT) AS bin,
+        |  count(*) AS cnt,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1 ORDER BY bin""".stripMargin
   )
 }

@@ -263,6 +263,18 @@ object Streams {
       }
   }
 
+  /** Newest row per user under the total order (ts desc, event_id desc) —
+    * the per-key max the stream_upsert fold applies per micro-batch.
+    * Total order ⇒ the fold is associative/commutative over any batch
+    * partitioning (StreamsSpec pins this against a split replay). */
+  private[graft] def latestPerUser(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Watermark + tumbling 1 h window over a file stream, materialized via
@@ -377,6 +389,43 @@ object Streams {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // Streaming CDC upsert into a lake dimension (foreachBatch — the
+    // sink-side maintenance loop every streaming pipeline ends with):
+    // the event feed is a change stream keyed by user_id, and each
+    // micro-batch folds into the maintained current-state-per-user table
+    // by keeping the newest row per key of (state ∪ batch). The fold is
+    // a per-key MAX under the total order (ts, event_id) — associative
+    // and commutative — so the result is identical whether the feed
+    // arrives in one batch or a thousand, which is exactly what the
+    // batch oracle (latest event per user over the whole table) checks;
+    // an anti-join replace (Lake.upsert) would instead depend on batch
+    // arrival order. State lineage is checkpoint-truncated each batch
+    // (the connectedComponents iterative-fold pattern). Scale note: the
+    // fold re-shuffles the full state per batch; the production upgrade
+    // is a key-partitioned store so each batch rewrites only touched
+    // partitions — the same pairing called out at etl_partitioned_write.
+    "stream_upsert" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val key = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val outPath = s"/root/repo/target/graft-scratch/stream_upsert_out-$key"
+      var state: DataFrame = null
+      val fold: (Dataset[Row], Long) => Unit = (batch, _) => {
+        val in = latestPerUser(batch.toDF())
+        val merged =
+          if (state == null) in else latestPerUser(state.unionByName(in))
+        state = merged.localCheckpoint(eager = true)
+      }
+      val feed = readEventsStream(s, dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val q = feed.writeStream.foreachBatch(fold).start()
+      try q.processAllAvailable() finally q.stop()
+      state.write.mode("overwrite").parquet(outPath)
+      s.read.parquet(outPath)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Gap sessionization (batch path of the shared fold; the streaming
     // flatMapGroupsWithState path is asserted equal in the spec).
     "stream_session" -> ((s, dir) => {
@@ -404,6 +453,17 @@ object Streams {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // Batch equivalent of the streaming CDC fold: latest event per user
+    // under the same (ts, event_id) total order.
+    "stream_upsert" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
 
     // Batch equivalent of the landing-zone content dedup: one row per
     // distinct normalized-content hash (columns are hash-determined, so

@@ -40,6 +40,23 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("profile_hist partitions every row into an in-range bin") {
+    val rows = Quality.queries("profile_hist")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val bins = rows.map(_.getAs[Int]("bin"))
+    assert(bins.forall(b => b >= 0 && b <= 9))
+    assert(bins.distinct.length == bins.length)
+    // bin counts cover the whole table, and bin value ranges are
+    // disjoint and ordered
+    val total = sources.Lake.table(spark, TestSpark.Sf, "orders").count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == total)
+    val sorted = rows.sortBy(_.getAs[Int]("bin"))
+    sorted.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+  }
+
   test("dq_checks counts each planted violation kind exactly") {
     // orders: duplicate key (1,1), null custkey, non-positive price,
     // unknown status, and custkey 99 with no customer row

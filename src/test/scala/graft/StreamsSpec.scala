@@ -94,6 +94,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.size <= 4)
   }
 
+  test("stream_upsert's fold is batch-boundary independent") {
+    // the per-key max under (ts desc, event_id desc) must give the same
+    // final state whether the feed folds in one batch or many, in any
+    // order — replay the events table as 3 chunks, fold sequentially,
+    // and compare against the all-at-once fold
+    val ev = sources.Lake.table(spark, TestSpark.Sf, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val chunks = Seq(0, 1, 2).map(i =>
+      ev.filter(pmod(col("event_id"), lit(3)) === i))
+    val folded = chunks.tail.foldLeft(Streams.latestPerUser(chunks.head)) {
+      (state, batch) =>
+        Streams.latestPerUser(state.unionByName(Streams.latestPerUser(batch)))
+    }
+    val direct = Streams.latestPerUser(ev)
+    assert(folded.exceptAll(direct).isEmpty && direct.exceptAll(folded).isEmpty)
+    // and the reversed chunk order lands on the same state (commutativity)
+    val reversed = chunks.reverse.tail.foldLeft(Streams.latestPerUser(chunks.reverse.head)) {
+      (state, batch) =>
+        Streams.latestPerUser(state.unionByName(Streams.latestPerUser(batch)))
+    }
+    assert(reversed.exceptAll(direct).isEmpty && direct.exceptAll(reversed).isEmpty)
+  }
+
   test("session fold: gap splitting, counts and sums") {
     def ev(uid: Long, minute: Long, v: Double, id: Long) =
       Streams.Ev(uid, minute * 60L * 1000000, id, v)
