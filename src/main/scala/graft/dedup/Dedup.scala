@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Lake
 import graft.functions.TextAnalysis
@@ -460,7 +461,40 @@ object Dedup {
     "dedup_clusters" -> ((s, dir) =>
       connectedComponents(minhashPairs(t(s, dir, "documents"), 0.8))
         .select(col("doc_id"), col("label").as("cluster_id"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Tabular entity resolution — fuzzy-match an incoming DIRTY batch
+    // against the master dimension (the record-linkage shape: new CRM
+    // rows, crawled listings, OCR'd forms). The dirty batch is derived
+    // deterministically from the master itself (one character
+    // substituted in each of the first 50 names, negative keys), so both
+    // engines rebuild identical inputs and every dirty row has a known
+    // true match. Blocking on the preserved attribute (nationkey) bounds
+    // comparisons to |batch| × |block| instead of |batch| × |master|;
+    // the edit-distance verify runs block-local after the SMALL batch
+    // broadcasts, so the master never shuffles. Best match per dirty row
+    // = min (levenshtein, custkey). At batch ≈ master scale this shape
+    // hands over to the banded/LSH candidate generators above.
+    "dedup_entity" -> ((s, dir) => {
+      val master = t(s, dir, "customer")
+      val dirty = master.filter(col("c_custkey") < 50)
+        .select((-(col("c_custkey") + 1)).as("d_key"),
+          concat(substring(col("c_name"), 1, 9), lit("x"),
+            substring(col("c_name"), 11, 1000)).as("d_name"),
+          col("c_nationkey"))
+      val w = Window.partitionBy(col("d_key"))
+        .orderBy(col("lev"), col("c_custkey"))
+      val cw = Window.partitionBy(col("d_key"))
+      broadcast(dirty).join(master, Seq("c_nationkey"))
+        .withColumn("lev", levenshtein(col("d_name"), col("c_name")))
+        .filter(col("lev") <= 2)
+        .withColumn("n_cand", count(lit(1)).over(cw))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("d_key"), col("c_custkey").as("matched_key"),
+          col("c_name").as("matched_name"), col("lev"), col("n_cand"))
+        .orderBy(col("d_key"))
+    })
   )
 
   /** DuckDB CTE: distinct word-3-shingles per doc, mirroring [[shingles]]
@@ -525,6 +559,25 @@ object Dedup {
       |  FROM votes GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_entity" ->
+      """WITH dirty AS (
+        |  SELECT -(c_custkey + 1) AS d_key,
+        |    substring(c_name, 1, 9) || 'x' || substring(c_name, 11) AS d_name,
+        |    c_nationkey
+        |  FROM customer WHERE c_custkey < 50),
+        |cand AS (
+        |  SELECT d.d_key, c.c_custkey, c.c_name,
+        |    levenshtein(d.d_name, c.c_name) AS lev
+        |  FROM dirty d JOIN customer c USING (c_nationkey)
+        |  WHERE levenshtein(d.d_name, c.c_name) <= 2),
+        |ranked AS (
+        |  SELECT *, count(*) OVER (PARTITION BY d_key) AS n_cand,
+        |    row_number() OVER (PARTITION BY d_key ORDER BY lev, c_custkey) AS rn
+        |  FROM cand)
+        |SELECT d_key, c_custkey AS matched_key, c_name AS matched_name,
+        |  lev, n_cand
+        |FROM ranked WHERE rn = 1 ORDER BY d_key""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte
          |${jaccardPairsSql(0.8)}

@@ -324,6 +324,23 @@ object StarSchema {
         .orderBy(col("event_date"), col("event_type"))
     }),
 
+    // Small-file compaction end-to-end (§H Lake.compact as a query
+    // surface): events land as 64 stranded small files (the shape a
+    // micro-batched ingest leaves behind), compaction rewrites them into
+    // target-sized files via the actual-bytes sizing, and the read-back
+    // aggregate must be result-identical to the raw table (LakeSpec pins
+    // the file-count collapse; the oracle pins the data).
+    "etl_compact_read" -> ((s, dir) => {
+      val path = scratch("etl_compact_read")
+      t(s, dir, "events").select("event_id", "event_type", "value")
+        .repartition(64).write.mode("overwrite").parquet(path)
+      Lake.compactInPlace(s, path, targetMB = 128)
+      s.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Incremental aggregate maintenance (the lakehouse materialized-view
     // refresh): a BASE partial aggregate over history up to a cutoff is
     // persisted once; each refresh aggregates ONLY the delta past the
@@ -481,6 +498,12 @@ object StarSchema {
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 500
         |  AND o_orderkey BETWEEN 1000 AND 50000""".stripMargin,
+
+    "etl_compact_read" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "etl_incremental_agg" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

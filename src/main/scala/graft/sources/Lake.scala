@@ -152,6 +152,28 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetMB`-sized files. Streaming ingestion and per-batch upserts
+    * strand thousands of tiny files; every later scan then pays per-file
+    * open + footer decode and loses row-group parallelism — on an object
+    * store the listing alone dominates. File count is sized from the
+    * directory's ACTUAL bytes (through the Hadoop FS API, so the same
+    * code paths HDFS/S3A), not a row-count guess. The rewrite lands in a
+    * temp sibling and swaps in only after success — a mid-rewrite
+    * failure leaves the original directory intact. */
+  def compactInPlace(spark: SparkSession, path: String, targetMB: Int = 128): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val parts = math.max(1L, (bytes + (targetMB.toLong << 20) - 1) /
+      (targetMB.toLong << 20)).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    spark.read.parquet(path).repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"compactInPlace: swap of $tmp into $path failed")
+  }
+
   /** Incremental (CDC-style) read: only partitions past a watermark value
     * of the partition column are listed and scanned — the filter is on a
     * directory key, so pruning happens at file-listing time and the cost

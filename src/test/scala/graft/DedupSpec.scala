@@ -181,6 +181,18 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L, 10L -> 9L))
   }
 
+  test("entity resolution matches every dirty record back to its source row") {
+    val rows = Dedup.queries("dedup_entity")(spark, TestSpark.Sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      // the planted typo is one substitution, so the true source (key =
+      // -(d_key)-1) must win the best-match rank at distance 1
+      assert(r.getAs[Long]("matched_key") == -r.getAs[Long]("d_key") - 1, r.toString)
+      assert(r.getAs[Int]("lev") == 1, r.toString)
+      assert(r.getAs[Long]("n_cand") >= 1)
+    }
+  }
+
   test("connected components converge on a 120-hop chain within maxIters=20") {
     // one-hop-per-sweep propagation needs diameter sweeps and would abort
     // at 20; the pointer-jumping shortcut must converge in O(log 120) ≈ 7

@@ -128,6 +128,25 @@ class LakeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("duplicate key"), ex.getMessage)
   }
 
+  test("compact collapses stranded small files and preserves every row") {
+    val p = TestSpark.scratch("compact")
+    val src = sources.Lake.table(spark, TestSpark.Sf, "events")
+      .select("event_id", "event_type", "value")
+    src.repartition(64).write.mode("overwrite").parquet(p)
+    def files() = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = files()
+    assert(before >= 32, s"expected many stranded files, got $before")
+    val checksum = spark.read.parquet(p)
+      .agg(sum(col("event_id")), count(lit(1))).head()
+    sources.Lake.compactInPlace(spark, p, targetMB = 128)
+    val after = files()
+    assert(after < before / 4,
+      s"compaction barely reduced file count: $before -> $after")
+    assert(spark.read.parquet(p)
+      .agg(sum(col("event_id")), count(lit(1))).head() == checksum)
+  }
+
   test("z-ordered write answers single-dimension filters correctly") {
     val p = TestSpark.scratch("zorder")
     val df = sources.Lake.table(spark, TestSpark.Sf, "orders")
