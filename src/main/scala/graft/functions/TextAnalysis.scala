@@ -111,6 +111,28 @@ object TextAnalysis {
         .orderBy(col("source"))
     }),
 
+    // Exact-size stratified sampling: exactly k documents per source in
+    // deterministic content-hash order — the fixed-size eval-subset /
+    // human-review draw (hash-THRESHOLD sampling above gives a fixed
+    // RATE; this gives a fixed COUNT). The rank filter compiles to the
+    // WindowGroupLimit rewrite, so each input partition keeps only its
+    // local top-k per stratum before the shuffle — no stratum is ever
+    // sorted whole in one task, the same property text_mix's prefix sum
+    // protects. Hash order makes the draw reproducible and unbiased by
+    // ingestion order.
+    "text_sample_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("rank_key"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rank_key", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("rn").as("draw_idx"), col("doc_id"),
+          col("rank_key"))
+        .orderBy(col("source"), col("draw_idx"))
+    }),
+
     // TF-IDF: term frequency per doc × inverse document frequency, top
     // term per document. Two aggregations (term-per-doc, df-per-term) and
     // an equi-join on term between them. The df table is |vocab|-sized —
@@ -441,6 +463,15 @@ object TextAnalysis {
          |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
          |      '$PhoneRe', '<PHONE>', 'g')) AS redacted_hash
          |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "text_sample_topk" ->
+      """SELECT source, rn AS draw_idx, doc_id, rank_key
+        |FROM (SELECT source, doc_id, md5(text) AS rank_key,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(text), doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 10
+        |ORDER BY source, draw_idx""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,

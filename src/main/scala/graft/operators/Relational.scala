@@ -544,6 +544,29 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Ranking-function family (the remaining analytic window ops beyond
+    // row_number/rank in q7 and lead/lag in q30): dense_rank, ntile
+    // quartiles, percent_rank, cume_dist — customers ranked by balance
+    // within nation. One shuffle on the partition key serves all four
+    // functions (they share the window frame). percent_rank/cume_dist
+    // are exact small-integer ratios, identical IEEE doubles in both
+    // engines; rounded to 6dp as a belt anyway. The window's ORDER BY
+    // carries a unique tie-break (custkey) so every rank is
+    // deterministic.
+    "q32_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          dense_rank().over(w).as("drank"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Unpivot / melt (wide → long reshaping): the measure columns of a
     // row become (measure, val) rows — Spark plans it as a narrow Expand
     // (no shuffle, no join), and the per-measure aggregate gets map-side
@@ -600,6 +623,17 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q32_ranks" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
+        |  dense_rank() OVER w AS drank,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
