@@ -85,6 +85,23 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("knn join stays an equi-join; stratified draw gets the partial top-k") {
+    // ann_knn_join's candidate join is on the LSH bucket — an equi-join.
+    // A nested-loop or cartesian here means the bucket key fell out of
+    // the join condition and every vector compares against every vector.
+    val knn = SparkEntry.queries("ann_knn_join")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(!knn.contains("BroadcastNestedLoopJoin") && !knn.contains("CartesianProduct"),
+      s"knn candidate join must be an equi-join on bucket:\n$knn")
+    // text_sample_topk's rank filter must compile to WindowGroupLimit so
+    // each partition keeps only its local top-k per stratum — without the
+    // rewrite a whole stratum sorts in one task
+    val draw = SparkEntry.queries("text_sample_topk")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(draw.contains("WindowGroupLimit"),
+      s"stratified draw must keep the partial top-k partition-local:\n$draw")
+  }
+
   test("etl_incremental_read prunes partitions at the scan (PartitionFilters)") {
     // the incremental consumer's cost must scale with the NEW data: the
     // watermark predicate has to reach the file listing as a partition
