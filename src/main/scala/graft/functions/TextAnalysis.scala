@@ -227,6 +227,66 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Training-sequence packing: concatenate documents per source in
+    // reproducible hash order and split the token stream into fixed
+    // 512-token context windows — each doc learns its byte range
+    // [start_off, start_off + n_tokens) and which bins it lands in
+    // (straddling a boundary = n_bins > 1, the packer's "document spans
+    // two sequences" case). The running offset is the SAME two-level
+    // prefix sum as text_mix (256 rank-prefix buckets per source) — no
+    // stratum is ever sorted whole in one task, so the pack plan holds at
+    // 100 TB; bin arithmetic is integer `div`, identical in both engines.
+    "text_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("rank_key", md5(concat(lit("pack:"), col("doc_id").cast("string"))))
+        .withColumn("bkt", substring(col("rank_key"), 1, 2))
+      val wLocal = Window.partitionBy(col("source"), col("bkt"))
+        .orderBy(col("rank_key"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOffset = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("source"), col("bkt"))
+        .agg(sum(col("n_tokens")).as("bkt_tokens"))
+        .withColumn("bkt_offset", coalesce(sum(col("bkt_tokens")).over(wOffset), lit(0L)))
+        .select(col("source"), col("bkt"), col("bkt_offset"))
+      base
+        .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+        .join(broadcast(offsets), Seq("source", "bkt"))
+        .withColumn("end_off", col("bkt_offset") + col("local_cum"))
+        .withColumn("start_off", col("end_off") - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+          expr("start_off div 512").as("first_bin"),
+          expr("(end_off - 1) div 512 - start_off div 512 + 1").as("n_bins"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic weighted sampling (Efraimidis–Spirakis A-Res): draw
+    // the top-25 documents by key u^(1/w), u a content-hash uniform and
+    // w the source mixing weight — heavier sources win proportionally
+    // more draws, yet the draw replays bit-identically (no RNG state).
+    // Selection is orderBy+limit → TakeOrderedAndProject: each partition
+    // keeps its local top-25, only 25 rows per partition reach the
+    // driver-side heap — no global sort, scale-flat like text_sample_topk.
+    "text_sample_weighted" -> ((s, dir) => {
+      val u = expr("CAST(conv(substring(md5(concat('wsamp:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS DOUBLE)") /
+        lit(1152921504606846976.0) // 2^60
+      val w = lit(1) + pmod(
+        coalesce(nullif(regexp_extract(col("source"), "(\\d+)", 1), lit("")).cast("int"),
+          lit(0)),
+        lit(3))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), w.as("weight"), u.as("u"))
+        .withColumn("es_key", pow(col("u"), lit(1.0) / col("weight")))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(25)
+        .select(col("doc_id"), col("source"), col("weight"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style boilerplate scoring: the mass fraction of the most
     // frequent token / bigram per document — repeated boilerplate pushes
     // both up. The max count is a per-row fold over the SORTED gram
@@ -535,6 +595,34 @@ object TextAnalysis {
         |SELECT doc_id, source, n_tokens, cum_tokens
         |FROM c WHERE cum_tokens <= weight * 400
         |ORDER BY doc_id""".stripMargin,
+
+    "text_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS rank_key
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rank_key, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT doc_id, source, n_tokens, end_off - n_tokens AS start_off,
+        |  (end_off - n_tokens) // 512 AS first_bin,
+        |  (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    1 + (CAST(coalesce(nullif(regexp_extract(source, '(\d+)', 1), ''), '0') AS INT) % 3) AS weight,
+        |    CAST(concat('0x', substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, weight, power(u, 1.0 / weight) AS es_key
+        |  FROM d ORDER BY es_key DESC, doc_id LIMIT 25)
+        |SELECT doc_id, source, weight, round(es_key, 6) AS es_key
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "text_boilerplate" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -619,10 +619,170 @@ object Relational {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("asof_event_id"), round(col("asof_value"), 2).as("asof_value"))
         .orderBy(col("event_id"))
+    }),
+
+    // Time-based RANGE window frame: trailing-30-day revenue per customer
+    // at every order. rangeBetween over epoch seconds is Spark's spelling
+    // of SQL's RANGE BETWEEN INTERVAL 30 DAY PRECEDING — unlike a ROWS
+    // frame the result is insensitive to intra-timestamp row order (all
+    // equal-date rows share a frame), so tied order dates can't diverge
+    // the engines. One shuffle on c_custkey; the frame scan is
+    // incremental per partition, not O(rows × frame).
+    "q33_rangeframe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // o_orderdate reads back as TIMESTAMP_NTZ, which can't cast to a
+      // numeric directly; NTZ → LTZ is wall-time-preserving under the UTC
+      // session, and LTZ → long is epoch seconds
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-30L * 86400L, 0L)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("string").as("order_ts"),
+          round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Ordered funnel analysis: users who view, then click within an hour
+    // OF THAT FIRST VIEW, then purchase within an hour of that click —
+    // sequence matters, so this is three dependent per-user minima, not
+    // three independent EXISTS. Each stage is a conditional min over the
+    // same user_id window: all three Window nodes share ONE Exchange +
+    // sort (same partitioning), so the whole funnel costs a single
+    // shuffle of (user_id, ts, event_type) — no self-joins, no
+    // event-table re-scan per stage.
+    "q34_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("m1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("m2",
+          min(when(col("event_type") === "click" && col("ts") > col("m1") &&
+            col("ts") <= col("m1") + expr("interval 1 hour"),
+            col("ts"))).over(w))
+        .withColumn("m3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("m2") &&
+            col("ts") <= col("m2") + expr("interval 1 hour"),
+            col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("m1")).as("m1"), max(col("m2")).as("m2"), max(col("m3")).as("m3"))
+        .agg(count(col("m1")).as("n_view"),
+          count(col("m2")).as("n_click_1h"),
+          count(col("m3")).as("n_purchase_1h"),
+          round(count(col("m2")) * lit(1.0) / count(col("m1")), 4).as("r_click"),
+          round(count(col("m3")) * lit(1.0) / count(col("m2")), 4).as("r_purchase"))
+    }),
+
+    // Calendar-spine gap fill (time-series resampling): daily counts per
+    // event type with missing days materialized as zero rows. The spine
+    // is sequence()-generated FROM A ONE-ROW SCALAR AGGREGATE (min/max
+    // date) — a broadcast of days × types rows, never a driver-side
+    // collect — and the actual daily aggregate left-joins onto it. At
+    // 100 TB the spine is still only O(days × types): the fact table is
+    // aggregated BEFORE the join, so the outer join touches aggregate
+    // rows, not events.
+    "q35_gapfill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      val spine = bounds
+        .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val types = ev.select(col("event_type")).distinct()
+      val actual = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      spine.crossJoin(broadcast(types))
+        .join(broadcast(actual), Seq("day", "event_type"), "left")
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    // Nested arrays + higher-order functions: per-order quantity vector
+    // assembled with collect_list(struct) → array_sort (deterministic by
+    // (line number, qty) — the testdata's line numbers are NOT unique
+    // within an order, so qty is a required tie-break, mirrored in the
+    // oracle's ORDER BY), then reduced WITHOUT re-exploding —
+    // aggregate() folds the sum, filter() counts the large items, and
+    // the csv render is transform + concat_ws. One shuffle (the groupBy);
+    // everything after is a narrow per-row fold over an in-row array.
+    "q36_arrays" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty"))).as("items"))
+        .withColumn("qtys", expr("transform(array_sort(items), x -> x.qty)"))
+        .select(col("l_orderkey"),
+          size(col("qtys")).cast("long").as("n_items"),
+          expr("concat_ws(',', transform(qtys, q -> CAST(q AS STRING)))").as("qty_csv"),
+          expr("aggregate(qtys, CAST(0 AS BIGINT), (a, q) -> a + q)").as("total_qty"),
+          expr("CAST(size(filter(qtys, q -> q > 30)) AS BIGINT)").as("n_big"))
+        .orderBy(col("l_orderkey"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q33_rangeframe" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_orderdate AS VARCHAR) AS order_ts,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q34_funnel" ->
+      """WITH st AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS m1
+        |  FROM events),
+        |st2 AS (
+        |  SELECT user_id, ts, event_type, m1,
+        |    min(CASE WHEN event_type = 'click' AND ts > m1
+        |             AND ts <= m1 + INTERVAL 1 HOUR THEN ts END)
+        |      OVER (PARTITION BY user_id) AS m2
+        |  FROM st),
+        |st3 AS (
+        |  SELECT user_id, m1, m2,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > m2
+        |             AND ts <= m2 + INTERVAL 1 HOUR THEN ts END)
+        |      OVER (PARTITION BY user_id) AS m3
+        |  FROM st2),
+        |u AS (SELECT user_id, max(m1) AS m1, max(m2) AS m2, max(m3) AS m3
+        |      FROM st3 GROUP BY user_id)
+        |SELECT count(m1) AS n_view, count(m2) AS n_click_1h,
+        |  count(m3) AS n_purchase_1h,
+        |  round(count(m2) * 1.0 / count(m1), 4) AS r_click,
+        |  round(count(m3) * 1.0 / count(m2), 4) AS r_purchase
+        |FROM u""".stripMargin,
+
+    "q35_gapfill" ->
+      """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        |           FROM events),
+        |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |          FROM b),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |actual AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
+        |             round(sum(value), 2) AS sum_value
+        |           FROM events GROUP BY 1, 2)
+        |SELECT CAST(s.day AS VARCHAR) AS day, t.event_type,
+        |  coalesce(a.cnt, 0) AS cnt, coalesce(a.sum_value, 0.0) AS sum_value
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN actual a ON a.day = s.day AND a.event_type = t.event_type
+        |ORDER BY day, t.event_type""".stripMargin,
+
+    "q36_arrays" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  string_agg(CAST(CAST(l_quantity AS INT) AS VARCHAR), ','
+        |             ORDER BY l_linenumber, CAST(l_quantity AS INT)) AS qty_csv,
+        |  CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty,
+        |  CAST(sum(CASE WHEN CAST(l_quantity AS INT) > 30 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_big
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
     "q32_ranks" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
         |  dense_rank() OVER w AS drank,

@@ -132,4 +132,39 @@ class RelationalSpec extends AnyFunSuite {
     val p = plan("q26_asof")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("q33 range frame: one window shuffle, no per-row range join") {
+    val p = plan("q33_rangeframe")
+    assert(p.contains("RangeFrame") || p.contains("RANGE"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the window is the only data shuffle (the trailing Sort is the
+    // presentation ORDER BY, which Verify coalesces anyway)
+    assert(p.split("Exchange hashpartitioning").length == 2, p)
+  }
+
+  test("q34 funnel: three dependent stage windows share one shuffle") {
+    val p = plan("q34_funnel")
+    assert(p.split("Window").length - 1 >= 3, p)
+    // all three Window nodes + the per-user groupBy ride ONE hash
+    // exchange of the events scan; the only other exchange is the
+    // one-row global rollup
+    assert(p.split("Exchange hashpartitioning").length == 2, p)
+    assert(p.split("Exchange SinglePartition").length == 2, p)
+  }
+
+  test("q35 gap fill joins the aggregate, not the fact table") {
+    val p = plan("q35_gapfill")
+    // the left join probes a BROADCAST of the pre-aggregated daily
+    // counts — a SortMergeJoin here would mean the spine shuffles
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q36 array build aggregates once and folds in-row") {
+    val p = plan("q36_arrays")
+    // collect_list plans as ObjectHashAggregate with a partial pass;
+    // the HOF reductions (aggregate/filter/transform) add no shuffle
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.split("Exchange hashpartitioning").length == 2, p)
+  }
 }

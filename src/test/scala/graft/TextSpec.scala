@@ -179,4 +179,60 @@ class TextSpec extends AnyFunSuite {
     assert(a == b)
     assert(java.lang.Long.bitCount(a ^ c) < java.lang.Long.bitCount(a ^ d))
   }
+
+  test("text_pack two-level prefix sum equals the single-window packing") {
+    import org.apache.spark.sql.expressions.Window
+    // definitional reference: one cumulative window per source stratum
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rank_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = sources.Lake.table(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("rank_key", md5(concat(lit("pack:"), col("doc_id").cast("string"))))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        expr("start_off div 512").as("first_bin"),
+        expr("(end_off - 1) div 512 - start_off div 512 + 1").as("n_bins"))
+      .orderBy(col("doc_id"))
+    val got = TextAnalysis.queries("text_pack")(spark, TestSpark.Sf)
+    assert(got.collect().toSeq == ref.collect().toSeq)
+    // bucketed window partitioning, not a whole-stratum sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("bkt"), s"expected bucketed window partitioning in:\n$plan")
+  }
+
+  test("text_pack bins tile the token stream per source") {
+    // packing invariant: per source, offsets are gapless [0, total) and
+    // every straddling doc's n_bins matches its boundary count
+    val rows = TextAnalysis.queries("text_pack")(spark, TestSpark.Sf)
+      .collect().groupBy(_.getAs[String]("source"))
+    rows.foreach { case (_, docs) =>
+      val spans = docs.map(r => (r.getAs[Long]("start_off"),
+        r.getAs[Long]("start_off") + r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("n_bins"))).sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array((_, e1, _), (s2, _, _)) => assert(e1 == s2, "gap in pack")
+        case _ =>
+      }
+      assert(spans.head._1 == 0L)
+      spans.foreach { case (s, e, nb) =>
+        assert(nb == (e - 1) / 512 - s / 512 + 1)
+      }
+    }
+  }
+
+  test("text_sample_weighted favors heavier sources and plans a partial top-k") {
+    val df = TextAnalysis.queries("text_sample_weighted")(spark, TestSpark.Sf)
+    val rows = df.collect()
+    assert(rows.length == 25)
+    // weight-3 sources hold 1/3 of the corpus but must dominate the
+    // draw (u^(1/3) stochastically dominates u); with 500 docs the
+    // expected weight-3 share is ~55% — require a conservative > 40%
+    val heavy = rows.count(_.getAs[Int]("weight") == 3)
+    assert(heavy > 10, s"weight-3 draws = $heavy of 25")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
