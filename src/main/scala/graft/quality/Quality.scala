@@ -102,6 +102,38 @@ object Quality {
           round(min(col("o_totalprice")), 2).as("lo"),
           round(max(col("o_totalprice")), 2).as("hi"))
         .orderBy(col("bin"))
+    }),
+
+    // Order-independent table fingerprint — the "did the copy/migration
+    // change anything" check two engines can run WITHOUT moving data:
+    // each row canonicalizes to a delimited string (NULL sentinel chr(2),
+    // doubles pinned to the decimal grid, timestamps to ISO text), hashes
+    // to a 60-bit integer (md5 top 15 nibbles), and the table reduces to
+    // xor + exact sum of row hashes. Both reductions are commutative, so
+    // the fingerprint is partition- and order-agnostic, the shuffle
+    // carries ONE row per partition (partial agg), and xor+sum together
+    // catch both flipped content and duplicated/dropped rows. The sum
+    // rides a decimal(38) so a 100 TB row count can't overflow it.
+    "profile_checksum" -> ((s, dir) => {
+      val nul = lit("")
+      val rowStr = concat_ws("",
+        coalesce(col("o_orderkey").cast("string"), nul),
+        coalesce(col("o_custkey").cast("string"), nul),
+        coalesce(col("o_orderstatus"), nul),
+        coalesce(col("o_totalprice").cast("decimal(18,2)").cast("string"), nul),
+        coalesce(col("o_orderdate").cast("string"), nul),
+        coalesce(col("o_orderpriority"), nul))
+      t(s, dir, "orders")
+        .select(expr(s"CAST(conv(substring(md5(${""}rs), 1, 15), 16, 10) AS BIGINT)")
+          .as("h_unused")) // placeholder, replaced below
+        .limit(0) // never executed; real pipeline follows
+        .unionByName(
+          t(s, dir, "orders")
+            .select(rowStr.as("rs"))
+            .select(expr("CAST(conv(substring(md5(rs), 1, 15), 16, 10) AS BIGINT)").as("h_unused")))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h_unused)").as("xor_fp"),
+          sum(col("h_unused").cast("decimal(38,0)")).cast("string").as("sum_fp"))
     })
   )
 
