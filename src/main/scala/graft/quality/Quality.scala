@@ -106,8 +106,10 @@ object Quality {
 
     // Order-independent table fingerprint — the "did the copy/migration
     // change anything" check two engines can run WITHOUT moving data:
-    // each row canonicalizes to a delimited string (NULL sentinel chr(2),
-    // doubles pinned to the decimal grid, timestamps to ISO text), hashes
+    // each row canonicalizes to a chr(1)-delimited string (NULL sentinel
+    // chr(2) — neither byte occurs in the data, so field boundaries and
+    // NULL-vs-empty-string survive; doubles pinned to the decimal(18,2)
+    // grid, timestamps to ISO text under the UTC session), hashes
     // to a 60-bit integer (md5 top 15 nibbles), and the table reduces to
     // xor + exact sum of row hashes. Both reductions are commutative, so
     // the fingerprint is partition- and order-agnostic, the shuffle
@@ -115,8 +117,8 @@ object Quality {
     // catch both flipped content and duplicated/dropped rows. The sum
     // rides a decimal(38) so a 100 TB row count can't overflow it.
     "profile_checksum" -> ((s, dir) => {
-      val nul = lit("")
-      val rowStr = concat_ws("",
+      val nul = lit("\u0002")
+      val rowStr = concat_ws("\u0001",
         coalesce(col("o_orderkey").cast("string"), nul),
         coalesce(col("o_custkey").cast("string"), nul),
         coalesce(col("o_orderstatus"), nul),
@@ -124,16 +126,11 @@ object Quality {
         coalesce(col("o_orderdate").cast("string"), nul),
         coalesce(col("o_orderpriority"), nul))
       t(s, dir, "orders")
-        .select(expr(s"CAST(conv(substring(md5(${""}rs), 1, 15), 16, 10) AS BIGINT)")
-          .as("h_unused")) // placeholder, replaced below
-        .limit(0) // never executed; real pipeline follows
-        .unionByName(
-          t(s, dir, "orders")
-            .select(rowStr.as("rs"))
-            .select(expr("CAST(conv(substring(md5(rs), 1, 15), 16, 10) AS BIGINT)").as("h_unused")))
+        .select(rowStr.as("rs"))
+        .select(expr("CAST(conv(substring(md5(rs), 1, 15), 16, 10) AS BIGINT)").as("h"))
         .agg(count(lit(1)).as("n_rows"),
-          expr("bit_xor(h_unused)").as("xor_fp"),
-          sum(col("h_unused").cast("decimal(38,0)")).cast("string").as("sum_fp"))
+          expr("bit_xor(h)").as("xor_fp"),
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_fp"))
     })
   )
 
@@ -214,6 +211,26 @@ object Quality {
         |  count(*) AS cnt,
         |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
         |FROM orders CROSS JOIN b
-        |GROUP BY 1 ORDER BY bin""".stripMargin
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Same canonical row string, same 60-bit md5 prefix hash (the
+    // concat('0x', …) cast is DuckDB's spelling of Spark's conv(…,16,10),
+    // proven bit-identical in text_sample_weighted's oracle), same
+    // commutative xor + exact-sum reductions. DuckDB sums BIGINT into a
+    // HUGEINT, mirroring Spark's decimal(38,0); both print as plain
+    // integer text.
+    "profile_checksum" ->
+      """WITH h AS (
+        |  SELECT CAST(concat('0x', substr(md5(concat_ws(chr(1),
+        |      coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
+        |      coalesce(CAST(o_custkey AS VARCHAR), chr(2)),
+        |      coalesce(o_orderstatus, chr(2)),
+        |      coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), chr(2)),
+        |      coalesce(CAST(o_orderdate AS VARCHAR), chr(2)),
+        |      coalesce(o_orderpriority, chr(2)))), 1, 15)) AS BIGINT) AS h
+        |  FROM orders)
+        |SELECT count(*) AS n_rows, bit_xor(h) AS xor_fp,
+        |  CAST(sum(h) AS VARCHAR) AS sum_fp
+        |FROM h""".stripMargin
   )
 }

@@ -80,4 +80,37 @@ class QualitySpec extends AnyFunSuite {
     assert(Quality.constraintReport(o, c).collect()
       .forall(!_.getAs[Boolean]("passed")))
   }
+
+  test("profile_checksum is order- and partitioning-independent and content-sensitive") {
+    val base = Quality.queries("profile_checksum")(spark, TestSpark.Sf).collect().head
+    assert(base.getAs[Long]("n_rows") > 0)
+    // same rows, different physical order/partitioning -> same fingerprint
+    val orders = sources.Lake.table(spark, TestSpark.Sf, "orders")
+    def fp(df: org.apache.spark.sql.DataFrame) = {
+      val nul = lit("\u0002")
+      val rowStr = concat_ws("\u0001",
+        coalesce(col("o_orderkey").cast("string"), nul),
+        coalesce(col("o_custkey").cast("string"), nul),
+        coalesce(col("o_orderstatus"), nul),
+        coalesce(col("o_totalprice").cast("decimal(18,2)").cast("string"), nul),
+        coalesce(col("o_orderdate").cast("string"), nul),
+        coalesce(col("o_orderpriority"), nul))
+      df.select(rowStr.as("rs"))
+        .select(expr("CAST(conv(substring(md5(rs), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .agg(expr("bit_xor(h)").as("xor_fp"),
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_fp"))
+        .collect().head
+    }
+    val shuffled = fp(orders.repartition(7, col("o_custkey")))
+    assert(shuffled.getAs[Long]("xor_fp") == base.getAs[Long]("xor_fp"))
+    assert(shuffled.getAs[String]("sum_fp") == base.getAs[String]("sum_fp"))
+    // a single flipped value changes the fingerprint; a duplicated row
+    // slips past xor but the sum catches it
+    val flipped = fp(orders.withColumn("o_totalprice",
+      when(col("o_orderkey") === orders.select(min("o_orderkey")).head.getLong(0),
+        col("o_totalprice") + 0.01).otherwise(col("o_totalprice"))))
+    assert(flipped.getAs[Long]("xor_fp") != base.getAs[Long]("xor_fp"))
+    val doubled = fp(orders.unionAll(orders.limit(1)))
+    assert(doubled.getAs[String]("sum_fp") != base.getAs[String]("sum_fp"))
+  }
 }
