@@ -264,12 +264,19 @@ object TextAnalysis {
     }),
 
     // Deterministic weighted sampling (Efraimidis–Spirakis A-Res): draw
-    // the top-25 documents by key u^(1/w), u a content-hash uniform and
-    // w the source mixing weight — heavier sources win proportionally
-    // more draws, yet the draw replays bit-identically (no RNG state).
-    // Selection is orderBy+limit → TakeOrderedAndProject: each partition
-    // keeps its local top-25, only 25 rows per partition reach the
-    // driver-side heap — no global sort, scale-flat like text_sample_topk.
+    // the top-25 documents by key ln(u)/w — the monotone-equivalent log
+    // form of the textbook u^(1/w) (u∈(0,1) so both order identically) —
+    // u a content-hash uniform and w the source mixing weight: heavier
+    // sources win proportionally more draws, yet the draw replays
+    // bit-identically (no RNG state). The key is rounded to the 6-decimal
+    // grid BEFORE the ORDER BY and ties broken by doc_id, so the
+    // selection cutoff is decided on values both engines agree on — one
+    // transcendental (ln) instead of pow's divide-then-exponentiate, and
+    // a last-ulp libm divergence would have to land within ~1e-16 of a
+    // grid midpoint to flip the set. Selection is orderBy+limit →
+    // TakeOrderedAndProject: each partition keeps its local top-25, only
+    // 25 rows per partition reach the driver-side heap — no global sort,
+    // scale-flat like text_sample_topk.
     "text_sample_weighted" -> ((s, dir) => {
       val u = expr("CAST(conv(substring(md5(concat('wsamp:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS DOUBLE)") /
         lit(1152921504606846976.0) // 2^60
@@ -279,11 +286,10 @@ object TextAnalysis {
         lit(3))
       t(s, dir, "documents")
         .select(col("doc_id"), col("source"), w.as("weight"), u.as("u"))
-        .withColumn("es_key", pow(col("u"), lit(1.0) / col("weight")))
+        .withColumn("es_key", round(log(col("u")) / col("weight"), 6))
         .orderBy(col("es_key").desc, col("doc_id"))
         .limit(25)
-        .select(col("doc_id"), col("source"), col("weight"),
-          round(col("es_key"), 6).as("es_key"))
+        .select(col("doc_id"), col("source"), col("weight"), col("es_key"))
         .orderBy(col("doc_id"))
     }),
 
@@ -619,9 +625,9 @@ object TextAnalysis {
         |      / 1152921504606846976.0 AS u
         |  FROM documents),
         |k AS (
-        |  SELECT doc_id, source, weight, power(u, 1.0 / weight) AS es_key
+        |  SELECT doc_id, source, weight, round(ln(u) / weight, 6) AS es_key
         |  FROM d ORDER BY es_key DESC, doc_id LIMIT 25)
-        |SELECT doc_id, source, weight, round(es_key, 6) AS es_key
+        |SELECT doc_id, source, weight, es_key
         |FROM k ORDER BY doc_id""".stripMargin,
 
     "text_boilerplate" ->
