@@ -1,0 +1,32 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Per-query micro-benchmark for local A/B iteration (NOT the driver
+  * contract — that is Bench). Runs the named SparkEntry queries `reps`
+  * times each after one warm pass, cache cleared between runs, and
+  * prints per-run wall times to stdout. Usage:
+  *   tools/run_graft.sh graft.Microbench <sfDir> <k1,k2,...> [reps]
+  */
+object Microbench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val keys = args(1).split(',').toSeq
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = GraftSession.tune(
+      SparkSession.builder().master("local[8]"), shufflePartitions = 8
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm
+    keys.foreach(k => SparkEntry.queries(k)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save())
+    (1 to reps).foreach { r =>
+      keys.foreach { k =>
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(k)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[micro r$r] $k%-22s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+      }
+    }
+    spark.stop()
+  }
+}

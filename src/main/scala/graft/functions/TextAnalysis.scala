@@ -345,7 +345,14 @@ object TextAnalysis {
     // occurrences. tf is cached (dedup-sketch pattern) so its three
     // consumers (join left, vocab counts, corpus total) share one
     // scan+explode instead of re-deriving it — column pruning would
-    // otherwise specialize the subtrees apart and defeat exchange reuse.
+    // otherwise specialize the subtrees apart and defeat exchange reuse
+    // (measured: the uncached plan re-scans documents THREE times; an
+    // eager count() fill before the fan-out was also measured and is
+    // strictly slower — it adds a whole extra job for a diamond local
+    // scheduling already serializes — so the fill stays lazy). The
+    // tfidf/logprob tf plans canonicalize to the SAME cache entry, so a
+    // session running both pays one fill (CacheManager reports the
+    // second persist as already-cached).
     "text_logprob" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val tf = docs
