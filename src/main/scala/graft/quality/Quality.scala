@@ -73,6 +73,36 @@ object Quality {
         .orderBy(col("col_name"))
     }),
 
+    // The 100 TB path for the distinct half of profile_stats: HLL++
+    // sketches (approx_count_distinct, rsd 2%) fold into the same one
+    // wide aggregate WITHOUT the 6-way Expand the exact multi-distinct
+    // plan pays — one pass, one ~kB sketch per column. Gated the q20 way:
+    // the sketch value is engine-specific, so the OUTPUT is the exact
+    // count plus a within_tol boolean (|approx−exact| ≤ 5%·exact; HLL is
+    // deterministic for fixed data, so the gate is stable), and the
+    // oracle expects exact + true. The exact counts exist here only to
+    // make the gate non-vacuous — a production profile at scale runs the
+    // sketches alone.
+    "profile_stats_approx" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cols = Seq("o_orderkey" -> "okey", "o_custkey" -> "ckey",
+        "o_totalprice" -> "price", "o_orderstatus" -> "status",
+        "o_orderpriority" -> "prio", "o_orderdate" -> "date")
+      val aggs = cols.flatMap { case (c, a) => Seq(
+        countDistinct(col(c)).as(s"nd_$a"),
+        approx_count_distinct(col(c), 0.02).as(s"ad_$a")) }
+      val stackRows = cols
+        .map { case (c, a) => s"'$c', nd_$a, ad_$a" }.mkString(",\n          ")
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"""stack(${cols.size},
+             |  $stackRows) AS (col_name, n_distinct, approx)""".stripMargin))
+        .select(col("col_name"), col("n_distinct"),
+          (abs(col("approx") - col("n_distinct")) <=
+            col("n_distinct") * 0.05).as("within_tol"))
+        .orderBy(col("col_name"))
+    }),
+
     // Constraint report: every check is expressed as a VIOLATION COUNT
     // (passed ⇔ 0), so completeness, uniqueness, range, accepted-values
     // fuse into the same one-scan wide aggregate, and referential
@@ -212,6 +242,21 @@ object Quality {
         |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
         |FROM orders CROSS JOIN b
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Exact distinct counts + a constant-true contract column: the Spark
+    // side recomputes the exact counts next to the sketches and emits the
+    // comparison, so an HLL regression past 5% flips the boolean and
+    // fails the hash compare.
+    "profile_stats_approx" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS col_name, count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |  UNION ALL SELECT 'o_custkey', count(DISTINCT o_custkey) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', count(DISTINCT o_totalprice) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', count(DISTINCT o_orderpriority) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', count(DISTINCT o_orderdate) FROM orders)
+        |SELECT col_name, n_distinct, TRUE AS within_tol
+        |FROM p ORDER BY col_name""".stripMargin,
 
     // Same canonical row string, same 60-bit md5 prefix hash (the
     // concat('0x', …) cast is DuckDB's spelling of Spark's conv(…,16,10),

@@ -81,6 +81,18 @@ class QualitySpec extends AnyFunSuite {
       .forall(!_.getAs[Boolean]("passed")))
   }
 
+  test("profile_stats_approx sketches hold the 5% contract on every column in one scan") {
+    val df = Quality.queries("profile_stats_approx")(spark, TestSpark.Sf)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Boolean]("within_tol")), rows.mkString("; "))
+    // all 12 aggregates (6 exact + 6 sketches) fold into one scan
+    // (after execution AQE prints final + initial plan — count the final)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("profile_checksum is order- and partitioning-independent and content-sensitive") {
     val base = Quality.queries("profile_checksum")(spark, TestSpark.Sf).collect().head
     assert(base.getAs[Long]("n_rows") > 0)
