@@ -719,10 +719,90 @@ object Relational {
           expr("aggregate(qtys, CAST(0 AS BIGINT), (a, q) -> a + q)").as("total_qty"),
           expr("CAST(size(filter(qtys, q -> q > 30)) AS BIGINT)").as("n_big"))
         .orderBy(col("l_orderkey"))
+    }),
+
+    // Batch sessionization (the gap-based session derivation every
+    // clickstream pipeline needs — the batch twin of stream_session):
+    // a session breaks after a >30 min silence. lag() marks the breaks,
+    // a running sum of break flags numbers the sessions, and the
+    // per-session rollup aggregates start/end/size. All three steps are
+    // per-user: the two windows share identical partitioning+ordering so
+    // they share ONE Exchange + sort, and the final groupBy re-uses the
+    // same hash partitioning — the whole query is a single shuffle of
+    // (user_id, ts, event_id), never a self-join. Timestamps compare as
+    // epoch micros (micro-aligned testdata) — no string-format parity
+    // risk between engines.
+    "q37_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+            1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("brk")).over(w))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(unix_micros(min(col("ts"))).as("session_start_us"),
+          unix_micros(max(col("ts"))).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Weekly cohort retention (the activation/retention matrix): cohort =
+    // ISO week of a user's first event; each cell counts the cohort's
+    // users active k weeks later. The per-user first week and the
+    // distinct (user, week) activity both hash-partition on user_id, so
+    // the join between them co-locates without a broadcast (user space is
+    // corpus-sized at 100 TB — AQE may still broadcast when measured
+    // small); the output is O(weeks²) cells from a final cohort-level
+    // aggregate.
+    "q38_retention" -> ((s, dir) => {
+      val act = t(s, dir, "events")
+        .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val first = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      act.join(first, Seq("user_id"))
+        .select(col("user_id"), col("cohort_wk"),
+          expr("datediff(wk, cohort_wk) div 7").as("wk_offset"))
+        .groupBy(col("cohort_wk").cast("string").as("cohort_wk"), col("wk_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_wk"), col("wk_offset"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q37_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN prev_ts IS NULL
+        |             OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM e)
+        |SELECT user_id, session_idx,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q38_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+        |SELECT CAST(f.cohort_wk AS VARCHAR) AS cohort_wk,
+        |  (a.wk - f.cohort_wk) // 7 AS wk_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q33_rangeframe" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(o_orderdate AS VARCHAR) AS order_ts,

@@ -167,4 +167,39 @@ class RelationalSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(p.split("Exchange hashpartitioning").length == 2, p)
   }
+
+  test("q37 sessionize: lag, break-sum, and session rollup share one shuffle") {
+    val p = plan("q37_sessionize")
+    // both windows and the (user_id, session_idx) groupBy ride the ONE
+    // hash exchange on user_id — a second hashpartitioning exchange
+    // would mean the rollup re-shuffled
+    assert(p.split("Window").length - 1 >= 2, p)
+    assert(p.split("Exchange hashpartitioning").length == 2, p)
+    // sessions of one user never overlap and break at >30 min gaps
+    val spark0 = TestSpark.spark
+    val rows = graft.operators.Relational.queries("q37_sessionize")(
+      spark0, TestSpark.Sf).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("session_idx"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b.getAs[Long]("session_start_us") -
+          a.getAs[Long]("session_end_us") > 1800L * 1000000L,
+          s"adjacent sessions closer than the 30-min gap: $a | $b")
+      }
+    }
+  }
+
+  test("q38 retention: offsets are non-negative and cohort week-0 dominates") {
+    val rows = graft.operators.Relational.queries("q38_retention")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("wk_offset") >= 0))
+    // every user appears in their own cohort at offset 0, so for each
+    // cohort the offset-0 cell is the max
+    rows.groupBy(_.getAs[String]("cohort_wk")).foreach { case (_, cells) =>
+      val byOff = cells.map(c => c.getAs[Long]("wk_offset") -> c.getAs[Long]("n_users"))
+      val w0 = byOff.find(_._1 == 0L).map(_._2)
+      assert(w0.isDefined && byOff.forall(_._2 <= w0.get), cells.mkString("; "))
+    }
+  }
 }
