@@ -34,6 +34,25 @@ object TextAnalysis {
   private def stopHits(ws: Column, words: Seq[String]): Column =
     size(filter(ws, w => w.isin(words.map(lit(_)): _*)))
 
+  /** Shared cached (doc_id, term, tf) projection — the ONE corpus
+    * scan+explode behind both text_tfidf and text_logprob. Hoisted so the
+    * two queries build the IDENTICAL analyzed plan by construction:
+    * CacheManager canonicalizes equal plans to one cache entry (the
+    * second persist is a no-op), so a session running both queries pays
+    * one fill — ScaleSpec pins the plans' sameResult and the per-query
+    * InMemoryTableScan counts. Cached (LRU-evicted) because column
+    * pruning would otherwise specialize each consumer's subtree apart
+    * and defeat exchange reuse, re-exploding the corpus per consumer —
+    * at 100 TB the second scan+explode is the single biggest avoidable
+    * cost (measured: uncached, logprob re-scans documents three times;
+    * an eager fill was measured strictly slower — a whole extra job for
+    * a diamond that local scheduling already serializes). */
+  private[graft] def tfTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting + char/word stats: whitespace tokens and a BPE-ish
@@ -148,17 +167,11 @@ object TextAnalysis {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      // the narrow (doc_id, term, tf) projection is cached (dedup-sketch
-      // pattern, LRU-evicted): df derives FROM tf — one row per
-      // (doc, term) means count(*) per term IS the document frequency —
-      // so the corpus is scanned+exploded ONCE at cache fill and both
-      // branches read the cache (ScaleSpec pins the InMemoryTableScans).
-      // Column pruning would otherwise specialize the two exchange
-      // subtrees apart and defeat exchange reuse, forcing a second full
-      // explode of the corpus.
-      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist()
+      // df derives FROM the shared cached tf — one row per (doc, term)
+      // means count(*) per term IS the document frequency — so the corpus
+      // is scanned+exploded once at cache fill and both branches read the
+      // cache (ScaleSpec pins the InMemoryTableScans); see tfTable.
+      val tf = tfTable(s, dir)
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score_full").desc, col("term"))
@@ -342,23 +355,12 @@ object TextAnalysis {
     // frequencies first, so the term join shuffles N_distinct(doc, term)
     // rows — not the corpus's full token stream — and the per-doc mean
     // comes out of the tf-weighted sum: Σ tf·(−ln p) / Σ tf ≡ avg over
-    // occurrences. tf is cached (dedup-sketch pattern) so its three
-    // consumers (join left, vocab counts, corpus total) share one
-    // scan+explode instead of re-deriving it — column pruning would
-    // otherwise specialize the subtrees apart and defeat exchange reuse
-    // (measured: the uncached plan re-scans documents THREE times; an
-    // eager count() fill before the fan-out was also measured and is
-    // strictly slower — it adds a whole extra job for a diamond local
-    // scheduling already serializes — so the fill stays lazy). The
-    // tfidf/logprob tf plans canonicalize to the SAME cache entry, so a
-    // session running both pays one fill (CacheManager reports the
-    // second persist as already-cached).
+    // occurrences. tf is the SHARED cached projection (tfTable) — its
+    // three consumers here (join left, vocab counts, corpus total) read
+    // one cache entry, and a session that also runs text_tfidf fills it
+    // once for both queries.
     "text_logprob" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist()
+      val tf = tfTable(s, dir)
       val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
       val total = tf.agg(sum(col("tf")).cast("double").as("n_total"))
       tf.join(counts, Seq("term"))

@@ -275,6 +275,47 @@ object Streams {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Bucket count of the partitioned CDC state store. At production scale
+    * this is sized so a bucket ≈ one healthy write partition (table size /
+    * ~128 MB); 16 keeps the touched/untouched split observable at spec
+    * scale. */
+  private[graft] val UpsertBuckets = 16
+
+  /** One micro-batch of the KEY-PARTITIONED CDC upsert. The maintained
+    * current-state table lives as parquet partitioned by
+    * bucket = pmod(hash(user_id), UpsertBuckets); a batch folds in by
+    * (1) reducing the batch to its newest row per key,
+    * (2) reading ONLY the state buckets the batch touches (partition
+    *     pruning at file-listing time — the etl_incremental_read
+    *     machinery pointed at state maintenance),
+    * (3) re-folding latest-per-key over (touched state ∪ batch), and
+    * (4) dynamic-partition-overwrite writing just those buckets back.
+    * Untouched buckets are never read, shuffled, or rewritten
+    * (StreamsSpec pins their file listing across a batch), so per-batch
+    * cost scales with the batch's CHANGE volume, not the accumulated
+    * table — the production upgrade the old full-state fold's scale note
+    * promised. The touched-bucket collect is partition METADATA
+    * (≤ UpsertBuckets ints, the same driver-side cardinality class as
+    * any partition prune), not data. localCheckpoint breaks lineage so
+    * the overwrite doesn't read its own output path mid-write. */
+  private[graft] def upsertBatch(s: SparkSession, statePath: String,
+                                 batch: DataFrame): Unit = {
+    val in = latestPerUser(batch)
+      .withColumn("bucket", pmod(hash(col("user_id")), lit(UpsertBuckets)))
+    val touched = in.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    val cur =
+      if (new java.io.File(s"$statePath/_SUCCESS").exists())
+        s.read.parquet(statePath)
+          .filter(col("bucket").isin(touched: _*))
+          .select(in.columns.map(col): _*)
+      else in.limit(0)
+    latestPerUser(cur.unionByName(in))
+      .localCheckpoint(eager = true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(statePath)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Watermark + tumbling 1 h window over a file stream, materialized via
@@ -399,28 +440,26 @@ object Streams {
     // arrives in one batch or a thousand, which is exactly what the
     // batch oracle (latest event per user over the whole table) checks;
     // an anti-join replace (Lake.upsert) would instead depend on batch
-    // arrival order. State lineage is checkpoint-truncated each batch
-    // (the connectedComponents iterative-fold pattern). Scale note: the
-    // fold re-shuffles the full state per batch; the production upgrade
-    // is a key-partitioned store so each batch rewrites only touched
-    // partitions — the same pairing called out at etl_partitioned_write.
+    // arrival order. The state store is KEY-PARTITIONED (upsertBatch): a
+    // batch partition-prunes to its touched buckets and dynamic-overwrite
+    // rewrites only those, so per-batch cost follows the change volume,
+    // not the accumulated table size.
     "stream_upsert" -> ((s, dir) => {
       import org.apache.spark.sql.Row
       val key = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
-      val outPath = s"/root/repo/target/graft-scratch/stream_upsert_out-$key"
-      var state: DataFrame = null
-      val fold: (Dataset[Row], Long) => Unit = (batch, _) => {
-        val in = latestPerUser(batch.toDF())
-        val merged =
-          if (state == null) in else latestPerUser(state.unionByName(in))
-        state = merged.localCheckpoint(eager = true)
-      }
+      val statePath = s"/root/repo/target/graft-scratch/stream_upsert_state-$key"
+      // fresh store per run: the fold is idempotent over identical input,
+      // but a half-written store from an aborted run must not leak in
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val feed = readEventsStream(s, dir)
         .select("user_id", "ts", "event_id", "event_type", "value")
-      val q = feed.writeStream.foreachBatch(fold).start()
+      val q = feed.writeStream
+        .foreachBatch((batch: Dataset[Row], _: Long) =>
+          upsertBatch(s, statePath, batch.toDF()))
+        .start()
       try q.processAllAvailable() finally q.stop()
-      state.write.mode("overwrite").parquet(outPath)
-      s.read.parquet(outPath)
+      s.read.parquet(statePath)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"))
         .orderBy(col("user_id"))

@@ -83,6 +83,13 @@ class ScaleSpec extends AnyFunSuite {
       assert(scans == consumers,
         s"$k: expected $consumers InMemoryTableScans over the tf cache, found $scans:\n$plan")
     }
+    // and the two queries' tf plans canonicalize to ONE cache entry:
+    // sameResult is exactly the equivalence CacheManager dedups on, so
+    // a session running both queries pays a single cache fill
+    val a = functions.TextAnalysis.tfTable(spark, TestSpark.Sf)
+    val b = functions.TextAnalysis.tfTable(spark, TestSpark.Sf)
+    assert(a.queryExecution.analyzed.sameResult(b.queryExecution.analyzed),
+      "tfidf and logprob must share one tf cache entry")
   }
 
   test("knn join stays an equi-join; stratified draw gets the partial top-k") {

@@ -117,6 +117,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(reversed.exceptAll(direct).isEmpty && direct.exceptAll(reversed).isEmpty)
   }
 
+  test("partitioned upsert: equals the direct fold, untouched buckets untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-spec").toString
+    val statePath = s"$dir/state"
+    val ev = sources.Lake.table(spark, TestSpark.Sf, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    // batch 1 seeds the store with every user
+    Streams.upsertBatch(spark, statePath, ev)
+    def partFiles(): Map[String, Set[String]] =
+      new java.io.File(statePath).listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = partFiles()
+    assert(before.size > 1, s"need >1 seeded bucket to observe pruning: $before")
+    // batch 2 touches exactly ONE bucket's users (newer rows for them:
+    // re-fold their latest events — content changes, bucket set doesn't)
+    val withBkt = ev.withColumn("bucket",
+      pmod(hash(col("user_id")), lit(Streams.UpsertBuckets)))
+    val someBucket = withBkt.select("bucket").orderBy("bucket").first().getInt(0)
+    Streams.upsertBatch(spark, statePath,
+      withBkt.filter(col("bucket") === someBucket).drop("bucket"))
+    val after = partFiles()
+    // the touched bucket was rewritten (fresh file names); every other
+    // bucket's files are byte-for-byte the ones batch 1 wrote
+    assert(after.keySet == before.keySet)
+    assert(after(s"bucket=$someBucket") != before(s"bucket=$someBucket"),
+      "touched bucket must be rewritten")
+    before.keys.filterNot(_ == s"bucket=$someBucket").foreach { b =>
+      assert(after(b) == before(b), s"untouched $b was rewritten")
+    }
+    // and the store equals the all-at-once fold
+    val res = spark.read.parquet(statePath)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    val direct = Streams.latestPerUser(ev)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+    assert(res.exceptAll(direct).isEmpty && direct.exceptAll(res).isEmpty)
+  }
+
   test("session fold: gap splitting, counts and sums") {
     def ev(uid: Long, minute: Long, v: Double, id: Long) =
       Streams.Ev(uid, minute * 60L * 1000000, id, v)
