@@ -769,6 +769,51 @@ object Relational {
         .groupBy(col("cohort_wk").cast("string").as("cohort_wk"), col("wk_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_wk"), col("wk_offset"))
+    }),
+
+    // Interval-overlap concurrency (peak load analysis): treat each
+    // event as a 15-minute active interval and find the peak number of
+    // simultaneously-active intervals per (event_type, day). The classic
+    // answer is an interval self-join (O(n·overlap) pairs); the scalable
+    // one is the BOUNDARY SWEEP — every interval emits a +1 at its start
+    // and a −1 at its end, and a running sum over the boundary stream IS
+    // the concurrency curve, so the whole operator is one narrow explode
+    // (each event row generates its two boundary rows in-place — ONE
+    // table scan, where a self-union would scan events twice) + one
+    // windowed prefix sum + a grouped max: linear work, no join at all.
+    // Partitioning is (event_type, day of interval start) — natural
+    // time-sliced parallelism (an interval's overlap is attributed to
+    // its start day; at 100 TB, split hot days to hour slices and lift
+    // with per-slice carry-in offsets — the text_mix two-level prefix
+    // sum applied to time). The sweep order (bts, delta DESC, event_id)
+    // is a UNIQUE total order per partition — each event contributes
+    // one +1 and one −1 row distinguished by delta, and ties at the
+    // same boundary instant count starts before ends (touching
+    // intervals overlap) — so the running sum is deterministic and the
+    // default RANGE frame equals ROWS in both engines.
+    "q39_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bounds = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("start_us"), col("event_id"))
+        .select(col("event_type"), col("day"), col("event_id"),
+          explode(array(
+            struct(col("start_us").as("bts"), lit(1).as("delta")),
+            struct((col("start_us") + 900L * 1000000L).as("bts"),
+              lit(-1).as("delta")))).as("b"))
+        .select(col("event_type"), col("day"), col("b.bts").as("bts"),
+          col("b.delta").as("delta"), col("event_id"))
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("bts"), col("delta").desc, col("event_id"))
+      // group on the window's own partition keys so the aggregate reuses
+      // the window's hash partitioning (no second shuffle — q37 pattern);
+      // the presentation cast to string happens after the agg
+      bounds.withColumn("conc", sum(col("delta")).over(w))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("conc")).as("max_concurrent"))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("max_concurrent"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -792,6 +837,28 @@ object Relational {
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // Same boundary sweep: +1/−1 per interval endpoint, running sum over
+    // the identical unique order (bts, delta DESC, event_id), max per
+    // (event_type, start day). epoch_us on the nanos timestamp truncates
+    // to micros — the testdata is micro-aligned (q37 precedent).
+    "q39_concurrency" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS bts,
+        |    1 AS delta, event_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, CAST(ts AS DATE), epoch_us(ts) + 900 * 1000000,
+        |    -1, event_id
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, day,
+        |    sum(delta) OVER (PARTITION BY event_type, day
+        |                     ORDER BY bts, delta DESC, event_id) AS conc
+        |  FROM b)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  max(conc) AS max_concurrent
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q38_retention" ->
       """WITH a AS (

@@ -134,6 +134,36 @@ object Quality {
         .orderBy(col("bin"))
     }),
 
+    // Numeric-association profile (the correlation half of profiling —
+    // what a feature-selection or drift-detection pass reads): Pearson
+    // correlation + sample covariance for every pair of the profiled
+    // numeric columns, all folded into ONE wide aggregate — corr/covar
+    // reduce to per-pair co-moments with map-side partials, so the cost
+    // is one table scan regardless of pair count, same contract as
+    // profile_stats. O(k²) aggregate slots for k profiled columns is
+    // fine at profiling widths (k ≤ ~40); past that, sample first or
+    // melt to a pair-keyed self-join. Values round to 4dp (corr) / 2dp
+    // (covar) on both engines — the co-moment sums agree to ~1e-12
+    // relative, far inside the grid.
+    "profile_corr" -> ((s, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = pairs.flatMap { case (a, b) => Seq(
+        round(corr(col(a), col(b)), 4).as(s"corr_${a}_$b"),
+        round(covar_samp(col(a), col(b)), 2).as(s"cov_${a}_$b")) }
+      val stackRows = pairs
+        .map { case (a, b) => s"'$a', '$b', corr_${a}_$b, cov_${a}_$b" }
+        .mkString(",\n          ")
+      t(s, dir, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"""stack(${pairs.size},
+             |  $stackRows) AS (col_a, col_b, pearson_r, covar)""".stripMargin))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // Order-independent table fingerprint — the "did the copy/migration
     // change anything" check two engines can run WITHOUT moving data:
     // each row canonicalizes to a chr(1)-delimited string (NULL sentinel
@@ -257,6 +287,29 @@ object Quality {
         |  UNION ALL SELECT 'o_orderdate', count(DISTINCT o_orderdate) FROM orders)
         |SELECT col_name, n_distinct, TRUE AS within_tol
         |FROM p ORDER BY col_name""".stripMargin,
+
+    "profile_corr" ->
+      """WITH p AS (
+        |  SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+        |    round(corr(l_discount, l_tax), 4) AS pearson_r,
+        |    round(covar_samp(l_discount, l_tax), 2) AS covar FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    round(corr(l_extendedprice, l_discount), 4),
+        |    round(covar_samp(l_extendedprice, l_discount), 2) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    round(corr(l_extendedprice, l_tax), 4),
+        |    round(covar_samp(l_extendedprice, l_tax), 2) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_extendedprice',
+        |    round(corr(l_quantity, l_extendedprice), 4),
+        |    round(covar_samp(l_quantity, l_extendedprice), 2) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    round(corr(l_quantity, l_discount), 4),
+        |    round(covar_samp(l_quantity, l_discount), 2) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    round(corr(l_quantity, l_tax), 4),
+        |    round(covar_samp(l_quantity, l_tax), 2) FROM lineitem)
+        |SELECT col_a, col_b, pearson_r, covar
+        |FROM p ORDER BY col_a, col_b""".stripMargin,
 
     // Same canonical row string, same 60-bit md5 prefix hash (the
     // concat('0x', …) cast is DuckDB's spelling of Spark's conv(…,16,10),
