@@ -74,6 +74,44 @@ object Multimodal {
     }).toDF("doc_id", "frame_idx", "width", "height", "feature")
   }
 
+  /** Byte-gram perceptual hash: 64-bit simhash over sliding 4-byte grams
+    * of the payload — the stub feature extractor behind mm_phash
+    * (MultimodalSpec pins its locality: a one-byte edit moves few bits,
+    * an unrelated payload ~half). The hex expansion is precomputed ONCE
+    * per row so gram extraction is O(len) slices, not O(len²) re-hexing
+    * inside the lambda. */
+  def phash64(withPayloadDf: DataFrame): DataFrame =
+    withPayloadDf
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).as("len"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(len - 3, 1)),
+          |  i -> substring(hx, (i - 1) * 2 + 1, 8))""".stripMargin).as("grams"))
+      .select(col("doc_id"),
+        graft.functions.expressions.GraftFunctions.simhash64(col("grams"))
+          .as("phash"))
+
+  /** Near-dup payload pairs within a hamming radius: 4×16-bit chunk
+    * blocking (complete by pigeonhole for radius ≤ 3 — dedup_simhash's
+    * soundness argument), bucket equi-join + XOR popcount verify. Only
+    * (doc_id, 64-bit code) leaves the scan — payload bytes never
+    * shuffle, so at 100 TB the pair search moves 12 bytes per object. */
+  def phashPairs(withPayloadDf: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, s"4-chunk pigeonhole blocking is only complete for radius <= 3, got $maxHamming")
+    val fp = phash64(withPayloadDf)
+    val chunks = fp.select(col("doc_id"), col("phash"), explode(expr(
+      "transform(sequence(0, 3), c -> concat(c, ':', (phash >> (c * 16)) & 65535))"))
+      .as("chunk"))
+    val a = chunks.select(col("doc_id").as("doc_a"), col("phash").as("ph_a"), col("chunk"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("phash").as("ph_b"), col("chunk"))
+    a.join(b, Seq("chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(ph_a ^ ph_b) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Opaque-payload metadata extraction — size/magic/checksum typed
     // columns from the binary payload, no decode.
@@ -89,6 +127,19 @@ object Multimodal {
     "mm_decode" -> ((s, dir) =>
       decodePipeline(s, t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("frame_idx"))),
+
+    // Perceptual-hash near-dup over binary payloads — the image/video
+    // dedup pass of a multimodal pipeline. A real deployment computes a
+    // pHash/aHash (DCT of decoded pixels); no codecs exist in this
+    // container, so the STUB feature extractor is a simhash over sliding
+    // 4-byte grams of the raw payload — genuinely locality-sensitive to
+    // byte-level edits (a substitution perturbs only the 4 windows
+    // covering it), which is the property the downstream machinery
+    // needs, and the blocking/verify machinery (phash64 + phashPairs)
+    // is the real deliverable a true pHash would drop into.
+    "mm_phash" -> ((s, dir) =>
+      phashPairs(Lake.fanOut(withPayload(t(s, dir, "documents"))), 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // Frame sampling + resize — the rest of the §F pipeline after decode:
     // keep a deterministic stride of frames (every 2nd — reproducible,
@@ -157,6 +208,45 @@ object Multimodal {
          |SELECT doc_id, frame_idx, width, height, feature
          |FROM frames
          |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Ground-truth all-pairs replay of the byte-gram simhash: same
+    // sliding 4-byte grams off the hex expansion (DuckDB hex is
+    // uppercase like Spark's, so gram strings — and their md5s — are
+    // byte-identical), same md5-top-16-nibble bit votes as the
+    // dedup_simhash oracle, then exhaustive hamming ≤ 3 over all pairs —
+    // which also proves the Spark side's 4-chunk pigeonhole blocking
+    // lost no pair.
+    "mm_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest([substring(hx, (i - 1) * 2 + 1, 8)
+        |    for i in range(1, greatest(len - 3, 1) + 1)]) AS tok
+        |  FROM d),
+        |nibbles AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(substring(md5(tok), 1, 16), '')) AS c,
+        |    generate_subscripts(string_split(substring(md5(tok), 1, 16), ''), 1) AS j
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, (16 - j) * 4 + r.k AS bit,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef', c) - 1) >> r.k) & 1 = 1
+        |             THEN 1 ELSE -1 END) AS vote
+        |  FROM nibbles, range(4) r(k)
+        |  GROUP BY doc_id, bit),
+        |fp AS (
+        |  SELECT doc_id, CAST(sum(CASE
+        |      WHEN vote <= 0 THEN 0
+        |      WHEN bit = 63 THEN -9223372036854775808
+        |      ELSE (1::BIGINT << bit) END) AS BIGINT) AS phash
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // mm_framesample replays the same decode CTEs, keeps the even-stride
     // frames and applies the same integer box-fit scaling (// mirrors

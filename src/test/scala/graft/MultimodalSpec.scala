@@ -21,6 +21,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perDoc.getLong(0) >= 1 && perDoc.getLong(1) <= 3)
   }
 
+  test("phash locality: one-byte edit stays near, unrelated payload lands far") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 5
+    val edited = base.updated(20, 'X')                 // one byte substituted
+    val unrelated = base.reverse.toUpperCase
+    val df = Seq((1L, base), (2L, edited), (3L, unrelated))
+      .toDF("doc_id", "text")
+      .withColumn("payload", org.apache.spark.sql.functions.col("text").cast("binary"))
+    val ph = Multimodal.phash64(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a substitution perturbs only the 4 grams covering it → few bit flips;
+    // an unrelated byte stream shares no grams → ~32 of 64 bits differ
+    assert(ham(ph(1L), ph(2L)) <= 3,
+      s"one-byte edit moved ${ham(ph(1L), ph(2L))} bits")
+    assert(ham(ph(1L), ph(3L)) >= 16,
+      s"unrelated payload only ${ham(ph(1L), ph(3L))} bits away")
+    // and the pair search finds exactly the near pair at radius 3
+    val pairs = Multimodal.phashPairs(df, 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)), s"got ${pairs.toSet}")
+  }
+
   test("metadata extraction never decodes: size, magic, checksum from bytes") {
     val docs = sources.Lake.table(spark, TestSpark.Sf, "documents").limit(5)
     val meta = Multimodal.withMeta(Multimodal.withPayload(docs))
