@@ -14,7 +14,8 @@ object SparkEntry {
     operators.Relational.queries ++ etl.StarSchema.queries ++
       functions.TextAnalysis.queries ++ dedup.Dedup.queries ++
       ann.Similarity.queries ++ multimodal.Multimodal.queries ++
-      streaming.Streams.queries ++ quality.Quality.queries
+      streaming.Streams.queries ++ quality.Quality.queries ++
+      graph.Graph.queries
 
   /** Queries whose lambda performs HEAVY work beyond building a plan —
     * lake round-trip writes and streaming materializations. Shared by
@@ -25,7 +26,8 @@ object SparkEntry {
     * eagerly materialize their small shared sketch caches, and ann_ivf
     * eagerly runs its fixed-sweep k-means training (one bounded corpus
     * scan per sweep, k-row results) — bounded passes, acceptable in a
-    * plan audit. Those small caches are deliberately left to Spark's LRU
+    * plan audit; graph_pagerank's fixed power-iteration sweeps are the
+    * same class, each checkpoint a node-sized (id, rank) table. Those small caches are deliberately left to Spark's LRU
     * cache manager rather than hand-unpersisted: every entry is a
     * sketch/centroid table orders of magnitude smaller than the corpus,
     * and repeated query CONSTRUCTION (bench iterations, plan audits)
@@ -46,5 +48,6 @@ object SparkEntry {
     operators.Relational.oracles ++ etl.StarSchema.oracles ++
       functions.TextAnalysis.oracles ++ dedup.Dedup.oracles ++
       ann.Similarity.oracles ++ multimodal.Multimodal.oracles ++
-      streaming.Streams.oracles ++ quality.Quality.oracles
+      streaming.Streams.oracles ++ quality.Quality.oracles ++
+      graph.Graph.oracles
 }

@@ -1,0 +1,120 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Lake
+
+/** Iterative graph analytics (SURVEY.md §J) — PageRank over the
+  * customer–supplier interaction graph the lake's fact tables imply
+  * (an undirected bipartite edge per distinct customer→supplier trade,
+  * via orders × lineitem).
+  *
+  * Scale design (the dedup_clusters iterative-fold discipline applied
+  * to rank propagation): every sweep is ONE co-partitioned equi-join of
+  * the edge list with the current ranks plus a grouped sum — both sides
+  * hash-partition on the node id, so at 1000 executors the same
+  * partitioning serves every iteration and nothing but (node, rank)
+  * pairs move. Edge weights (1/out-degree) are precomputed once and
+  * cached; per-sweep `localCheckpoint(eager)` truncates the growing
+  * lineage so sweep i never re-executes sweeps 1..i-1 and the plan
+  * stays O(1) deep; ranks are never broadcast (node space is
+  * corpus-sized at 100 TB). The damping mass 0.15/n enters as a
+  * broadcast one-row scalar — no driver-side count().
+  */
+object Graph {
+
+  private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
+
+  val Damping = 0.85
+  val Sweeps = 6
+
+  /** Undirected bipartite trade edges, both directions, with 1/deg
+    * weights. Node ids are prefixed ('c'/'s') so the two key spaces
+    * can't collide. */
+  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val eb = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    eb.select(col("a").as("src"), col("b").as("dst"))
+      .union(eb.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  /** Damped PageRank over explicit (src, dst) edges and a node universe
+    * (which may include isolated nodes — they hold the floor mass). */
+  private[graft] def pagerank(nodes: DataFrame, edges: DataFrame,
+                              sweeps: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val weighted = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .persist()
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to sweeps) {
+      val mass = weighted.join(ranks, weighted("src") === ranks("node"))
+        .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("mass"))
+      ranks = nodes.crossJoin(broadcast(nRow))
+        .join(mass, nodes("node") === mass("dst"), "left")
+        .select(nodes("node"),
+          (lit(1.0 - Damping) / col("n") +
+            lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, dir) => {
+      val nodes = t(s, dir, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+        .union(t(s, dir, "supplier")
+          .select(concat(lit("s"), col("s_suppkey")).as("node")))
+      pagerank(nodes, tradeEdges(s, dir), Sweeps)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("node"))
+    })
+  )
+
+  /** The oracle UNROLLS the power iteration — one CTE stage per sweep,
+    * the same join + grouped sum + damping floor at every step (DuckDB
+    * recursive CTEs disallow aggregation in the recursive term, so the
+    * fixed sweep count is spelled out). All arithmetic is forced to
+    * DOUBLE (DuckDB's bare 1.0 literals are DECIMAL) so both engines
+    * run the identical IEEE ops; the final rank rounds to 6dp on both
+    * sides. */
+  private def pagerankSql(sweeps: Int): String = {
+    val stages = (1 to sweeps).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.node,
+         |    0.15::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(m.mass, 0::DOUBLE) AS rank
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT w.dst AS node, sum(w.w * r.rank) AS mass
+         |    FROM w JOIN r${i - 1} r ON w.src = r.node
+         |    GROUP BY w.dst) m ON m.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eb AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM eb
+       |      UNION ALL SELECT b, a FROM eb),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |w AS (SELECT e.src, e.dst, 1.0::DOUBLE / d.deg AS w
+       |      FROM e JOIN d USING (src)),
+       |nodes AS (SELECT 'c' || c_custkey AS node FROM customer
+       |          UNION ALL SELECT 's' || s_suppkey FROM supplier),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |r0 AS (SELECT node, 1.0::DOUBLE / n AS rank FROM nodes CROSS JOIN nn),
+       |$stages
+       |SELECT node, round(rank, 6) AS rank
+       |FROM r$sweeps ORDER BY node""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pagerankSql(Sweeps)
+  )
+}

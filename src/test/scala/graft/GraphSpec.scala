@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Graph
+
+/** §J: the distributed power iteration must agree with an independent
+  * scalar reference on a graph small enough to fold by hand. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("pagerank matches a scalar power iteration on a star graph") {
+    import spark.implicits._
+    // undirected star: hub a — leaves b, c (both directions explicit)
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val got = Graph.pagerank(nodes, edges, Graph.Sweeps)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // scalar reference: deg(a)=2, deg(b)=deg(c)=1, n=3, damping 0.85
+    var a = 1.0 / 3; var b = 1.0 / 3; var c = 1.0 / 3
+    for (_ <- 1 to Graph.Sweeps) {
+      val (ma, mb, mc) = (b + c, a / 2, a / 2)
+      a = 0.15 / 3 + 0.85 * ma
+      b = 0.15 / 3 + 0.85 * mb
+      c = 0.15 / 3 + 0.85 * mc
+    }
+    assert(math.abs(got("a") - a) < 1e-9, s"hub: got ${got("a")}, want $a")
+    assert(math.abs(got("b") - b) < 1e-9)
+    assert(math.abs(got("c") - c) < 1e-9)
+    // structural sanity: the hub concentrates rank
+    assert(got("a") > got("b") && got("a") > got("c"))
+  }
+
+  test("isolated nodes keep the damping floor") {
+    import spark.implicits._
+    val nodes = Seq("a", "b", "x").toDF("node") // x has no edges
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val got = Graph.pagerank(nodes, edges, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("x") - 0.15 / 3) < 1e-9,
+      s"isolated node must hold exactly the floor mass, got ${got("x")}")
+  }
+}

@@ -81,16 +81,21 @@ class QualitySpec extends AnyFunSuite {
       .forall(!_.getAs[Boolean]("passed")))
   }
 
-  test("profile_stats_approx sketches hold the 5% contract on every column in one scan") {
+  test("profile_stats_approx sketches hold the 5% contract, Expand-free") {
     val df = Quality.queries("profile_stats_approx")(spark, TestSpark.Sf)
     val rows = df.collect()
     assert(rows.length == 6)
     assert(rows.forall(_.getAs[Boolean]("within_tol")), rows.mkString("; "))
-    // all 12 aggregates (6 exact + 6 sketches) fold into one scan
+    // two SINGLE-MODE passes (one sketch scan, one exact scan): folding
+    // the HLL buffers into the exact pass's multi-distinct Expand would
+    // update every sketch on every Expand replica row — measured 13×
+    // slower than the split at sf0.1 — so the plan must show exactly two
+    // scans and at most the exact pass's one Expand
     // (after execution AQE prints final + initial plan — count the final)
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 2, plan)
+    assert("Expand".r.findAllIn(plan).length <= 1, plan)
   }
 
   test("profile_checksum is order- and partitioning-independent and content-sensitive") {

@@ -129,12 +129,14 @@ class ScaleSpec extends AnyFunSuite {
       val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("LocalRelation"), s"$k materializes on the driver")
-      // dedup_clusters' label table is lineage-truncated by a per-sweep
-      // checkpoint (the pointer-jump self-join would otherwise double the
-      // plan every sweep) — its root is a LogicalRDD over DISTRIBUTED
-      // executor partitions, not driver data, so it is the one plan
-      // allowed to lack a lake relation
-      if (k == "dedup_clusters") assert(plan.contains("LogicalRDD"), k)
+      // dedup_clusters' label table and graph_pagerank's rank table are
+      // lineage-truncated by per-sweep checkpoints (the iterative
+      // self-join would otherwise double the plan every sweep) — their
+      // roots are LogicalRDDs over DISTRIBUTED executor partitions, not
+      // driver data, so they are the plans allowed to lack a lake
+      // relation
+      if (Set("dedup_clusters", "graph_pagerank")(k))
+        assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
   }
