@@ -83,6 +83,18 @@ class AnnSpec extends AnyFunSuite {
       s"training degraded the k-means objective: $seedObj -> $trainedObj")
   }
 
+  test("pq adc holds its recall contract with margin") {
+    val rows = Similarity.queries("ann_pq")(spark, TestSpark.Sf).collect()
+    assert(rows.length == 100) // 10 queries × top-10, the exact leg
+    // the in-query contract must hold for EVERY query (this is what the
+    // driver gate hashes)
+    assert(rows.forall(_.getAs[Boolean]("pq_ok")), "recall contract violated")
+    // the exact leg must literally be the brute-force result
+    val exact = Similarity.queries("ann_bruteforce")(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == exact)
+  }
+
   test("knn join builds a sane graph and agrees with brute force on queries") {
     val rows = Similarity.queries("ann_knn_join")(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
