@@ -264,6 +264,33 @@ object StarSchema {
         .orderBy(col("event_id"))
     }),
 
+    // Targeted key erasure end-to-end (the GDPR/right-to-be-forgotten
+    // maintenance pass — §A engine completeness beyond upsert): events
+    // land bucket-partitioned on user_id (the stream_upsert state-store
+    // layout), an erase request names every user in one nation, and
+    // Lake.deleteKeys rewrites ONLY the buckets those users hash to —
+    // untouched buckets are never read or rewritten (LakeSpec pins their
+    // file listing, plus the all-rows-erased empty-bucket edge dynamic
+    // overwrite would get wrong). The oracle replays the erasure as an
+    // anti-join over the raw table: the partition-pruned rewrite must be
+    // result-identical to the logical delete.
+    "etl_delete" -> ((s, dir) => {
+      val path = scratch("etl_delete")
+      val buckets = 16
+      t(s, dir, "events")
+        .withColumn("bucket", pmod(hash(col("user_id")), lit(buckets)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      val erase = t(s, dir, "customer").filter(col("c_nationkey") === 7)
+        .select(col("c_custkey").as("user_id"))
+      Lake.deleteKeys(s, path, "user_id", "bucket", erase, buckets)
+      s.read.parquet(path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Salted skew join as a query surface (§H): the known-hot-key
     // mitigation AQE can't always provide (a single key too large for
     // one map task even after splitting). The left side salts each row
@@ -518,6 +545,18 @@ object StarSchema {
         |WHERE CAST(ts AS DATE) > DATE '2024-01-15'
         |GROUP BY 1, 2
         |ORDER BY event_date, event_type""".stripMargin,
+
+    // The erasure replayed as a logical delete: every event of every
+    // nation-7 customer gone, everything else untouched.
+    "etl_delete" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "etl_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

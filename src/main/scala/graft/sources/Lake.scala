@@ -229,6 +229,49 @@ object Lake {
       .unionByName(checked)
   }
 
+  /** Targeted key erasure (the GDPR/right-to-be-forgotten maintenance
+    * operation) over a bucket-partitioned lake table: `path` holds rows
+    * partitioned by `bucketCol` = pmod(hash(keyCol), buckets) (the
+    * stream_upsert state-store layout), and every row whose key appears
+    * in `keys` is removed by rewriting ONLY the buckets those keys hash
+    * to. An erase request is tiny next to the table, so the per-request
+    * cost is O(touched partitions), not O(table): untouched buckets are
+    * never listed, read, or rewritten, and inside a touched bucket the
+    * erase set broadcasts into the anti-join so the bucket's rows never
+    * shuffle. The touched-bucket collect is partition METADATA (≤
+    * `buckets` ints), not data.
+    *
+    * Dynamic-partition overwrite is NOT sound here: a bucket whose every
+    * row is erased produces zero output rows, so dynamic mode would
+    * leave its old files — and the erased rows — in place. Instead the
+    * surviving rows are materialized first (localCheckpoint — the plan
+    * must not read `path` while we mutate it), then each touched bucket
+    * directory is dropped through the FS API and the survivors appended
+    * back. A crash between drop and append loses no un-erased data that
+    * wasn't already safely materialized, and re-running the same erase
+    * is idempotent. */
+  def deleteKeys(spark: SparkSession, path: String, keyCol: String,
+                 bucketCol: String, keys: DataFrame, buckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val keyed = keys.select(col(keyCol))
+      .withColumn(bucketCol, pmod(hash(col(keyCol)), lit(buckets)))
+    val touched = keyed.select(bucketCol).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val survivors = spark.read.parquet(path)
+        .filter(col(bucketCol).isin(touched: _*))
+        .join(keyed.select(keyCol), Seq(keyCol), "left_anti")
+        .localCheckpoint(eager = true)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$bucketCol=$b"), true)
+      }
+      survivors.write.mode(SaveMode.Append)
+        .partitionBy(bucketCol).parquet(path)
+    }
+  }
+
   /** S3A-style lake credential wiring (reference etl.py:33-36) — sets
     * Hadoop conf on the live session; values come from the caller (config
     * file / env), never hard-coded. */

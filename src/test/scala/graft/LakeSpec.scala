@@ -193,6 +193,45 @@ class LakeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("deleteKeys rewrites only touched buckets and survives the empty-bucket edge") {
+    val p = TestSpark.scratch("delete_keys")
+    val buckets = 8
+    spark.range(200).toDF("id")
+      .withColumn("v", col("id") * 10)
+      .withColumn("bucket", pmod(hash(col("id")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(p)
+    def listing(b: Int): Set[(String, Long)] = {
+      val d = new java.io.File(s"$p/bucket=$b")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val before = (0 until buckets).map(b => b -> listing(b)).toMap
+    // erase set = EVERY key of one bucket (the edge dynamic overwrite
+    // gets wrong: zero survivors must still empty the bucket) plus a
+    // couple of keys from a second bucket (the partial-rewrite path)
+    val byBucket = spark.range(200).toDF("id")
+      .withColumn("bucket", pmod(hash(col("id")), lit(buckets)))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val fullBucket = byBucket.filter(_._2 == 3).map(_._1)
+    val partial = byBucket.filter(_._2 == 5).map(_._1).take(2)
+    assert(fullBucket.nonEmpty && partial.length == 2)
+    val erase = (fullBucket ++ partial).toSeq.toDF("id")
+    Lake.deleteKeys(spark, p, "id", "bucket", erase, buckets)
+    val after = spark.read.parquet(p)
+    assert(after.count() == 200 - fullBucket.length - 2)
+    assert(after.join(erase, Seq("id"), "left_semi").count() == 0,
+      "erased keys must not survive")
+    assert(listing(3).isEmpty, "fully-erased bucket must be physically empty")
+    (0 until buckets).filter(b => b != 3 && b != 5).foreach { b =>
+      assert(listing(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    assert(listing(5) != before(5), "partially-erased bucket must be rewritten")
+    // idempotent: replaying the same erase is a no-op on the data
+    Lake.deleteKeys(spark, p, "id", "bucket", erase, buckets)
+    assert(spark.read.parquet(p).count() == 200 - fullBucket.length - 2)
+  }
+
   test("ini config loading wires S3A credentials like the reference's dl.cfg") {
     val cfg = TestSpark.scratch("cfg/dl.cfg")
     Files.writeString(Paths.get(cfg),
