@@ -67,7 +67,49 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS: min-hop distance from a seed set, `hops` sweeps.
+    * Frontier discipline: each sweep is ONE co-partitioned equi-join of
+    * the edge list with the CURRENT frontier (not the visited set) plus
+    * a distinct and an anti-join against visited — all hash-partitioned
+    * on node id, so the same partitioning serves every sweep and only
+    * (node) / (node, hop) pairs move. Work per sweep is O(edges touching
+    * the frontier), the BFS optimum; per-sweep localCheckpoint truncates
+    * lineage so sweep i never re-executes earlier sweeps (the
+    * dedup_clusters discipline). Nothing is broadcast — at 100 TB both
+    * the frontier and the visited set are corpus-sized in the worst
+    * sweep. */
+  private[graft] def bfs(seeds: DataFrame, edges: DataFrame, hops: Int): DataFrame = {
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hop", lit(0))
+      .localCheckpoint(eager = true)
+    var frontier = visited.select("node")
+    for (h <- 1 to hops) {
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint(eager = true)
+      visited = visited.unionByName(next).localCheckpoint(eager = true)
+      frontier = next.select("node")
+    }
+    visited
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Blast-radius / k-hop reachability: from every customer of one
+    // nation, the min-hop distance to every node reachable in ≤ 3 hops
+    // of the trade graph (hop 1 = their suppliers, hop 2 = co-customers
+    // of those suppliers, hop 3 = those customers' other suppliers).
+    // The oracle unrolls the same three frontier expansions in SQL.
+    "graph_bfs" -> ((s, dir) => {
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 3)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      bfs(seeds, tradeEdges(s, dir), hops = 3)
+        .orderBy(col("node"))
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       val nodes = t(s, dir, "customer")
         .select(concat(lit("c"), col("c_custkey")).as("node"))
@@ -115,6 +157,29 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // Frontier expansion unrolled: f_i = new nodes at hop i (reachable
+    // from f_{i-1}, not seen in any earlier v), v_i = running visited
+    // set. NOT IN is null-safe here (node is a non-null concat).
+    "graph_bfs" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM eb
+        |      UNION ALL SELECT b, a FROM eb),
+        |f0 AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+        |       WHERE c_nationkey = 3),
+        |v0 AS (SELECT node, 0 AS hop FROM f0),
+        |f1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f0 ON e.src = f0.node
+        |       WHERE e.dst NOT IN (SELECT node FROM v0)),
+        |v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+        |f2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+        |       WHERE e.dst NOT IN (SELECT node FROM v1)),
+        |v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+        |f3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+        |       WHERE e.dst NOT IN (SELECT node FROM v2)),
+        |v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
+        |SELECT node, hop FROM v3 ORDER BY node""".stripMargin,
+
     "graph_pagerank" -> pagerankSql(Sweeps)
   )
 }

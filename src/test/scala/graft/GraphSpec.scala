@@ -32,6 +32,28 @@ class GraphSpec extends AnyFunSuite {
     assert(got("a") > got("b") && got("a") > got("c"))
   }
 
+  test("bfs assigns min-hop on a path graph and stops at the horizon") {
+    import spark.implicits._
+    // path a-b-c-d-e plus a shortcut a-c: c must land at hop 1 via the
+    // shortcut (min-hop, not path order), e at hop 3; f is unreachable
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = Graph.bfs(seeds, edges, hops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 1, "d" -> 2, "e" -> 3))
+  }
+
+  test("multi-source bfs takes the min over seeds") {
+    import spark.implicits._
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a", "d").toDF("node")
+    val got = Graph.bfs(seeds, edges, hops = 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "d" -> 0, "b" -> 1, "c" -> 1))
+  }
+
   test("isolated nodes keep the damping floor") {
     import spark.implicits._
     val nodes = Seq("a", "b", "x").toDF("node") // x has no edges
