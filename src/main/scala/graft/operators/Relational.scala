@@ -814,10 +814,47 @@ object Relational {
         .select(col("event_type"), col("day").cast("string").as("day"),
           col("max_concurrent"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Event-type transition matrix (the Markov behavior model behind
+    // funnel design and anomaly baselines): per-user event streams in
+    // (ts, event_id) order yield (from, to) pairs via ONE lead() window
+    // — a single shuffle on user_id — then a global (from, to) count
+    // with map-side partials. The per-from_type probability is a second
+    // window, but over the k×k count table (k = event types), so it
+    // costs nothing at any scale. Probability is the same long/long
+    // IEEE double division in both engines, rounded to 6dp (q32
+    // precedent).
+    "q40_markov" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = Window.partitionBy(col("from_type"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("prob",
+          round(col("n_trans") / sum(col("n_trans")).over(wf), 6))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_markov" ->
+      """WITH tr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n_trans
+        |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  round(n_trans / sum(n_trans) OVER (PARTITION BY from_type), 6) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
     "q37_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts, event_id,

@@ -171,6 +171,25 @@ object Quality {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // Distribution-drift profile (population stability index — the
+    // train/serve drift check a feature pipeline runs before trusting a
+    // new data window): the reference period (orders before 1998) and
+    // the current period (1998+) are histogrammed over the SAME 10
+    // equi-width bins (global min/max bounds — the profile_hist
+    // machinery, proven grid-identical cross-engine, where quantile
+    // edges would risk interpolation-ulp drift), and each bin
+    // contributes (p−q)·ln(p/q) with Laplace-smoothed shares (+0.5 per
+    // bin) so an empty bin can't blow up the log. ONE table scan: both
+    // periods' counts are conditional sums in the same 10-group
+    // aggregate; the share windows run over the 10-row bin table. ln is
+    // the only transcendental and rides a 6dp round (text_logprob
+    // precedent).
+    "profile_psi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      psiReport(o, col("o_totalprice"),
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    }),
+
     // Order-independent table fingerprint — the "did the copy/migration
     // change anything" check two engines can run WITHOUT moving data:
     // each row canonicalizes to a chr(1)-delimited string (NULL sentinel
@@ -200,6 +219,33 @@ object Quality {
           sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_fp"))
     })
   )
+
+  /** The profile_psi engine over an explicit input — split out so specs
+    * can feed constructed distributions (identical halves ⇒ psi ≈ 0,
+    * shifted half ⇒ psi large). `isRef` splits rows into the reference
+    * and current periods; `value` is the profiled numeric column. */
+  def psiReport(rows: DataFrame, value: org.apache.spark.sql.Column,
+                isRef: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = rows.agg(min(value).as("mn"), max(value).as("mx"))
+    val binned = rows.crossJoin(broadcast(bounds))
+      .select(least(lit(9), floor((value - col("mn")) /
+          ((col("mx") - col("mn")) / 10.0))).cast("int").as("bin"),
+        isRef.as("is_ref"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+    // the windows below run over the 10-row bin table, not table data
+    val wAll = Window.partitionBy()
+    binned
+      .withColumn("p", (col("ref_cnt") + 0.5) /
+        (sum(col("ref_cnt")).over(wAll) + 5.0))
+      .withColumn("q", (col("cur_cnt") + 0.5) /
+        (sum(col("cur_cnt")).over(wAll) + 5.0))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi"))
+      .orderBy(col("bin"))
+  }
 
   /** The dq_checks engine over explicit inputs — split out so specs can
     * feed planted-violation tables and pin the exact violation counts. */
@@ -317,6 +363,27 @@ object Quality {
         |    round(covar_samp(l_quantity, l_tax), 2) FROM lineitem)
         |SELECT col_a, col_b, pearson_r, covar
         |FROM p ORDER BY col_a, col_b""".stripMargin,
+
+    // Same 10 equi-width bins (grid-identical edges, profile_hist
+    // precedent), same Laplace-smoothed shares, same (p−q)·ln(p/q) —
+    // DuckDB's ln() is natural log (its log() is log10, unlike Spark's).
+    "profile_psi" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |           FROM orders),
+        |c AS (
+        |  SELECT CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0)))
+        |              AS INT) AS bin,
+        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS ref_cnt,
+        |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS cur_cnt
+        |  FROM orders CROSS JOIN b GROUP BY 1),
+        |t AS (SELECT sum(ref_cnt) AS rt, sum(cur_cnt) AS ct FROM c)
+        |SELECT bin, ref_cnt, cur_cnt,
+        |  round(((ref_cnt + 0.5) / (rt + 5.0) - (cur_cnt + 0.5) / (ct + 5.0)) *
+        |        ln(((ref_cnt + 0.5) / (rt + 5.0)) /
+        |           ((cur_cnt + 0.5) / (ct + 5.0))), 6) AS psi
+        |FROM c CROSS JOIN t ORDER BY bin""".stripMargin,
 
     // Same canonical row string, same 60-bit md5 prefix hash (the
     // concat('0x', …) cast is DuckDB's spelling of Spark's conv(…,16,10),

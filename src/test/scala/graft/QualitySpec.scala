@@ -130,4 +130,28 @@ class QualitySpec extends AnyFunSuite {
     val doubled = fp(orders.unionAll(orders.limit(1)))
     assert(doubled.getAs[String]("sum_fp") != base.getAs[String]("sum_fp"))
   }
+
+  test("psi is ~0 for identical halves and large for a shifted half") {
+    // identical distributions: every bin's p equals q, psi exactly 0
+    val same = spark.range(1000).toDF("id")
+      .select((col("id") % 100).cast("double").as("v"),
+        (col("id") % 2 === 0).as("is_ref"))
+    val psiSame = Quality.psiReport(same, col("v"), col("is_ref"))
+      .agg(sum(abs(col("psi")))).head.getDouble(0)
+    assert(psiSame == 0.0, s"identical halves must have psi 0, got $psiSame")
+    // current period shifted up by half the range: strong drift
+    val shifted = spark.range(1000).toDF("id")
+      .select(
+        when(col("id") % 2 === 0, (col("id") % 100))
+          .otherwise((col("id") % 100) + 50).cast("double").as("v"),
+        (col("id") % 2 === 0).as("is_ref"))
+    val psiShift = Quality.psiReport(shifted, col("v"), col("is_ref"))
+      .agg(sum(abs(col("psi")))).head.getDouble(0)
+    assert(psiShift > 0.25, // industry "significant drift" threshold
+      s"shifted half must show strong drift, got $psiShift")
+    // every input row lands in exactly one bin on both sides
+    val binned = Quality.psiReport(shifted, col("v"), col("is_ref"))
+      .agg(sum(col("ref_cnt") + col("cur_cnt"))).head.getLong(0)
+    assert(binned == 1000L)
+  }
 }
