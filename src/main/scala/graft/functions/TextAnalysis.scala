@@ -466,7 +466,44 @@ object TextAnalysis {
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("ngram"))
-        .limit(25))
+        .limit(25)),
+
+    // Collocation mining (PMI-scored bigrams — the phrase detector a
+    // tokenizer-training or phrase-merging pass runs): pointwise mutual
+    // information ln(p(ab) / (p(a)p(b))) for bigrams with count ≥ 5,
+    // top 25. Unigram stats derive FROM the shared tf cache (one corpus
+    // explode serves tfidf/logprob/this); bigrams are one more narrow
+    // explode + counted with map-side partials. The unigram-count joins
+    // carry NO broadcast hint (vocab is 1e8+ terms at web scale — the
+    // text_tfidf df-join rule); corpus totals enter as broadcast one-row
+    // scalars. The top-k cutoff is decided on the 6dp-ROUNDED pmi with a
+    // bigram tie-break — both engines rank the identical grid (the
+    // text_sample_weighted cutoff discipline), and the final top-25 is a
+    // TakeOrderedAndProject partial top-k, never a global sort.
+    "text_collocations" -> ((s, dir) => {
+      val tf = tfTable(s, dir)
+      val uc = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+      val nu = tf.agg(sum(col("tf")).cast("double").as("nu"))
+      val bi = t(s, dir, "documents")
+        .select(tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("bigram"))
+      val nb = bi.agg(count(lit(1)).cast("double").as("nb"))
+      bi.groupBy(col("bigram")).agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 5)
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(uc.select(col("term").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uc.select(col("term").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+        .select(col("bigram"), col("pair_cnt"),
+          round(log((col("pair_cnt") / col("nb")) /
+            ((col("c1") / col("nu")) * (col("c2") / col("nu")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(25)
+    })
   )
 
   /** PII patterns, restricted to the Java∩RE2 regex common subset so
@@ -690,6 +727,30 @@ object TextAnalysis {
         |FROM grams c JOIN bench b ON c.g = b.g AND c.doc_id <> b.doc_id
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // Same unigram/bigram counts, same PMI arithmetic shape
+    // ((cab/nb) / ((c1/nu)·(c2/nu)), one ln, 6dp round), same
+    // rounded-grid cutoff. DuckDB ln() = natural log (log() is log10).
+    "text_collocations" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS term FROM d),
+        |uc AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+        |nu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni),
+        |bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |         i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |       FROM d WHERE len(ws) >= 2),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bi),
+        |bc AS (SELECT bigram, count(*) AS pair_cnt FROM bi
+        |       GROUP BY bigram HAVING count(*) >= 5)
+        |SELECT b.bigram, b.pair_cnt,
+        |  round(ln((b.pair_cnt / nb.nb) /
+        |        ((u1.c / nu.nu) * (u2.c / nu.nu))), 6) AS pmi
+        |FROM bc b
+        |JOIN uc u1 ON u1.term = string_split(b.bigram, ' ')[1]
+        |JOIN uc u2 ON u2.term = string_split(b.bigram, ' ')[2]
+        |CROSS JOIN nb CROSS JOIN nu
+        |ORDER BY pmi DESC, bigram
+        |LIMIT 25""".stripMargin,
 
     "text_ngrams" ->
       """SELECT ngram, count(*) AS cnt

@@ -171,6 +171,21 @@ object Quality {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // Robust outlier report (median/MAD, the anomaly screen that — unlike
+    // mean/stddev z-scores — outliers can't poison): per priority class,
+    // count orders whose |price − median| exceeds 3·1.4826·MAD (the
+    // normal-consistent robust z > 3). Exact per-group medians need
+    // per-group sorted state — right for the GATE; at 100 TB swap both
+    // percentile() calls for approx_percentile and gate with a
+    // q25-style rank contract. Shape: two grouped percentile passes +
+    // two k-row joins (k = 5 priority classes, AQE broadcasts them), so
+    // the table never shuffles — only scan-local work + k-row tables
+    // move. The outlier comparison is strict (>) on doubles both engines
+    // compute from identical inputs; medians surface rounded (2dp), the
+    // threshold uses the unrounded values.
+    "dq_outliers" -> ((s, dir) =>
+      outlierReport(t(s, dir, "orders"), "o_orderpriority", "o_totalprice")),
+
     // Distribution-drift profile (population stability index — the
     // train/serve drift check a feature pipeline runs before trusting a
     // new data window): the reference period (orders before 1998) and
@@ -219,6 +234,27 @@ object Quality {
           sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_fp"))
     })
   )
+
+  /** The dq_outliers engine over an explicit input — split out so specs
+    * can plant known outliers and pin the exact counts. */
+  def outlierReport(rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val med = rows.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    val dev = rows.join(med, Seq(groupCol))
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(max(col("med")).as("med"),
+        percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.select(col(groupCol), col("adev"))
+      .join(mad, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 2).as("median"),
+        round(max(col("mad")), 2).as("mad"),
+        sum(when(col("adev") > lit(4.4478) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col(groupCol))
+  }
 
   /** The profile_psi engine over an explicit input — split out so specs
     * can feed constructed distributions (identical halves ⇒ psi ≈ 0,
@@ -363,6 +399,30 @@ object Quality {
         |    round(covar_samp(l_quantity, l_tax), 2) FROM lineitem)
         |SELECT col_a, col_b, pearson_r, covar
         |FROM p ORDER BY col_a, col_b""".stripMargin,
+
+    // Same two percentile passes (quantile_cont ↔ Spark percentile, the
+    // q25 pairing), same strict > on the same 4.4478·mad threshold from
+    // unrounded medians.
+    "dq_outliers" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |dev AS (
+        |  SELECT o.o_orderpriority, m.med,
+        |    abs(o.o_totalprice - m.med) AS adev
+        |  FROM orders o JOIN med m USING (o_orderpriority)),
+        |mad AS (
+        |  SELECT o_orderpriority, max(med) AS med,
+        |    quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.o_orderpriority, count(*) AS n,
+        |  round(max(m.med), 2) AS median, round(max(m.mad), 2) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (o_orderpriority)
+        |GROUP BY d.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // Same 10 equi-width bins (grid-identical edges, profile_hist
     // precedent), same Laplace-smoothed shares, same (p−q)·ln(p/q) —

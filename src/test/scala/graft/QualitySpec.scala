@@ -131,6 +131,21 @@ class QualitySpec extends AnyFunSuite {
     assert(doubled.getAs[String]("sum_fp") != base.getAs[String]("sum_fp"))
   }
 
+  test("outlierReport counts exactly the planted robust outliers") {
+    // group a: 99 values tightly packed in [0, 98] (median 49, MAD 25)
+    // plus one enormous spike — exactly 1 outlier; a mean/std z-score
+    // with this spike would have sigma ~1e4 and could miss it too.
+    // group b: clean uniform — 0 outliers.
+    val a = spark.range(99).toDF("id")
+      .select(lit("a").as("g"), col("id").cast("double").as("v"))
+      .unionAll(Seq(("a", 1e6)).toDF("g", "v"))
+    val b = spark.range(100).toDF("id")
+      .select(lit("b").as("g"), col("id").cast("double").as("v"))
+    val got = Quality.outlierReport(a.unionAll(b), "g", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_outliers")).toMap
+    assert(got == Map("a" -> 1L, "b" -> 0L))
+  }
+
   test("psi is ~0 for identical halves and large for a shifted half") {
     // identical distributions: every bin's p equals q, psi exactly 0
     val same = spark.range(1000).toDF("id")
