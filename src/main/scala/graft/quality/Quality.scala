@@ -205,6 +205,89 @@ object Quality {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     }),
 
+    // Benford first-digit screen (the fraud/synthetic-data smell test a
+    // lake runs over money columns): distribution of the first
+    // significant digit of o_totalprice vs Benford's law log10(1+1/d).
+    // The digit comes from the decimal(18,2) STRING form — the
+    // profile_checksum-proven canonical text both engines print
+    // identically — never from float formatting or pow/log digit
+    // arithmetic (log10(x) at an exact power of 10 is the classic
+    // last-ulp trap). ONE table scan into a 9-group aggregate; the
+    // expected-share log10 runs on the 9-row digit table and rides the
+    // 6dp round (profile_psi precedent). Shares and deviations are
+    // computed from UNROUNDED doubles (long/long IEEE division), then
+    // surfaced on the 6dp grid.
+    "dq_benford" -> ((s, dir) => {
+      val digits = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(substring(col("o_totalprice").cast("decimal(18,2)")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      val tot = digits.agg(sum(col("cnt")).cast("double").as("n"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("cnt"),
+          round(col("cnt") / col("n"), 6).as("share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+            .as("expected"),
+          round(abs(col("cnt") / col("n") -
+            log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 6)
+            .as("abs_dev"))
+        .orderBy(col("digit"))
+    }),
+
+    // Functional-dependency discovery (the schema-inference pass a
+    // profiler runs to find keys and denormalization: a → b holds iff
+    // grouping by a never splits b, i.e. countDistinct(a) ==
+    // countDistinct(a, b)). All candidate pairs fold into ONE
+    // multi-distinct aggregate — one scan regardless of pair count,
+    // sharing a single Expand + shuffle (the profile_stats plan); at
+    // 100 TB swap approx_count_distinct per slot for the Expand-free
+    // sketch pass and gate it the profile_stats_approx way. Candidates
+    // deliberately mix holding FDs (o_orderkey is the key) with
+    // non-holding ones. Assumes non-null determinant/dependent columns
+    // (true of these orders columns); the oracle filters identically.
+    "profile_fd" -> ((s, dir) => {
+      val cands = Seq(
+        ("o_orderkey", "o_custkey"), ("o_orderkey", "o_orderdate"),
+        ("o_custkey", "o_orderpriority"),
+        ("o_orderdate", "o_orderstatus"),
+        ("o_orderpriority", "o_orderstatus"))
+      val aggs = cands.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+        countDistinct(col(a)).as(s"nd_$i"),
+        countDistinct(col(a), col(b)).as(s"ndp_$i")) }
+      val stackRows = cands.zipWithIndex
+        .map { case ((a, b), i) => s"'$a', '$b', nd_$i, ndp_$i" }
+        .mkString(",\n          ")
+      t(s, dir, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          s"""stack(${cands.size},
+             |  $stackRows) AS (determinant, dependent, nd_det, nd_pair)""".stripMargin))
+        .withColumn("fd_holds", col("nd_det") === col("nd_pair"))
+        .orderBy(col("determinant"), col("dependent"))
+    }),
+
+    // Heavy-hitter report through a DISTRIBUTED count-min sketch — the
+    // fixed-memory frequency summary a 100 TB pipeline keeps when the
+    // key space (parts, urls, ngrams) is too wide for an exact count
+    // table. The sketch IS a DataFrame: each input row explodes to
+    // d=4 (row, md5-derived bucket) updates, and a grouped count builds
+    // the 4×1024-cell table — map-side partials collapse the 4× explode
+    // to ≤ d·w rows per task, so the shuffle carries the SKETCH, not the
+    // data, and sketch merge across 1000 executors is the same grouped
+    // sum. Estimates never underestimate (every occurrence of a key
+    // lands in the same cells), so the gate is the one-sided CMS
+    // contract, checked in-query the q20 way: exact top-20 counts
+    // (computed beside the sketch to make the gate non-vacuous) +
+    // est ≥ exact AND est ≤ exact + 0.5%·N. The d·w-cell sketch
+    // broadcasts into the probe join; candidates stream. Top-20 cutoff
+    // is decided on (exact_cnt DESC, key) — integer ties broken by the
+    // unique key identically in both engines.
+    "profile_heavyhitters" -> ((s, dir) =>
+      cmsHeavyHitters(
+        t(s, dir, "lineitem").select(col("l_partkey").as("key")),
+        topK = 20)),
+
     // Order-independent table fingerprint — the "did the copy/migration
     // change anything" check two engines can run WITHOUT moving data:
     // each row canonicalizes to a chr(1)-delimited string (NULL sentinel
@@ -234,6 +317,35 @@ object Quality {
           sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_fp"))
     })
   )
+
+  /** The profile_heavyhitters engine over an explicit (key) input —
+    * split out so specs can plant skewed distributions. d×w cells, the
+    * standard (e/w, e^-d) CMS sizing at w=1024, d=4. */
+  def cmsHeavyHitters(keyed: DataFrame, topK: Int, d: Int = 4,
+                      w: Int = 1024, tol: Double = 0.005): DataFrame = {
+    def bucket(r: Int) = expr(
+      s"CAST(conv(substring(md5(concat('$r:', CAST(key AS STRING))), 1, 15), 16, 10) % $w AS INT)")
+    def updates = array((0 until d).map(r =>
+      struct(lit(r).as("r"), bucket(r).as("bucket"))): _*)
+    val sketch = keyed.select(explode(updates).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cell_cnt"))
+    val nRow = keyed.agg(count(lit(1)).as("n"))
+    val top = keyed.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("key")).limit(topK)
+    top.select(col("key"), col("exact_cnt"), explode(updates).as("rb"))
+      .select(col("key"), col("exact_cnt"),
+        col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("key"), col("exact_cnt"))
+      .agg(min(col("cell_cnt")).as("est"))
+      .crossJoin(broadcast(nRow))
+      .select(col("key"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt") &&
+          col("est") <= col("exact_cnt") + col("n") * tol)
+          .as("within_contract"))
+      .orderBy(col("exact_cnt").desc, col("key"))
+  }
 
   /** The dq_outliers engine over an explicit input — split out so specs
     * can plant known outliers and pin the exact counts. */
@@ -444,6 +556,66 @@ object Quality {
         |        ln(((ref_cnt + 0.5) / (rt + 5.0)) /
         |           ((cur_cnt + 0.5) / (ct + 5.0))), 6) AS psi
         |FROM c CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // Same decimal-string first digit (canonical text both engines
+    // print identically), same long/long share division, same log10 on
+    // integer-derived arguments, same 6dp grid.
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |                1, 1) AS digit, count(*) AS cnt
+        |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM d)
+        |SELECT digit, cnt,
+        |  round(cnt / n, 6) AS share,
+        |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected,
+        |  round(abs(cnt / n - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
+        |    AS abs_dev
+        |FROM d CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // count(DISTINCT a) / distinct-pair subqueries mirror Spark's
+    // null-skipping multi-arg countDistinct; the profiled columns are
+    // non-null so the filters are no-ops that pin the semantics.
+    "profile_fd" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,
+        |    count(DISTINCT o_orderkey) AS nd_det,
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_custkey
+        |      FROM orders WHERE o_orderkey IS NOT NULL
+        |        AND o_custkey IS NOT NULL)) AS nd_pair
+        |  FROM orders
+        |  UNION ALL SELECT 'o_orderkey', 'o_orderdate',
+        |    count(DISTINCT o_orderkey),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey, o_orderdate
+        |      FROM orders WHERE o_orderkey IS NOT NULL
+        |        AND o_orderdate IS NOT NULL)) FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'o_orderpriority',
+        |    count(DISTINCT o_custkey),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderpriority
+        |      FROM orders WHERE o_custkey IS NOT NULL
+        |        AND o_orderpriority IS NOT NULL)) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', 'o_orderstatus',
+        |    count(DISTINCT o_orderdate),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderdate, o_orderstatus
+        |      FROM orders WHERE o_orderdate IS NOT NULL
+        |        AND o_orderstatus IS NOT NULL)) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', 'o_orderstatus',
+        |    count(DISTINCT o_orderpriority),
+        |    (SELECT count(*) FROM (SELECT DISTINCT o_orderpriority, o_orderstatus
+        |      FROM orders WHERE o_orderpriority IS NOT NULL
+        |        AND o_orderstatus IS NOT NULL)) FROM orders)
+        |SELECT determinant, dependent, nd_det, nd_pair,
+        |  nd_det = nd_pair AS fd_holds
+        |FROM p ORDER BY determinant, dependent""".stripMargin,
+
+    // Exact top-20 (same DESC-count, unique-key tie-break) + the
+    // constant-true contract column: a sketch regression past the CMS
+    // bound flips within_contract and fails the hash compare.
+    "profile_heavyhitters" ->
+      """SELECT l_partkey AS key, count(*) AS exact_cnt,
+        |  TRUE AS within_contract
+        |FROM lineitem GROUP BY 1
+        |ORDER BY exact_cnt DESC, key LIMIT 20""".stripMargin,
 
     // Same canonical row string, same 60-bit md5 prefix hash (the
     // concat('0x', …) cast is DuckDB's spelling of Spark's conv(…,16,10),

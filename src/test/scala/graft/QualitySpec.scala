@@ -169,4 +169,51 @@ class QualitySpec extends AnyFunSuite {
       .agg(sum(col("ref_cnt") + col("cur_cnt"))).head.getLong(0)
     assert(binned == 1000L)
   }
+
+  test("dq_benford covers all digits, shares sum to 1, Benford expectations") {
+    val rows = Quality.queries("dq_benford")(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getAs[String]("digit")).toSeq ==
+      (1 to 9).map(_.toString))
+    val total = sources.Lake.table(spark, TestSpark.Sf, "orders")
+      .filter(col("o_totalprice") > 0).count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == total)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val d = r.getAs[String]("digit").toDouble
+      assert(math.abs(r.getAs[Double]("expected") - math.log10(1 + 1 / d)) < 1e-6)
+      assert(math.abs(r.getAs[Double]("abs_dev") -
+        math.abs(r.getAs[Double]("share") - r.getAs[Double]("expected"))) < 2e-6)
+    }
+  }
+
+  test("profile_fd finds the key FDs and rejects the non-FDs") {
+    val rows = Quality.queries("profile_fd")(spark, TestSpark.Sf).collect()
+    val byPair = rows.map(r => (r.getAs[String]("determinant"),
+      r.getAs[String]("dependent")) -> r).toMap
+    // o_orderkey is the table key: everything it determines holds
+    assert(byPair(("o_orderkey", "o_custkey")).getAs[Boolean]("fd_holds"))
+    assert(byPair(("o_orderkey", "o_orderdate")).getAs[Boolean]("fd_holds"))
+    // a customer places orders with many priorities: FD must fail
+    assert(!byPair(("o_custkey", "o_orderpriority")).getAs[Boolean]("fd_holds"))
+    // refinement never shrinks: nd_pair >= nd_det on every row
+    rows.foreach(r =>
+      assert(r.getAs[Long]("nd_pair") >= r.getAs[Long]("nd_det"), r.toString))
+  }
+
+  test("cmsHeavyHitters: planted skew surfaces first, contract holds") {
+    // one heavy key (1000 occurrences) over light background keys: the
+    // heavy key must rank first with its EXACT count, and every
+    // estimate must satisfy the one-sided CMS contract
+    val keyed = spark.range(1000).select(lit(7777L).as("key"))
+      .unionAll(spark.range(2000).select((col("id") % 200 + 1).as("key")))
+    val rows = Quality.cmsHeavyHitters(keyed, topK = 10).collect()
+    assert(rows.head.getAs[Long]("key") == 7777L)
+    assert(rows.head.getAs[Long]("exact_cnt") == 1000L)
+    assert(rows.forall(_.getAs[Boolean]("within_contract")),
+      rows.filterNot(_.getAs[Boolean]("within_contract")).mkString(","))
+    // descending-count order with unique keys
+    val cnts = rows.map(_.getAs[Long]("exact_cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Long]("key")).distinct.length == rows.length)
+  }
 }
