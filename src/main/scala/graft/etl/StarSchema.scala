@@ -291,6 +291,61 @@ object StarSchema {
         .orderBy(col("event_type"))
     }),
 
+    // Time travel exercised end-to-end (§H writeVersion/readVersion):
+    // v1 = the orders snapshot, v2 = the same table with a price-bump
+    // change batch upserted. The gate reads AS-OF v1 — which must be
+    // byte-identical to the untouched source even though the LATEST
+    // version differs (LakeSpec pins the listing and both reads). Only
+    // the one v=1 directory is listed and scanned on the way back. The
+    // oracle is the plain source projection: time travel must return
+    // the exact pre-change table.
+    "etl_snapshot_read" -> ((s, dir) => {
+      val path = scratch("etl_snapshot_read")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders, path)
+      val changes = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      Lake.writeVersion(s, Lake.upsert(orders, changes, Seq("o_orderkey")), path)
+      Lake.readVersion(s, path, Some(1)).orderBy(col("o_orderkey"))
+    }),
+
+    // Write-audit-publish exercised end-to-end (§H writeAudited): the
+    // clean batch audits green and publishes v1; a poisoned batch (nulls
+    // injected into the key column) is audited ON ITS STAGED FILES,
+    // refused, and its staging removed — the latest version stays v1.
+    // The refusal is load-bearing in the driver gate: had the poisoned
+    // batch published, the latest-read would contain nulls and fail the
+    // oracle hash. The audit itself is the dq_checks shape (violation
+    // counts via one wide aggregate over the staged data).
+    "etl_wap" -> ((s, dir) => {
+      val path = scratch("etl_wap")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      def audit(df: DataFrame): DataFrame = df.agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nulls"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos"))
+        .select(expr(
+          """stack(2,
+            |  'completeness_o_custkey', nulls,
+            |  'range_o_totalprice_positive', nonpos)
+            |AS (check_name, violations)""".stripMargin))
+      val (_, v1) = Lake.writeAudited(s, orders, path, audit)
+      require(v1.contains(1), s"WAP must publish the clean batch, got $v1")
+      val bad = orders.withColumn("o_custkey",
+        when(col("o_orderkey") % 50 === 0, lit(null)).otherwise(col("o_custkey")))
+      val (report, v2) = Lake.writeAudited(s, bad, path, audit)
+      require(v2.isEmpty,
+        s"WAP must refuse the poisoned batch, got $v2 with report $report")
+      Lake.readVersion(s, path).orderBy(col("o_orderkey"))
+    }),
+
     // Salted skew join as a query surface (§H): the known-hot-key
     // mitigation AQE can't always provide (a single key too large for
     // one map task even after splitting). The left side salts each row
@@ -416,6 +471,17 @@ object StarSchema {
   )
 
   val oracles: Map[String, String] = Map(
+    // Time travel: the as-of-v1 read must equal the untouched source.
+    "etl_snapshot_read" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // WAP: latest published = the clean batch; a leaked poisoned batch
+    // would surface its nulls here and fail the hash.
+    "etl_wap" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "etl_ingest_json" -> IngestSummarySql,
     "etl_ingest_csv" -> IngestSummarySql,
     "etl_ingest_orc" -> IngestSummarySql,

@@ -95,7 +95,89 @@ object Graph {
     visited
   }
 
+  /** Undirected supplier co-supply edges for one calendar month: two
+    * suppliers are linked iff they supplied the same order in the
+    * slice. The within-order pair join fans out only within an order
+    * (≤ lineitems² per order, a small constant), and the month slice
+    * keeps the projected graph sparse while still scaling with data
+    * volume at 100 TB. Edges come out as (u < v) single copies. */
+  private[graft] def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val monthOrders = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val sup = monthOrders
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    sup.as("x").join(sup.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("u"), col("y.sk").as("v"))
+      .distinct()
+  }
+
+  /** Triangle count + global clustering coefficient over explicit
+    * undirected (u, v) edges (u < v single copies) — split out so specs
+    * can plant known graphs (a 4-clique has exactly 4 triangles).
+    *
+    * The naive triangle join explodes on hub nodes; the classical fix
+    * is DEGREE ORIENTATION: direct every edge from its (deg, id)-lower
+    * endpoint to the higher one. The oriented out-degree is O(√m) for
+    * every node, the wedge join's fan-out is Σ outdeg² = O(m^1.5) —
+    * the optimal combinatorial bound — and each triangle survives as
+    * exactly ONE oriented wedge x→y→z closed by x→z. All three joins
+    * hash-partition on node / (node, node) keys; nothing broadcasts
+    * (the edge list is corpus-sized at 100 TB). */
+  private[graft] def triangleStats(e: DataFrame): DataFrame = {
+    val und = e.select(col("u").as("n")).union(e.select(col("v")))
+    val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val lower = col("du.deg") < col("dv.deg") ||
+      (col("du.deg") === col("dv.deg") && col("u") < col("v"))
+    val dirE = e.join(deg.as("du"), col("u") === col("du.n"))
+      .join(deg.as("dv"), col("v") === col("dv.n"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"))
+    val tri = dirE.as("e1").join(dirE.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("x"), col("e2.dst").as("z"))
+      .join(dirE.as("e3"), col("x") === col("e3.src") && col("z") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edgeCnt = e.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(broadcast(nodeStats)).crossJoin(broadcast(edgeCnt))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Degree-distribution profile of the trade graph (the first thing a
+    // graph pipeline reports — skew here decides every downstream
+    // partition strategy): per-node neighbor counts from the doubled
+    // edge list, histogrammed by node side ('c'ustomer / 's'upplier).
+    // Two grouped aggregates, both with map-side partials; covers
+    // connected nodes (degree ≥ 1) — isolated nodes are the node-table
+    // minus the degree-table anti-join a caller can take separately.
+    "graph_degree" -> ((s, dir) => {
+      tradeEdges(s, dir)
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .select(substring(col("src"), 1, 1).as("side"), col("degree"))
+        .groupBy(col("side"), col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("side"), col("degree"))
+    }),
+
+    // Triangle census of the month-sliced supplier co-supply graph
+    // (community density — how clique-ish is the supply network): count
+    // + global clustering coefficient 3·triangles / wedges via the
+    // degree-oriented wedge join (see triangleStats). The oracle counts
+    // the same triangles with the orientation-free a<b<c three-way join
+    // — triangle count is orientation-independent, which independently
+    // checks the orientation lost nothing.
+    "graph_triangles" -> ((s, dir) =>
+      triangleStats(coSupplyEdges(s, dir))),
 
     // Blast-radius / k-hop reachability: from every customer of one
     // nation, the min-hop distance to every node reachable in ≤ 3 hops
@@ -180,6 +262,45 @@ object Graph {
         |v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
         |SELECT node, hop FROM v3 ORDER BY node""".stripMargin,
 
-    "graph_pagerank" -> pagerankSql(Sweeps)
+    "graph_pagerank" -> pagerankSql(Sweeps),
+
+    "graph_degree" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT a AS src, b AS dst FROM eb
+        |      UNION ALL SELECT b, a FROM eb),
+        |d AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+        |SELECT substr(src, 1, 1) AS side, degree, count(*) AS n_nodes
+        |FROM d GROUP BY 1, 2 ORDER BY side, degree""".stripMargin,
+
+    // Orientation-free count: every triangle {a<b<c} appears exactly
+    // once as (a,b),(b,c),(a,c). Arithmetic forced to DOUBLE (bare
+    // DuckDB decimals would change the division); integer division //
+    // on the even product deg·(deg−1) mirrors Spark's `div`.
+    "graph_triangles" ->
+      """WITH mo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+        |sup AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+        |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (
+        |  SELECT DISTINCT x.sk AS u, y.sk AS v
+        |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |und AS (SELECT u AS n FROM e UNION ALL SELECT v FROM e),
+        |deg AS (SELECT n, count(*) AS deg FROM und GROUP BY n),
+        |ns AS (SELECT count(*) AS n_nodes,
+        |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |       FROM deg),
+        |ne AS (SELECT count(*) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_triangles,
+        |  round(3.0::DOUBLE * n_triangles / n_wedges, 6) AS clustering
+        |FROM tri CROSS JOIN ns CROSS JOIN ne""".stripMargin
   )
 }

@@ -112,7 +112,48 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Audio-style frame-energy analysis over the opaque payload — the
+    * silence-detection / segmentation pass an audio pipeline runs before
+    * transcription (stub: payload bytes stand in for 8-bit PCM samples
+    * centered at 128; a real decoder drops into the same frame shape).
+    * Per 64-sample frame: the exact INTEGER sum of squared deviations —
+    * a frame is silent iff sq < thr·frame_size (integer compare, no
+    * float path at all); the doc-level mean square does ONE double
+    * division of two exact integers. Everything is order-independent
+    * exact arithmetic, so engines can't drift. One narrow per-row pass:
+    * the hex expansion happens once, payload bytes never shuffle, work
+    * is O(len) per row. */
+  def audioFrameStats(withPayloadDf: DataFrame, frameLen: Int = 64,
+                      silenceThr: Int = 900): DataFrame = {
+    val byteAt = "CAST(conv(substring(hx, CAST(i AS INT) * 2 + 1, 2), 16, 10) AS BIGINT)"
+    withPayloadDf
+      .filter(octet_length(col("payload")) > 0)
+      .select(col("doc_id"), hex(col("payload")).as("hx"),
+        octet_length(col("payload")).cast("long").as("len"))
+      .select(col("doc_id"), col("len"), expr(
+        s"""transform(sequence(0L, (len - 1) DIV $frameLen), f ->
+           |  aggregate(
+           |    sequence(f * $frameLen, least(len, (f + 1) * $frameLen) - 1),
+           |    named_struct('sq', 0L, 'c', 0L),
+           |    (a, i) -> named_struct(
+           |      'sq', a.sq + ($byteAt - 128L) * ($byteAt - 128L),
+           |      'c', a.c + 1L)))""".stripMargin).as("fr"))
+      .select(col("doc_id"),
+        size(col("fr")).as("n_frames"),
+        expr(s"aggregate(fr, 0L, (a, x) -> a + IF(x.sq < $silenceThr * x.c, 1L, 0L))")
+          .as("n_silent"),
+        round(expr("aggregate(fr, 0L, (a, x) -> a + x.sq)").cast("double") /
+          col("len"), 4).as("avg_energy"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Frame-energy / silence profile of the payload stream (see
+    // audioFrameStats): n_frames, silent-frame count under the integer
+    // threshold contract, and the exact-integer mean square per doc.
+    "mm_audio" -> ((s, dir) =>
+      audioFrameStats(Lake.fanOut(withPayload(t(s, dir, "documents"))))),
     // Opaque-payload metadata extraction — size/magic/checksum typed
     // columns from the binary payload, no decode.
     "mm_meta" -> ((s, dir) =>
@@ -184,6 +225,31 @@ object Multimodal {
       |  FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Replays the frame grid and the same exact-integer sums from the
+    // hex expansion of the UTF-8 payload (list comprehension over the
+    // sample range, 2-hex-char byte decode); the single double division
+    // sum(sq)/len is the only float op on either engine.
+    "mm_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |fr AS (
+        |  SELECT doc_id, len, hx, unnest(range((len - 1) // 64 + 1)) AS f
+        |  FROM d),
+        |fe AS (
+        |  SELECT doc_id, len, f,
+        |    CAST(list_aggregate(
+        |      [(CAST(concat('0x', substring(hx, CAST(i AS INT) * 2 + 1, 2)) AS BIGINT) - 128)
+        |       * (CAST(concat('0x', substring(hx, CAST(i AS INT) * 2 + 1, 2)) AS BIGINT) - 128)
+        |       for i in range(f * 64, least(len, (f + 1) * 64))], 'sum') AS BIGINT) AS sq,
+        |    least(len, (f + 1) * 64) - f * 64 AS c
+        |  FROM fr)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN sq < 900 * c THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |  round(CAST(sum(sq) AS DOUBLE) / max(len), 4) AS avg_energy
+        |FROM fe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // The payload is the text's UTF-8 bytes, so the oracle can reproduce
     // size (octet_length of the encoded blob), magic (hex of the first 4
     // BYTES — DuckDB 1.0 has no BLOB substring, so slice the hex string:

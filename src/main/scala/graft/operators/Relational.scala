@@ -839,10 +839,50 @@ object Relational {
         .withColumn("prob",
           round(col("n_trans") / sum(col("n_trans")).over(wf), 6))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Time-series autocorrelation (seasonality detection for capacity
+    // planning / anomaly baselines): Pearson r between the daily order
+    // count series and its lag-1 / lag-7 shifts — lag-7 exposes weekly
+    // seasonality. The heavy work (per-day counts) is one distributed
+    // grouped aggregate with map-side partials; the lag window and the
+    // corr fold then run over the DAY table, which is calendar-bounded
+    // (~2.5k rows for 7 years) and does NOT grow with data volume, so
+    // the single-partition window is a constant-size tail at any scale
+    // — same contract as q35's date spine. corr skips null lag pairs
+    // identically in both engines; 4dp grid (profile_corr precedent).
+    "q41_autocorr" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("lag1", lag(col("cnt"), 1).over(w))
+        .withColumn("lag7", lag(col("cnt"), 7).over(w))
+        .agg(round(corr(col("cnt"), col("lag1")), 4).as("r1"),
+          round(corr(col("cnt"), col("lag7")), 4).as("r7"))
+        .select(expr("stack(2, 1, r1, 7, r7) AS (lag, pearson_r)"))
+        .orderBy(col("lag"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Same day aggregate, same lag windows over the day table, same
+    // corr null-pair skipping, same 4dp grid.
+    "q41_autocorr" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT cnt, lag(cnt, 1) OVER (ORDER BY day) AS lag1,
+        |    lag(cnt, 7) OVER (ORDER BY day) AS lag7
+        |  FROM d)
+        |SELECT 1 AS lag, round(corr(cnt, lag1), 4) AS pearson_r FROM l
+        |UNION ALL SELECT 7, round(corr(cnt, lag7), 4) FROM l
+        |ORDER BY lag""".stripMargin,
+
     "q40_markov" ->
       """WITH tr AS (
         |  SELECT event_type AS from_type,

@@ -272,6 +272,83 @@ object Lake {
     }
   }
 
+  /** Versioned (time-travel) persistence — the snapshot layer a lake
+    * needs before overwrites are safe: every publish lands as a NEW
+    * immutable directory `base/v=N`, so readers pinned to a version are
+    * never disturbed by a concurrent writer, a bad load is undone by
+    * reading N−1 (no restore job), and reproducibility ("train on the
+    * exact table of last Tuesday") is a directory name. Writes stage
+    * into a hidden temp sibling and RENAME into place — on HDFS/local a
+    * metadata-atomic commit (on S3A, back the rename with a manifest
+    * commit; the staging discipline is the same). Returns the published
+    * version. Old versions are retired by an explicit vacuum (dropping
+    * `v=N` dirs past a retention horizon), never by the writer. */
+  def writeVersion(spark: SparkSession, df: DataFrame, base: String): Int = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val next = listVersions(spark, base).lastOption.getOrElse(0) + 1
+    val stage = new org.apache.hadoop.fs.Path(base, s".staging-v$next")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val dest = new org.apache.hadoop.fs.Path(base, s"v=$next")
+    require(fs.rename(stage, dest),
+      s"writeVersion: publish rename of $stage to $dest failed")
+    next
+  }
+
+  /** Published versions under `base`, ascending. One LIST of the base
+    * directory — version metadata is directory names, no file opens. */
+  def listVersions(spark: SparkSession, base: String): Seq[Int] = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) Seq.empty
+    else fs.listStatus(basePath).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
+      .sorted
+  }
+
+  /** Time-travel read: the given version, or the latest when None. Only
+    * the one `v=N` directory is listed/scanned. */
+  def readVersion(spark: SparkSession, base: String,
+                  version: Option[Int] = None): DataFrame = {
+    val vs = listVersions(spark, base)
+    require(vs.nonEmpty, s"readVersion: no published versions under $base")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"readVersion: version $v not in $vs")
+    spark.read.parquet(s"$base/v=$v")
+  }
+
+  /** Write-audit-publish: stage the batch, audit THE STAGED FILES (what
+    * was actually written, so writer bugs can't slip past), and publish
+    * as the next version only if every check reports zero violations.
+    * `audit` returns a (check_name, violations) report (the dq_checks
+    * shape); the report is checks-bounded, so collecting it is driver
+    * control flow, not data movement. On refusal the staged directory
+    * is removed and the last published version stays current — a bad
+    * batch can never become visible to readers. Returns the report and
+    * the published version (None = refused). */
+  def writeAudited(spark: SparkSession, df: DataFrame, base: String,
+                   audit: DataFrame => DataFrame): (Seq[(String, Long)], Option[Int]) = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val next = listVersions(spark, base).lastOption.getOrElse(0) + 1
+    val stage = new org.apache.hadoop.fs.Path(base, s".staging-v$next")
+    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val report = audit(spark.read.parquet(stage.toString))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    if (report.forall(_._2 == 0L)) {
+      val dest = new org.apache.hadoop.fs.Path(base, s"v=$next")
+      require(fs.rename(stage, dest),
+        s"writeAudited: publish rename of $stage to $dest failed")
+      (report, Some(next))
+    } else {
+      fs.delete(stage, true)
+      (report, None)
+    }
+  }
+
   /** S3A-style lake credential wiring (reference etl.py:33-36) — sets
     * Hadoop conf on the live session; values come from the caller (config
     * file / env), never hard-coded. */

@@ -63,4 +63,27 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got("x") - 0.15 / 3) < 1e-9,
       s"isolated node must hold exactly the floor mass, got ${got("x")}")
   }
+
+  test("triangleStats counts a planted clique exactly, pendant adds none") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, 6 edges; pendant edge 4-5
+    // adds a node and an edge but no triangle. Wedges: deg(1..3)=3,
+    // deg(4)=4, deg(5)=1 → 3·3 + 6 + 0 = 15; clustering = 12/15 = 0.8.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val r = Graph.triangleStats(e).collect().head
+    assert(r.getAs[Long]("n_nodes") == 5L)
+    assert(r.getAs[Long]("n_edges") == 7L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
+    assert(math.abs(r.getAs[Double]("clustering") - 0.8) < 1e-9)
+  }
+
+  test("triangle-free graph reports zero with a sane coefficient") {
+    import spark.implicits._
+    // star 1-{2,3,4}: wedges exist (3), triangles don't
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val r = Graph.triangleStats(e).collect().head
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Double]("clustering") == 0.0)
+  }
 }

@@ -246,6 +246,47 @@ class LakeSpec extends AnyFunSuite {
     assert(hc.get("fs.s3a.secret.key") == "s456")
   }
 
+  test("versioned writes time-travel: pinned reads survive later publishes") {
+    import spark.implicits._
+    val base = TestSpark.scratch("lake_versions")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val v1 = Lake.writeVersion(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base)
+    val v2 = Lake.writeVersion(spark, Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"), base)
+    assert((v1, v2) == (1, 2))
+    assert(Lake.listVersions(spark, base) == Seq(1, 2))
+    // as-of v1 is the original table, untouched by the v2 publish
+    val asOf = Lake.readVersion(spark, base, Some(1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(asOf == Map(1L -> "a", 2L -> "b"))
+    // latest = v2
+    assert(Lake.readVersion(spark, base).count() == 3)
+    // no staging leftovers
+    val dirs = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(dirs == Set("v=1", "v=2"), dirs.toString)
+  }
+
+  test("write-audit-publish refuses a violating batch, keeps the last good version") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val base = TestSpark.scratch("lake_wap")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    def audit(df: DataFrame): DataFrame = df.agg(
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("nulls"))
+      .select(expr("stack(1, 'completeness_v', nulls) AS (check_name, violations)"))
+    val (r1, p1) = Lake.writeAudited(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base, audit)
+    assert(p1.contains(1) && r1 == Seq(("completeness_v", 0L)))
+    val (r2, p2) = Lake.writeAudited(spark,
+      Seq((1L, "a"), (2L, null.asInstanceOf[String])).toDF("k", "v"), base, audit)
+    assert(p2.isEmpty, "violating batch must not publish")
+    assert(r2 == Seq(("completeness_v", 1L)), r2.toString)
+    // last good version is still current, staging cleaned up
+    assert(Lake.listVersions(spark, base) == Seq(1))
+    assert(Lake.readVersion(spark, base).count() == 2)
+    val dirs = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(dirs == Set("v=1"), dirs.toString)
+  }
+
   test("S3A conf wiring lands in the Hadoop configuration") {
     Lake.configureS3(spark, "ak", "sk", Some("http://localhost:9000"))
     val hc = spark.sparkContext.hadoopConfiguration

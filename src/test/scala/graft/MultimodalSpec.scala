@@ -43,6 +43,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)), s"got ${pairs.toSet}")
   }
 
+  test("audio frame stats: planted silence and full-scale payloads") {
+    import spark.implicits._
+    // doc 1: 128 bytes at the 0x80 center → 2 frames, both silent, 0
+    // energy; doc 2: 64 zero bytes → one loud frame at exactly 128² =
+    // 16384; doc 3: 70 center bytes → a full frame + a 6-sample tail
+    val docs = Seq(
+      (1L, Array.fill[Byte](128)(0x80.toByte)),
+      (2L, Array.fill[Byte](64)(0x00.toByte)),
+      (3L, Array.fill[Byte](70)(0x80.toByte))
+    ).toDF("doc_id", "payload")
+    val rows = Multimodal.audioFrameStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_frames"), r.getAs[Long]("n_silent"),
+          r.getAs[Double]("avg_energy"))).toMap
+    assert(rows(1L) == ((2, 2L, 0.0)))
+    assert(rows(2L) == ((1, 0L, 16384.0)))
+    assert(rows(3L) == ((2, 2L, 0.0)), s"partial tail frame: ${rows(3L)}")
+  }
+
   test("metadata extraction never decodes: size, magic, checksum from bytes") {
     val docs = sources.Lake.table(spark, TestSpark.Sf, "documents").limit(5)
     val meta = Multimodal.withMeta(Multimodal.withPayload(docs))
