@@ -27,7 +27,8 @@ object SparkEntry {
     * eagerly runs its fixed-sweep k-means training (one bounded corpus
     * scan per sweep, k-row results) — bounded passes, acceptable in a
     * plan audit; graph_pagerank's fixed power-iteration sweeps are the
-    * same class, each checkpoint a node-sized (id, rank) table. Those small caches are deliberately left to Spark's LRU
+    * same class, each checkpoint a node-sized (id, rank) table, as is
+    * graph_triangles' eager edge-list/oriented-edge cache pair. Those small caches are deliberately left to Spark's LRU
     * cache manager rather than hand-unpersisted: every entry is a
     * sketch/centroid table orders of magnitude smaller than the corpus,
     * and repeated query CONSTRUCTION (bench iterations, plan audits)
@@ -39,7 +40,7 @@ object SparkEntry {
     "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
     "etl_partitioned_write", "etl_zorder_read", "etl_incremental_read",
     "etl_incremental_agg", "etl_compact_read", "etl_delete",
-    "etl_snapshot_read", "etl_wap",
+    "etl_snapshot_read", "etl_wap", "etl_snapshot_diff",
     "stream_window", "stream_session", "stream_dedup", "stream_join",
     "stream_content_dedup", "stream_trending", "stream_upsert")
 

@@ -60,6 +60,32 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Filtered (metadata-constrained) vector search — the "top-k among
+    // class-1 vectors only" query every retrieval stack needs (RAG with
+    // source filters, per-tenant search). The predicate applies BEFORE
+    // scoring — pre-filtering, not post-filtering a top-k that could
+    // come back short — so the kernel pass touches only the qualifying
+    // subset, and the filter sits at the SCAN (PushedFilters on the
+    // label column; at 100 TB, partition or z-order the corpus by the
+    // filter column and it prunes at listing time). Everything else is
+    // the ann_bruteforce shape: broadcast query set, corpus stays
+    // partition-local, window takes the per-query top-k.
+    "ann_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_full").desc, col("vec_id"))
+      emb.filter(col("label") === 1)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("cos_full"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LSH-bucketed ANN: both sides explode to (bucket, vec); candidates
     // are the bucket-join survivors, scored exactly, then per-query top-k.
     "ann_lsh" -> ((s, dir) => {
@@ -488,6 +514,21 @@ object Similarity {
          |SELECT vec_id, neighbor_id, rank, round(cos_full, 6) AS cosine
          |FROM scored WHERE rank <= $KnnK
          |ORDER BY vec_id, rank""".stripMargin,
+    // ann_bruteforce's replay with the class predicate on the corpus
+    // side only — queries keep their own labels.
+    "ann_filtered" ->
+      s"""SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine
+         |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                               CAST(c.embedding AS DOUBLE[])) AS cos_full,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                     CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+         |      FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q
+         |      CROSS JOIN (SELECT * FROM embeddings WHERE label = 1) c)
+         |WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+
     "ann_bruteforce" ->
       s"""SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine
          |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

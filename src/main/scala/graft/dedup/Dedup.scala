@@ -438,7 +438,47 @@ object Dedup {
     docs.join(drops, docs("doc_id") === drops("drop_id"), "left_anti")
   }
 
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) over DISTINCT
+    * word-8-gram sets — the asymmetric overlap that catches a short doc
+    * embedded in a long one, which Jaccard structurally misses (a 50:5000
+    * gram pair fully contained still has Jaccard ≤ 0.01). Shared-gram
+    * counts come from ONE equi-join on the gram (each distinct shared
+    * gram meets exactly once, so the pair count IS the intersection),
+    * set sizes attach as two co-partitioned joins, and the threshold is
+    * applied to the 6dp-ROUNDED score (grid-identical cutoff in both
+    * engines). The gram table is an eager diamond cache — both self-join
+    * legs and the size aggregate read it. Skew: an 8-WORD gram shared by
+    * many unrelated docs is boilerplate; at 100 TB drop grams with
+    * document frequency above a cap before the join (they can only
+    * inflate containment between docs that already share rarer grams). */
+  private[graft] def containmentPairs(docs: DataFrame, thr: Double): DataFrame = {
+    val gramLen = 8
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= gramLen)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(ws) - ${gramLen - 1}), " +
+          s"i -> concat_ws(' ', slice(ws, i, $gramLen))))")).as("g"))
+      .cache()
+    grams.count() // eager — both join legs + the size aggregate read it
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = grams.select(col("doc_id").as("doc_a"), col("g"))
+    val b = grams.select(col("doc_id").as("doc_b"), col("g"))
+    a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
+          .as("containment"))
+      .filter(col("containment") >= thr)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> ((s, dir) =>
+      containmentPairs(t(s, dir, "documents"), 0.8)
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_exact" -> ((s, dir) =>
       exactGroups(t(s, dir, "documents")).orderBy(col("keep_doc_id"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -582,6 +622,28 @@ object Dedup {
       s"""WITH $shingleCte
          |${jaccardPairsSql(0.8)}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same distinct word-8-gram sets (text_decontaminate's gram replay
+    // + DISTINCT), same single gram equi-join intersection count, same
+    // 6dp-rounded threshold.
+    "dedup_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(ws[i:i+7], ' ')
+        |              for i in range(1, len(ws) - 6)]) AS g
+        |    FROM d WHERE len(ws) >= 8)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared,
+        |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |FROM pr JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |WHERE round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       // Char-7-gram variant of the same all-pairs exact compare (docs

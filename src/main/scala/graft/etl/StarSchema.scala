@@ -313,6 +313,35 @@ object StarSchema {
       Lake.readVersion(s, path, Some(1)).orderBy(col("o_orderkey"))
     }),
 
+    // Snapshot CDC diff exercised end-to-end (§H snapshotDiff): v2
+    // derives from v1 with all three change classes planted — price
+    // bumps (keys %97, minus any that also get removed), deletions
+    // (keys %101), and insertions (mirrored negative keys for %103) —
+    // and the diff must classify every key exactly. The oracle
+    // recomputes the three sets directly from the source table, so a
+    // misclassified or missed row fails the hash. One full-outer
+    // co-partitioned join on the key; unchanged rows never leave it.
+    "etl_snapshot_diff" -> ((s, dir) => {
+      val path = scratch("etl_snapshot_diff")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      Lake.writeVersion(s, orders, path)
+      val bumped = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      val v2 = Lake.upsert(orders, bumped, Seq("o_orderkey"))
+        .filter(col("o_orderkey") % 101 =!= 0)
+        .unionByName(orders.filter(col("o_orderkey") % 103 === 0)
+          // -(k+1): a plain -k has a fixed point at key 0 (present in
+          // the data), which would re-add the %101-removed row unchanged
+          .withColumn("o_orderkey", -(col("o_orderkey") + 1)))
+      Lake.writeVersion(s, v2, path)
+      Lake.snapshotDiff(s, path, 1, 2, Seq("o_orderkey"))
+        .orderBy(col("change"), col("o_orderkey"))
+    }),
+
     // Write-audit-publish exercised end-to-end (§H writeAudited): the
     // clean batch audits green and publishes v1; a poisoned batch (nulls
     // injected into the key column) is audited ON ITS STAGED FILES,
@@ -475,6 +504,20 @@ object StarSchema {
     "etl_snapshot_read" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // The three planted change sets, recomputed from the source: a
+    // removed key reports removed even if it was also bumped (the
+    // upsert applied first), and a positive price can't survive a
+    // 1.1× bump unchanged on the 2dp grid.
+    "etl_snapshot_diff" ->
+      """SELECT -(o_orderkey + 1) AS o_orderkey, 'added' AS change
+        |FROM orders WHERE o_orderkey % 103 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed' FROM orders
+        |WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 != 0
+        |UNION ALL
+        |SELECT o_orderkey, 'removed' FROM orders WHERE o_orderkey % 101 = 0
+        |ORDER BY change, o_orderkey""".stripMargin,
 
     // WAP: latest published = the clean batch; a leaked poisoned batch
     // would surface its nulls here and fail the hash.

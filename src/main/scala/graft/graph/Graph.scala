@@ -129,7 +129,15 @@ object Graph {
     * exactly ONE oriented wedge x→y→z closed by x→z. All three joins
     * hash-partition on node / (node, node) keys; nothing broadcasts
     * (the edge list is corpus-sized at 100 TB). */
-  private[graft] def triangleStats(e: DataFrame): DataFrame = {
+  private[graft] def triangleStats(eIn: DataFrame): DataFrame = {
+    // eager diamond caches (the lshCandidates discipline): the edge list
+    // feeds SIX consumers (two degree projections, two orientation join
+    // legs, the edge count) and the oriented list feeds THREE (both
+    // wedge legs + the closing probe) — without materialization every
+    // consumer re-runs the upstream co-supply join, and concurrent tasks
+    // double-compute uncached partitions. At 100 TB this cache is the
+    // materialized edge-list table a graph pipeline keeps anyway.
+    val e = eIn.cache(); e.count()
     val und = e.select(col("u").as("n")).union(e.select(col("v")))
     val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
     val lower = col("du.deg") < col("dv.deg") ||
@@ -138,6 +146,8 @@ object Graph {
       .join(deg.as("dv"), col("v") === col("dv.n"))
       .select(when(lower, col("u")).otherwise(col("v")).as("src"),
         when(lower, col("v")).otherwise(col("u")).as("dst"))
+      .cache()
+    dirE.count()
     val tri = dirE.as("e1").join(dirE.as("e2"), col("e1.dst") === col("e2.src"))
       .select(col("e1.src").as("x"), col("e2.dst").as("z"))
       .join(dirE.as("e3"), col("x") === col("e3.src") && col("z") === col("e3.dst"))
@@ -151,7 +161,44 @@ object Graph {
           .as("clustering"))
   }
 
+  /** Jaccard link prediction over explicit undirected (u, v) edges
+    * (u < v single copies): for node pairs NOT currently linked, the
+    * neighbor-set Jaccard |Γu ∩ Γv| / |Γu ∪ Γv| — the classic
+    * "suppliers likely to co-supply next" / recommendation score.
+    * Common-neighbor counts come from ONE wedge join around the shared
+    * node (co-partitioned on it); existing edges drop via an anti-join;
+    * degrees attach as two co-partitioned joins. The top-k cutoff is
+    * decided on the 6dp-ROUNDED score with a (u, v) pair tie-break —
+    * the collocations discipline, so both engines cut identically.
+    * Skew note: a hub of degree d contributes d² wedge pairs; the
+    * month-sliced graph bounds d here, and at 100 TB the standard cap
+    * (drop or sample neighbors of super-hubs before the wedge join)
+    * applies — a top-degree filter, not a different plan. */
+  private[graft] def jaccardLinks(eIn: DataFrame, topK: Int): DataFrame = {
+    val e = eIn.cache(); e.count() // eager diamond: feeds und ×2 + anti-join
+    val und = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v"), col("u")))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val x = und.select(col("a").as("u"), col("b").as("n"))
+    val y = und.select(col("a").as("v"), col("b").as("n"))
+    x.join(y, Seq("n")).filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+      .join(e, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common"),
+        round(col("common").cast("double") /
+          (col("du") + col("dv") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Link prediction on the month-sliced co-supply graph: the 25
+    // strongest not-yet-linked supplier pairs by neighborhood Jaccard.
+    "graph_jaccard" -> ((s, dir) =>
+      jaccardLinks(coSupplyEdges(s, dir), topK = 25)),
 
     // Degree-distribution profile of the trade graph (the first thing a
     // graph pipeline reports — skew here decides every downstream
@@ -263,6 +310,35 @@ object Graph {
         |SELECT node, hop FROM v3 ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(Sweeps),
+
+    // Same wedge-join common counts, same anti-join against existing
+    // edges, same 6dp-rounded cutoff with the (u, v) tie-break.
+    "graph_jaccard" ->
+      """WITH mo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+        |sup AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+        |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (
+        |  SELECT DISTINCT x.sk AS u, y.sk AS v
+        |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
+        |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+        |common AS (
+        |  SELECT x.a AS u, y.a AS v, count(*) AS common
+        |  FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+        |  GROUP BY 1, 2),
+        |ne AS (
+        |  SELECT c.* FROM common c
+        |  LEFT JOIN e ON c.u = e.u AND c.v = e.v
+        |  WHERE e.u IS NULL)
+        |SELECT n.u, n.v, n.common,
+        |  round(CAST(n.common AS DOUBLE) / (du.deg + dv.deg - n.common), 6)
+        |    AS jaccard
+        |FROM ne n JOIN deg du ON n.u = du.a JOIN deg dv ON n.v = dv.a
+        |ORDER BY jaccard DESC, u, v LIMIT 25""".stripMargin,
 
     "graph_degree" ->
       """WITH eb AS (

@@ -131,13 +131,18 @@ object Multimodal {
       .select(col("doc_id"), hex(col("payload")).as("hx"),
         octet_length(col("payload")).cast("long").as("len"))
       .select(col("doc_id"), col("len"), expr(
+        // the deviation is materialized ONCE per byte by the inner
+        // transform, then squared in the fold — a lambda-bound "let"
+        // (SQL lambdas can't bind locals, and inlining the byte decode
+        // into d*d would run the conv twice per sample)
         s"""transform(sequence(0L, (len - 1) DIV $frameLen), f ->
            |  aggregate(
-           |    sequence(f * $frameLen, least(len, (f + 1) * $frameLen) - 1),
+           |    transform(
+           |      sequence(f * $frameLen, least(len, (f + 1) * $frameLen) - 1),
+           |      i -> $byteAt - 128L),
            |    named_struct('sq', 0L, 'c', 0L),
-           |    (a, i) -> named_struct(
-           |      'sq', a.sq + ($byteAt - 128L) * ($byteAt - 128L),
-           |      'c', a.c + 1L)))""".stripMargin).as("fr"))
+           |    (a, d) -> named_struct('sq', a.sq + d * d, 'c', a.c + 1L)))""".stripMargin)
+        .as("fr"))
       .select(col("doc_id"),
         size(col("fr")).as("n_frames"),
         expr(s"aggregate(fr, 0L, (a, x) -> a + IF(x.sq < $silenceThr * x.c, 1L, 0L))")

@@ -330,7 +330,13 @@ object Quality {
     val sketch = keyed.select(explode(updates).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cell_cnt"))
-    val nRow = keyed.agg(count(lit(1)).as("n"))
+      .cache() // eager diamond: probed per-candidate AND totalled for N
+    sketch.count()
+    // N is a property the sketch already carries (each hash row's cells
+    // sum to the stream length) — read it from row 0 instead of paying
+    // another scan of the data
+    val nRow = sketch.filter(col("r") === 0)
+      .agg(sum(col("cell_cnt")).as("n"))
     val top = keyed.groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("key")).limit(topK)
     top.select(col("key"), col("exact_cnt"), explode(updates).as("rb"))

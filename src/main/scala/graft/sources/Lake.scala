@@ -319,6 +319,36 @@ object Lake {
     spark.read.parquet(s"$base/v=$v")
   }
 
+  /** CDC diff between two published versions: each row keyed by
+    * `keyCols` is classified `added` / `removed` / `changed` (unchanged
+    * rows drop out). Non-key columns compare through the canonical
+    * chr(1)-delimited / chr(2)-null row string (the profile_checksum
+    * discipline — field boundaries and NULL-vs-empty survive; the
+    * string is only ever compared Spark-to-Spark, so engine float
+    * formatting is irrelevant). Scale shape: ONE full-outer
+    * co-partitioned join on the key — both sides shuffle on the key at
+    * most once (not at all when the versions are bucketed on it), and
+    * the diff of two 100 TB snapshots is the linear scan CDC
+    * fundamentally costs without a change log. */
+  def snapshotDiff(spark: SparkSession, base: String, vOld: Int, vNew: Int,
+                   keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit, when}
+    val o = readVersion(spark, base, Some(vOld))
+    val n = readVersion(spark, base, Some(vNew))
+    val nonKey = o.columns.filterNot(keyCols.contains).toSeq
+    def canon(df: DataFrame, as: String) = df.select(
+      keyCols.map(col) :+
+        concat_ws("\u0001", nonKey.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0002"))): _*).as(as): _*)
+    canon(o, "rs_old").join(canon(n, "rs_new"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("rs_old").isNull, "added")
+          .when(col("rs_new").isNull, "removed")
+          .when(col("rs_old") =!= col("rs_new"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** Write-audit-publish: stage the batch, audit THE STAGED FILES (what
     * was actually written, so writer bugs can't slip past), and publish
     * as the next version only if every check reports zero violations.

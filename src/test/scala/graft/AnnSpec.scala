@@ -29,6 +29,21 @@ class AnnSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-12)
   }
 
+  test("filtered ANN returns only the target class, pre-filtered") {
+    val allowed = sources.Lake.table(spark, TestSpark.Sf, "embeddings")
+      .filter(col("label") === 1).select("vec_id")
+      .as[Long].collect().toSet
+    val rows = ann.Similarity.queries("ann_filtered")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    // every neighbor satisfies the predicate (pre-filter, so the list
+    // can't come back short of K while qualifying vectors remain)
+    rows.foreach(r => assert(allowed.contains(r.getAs[Long]("neighbor_id"))))
+    // ranks are contiguous 1..k per query
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to g.length))
+    }
+  }
+
   test("LSH ANN achieves reasonable recall against brute force") {
     // measured across both test corpora (the planes are fixed md5-derived
     // hyperplanes — variation comes from the data, not a seed): 0.40 at

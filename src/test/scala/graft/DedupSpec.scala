@@ -213,6 +213,27 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.minhashPairs(kept, 0.5, bands = 64).isEmpty)
   }
 
+  test("containment finds the short doc embedded in the long one") {
+    import spark.implicits._
+    // doc 2 contains doc 1's full text verbatim inside a longer page:
+    // every one of doc 1's 8-grams appears in doc 2 → containment 1.0.
+    // Jaccard would be far below threshold (sizes 3 vs 23). doc 3 is
+    // unrelated.
+    val core = (1 to 10).map(i => s"w$i").mkString(" ")
+    val pad = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, s"$pad $core"),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, 0.8).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == ((1L, 2L)))
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Long]("shared") == 3) // 10 tokens → 3 distinct 8-grams
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val sig1 = corpus.select(GraftFunctions.minhashSig(Dedup.shingles(col("text"), 3), 128))
       .collect().map(_.getSeq[Long](0).toVector).toVector

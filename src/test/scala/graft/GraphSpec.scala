@@ -78,6 +78,19 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("clustering") - 0.8) < 1e-9)
   }
 
+  test("jaccard link prediction scores the square's diagonals, skips edges") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    // non-edges; each shares both neighbors → jaccard 1.0. Existing
+    // edges must not appear (anti-join), e.g. (1,2) with common {nothing}
+    // wouldn't score anyway, but (1,3) as an EDGE in a triangle would.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val rows = Graph.jaccardLinks(e, topK = 10).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("common"), r.getAs[Double]("jaccard")))
+    assert(rows.toSet == Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), rows.mkString(","))
+  }
+
   test("triangle-free graph reports zero with a sane coefficient") {
     import spark.implicits._
     // star 1-{2,3,4}: wedges exist (3), triangles don't

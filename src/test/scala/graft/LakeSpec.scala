@@ -265,6 +265,19 @@ class LakeSpec extends AnyFunSuite {
     assert(dirs == Set("v=1", "v=2"), dirs.toString)
   }
 
+  test("snapshotDiff classifies added, removed, and changed keys exactly") {
+    import spark.implicits._
+    val base = TestSpark.scratch("lake_diff")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Lake.writeVersion(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), base)
+    Lake.writeVersion(spark,
+      Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v"), base)
+    val got = Lake.snapshotDiff(spark, base, 1, 2, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"), got.toString)
+  }
+
   test("write-audit-publish refuses a violating batch, keeps the last good version") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
