@@ -323,8 +323,13 @@ object Quality {
     * standard (e/w, e^-d) CMS sizing at w=1024, d=4. */
   def cmsHeavyHitters(keyed: DataFrame, topK: Int, d: Int = 4,
                       w: Int = 1024, tol: Double = 0.005): DataFrame = {
-    def bucket(r: Int) = expr(
-      s"CAST(conv(substring(md5(concat('$r:', CAST(key AS STRING))), 1, 15), 16, 10) % $w AS INT)")
+    // xxhash64, not md5: the sketch's hash family needs no oracle
+    // parity (the gate output is exact counts + the contract boolean,
+    // which any proper hash family satisfies), so the codegen'd integer
+    // hash beats d string md5s per row — the sketch build is the whole
+    // cost of this operator. Seeding with the row index keeps the d
+    // hash functions independent.
+    def bucket(r: Int) = expr(s"pmod(xxhash64($r, key), $w)").cast("int")
     def updates = array((0 until d).map(r =>
       struct(lit(r).as("r"), bucket(r).as("bucket"))): _*)
     val sketch = keyed.select(explode(updates).as("rb"))
