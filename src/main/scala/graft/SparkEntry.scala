@@ -40,7 +40,7 @@ object SparkEntry {
     "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
     "etl_partitioned_write", "etl_zorder_read", "etl_incremental_read",
     "etl_incremental_agg", "etl_compact_read", "etl_delete",
-    "etl_snapshot_read", "etl_wap", "etl_snapshot_diff",
+    "etl_snapshot_read", "etl_wap", "etl_snapshot_diff", "etl_evolve_read",
     "stream_window", "stream_session", "stream_dedup", "stream_join",
     "stream_content_dedup", "stream_trending", "stream_upsert")
 

@@ -313,6 +313,28 @@ object StarSchema {
       Lake.readVersion(s, path, Some(1)).orderBy(col("o_orderkey"))
     }),
 
+    // Schema evolution exercised end-to-end (§A mergeSchema, previously
+    // spec-only): batch 1 lands BEFORE the o_orderpriority column
+    // existed (even keys), batch 2 after (odd keys); the merged read
+    // unifies the footers and null-backfills the early files. The
+    // oracle recomputes the backfill with a CASE on the same key split.
+    // At 100 TB mergeSchema is a per-file metadata cost — turn it on
+    // only for tables that actually evolve (Lake.readParquetMerged doc).
+    "etl_evolve_read" -> ((s, dir) => {
+      val path = scratch("etl_evolve_read")
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      Lake.readParquetMerged(s, path)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"), col("batch").cast("int").as("batch"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Snapshot CDC diff exercised end-to-end (§H snapshotDiff): v2
     // derives from v1 with all three change classes planted — price
     // bumps (keys %97, minus any that also get removed), deletions
@@ -503,6 +525,14 @@ object StarSchema {
     // Time travel: the as-of-v1 read must equal the untouched source.
     "etl_snapshot_read" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // The null backfill recomputed with a CASE on the same key split.
+    "etl_evolve_read" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |    AS o_orderpriority,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // The three planted change sets, recomputed from the source: a

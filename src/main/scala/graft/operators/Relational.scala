@@ -851,6 +851,40 @@ object Relational {
     // the single-partition window is a constant-size tail at any scale
     // — same contract as q35's date spine. corr skips null lag pairs
     // identically in both engines; 4dp grid (profile_corr precedent).
+    // Deterministic MODE + DISCRETE median per group (the categorical /
+    // exact-value summary q25's continuous percentiles can't give): the
+    // mode is a (group, value) count + a rank-1 pick ordered (cnt DESC,
+    // value) — ties broken by the value itself, so both engines pick
+    // identically (built-in mode() leaves ties unspecified, which a
+    // hash gate can't tolerate); the discrete median is the physical
+    // row at position ⌈n/2⌉ in price order — an actual data value, not
+    // an interpolation, and duplicate prices make any tie-order
+    // equivalent. Both halves shuffle on the same group key; the mode
+    // rank runs over the k×v count table (free at scale).
+    "q42_mode_disc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val modeW = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cnt").desc, col("o_orderstatus"))
+      val mode = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(modeW))
+        .filter(col("rk") === 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+          col("cnt").as("mode_cnt"))
+      val medW = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+      val med = o.select(col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(medW))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("o_orderpriority"))))
+        .filter(col("rn") === expr("(n + 1) DIV 2")) // integral ⌈n/2⌉ — a
+        // double division would make the position fractional on even n
+        .select(col("o_orderpriority"), col("o_totalprice").as("median_disc"))
+      mode.join(med, Seq("o_orderpriority"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q41_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "orders")
@@ -868,6 +902,25 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same (cnt DESC, value) mode tie-break, same ⌈n/2⌉ discrete pick.
+    "q42_mode_disc" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY count(*) DESC, o_orderstatus) AS rk
+        |  FROM orders GROUP BY 1, 2),
+        |d AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT m.o_orderpriority, m.o_orderstatus AS mode_status,
+        |  m.cnt AS mode_cnt, d.o_totalprice AS median_disc
+        |FROM m JOIN d ON m.o_orderpriority = d.o_orderpriority
+        |WHERE m.rk = 1 AND d.rn = (d.n + 1) // 2
+        |ORDER BY m.o_orderpriority""".stripMargin,
+
     // Same day aggregate, same lag windows over the day table, same
     // corr null-pair skipping, same 4dp grid.
     "q41_autocorr" ->

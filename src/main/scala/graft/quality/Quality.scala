@@ -267,6 +267,35 @@ object Quality {
         .orderBy(col("determinant"), col("dependent"))
     }),
 
+    // Shannon-entropy profile of the categorical columns (the
+    // information-content half of profiling — a near-zero entropy
+    // column is a constant wearing a type, a too-high one is an ID
+    // masquerading as a category). The three columns melt through ONE
+    // stack (same 3×-Expand-with-map-side-partials contract as
+    // profile_stats's multi-distinct: the shuffle carries per-task
+    // (col, value) partials, not data), one (col, value) aggregate, and
+    // the -Σ p·ln p fold runs over the k-row value tables. ln rides the
+    // 6dp round over ≤10 IEEE terms (sum error ~1e-16, five orders
+    // inside the grid).
+    "profile_entropy" -> ((s, dir) => {
+      val melted = t(s, dir, "orders").select(expr(
+        """stack(3,
+          |  'o_orderstatus', o_orderstatus,
+          |  'o_orderpriority', o_orderpriority,
+          |  'order_year', CAST(year(o_orderdate) AS STRING))
+          |AS (col_name, val)""".stripMargin))
+      val counts = melted.groupBy(col("col_name"), col("val"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = counts.groupBy(col("col_name"))
+        .agg(sum(col("cnt")).cast("double").as("n"))
+      counts.join(totals, Seq("col_name"))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_values"),
+          round(-sum((col("cnt") / col("n")) * log(col("cnt") / col("n"))), 6)
+            .as("entropy"))
+        .orderBy(col("col_name"))
+    }),
+
     // Heavy-hitter report through a DISTRIBUTED count-min sketch — the
     // fixed-memory frequency summary a 100 TB pipeline keeps when the
     // key space (parts, urls, ngrams) is too wide for an exact count
@@ -618,6 +647,21 @@ object Quality {
         |SELECT determinant, dependent, nd_det, nd_pair,
         |  nd_det = nd_pair AS fd_holds
         |FROM p ORDER BY determinant, dependent""".stripMargin,
+
+    // Same melt, same (col, value) counts, same -Σ p·ln p on the k-row
+    // tables, same 6dp grid (DuckDB ln = natural log).
+    "profile_entropy" ->
+      """WITH v AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR)
+        |    FROM orders),
+        |c AS (SELECT col_name, val, count(*) AS cnt FROM v GROUP BY 1, 2),
+        |t AS (SELECT col_name, CAST(sum(cnt) AS DOUBLE) AS n FROM c GROUP BY 1)
+        |SELECT c.col_name, count(*) AS n_values,
+        |  round(-sum((c.cnt / t.n) * ln(c.cnt / t.n)), 6) AS entropy
+        |FROM c JOIN t ON c.col_name = t.col_name
+        |GROUP BY c.col_name ORDER BY c.col_name""".stripMargin,
 
     // Exact top-20 (same DESC-count, unique-key tie-break) + the
     // constant-true contract column: a sketch regression past the CMS
