@@ -42,7 +42,8 @@ object SparkEntry {
     "etl_incremental_agg", "etl_compact_read", "etl_delete",
     "etl_snapshot_read", "etl_wap", "etl_snapshot_diff", "etl_evolve_read",
     "stream_window", "stream_session", "stream_dedup", "stream_join",
-    "stream_content_dedup", "stream_trending", "stream_upsert")
+    "stream_content_dedup", "stream_trending", "stream_upsert",
+    "stream_quality")
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */

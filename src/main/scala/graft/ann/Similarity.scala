@@ -60,6 +60,40 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Embedding-distribution drift (the ML-ops "did my corpus shift
+    // under the model" check a retrieval/training pipeline runs before
+    // trusting a new data window): vectors histogram into their nearest
+    // trained centroid (the IVF machinery reused as an adaptive binning
+    // of embedding space — equi-width bins are meaningless in 64-D),
+    // and the reference (even vec_id) vs current (odd) assignment
+    // distributions compare by PSI with Laplace smoothing (profile_psi
+    // arithmetic at k = centroid bins). Scale shape: training + ONE
+    // assignment pass (k-row centroid broadcast, argmax aggregation —
+    // no window over the corpus), then the PSI math runs on the k-row
+    // histogram. The oracle replays k-means sweep-for-sweep and the
+    // same quantized-cosine assignment tie-break.
+    "ann_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val cents = trainCentroids(emb, IvfCentroids)
+      val wAll = Window.partitionBy()
+      val hist = assignNearest(e, cents)
+        .select(col("centroid_id"), (col("vec_id") % 2 === 0).as("is_ref"))
+        .groupBy(col("centroid_id"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+        .withColumn("rt", sum(col("ref_cnt")).over(wAll))
+        .withColumn("ct", sum(col("cur_cnt")).over(wAll))
+      val smooth = lit(0.5 * IvfCentroids) // 0.5 per bin × k bins = 4.0
+      val p = (col("ref_cnt") + 0.5) / (col("rt") + smooth)
+      val q = (col("cur_cnt") + 0.5) / (col("ct") + smooth)
+      hist.select(col("centroid_id"), col("ref_cnt"), col("cur_cnt"),
+          round((p - q) * log(p / q), 6).as("psi"))
+        .orderBy(col("centroid_id"))
+    }),
+
     // Filtered (metadata-constrained) vector search — the "top-k among
     // class-1 vectors only" query every retrieval stack needs (RAG with
     // source filters, per-tenant search). The predicate applies BEFORE
@@ -514,6 +548,34 @@ object Similarity {
          |SELECT vec_id, neighbor_id, rank, round(cos_full, 6) AS cosine
          |FROM scored WHERE rank <= $KnnK
          |ORDER BY vec_id, rank""".stripMargin,
+    // k-means + assignment replayed sweep-for-sweep (the ann_ivf
+    // chain), then the same smoothed PSI arithmetic on the k-row
+    // histogram (profile_psi precedent; DuckDB ln = natural log).
+    "ann_drift" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |${kmeansCtes(IvfCentroids, KmeansIters)},
+         |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c)
+         |  WHERE rnk = 1),
+         |h AS (
+         |  SELECT centroid_id,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+         |  FROM assigned GROUP BY 1),
+         |t AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS rt,
+         |             CAST(sum(cur_cnt) AS BIGINT) AS ct FROM h)
+         |SELECT centroid_id, ref_cnt, cur_cnt,
+         |  round(((ref_cnt + 0.5) / (rt + 4.0) - (cur_cnt + 0.5) / (ct + 4.0)) *
+         |        ln(((ref_cnt + 0.5) / (rt + 4.0)) /
+         |           ((cur_cnt + 0.5) / (ct + 4.0))), 6) AS psi
+         |FROM h CROSS JOIN t ORDER BY centroid_id""".stripMargin,
+
     // ann_bruteforce's replay with the class predicate on the corpus
     // side only — queries keep their own labels.
     "ann_filtered" ->

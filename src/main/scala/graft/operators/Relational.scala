@@ -885,6 +885,29 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Gaps-and-islands (activity-streak analysis — the classic pattern
+    // behind "consecutive months active" retention metrics): per
+    // customer, runs of CONSECUTIVE order months found with the
+    // rn-difference trick — within a run, month_num − row_number is
+    // constant, so the anchor IS the island id and no self-join or
+    // iterative pass exists. One window + two aggregates, all three
+    // partitioned on the customer key — a single shuffle serves the
+    // whole operator.
+    "q43_islands" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val months = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+      months.withColumn("anchor", col("m") - row_number().over(w))
+        .groupBy(col("o_custkey"), col("anchor"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_islands"), max(col("run_len")).as("longest_run"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q41_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "orders")
@@ -902,6 +925,22 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same distinct month grid, same rn-difference anchors.
+    "q43_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT o_custkey,
+        |    year(o_orderdate) * 12 + month(o_orderdate) AS m
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_custkey, m,
+        |    m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS anchor
+        |  FROM d),
+        |runs AS (
+        |  SELECT o_custkey, anchor, count(*) AS run_len FROM r GROUP BY 1, 2)
+        |SELECT o_custkey, count(*) AS n_islands,
+        |  CAST(max(run_len) AS BIGINT) AS longest_run
+        |FROM runs GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
     // Same (cnt DESC, value) mode tie-break, same ⌈n/2⌉ discrete pick.
     "q42_mode_disc" ->
       """WITH m AS (

@@ -320,6 +320,35 @@ object Streams {
 
     // Watermark + tumbling 1 h window over a file stream, materialized via
     // a memory sink in Complete mode — batch-equivalent by construction.
+    // Streaming data-quality monitor — dq_checks in motion: per
+    // tumbling hour, the health panel (row volume, error-event count,
+    // null-key and non-positive-value violations) rides ONE windowed
+    // aggregate — conditional sums are free once the window shuffle
+    // happens, so a 100 TB/day stream pays a single stateful operator
+    // for the whole panel, state evicted at the watermark. Append mode:
+    // each window's report finalizes exactly once when the watermark
+    // passes it, so the oracle replays only FINALIZED windows (start ≤
+    // max(ts) − watermark − window; the testdata's max ts sits well off
+    // the hour boundary at every SF, so strict-vs-inclusive eviction at
+    // the exact boundary can't flip a window). The two violation
+    // counters are zero on clean testdata — load-bearing against
+    // regressions — while n_rows/n_errors vary per window, keeping the
+    // hash gate non-vacuous.
+    "stream_quality" -> ((s, dir) => {
+      val agg = readEventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_errors"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user"),
+          sum(when(col("value") <= 0, 1L).otherwise(0L)).as("nonpos_value"))
+      val res = materialize(s, agg, "graft_stream_quality", OutputMode.Append())
+      res.select(col("w.start").as("window_start"), col("n_rows"),
+          col("n_errors"), col("null_user"), col("nonpos_value"))
+        .orderBy(col("window_start"))
+    }),
+
     "stream_window" -> ((s, dir) => {
       val agg = readEventsStream(s, dir)
         .withWatermark("ts", "1 hour")
@@ -532,6 +561,27 @@ object Streams {
          |SELECT window_start, token, cnt, CAST(rnk AS INTEGER) AS rnk
          |FROM ranked WHERE rnk <= 5
          |ORDER BY window_start, rnk""".stripMargin,
+
+    // Batch replay restricted to FINALIZED windows: Append emits a
+    // window when the watermark (max ts − 1h) passes its end, i.e.
+    // start ≤ max(ts) − 2h.
+    "stream_quality" ->
+      """WITH mx AS (SELECT max(ts) AS mts FROM events),
+        |w AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |    count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_errors,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS null_user,
+        |    CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nonpos_value
+        |  FROM events GROUP BY 1)
+        |SELECT w.window_start, w.n_rows, w.n_errors, w.null_user,
+        |  w.nonpos_value
+        |FROM w CROSS JOIN mx
+        |WHERE w.window_start + INTERVAL 2 HOURS <= mx.mts
+        |ORDER BY w.window_start""".stripMargin,
 
     "stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
