@@ -53,6 +53,32 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
 
+  /** The text_bigram_lm engine over explicit documents — split out so
+    * specs can plant corpora with known transition structure. */
+  def bigramLm(docs: DataFrame): DataFrame = {
+
+      val bigrams = expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+      val docBi = docs
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(bigrams).as("bigram"))
+        .groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+      val bc = docBi.groupBy(col("bigram")).agg(sum(col("cnt")).as("bc"))
+      val cc = bc.withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .groupBy(col("w1")).agg(sum(col("bc")).as("cc"))
+      docBi.join(bc, Seq("bigram"))
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .join(cc, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"),
+          round(sum(col("cnt") * -log(col("bc") / col("cc"))) /
+            sum(col("cnt")), 4).as("avg_neg_logprob"))
+        .orderBy(col("doc_id"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting + char/word stats: whitespace tokens and a BPE-ish
@@ -480,6 +506,20 @@ object TextAnalysis {
     // bigram tie-break — both engines rank the identical grid (the
     // text_sample_weighted cutoff discipline), and the final top-25 is a
     // TakeOrderedAndProject partial top-k, never a global sort.
+    // Bigram-LM quality score (the KenLM order-2 stand-in next to
+    // text_logprob's unigram model): per document, the mean negative
+    // CONDITIONAL log-prob -ln P(w2|w1) under the corpus bigram model.
+    // Self-trained on the corpus it scores, so no unseen bigrams and
+    // MLE needs no smoothing; P(w2|w1) = bc(w1w2) / cc(w1) with cc the
+    // bigram-initial marginal (Σ_w2 bc), so probabilities sum to 1 per
+    // context. Shape discipline = text_logprob's: per-doc bigram counts
+    // PRE-AGGREGATED before any join (the shuffle carries (doc, bigram,
+    // cnt) rows, not occurrences), the global model tables derive from
+    // that same aggregate, and the model joins are HINT-FREE — a
+    // web-scale bigram vocabulary is not broadcastable. 4dp round on
+    // the per-doc mean (logprob precedent).
+    "text_bigram_lm" -> ((s, dir) => bigramLm(t(s, dir, "documents"))),
+
     "text_collocations" -> ((s, dir) => {
       val tf = tfTable(s, dir)
       val uc = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
@@ -727,6 +767,26 @@ object TextAnalysis {
         |FROM grams c JOIN bench b ON c.g = b.g AND c.doc_id <> b.doc_id
         |GROUP BY c.doc_id
         |ORDER BY c.doc_id""".stripMargin,
+
+    // Same pre-aggregated per-doc bigram counts, same bc/cc conditional
+    // (BIGINT/BIGINT → the identical IEEE double division), same -ln
+    // fold and 4dp grid.
+    "text_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |db AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        |  FROM d WHERE len(ws) >= 2),
+        |dc AS (SELECT doc_id, bigram, count(*) AS cnt FROM db GROUP BY 1, 2),
+        |bc AS (SELECT bigram, CAST(sum(cnt) AS BIGINT) AS bc FROM dc GROUP BY 1),
+        |cc AS (SELECT string_split(bigram, ' ')[1] AS w1,
+        |         CAST(sum(bc) AS BIGINT) AS cc FROM bc GROUP BY 1)
+        |SELECT dc.doc_id, CAST(sum(dc.cnt) AS BIGINT) AS n_bigrams,
+        |  round(sum(dc.cnt * -ln(bc.bc / cc.cc)) / sum(dc.cnt), 4)
+        |    AS avg_neg_logprob
+        |FROM dc JOIN bc USING (bigram)
+        |JOIN cc ON string_split(dc.bigram, ' ')[1] = cc.w1
+        |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
 
     // Same unigram/bigram counts, same PMI arithmetic shape
     // ((cab/nb) / ((c1/nu)·(c2/nu)), one ln, 6dp round), same

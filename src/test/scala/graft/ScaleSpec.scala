@@ -120,6 +120,15 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("ann_filtered pushes the class predicate to the corpus scan") {
+    // pre-filtering is the operator's whole scale claim: the label
+    // predicate must reach the parquet scan, not run after the kernel
+    val df = SparkEntry.queries("ann_filtered")(spark, TestSpark.Sf)
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PushedFilters") && scans.contains("EqualTo(label,1)"),
+      s"expected the label predicate pushed to the scan:\n$scans")
+  }
+
   test("no operator plan materializes data on the driver") {
     // structural guard: driver-collected data re-entering a plan shows up
     // as LocalTableScan / Scan ExistingRDD — no query may contain either

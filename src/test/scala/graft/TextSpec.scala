@@ -235,4 +235,22 @@ class TextSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("bigram LM: deterministic transitions score 0, branching scores ln2 shares") {
+    import spark.implicits._
+    // doc 1 alternates a/b forever: every transition is certain →
+    // P = 1 everywhere → mean -ln P = 0 exactly.
+    // doc 2 "x y x z": P(y|x) = P(z|x) = 1/2, P(x|y) = 1 →
+    // mean = (ln2 + 0 + ln2) / 3 = 0.4621 at 4dp.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x y x z")
+    ).toDF("doc_id", "text")
+    val rows = functions.TextAnalysis.bigramLm(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_neg_logprob"))).toMap
+    assert(rows(1L) == ((5L, 0.0)))
+    assert(rows(2L)._1 == 3L)
+    assert(math.abs(rows(2L)._2 - 0.4621) < 1e-9, rows(2L).toString)
+  }
 }
