@@ -319,6 +319,56 @@ object Lake {
     spark.read.parquet(s"$base/v=$v")
   }
 
+  /** Zero-copy shallow clone of a published version: the clone is a
+    * MANIFEST (one text file of absolute data-file paths) — no data
+    * bytes move, so cloning a 100 TB snapshot is a metadata write.
+    * Because `v=N` directories are immutable (writers only ever add new
+    * versions), the referenced files can't change under the clone; they
+    * disappear only if a vacuum drops the version, which is the same
+    * retention contract Iceberg/Delta shallow clones carry. */
+  def cloneVersion(spark: SparkSession, base: String, version: Int,
+                   dest: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(base, s"v=$version")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"cloneVersion: $src does not exist")
+    val files = fs.listStatus(src).toSeq.map(_.getPath.toString)
+      .filter(_.split('/').last.endsWith(".parquet"))
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    fs.mkdirs(destPath.getParent)
+    val out = fs.create(destPath, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read a shallow clone: scan exactly the manifest's files. */
+  def readClone(spark: SparkSession, manifest: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(manifest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val files = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSeq
+    finally in.close()
+    require(files.nonEmpty, s"readClone: empty manifest $manifest")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Retention vacuum for versioned tables: drop every published
+    * version except the newest `keep`. Never run by writers — retention
+    * is an explicit policy decision, and outstanding shallow clones of
+    * a vacuumed version break by design (the Iceberg/Delta contract).
+    * Returns the dropped version numbers. */
+  def vacuumVersions(spark: SparkSession, base: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"vacuumVersions: keep must be >= 1, got $keep")
+    val vs = listVersions(spark, base)
+    val drop = vs.dropRight(keep)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    drop.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true)
+    }
+    drop
+  }
+
   /** CDC diff between two published versions: each row keyed by
     * `keyCols` is classified `added` / `removed` / `changed` (unchanged
     * rows drop out). Non-key columns compare through the canonical

@@ -278,6 +278,30 @@ class LakeSpec extends AnyFunSuite {
     assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"), got.toString)
   }
 
+  test("shallow clone is zero-copy, immutable under new publishes; vacuum retains") {
+    import spark.implicits._
+    val base = TestSpark.scratch("lake_clone")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Lake.writeVersion(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base)
+    val manifest = s"$base-manifest/clone_v1.txt"
+    Lake.cloneVersion(spark, base, 1, manifest)
+    // zero-copy: the manifest dir holds the one text file (plus local-FS
+    // .crc sidecars) and NO parquet data files
+    val cloneFiles = new java.io.File(s"$base-manifest").listFiles().map(_.getName)
+    assert(cloneFiles.filterNot(_.startsWith(".")).toSeq == Seq("clone_v1.txt"))
+    assert(!cloneFiles.exists(_.endsWith(".parquet")), cloneFiles.mkString(","))
+    // a later publish doesn't disturb the clone
+    Lake.writeVersion(spark, Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"), base)
+    val got = Lake.readClone(spark, manifest)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "b"))
+    // vacuum keeps the newest, reports the dropped, directory agrees
+    Lake.writeVersion(spark, Seq((9L, "z")).toDF("k", "v"), base)
+    assert(Lake.vacuumVersions(spark, base, keep = 1) == Seq(1, 2))
+    assert(Lake.listVersions(spark, base) == Seq(3))
+    assert(Lake.readVersion(spark, base).count() == 1)
+  }
+
   test("write-audit-publish refuses a violating batch, keeps the last good version") {
     import spark.implicits._
     import org.apache.spark.sql.DataFrame
