@@ -56,13 +56,15 @@ class ScaleSpec extends AnyFunSuite {
     // may still broadcast a measured-small side at runtime — that's fine;
     // assert the LOGICAL plan's hints, not the physical join choice). The
     // one allowed hint is the one-row corpus-total scalar broadcast.
-    Seq("text_tfidf", "text_logprob").foreach { k =>
-      val analyzed = SparkEntry.queries(k)(spark, TestSpark.Sf)
-        .queryExecution.analyzed.toString
-      val hints = "ResolvedHint".r.findAllIn(analyzed).size
-      assert(hints == 1,
-        s"$k: expected exactly the one-row scalar broadcast hint, found $hints:\n$analyzed")
-    }
+    Seq("text_tfidf" -> 1, "text_logprob" -> 1, "text_bigram_lm" -> 0)
+      .foreach { case (k, expected) =>
+        val analyzed = SparkEntry.queries(k)(spark, TestSpark.Sf)
+          .queryExecution.analyzed.toString
+        val hints = "ResolvedHint".r.findAllIn(analyzed).size
+        assert(hints == expected,
+          s"$k: expected $expected broadcast hints (scalar one-row only), " +
+            s"found $hints:\n$analyzed")
+      }
   }
 
   test("tfidf and logprob explode the corpus once (consumers read the tf cache)") {
