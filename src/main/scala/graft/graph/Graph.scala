@@ -101,7 +101,8 @@ object Graph {
     * (≤ lineitems² per order, a small constant), and the month slice
     * keeps the projected graph sparse while still scaling with data
     * volume at 100 TB. Edges come out as (u < v) single copies. */
-  private[graft] def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coSupplyEdges(s: SparkSession, dir: String,
+                                   minCount: Int = 1): DataFrame = {
     val monthOrders = t(s, dir, "orders")
       .filter(col("o_orderdate") >= lit("1997-03-01").cast("timestamp") &&
         col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
@@ -111,10 +112,14 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sk"))
       .distinct()
+    // minCount = 1 is plain distinct pairs; higher thresholds keep only
+    // REPEATED co-supply (a sparser relationship graph)
     sup.as("x").join(sup.as("y"),
         col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-      .select(col("x.sk").as("u"), col("y.sk").as("v"))
-      .distinct()
+      .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minCount)
+      .select(col("u"), col("v"))
   }
 
   /** Triangle count + global clustering coefficient over explicit
@@ -199,6 +204,21 @@ object Graph {
     // strongest not-yet-linked supplier pairs by neighborhood Jaccard.
     "graph_jaccard" -> ((s, dir) =>
       jaccardLinks(coSupplyEdges(s, dir), topK = 25)),
+
+    // Connected components of the REPEATED co-supply graph (edges only
+    // where two suppliers co-supplied ≥ 3 orders in the month — the
+    // relationship graph, sparser than incidental one-off pairings, so
+    // the component structure is non-trivial). Reuses the dedup family's
+    // min-label propagation + pointer-jumping engine (O(log diameter)
+    // sweeps, per-sweep lineage truncation) on a different edge source —
+    // one engine, two domains. Nodes without qualifying edges are out of
+    // scope on both sides (the oracle's closure also starts from edges).
+    "graph_components" -> ((s, dir) =>
+      graft.dedup.Dedup.connectedComponents(
+        coSupplyEdges(s, dir, minCount = 3)
+          .select(col("u").as("doc_a"), col("v").as("doc_b")))
+        .select(col("doc_id").as("supp_id"), col("label").as("component_id"))
+        .orderBy(col("supp_id"))),
 
     // Degree-distribution profile of the trade graph (the first thing a
     // graph pipeline reports — skew here decides every downstream
@@ -310,6 +330,29 @@ object Graph {
         |SELECT node, hop FROM v3 ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(Sweeps),
+
+    // Transitive closure over the same ≥3-count edges; min reachable id
+    // = the converged min-label (the dedup_clusters oracle shape).
+    "graph_components" ->
+      """WITH RECURSIVE mo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+        |sup AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+        |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+        |e0 AS (
+        |  SELECT x.sk AS u, y.sk AS v
+        |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |edges AS (SELECT u AS a, v AS b FROM e0
+        |          UNION ALL SELECT v, u FROM e0),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS supp_id, min(dst) AS component_id
+        |FROM reach GROUP BY src ORDER BY supp_id""".stripMargin,
 
     // Same wedge-join common counts, same anti-join against existing
     // edges, same 6dp-rounded cutoff with the (u, v) tie-break.

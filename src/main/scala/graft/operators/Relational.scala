@@ -885,6 +885,42 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Multi-touch attribution (linear model): every purchase splits one
+    // unit of credit equally across the same user's clicks in the 10
+    // preceding minutes; a click's total credit sums its share of every
+    // purchase it contributed to. The purchase↔click pairing is the q27
+    // grid-cell band join (probe explodes to its cell ± 1, equi-join on
+    // (user, cell), residual one-sided time filter — no theta join),
+    // the per-purchase click count is an aggregate on the pair table
+    // (not a window over events), and credit 1/n is the same long/long
+    // IEEE division in both engines. Credit sums ride the 6dp round
+    // (each click serves few purchases; float-order error ~1e-16).
+    "q44_attribution" -> ((s, dir) => {
+      val BandMicros = 600000000L // 10 minutes
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("cell", explode(array(
+          expr(s"p_us div $BandMicros") - 1,
+          expr(s"p_us div $BandMicros"))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_us"))
+        .withColumn("cell", expr(s"c_us div $BandMicros"))
+      val pairs = purchases.join(clicks, Seq("user_id", "cell"))
+        .filter(col("c_us") >= col("p_us") - BandMicros &&
+          col("c_us") <= col("p_us"))
+        .select(col("purchase_id"), col("click_id"))
+      val perPurchase = pairs.groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_touch"))
+      pairs.join(perPurchase, Seq("purchase_id"))
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(lit(1.0) / col("n_touch")), 6).as("credit"))
+        .orderBy(col("click_id"))
+    }),
+
     // Gaps-and-islands (activity-streak analysis — the classic pattern
     // behind "consecutive months active" retention metrics): per
     // customer, runs of CONSECUTIVE order months found with the
@@ -925,6 +961,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // Plain inequality join replays the band join; 1.0::DOUBLE forces
+    // DuckDB off its decimal literal so the 1/n credit is the same IEEE
+    // double division.
+    "q44_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'),
+        |pairs AS (
+        |  SELECT p.purchase_id, c.click_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTES
+        |    AND c.c_ts <= p.p_ts),
+        |n AS (SELECT purchase_id, count(*) AS n_touch FROM pairs GROUP BY 1)
+        |SELECT pr.click_id, count(*) AS n_purchases,
+        |  round(sum(1.0::DOUBLE / n.n_touch), 6) AS credit
+        |FROM pairs pr JOIN n USING (purchase_id)
+        |GROUP BY pr.click_id ORDER BY pr.click_id""".stripMargin,
+
     // Same distinct month grid, same rn-difference anchors.
     "q43_islands" ->
       """WITH d AS (

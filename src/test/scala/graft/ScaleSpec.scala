@@ -146,7 +146,8 @@ class ScaleSpec extends AnyFunSuite {
       // plan every sweep) — their roots are LogicalRDDs over DISTRIBUTED
       // executor partitions, not driver data, so they are the plans
       // allowed to lack a lake relation
-      if (Set("dedup_clusters", "graph_pagerank", "graph_bfs")(k))
+      if (Set("dedup_clusters", "graph_pagerank", "graph_bfs",
+          "graph_components")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
