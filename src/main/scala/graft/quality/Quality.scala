@@ -267,6 +267,22 @@ object Quality {
         .orderBy(col("determinant"), col("dependent"))
     }),
 
+    // Ingest-volume anomaly screen (the "did a feed break or double-fire
+    // yesterday" check): daily order counts run through the SAME
+    // median/MAD robust engine as dq_outliers — a broken day can't
+    // poison the baseline the way it poisons a mean/std z-score. The
+    // heavy work (per-day counts) is one distributed aggregate; the MAD
+    // passes then run over the calendar-bounded day table (q41's
+    // contract — constant-size at any data volume). Grouped by order
+    // year so the report shows where in time the anomalies sit.
+    "dq_volume" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      outlierReport(daily, "yr", "cnt")
+    }),
+
     // Shannon-entropy profile of the categorical columns (the
     // information-content half of profiling — a near-zero entropy
     // column is a constant wearing a type, a too-high one is an ID
@@ -647,6 +663,24 @@ object Quality {
         |SELECT determinant, dependent, nd_det, nd_pair,
         |  nd_det = nd_pair AS fd_holds
         |FROM p ORDER BY determinant, dependent""".stripMargin,
+
+    // dq_outliers' quantile_cont replay over the daily-count table.
+    "dq_volume" ->
+      """WITH daily AS (
+        |  SELECT year(o_orderdate) AS yr, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |med AS (SELECT yr, quantile_cont(cnt, 0.5) AS med FROM daily GROUP BY 1),
+        |dev AS (SELECT d.yr, m.med, abs(d.cnt - m.med) AS adev
+        |        FROM daily d JOIN med m USING (yr)),
+        |mad AS (SELECT yr, max(med) AS med, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.yr, count(*) AS n, round(max(m.med), 2) AS median,
+        |  round(max(m.mad), 2) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 4.4478 * m.mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m USING (yr)
+        |GROUP BY d.yr ORDER BY yr""".stripMargin,
 
     // Same melt, same (col, value) counts, same -Σ p·ln p on the k-row
     // tables, same 6dp grid (DuckDB ln = natural log).
