@@ -32,12 +32,19 @@ object Graph {
     * weights. Node ids are prefixed ('c'/'s') so the two key spaces
     * can't collide. */
   private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    // cached: the doubled edge list reads eb TWICE (one union branch per
+    // direction) and every consumer (pagerank sweeps, BFS, the degree
+    // profile) re-reads the result — without the cache each union branch
+    // re-runs the orders×lineitem join + distinct. LRU-managed like the
+    // other shared builder caches; repeated query CONSTRUCTION re-hits
+    // the same canonicalized plan.
     val eb = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(concat(lit("c"), col("o_custkey")).as("a"),
         concat(lit("s"), col("l_suppkey")).as("b"))
       .distinct()
+      .cache()
     eb.select(col("a").as("src"), col("b").as("dst"))
       .union(eb.select(col("b").as("src"), col("a").as("dst")))
   }

@@ -908,13 +908,17 @@ object Relational {
         .select(col("event_id").as("click_id"), col("user_id"),
           unix_micros(col("ts")).as("c_us"))
         .withColumn("cell", expr(s"c_us div $BandMicros"))
-      val pairs = purchases.join(clicks, Seq("user_id", "cell"))
+      // per-purchase touch count as a WINDOW on the pair table, not a
+      // grouped self-join — the pair table is computed once and
+      // shuffled once on purchase_id (a groupBy + join-back diamond
+      // would run the band join twice)
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+      purchases.join(clicks, Seq("user_id", "cell"))
         .filter(col("c_us") >= col("p_us") - BandMicros &&
           col("c_us") <= col("p_us"))
         .select(col("purchase_id"), col("click_id"))
-      val perPurchase = pairs.groupBy(col("purchase_id"))
-        .agg(count(lit(1)).as("n_touch"))
-      pairs.join(perPurchase, Seq("purchase_id"))
+        .withColumn("n_touch", count(lit(1)).over(wP))
         .groupBy(col("click_id"))
         .agg(count(lit(1)).as("n_purchases"),
           round(sum(lit(1.0) / col("n_touch")), 6).as("credit"))
