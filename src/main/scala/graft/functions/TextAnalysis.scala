@@ -520,6 +520,39 @@ object TextAnalysis {
     // the per-doc mean (logprob precedent).
     "text_bigram_lm" -> ((s, dir) => bigramLm(t(s, dir, "documents"))),
 
+    // The composed corpus gate — the C4/Gopher-shaped "assemble the
+    // training corpus" decision, one row per document with the reason
+    // flags a data audit needs: quality score over threshold (0.2 ≈ the
+    // corpus median, decided on the same 4dp-rounded score both engines
+    // compute), language-ID agreement with the labeled language,
+    // benchmark-decontamination cleanliness, and survival of the
+    // exact+near-dup removal. Each leg is the EXISTING gated operator
+    // reused verbatim (the pipeline is composition, not re-derivation);
+    // all four joins are co-partitioned on doc_id, the two "absence"
+    // legs are left joins on bounded tables (contaminated docs, dropped
+    // dups). At 100 TB this is exactly the keep-manifest job a corpus
+    // build runs nightly.
+    "text_corpus_gate" -> ((s, dir) => {
+      val q = queries("text_quality")(s, dir)
+        .select(col("doc_id"), (col("quality") >= 0.2).as("q_ok"))
+      val l = queries("text_langid")(s, dir)
+        .select(col("doc_id"), (col("lang_pred") === col("lang")).as("lang_ok"))
+      val dh = queries("text_decontaminate")(s, dir)
+        .select(col("doc_id"), lit(1).as("hit"))
+      val kept = graft.dedup.Dedup.queries("dedup_corpus")(s, dir)
+        .select(col("doc_id"), lit(1).as("kept"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(q, Seq("doc_id"))
+        .join(l, Seq("doc_id"))
+        .join(dh, Seq("doc_id"), "left")
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("q_ok"), col("lang_ok"),
+          col("hit").isNull.as("clean"), col("kept").isNotNull.as("uniq"))
+        .withColumn("keep",
+          col("q_ok") && col("lang_ok") && col("clean") && col("uniq"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_collocations" -> ((s, dir) => {
       val tf = tfTable(s, dir)
       val uc = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
@@ -595,7 +628,7 @@ object TextAnalysis {
        |  FROM range(${PlantedPiiTexts.size}) t(i))""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "text_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 12)) AS p
@@ -841,4 +874,26 @@ object TextAnalysis {
          |  ${rollingHashSql("lower(trim(text))")} AS fingerprint_norm
          |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** The corpus-gate oracle composes the component oracles verbatim as
+    * subqueries — the same reuse-not-rederive contract as the Spark
+    * side, so a drift in any component surfaces in BOTH gates. */
+  val oracles: Map[String, String] = baseOracles + ("text_corpus_gate" ->
+    s"""WITH q AS (SELECT doc_id, quality FROM (${baseOracles("text_quality")})),
+       |l AS (SELECT doc_id, lang, lang_pred FROM (${baseOracles("text_langid")})),
+       |dh AS (SELECT doc_id FROM (${baseOracles("text_decontaminate")})),
+       |kept AS (SELECT doc_id FROM (${graft.dedup.Dedup.oracles("dedup_corpus")}))
+       |SELECT d.doc_id,
+       |  q.quality >= 0.2 AS q_ok,
+       |  l.lang_pred = l.lang AS lang_ok,
+       |  dh.doc_id IS NULL AS clean,
+       |  kept.doc_id IS NOT NULL AS uniq,
+       |  (q.quality >= 0.2 AND l.lang_pred = l.lang AND dh.doc_id IS NULL
+       |   AND kept.doc_id IS NOT NULL) AS keep
+       |FROM documents d
+       |JOIN q ON d.doc_id = q.doc_id
+       |JOIN l ON d.doc_id = l.doc_id
+       |LEFT JOIN dh ON d.doc_id = dh.doc_id
+       |LEFT JOIN kept ON d.doc_id = kept.doc_id
+       |ORDER BY d.doc_id""".stripMargin)
 }
