@@ -213,7 +213,7 @@ object Graph {
       jaccardLinks(coSupplyEdges(s, dir), topK = 25)),
 
     // Connected components of the REPEATED co-supply graph (edges only
-    // where two suppliers co-supplied ≥ 3 orders in the month — the
+    // where two suppliers co-supplied ≥ 2 orders in the month — the
     // relationship graph, sparser than incidental one-off pairings, so
     // the component structure is non-trivial). Reuses the dedup family's
     // min-label propagation + pointer-jumping engine (O(log diameter)
@@ -222,7 +222,7 @@ object Graph {
     // scope on both sides (the oracle's closure also starts from edges).
     "graph_components" -> ((s, dir) =>
       graft.dedup.Dedup.connectedComponents(
-        coSupplyEdges(s, dir, minCount = 3)
+        coSupplyEdges(s, dir, minCount = 2)
           .select(col("u").as("doc_a"), col("v").as("doc_b")))
         .select(col("doc_id").as("supp_id"), col("label").as("component_id"))
         .orderBy(col("supp_id"))),
@@ -338,7 +338,7 @@ object Graph {
 
     "graph_pagerank" -> pagerankSql(Sweeps),
 
-    // Transitive closure over the same ≥3-count edges; min reachable id
+    // Transitive closure over the same ≥2-count edges; min reachable id
     // = the converged min-label (the dedup_clusters oracle shape).
     "graph_components" ->
       """WITH RECURSIVE mo AS (
@@ -351,7 +351,7 @@ object Graph {
         |e0 AS (
         |  SELECT x.sk AS u, y.sk AS v
         |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |edges AS (SELECT u AS a, v AS b FROM e0
         |          UNION ALL SELECT v, u FROM e0),
         |reach(src, dst) AS (

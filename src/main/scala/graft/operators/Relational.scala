@@ -276,7 +276,12 @@ object Relational {
     "q20_approx" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        // rsd 0.02 against a 5% gate = a 2.5σ contract (the
+        // profile_stats_approx sizing) — the earlier rsd-0.05 sketch
+        // made the same gate a 1σ coin flip, and at sf0.1 the realized
+        // HLL error crossed it (caught by the full-surface sf0.1
+        // selfcheck; deterministic for fixed data, so stable per SF)
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
              countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")) <=
@@ -562,8 +567,14 @@ object Relational {
           round(col("c_acctbal"), 2).as("acctbal"),
           dense_rank().over(w).as("drank"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pct_rank"),
-          round(cume_dist().over(w), 6).as("cume"))
+          // UNROUNDED on purpose: under the unique total order these are
+          // integer/integer IEEE divisions — bit-identical across
+          // engines — while round(·, 6) is what DIVERGES: k/n lands
+          // near half-ulp grid boundaries where Spark's BigDecimal
+          // half-up and DuckDB's float rounding disagree (4 rows of
+          // 15k flipped at sf0.1; caught by the full-surface selfcheck)
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -1164,8 +1175,8 @@ object Relational {
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
         |  dense_rank() OVER w AS drank,
         |  ntile(4) OVER w AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey
         |             ORDER BY c_acctbal DESC, c_custkey)
