@@ -469,7 +469,12 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
-        round(col("shared").cast("double") / least(col("na"), col("nb")), 6)
+        // UNROUNDED on purpose: integer/integer IEEE division is
+        // bit-identical across engines, while round() itself can
+        // diverge at half-ulp grid boundaries (the q32 lesson) — so
+        // both the threshold filter and the output are decided on the
+        // exact bits
+        (col("shared").cast("double") / least(col("na"), col("nb")))
           .as("containment"))
       .filter(col("containment") >= thr)
   }
@@ -640,9 +645,9 @@ object Dedup {
         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, shared,
-        |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |  CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
         |FROM pr JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-        |WHERE round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.8
+        |WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->

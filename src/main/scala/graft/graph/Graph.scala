@@ -180,8 +180,8 @@ object Graph {
     * Common-neighbor counts come from ONE wedge join around the shared
     * node (co-partitioned on it); existing edges drop via an anti-join;
     * degrees attach as two co-partitioned joins. The top-k cutoff is
-    * decided on the 6dp-ROUNDED score with a (u, v) pair tie-break —
-    * the collocations discipline, so both engines cut identically.
+    * decided on the UNROUNDED score (integer/integer IEEE division —
+    * bit-identical across engines) with a (u, v) pair tie-break.
     * Skew note: a hub of degree d contributes d² wedge pairs; the
     * month-sliced graph bounds d here, and at 100 TB the standard cap
     * (drop or sample neighbors of super-hubs before the wedge join)
@@ -199,8 +199,12 @@ object Graph {
       .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
       .select(col("u"), col("v"), col("common"),
-        round(col("common").cast("double") /
-          (col("du") + col("dv") - col("common")), 6).as("jaccard"))
+        // UNROUNDED: the score is an integer/integer IEEE division —
+        // bit-identical across engines — so the top-k cutoff and the
+        // output are decided on exact bits; round() itself can diverge
+        // at half-ulp boundaries (the q32 lesson)
+        (col("common").cast("double") /
+          (col("du") + col("dv") - col("common"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("u"), col("v"))
       .limit(topK)
   }
@@ -385,8 +389,7 @@ object Graph {
         |  LEFT JOIN e ON c.u = e.u AND c.v = e.v
         |  WHERE e.u IS NULL)
         |SELECT n.u, n.v, n.common,
-        |  round(CAST(n.common AS DOUBLE) / (du.deg + dv.deg - n.common), 6)
-        |    AS jaccard
+        |  CAST(n.common AS DOUBLE) / (du.deg + dv.deg - n.common) AS jaccard
         |FROM ne n JOIN deg du ON n.u = du.a JOIN deg dv ON n.v = dv.a
         |ORDER BY jaccard DESC, u, v LIMIT 25""".stripMargin,
 

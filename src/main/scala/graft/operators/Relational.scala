@@ -847,8 +847,8 @@ object Relational {
         .filter(col("to_type").isNotNull)
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n_trans"))
-        .withColumn("prob",
-          round(col("n_trans") / sum(col("n_trans")).over(wf), 6))
+        .withColumn("prob", // exact long/long division: unrounded (q32 lesson)
+          col("n_trans") / sum(col("n_trans")).over(wf))
         .orderBy(col("from_type"), col("to_type"))
     }),
 
@@ -1056,7 +1056,7 @@ object Relational {
         |c AS (SELECT from_type, to_type, count(*) AS n_trans
         |      FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n_trans,
-        |  round(n_trans / sum(n_trans) OVER (PARTITION BY from_type), 6) AS prob
+        |  n_trans / sum(n_trans) OVER (PARTITION BY from_type) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     "q37_sessionize" ->

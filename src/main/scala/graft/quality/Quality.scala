@@ -226,7 +226,7 @@ object Quality {
       val tot = digits.agg(sum(col("cnt")).cast("double").as("n"))
       digits.crossJoin(broadcast(tot))
         .select(col("digit"), col("cnt"),
-          round(col("cnt") / col("n"), 6).as("share"),
+          (col("cnt") / col("n")).as("share"), // exact rational: unrounded
           round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
             .as("expected"),
           round(abs(col("cnt") / col("n") -
@@ -623,7 +623,7 @@ object Quality {
         |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
         |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM d)
         |SELECT digit, cnt,
-        |  round(cnt / n, 6) AS share,
+        |  cnt / n AS share,
         |  round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected,
         |  round(abs(cnt / n - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
         |    AS abs_dev
