@@ -31,8 +31,13 @@ object Bench {
         .sortBy(f => f.getName.drop(2).toDoubleOption.getOrElse(Double.MaxValue))
         .headOption.map(_.getPath).getOrElse(sfDir)
     })
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q1_agg,graph_pagerank
+    // times just those keys (the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -83,7 +88,9 @@ object Bench {
     // query pays its own materializations (intra-query caches still
     // work; only cross-query reuse is suppressed).
     def timedPass(pass: Int): Seq[(String, Double, Boolean)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         spark.sharedState.cacheManager.clearCache()
         val (idle0, steal0) = procStat()
         val (r0, c0, g0) = (exeRun.get, exeCpu.get, exeGc.get)

@@ -479,10 +479,51 @@ object Dedup {
       .filter(col("containment") >= thr)
   }
 
+  /** Cross-document duplicated-span coverage — the per-document view of
+    * suffix-array span dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"), approximated at word-6-gram
+    * granularity. A span occurrence is "duplicated" when its gram occurs
+    * in at least one OTHER document; each document reports what fraction
+    * of its span stream is corpus-duplicated and is gated at `thr`.
+    * Complements the pairwise families above: no pair enumeration at
+    * all — boilerplate shared by thousands of documents costs one
+    * document-frequency row, not n² pair rows.
+    * Scale shape (the tfidf df discipline): occurrences are
+    * PRE-AGGREGATED to (doc_id, gram, cnt) before anything shuffles; the
+    * df table derives from that same aggregate (count of rows per gram =
+    * distinct docs per gram); the df join is HINT-FREE — a web-scale
+    * gram vocabulary is not broadcastable. The aggregate is an eager
+    * diamond cache read by both the df aggregation and the coverage
+    * join. All divisions are integer/integer → exact bits, so the gate
+    * threshold needs no rounding grid (the q32 lesson). */
+  private[graft] def spanCoverage(docs: DataFrame, thr: Double): DataFrame = {
+    val gramLen = 6
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= gramLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${gramLen - 1}), " +
+          s"i -> concat_ws(' ', slice(ws, i, $gramLen)))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .cache()
+    grams.count() // eager — df aggregate and coverage join both read it
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("df") >= 2, col("cnt")).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_spans")).as("dup_frac"))
+      .withColumn("keep", col("dup_frac") < thr)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_containment" -> ((s, dir) =>
       containmentPairs(t(s, dir, "documents"), 0.8)
         .orderBy("doc_a", "doc_b")),
+
+    "dedup_spans" -> ((s, dir) =>
+      spanCoverage(t(s, dir, "documents"), 0.5).orderBy("doc_id")),
 
     "dedup_exact" -> ((s, dir) =>
       exactGroups(t(s, dir, "documents")).orderBy(col("keep_doc_id"))),
@@ -627,6 +668,29 @@ object Dedup {
       s"""WITH $shingleCte
          |${jaccardPairsSql(0.8)}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same positional word-6-grams, pre-aggregated to (doc_id, g, cnt);
+    // df = rows per gram; gate on the exact-bits integer division.
+    "dedup_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, g, count(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(ws[i:i+5], ' ')
+        |              for i in range(1, len(ws) - 4)]) AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |    WHERE len(ws) >= 6)
+        |  GROUP BY doc_id, g),
+        |df AS (SELECT g, count(*) AS df FROM g GROUP BY g)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt) AS dup_frac,
+        |  (CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt)) < 0.5 AS keep
+        |FROM g JOIN df USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Same distinct word-8-gram sets (text_decontaminate's gram replay
     // + DISTINCT), same single gram equi-join intersection count, same

@@ -53,6 +53,28 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
 
+  /** The text_repetition engine over explicit documents — split out so
+    * specs can plant corpora with known repetition structure. Gate caps
+    * (dup 0.2, modal 0.1) are the Gopher-style within-document screen;
+    * see the queries-map entry for the scale notes. */
+  def repetitionScreen(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(lit(0L))).as("n_dup"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("n_dup").cast("double") / col("n_bigrams")).as("dup_frac"),
+        (col("top_cnt").cast("double") / col("n_bigrams")).as("top_frac"))
+      .withColumn("keep",
+        col("dup_frac") < 0.2 && col("top_frac") < 0.1)
+
   /** The text_bigram_lm engine over explicit documents — split out so
     * specs can plant corpora with known transition structure. */
   def bigramLm(docs: DataFrame): DataFrame = {
@@ -479,6 +501,20 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Within-document repetition screen — the Gopher repetition rules
+    // (Rae et al. 2021 §A1.1): per document, the fraction of bigram
+    // occurrences that belong to a REPEATED bigram (dup_frac) and the
+    // share claimed by the single most frequent bigram (top_frac); a
+    // document passes the gate only when both stay under their caps.
+    // Purely per-document: the explode+count never leaves the doc_id
+    // partition key, so the shuffle carries (doc_id, bigram, cnt) and
+    // the second aggregate reuses the same hash partitioning — one
+    // exchange end-to-end. Complements dedup_spans (cross-document
+    // duplication) with the within-document axis. Both gate fractions
+    // are integer/integer divisions — exact bits, no rounding grid.
+    "text_repetition" -> ((s, dir) =>
+      repetitionScreen(t(s, dir, "documents")).orderBy(col("doc_id"))),
+
     // Corpus-wide top bigrams: explode→count→top-k. Partial aggregation
     // collapses each partition's counts before the shuffle; top-k is
     // TakeOrderedAndProject, so the driver sees k rows, not the corpus.
@@ -844,6 +880,27 @@ object TextAnalysis {
         |CROSS JOIN nb CROSS JOIN nu
         |ORDER BY pmi DESC, bigram
         |LIMIT 25""".stripMargin,
+
+    // Same per-doc bigram counts; both gate fractions are exact-bits
+    // integer divisions mirrored verbatim.
+    "text_repetition" ->
+      """WITH b AS (
+        |  SELECT doc_id, bg, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |             i -> ws[i] || ' ' || ws[i + 1])) AS bg
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |    WHERE len(ws) >= 2)
+        |  GROUP BY doc_id, bg)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt) AS dup_frac,
+        |  CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_frac,
+        |  (CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS DOUBLE)
+        |     / sum(cnt)) < 0.2
+        |  AND (CAST(max(cnt) AS DOUBLE) / sum(cnt)) < 0.1 AS keep
+        |FROM b GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "text_ngrams" ->
       """SELECT ngram, count(*) AS cnt

@@ -57,19 +57,33 @@ object Graph {
     val weighted = edges.join(deg, Seq("src"))
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
       .persist()
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("n"))
-    var ranks = nodes.crossJoin(broadcast(nRow))
+    // The node universe is read 2×sweeps+1 times (each sweep's damping
+    // join + its nRow scalar) — persist it HASH-PARTITIONED on the node
+    // id so every sweep's mass join arrives co-partitioned and the
+    // per-sweep nRow aggregate reads the cache, not the lake. At 100 TB
+    // the node table is corpus-sized; a partitioned persist is the
+    // legal shape (never broadcast).
+    val nodeTbl = nodes.repartition(col("node")).persist()
+    val nRow = nodeTbl.agg(count(lit(1)).cast("double").as("n"))
+    // LAZY localCheckpoints: every intermediate rank table has exactly
+    // one consumer (the next sweep), so nothing can double-compute, and
+    // lineage still truncates at each sweep — but the whole iteration
+    // collapses into ONE job instead of sweeps+1 eager materialization
+    // jobs (each eager checkpoint pays full job-launch latency; measured
+    // ~40% of the query's wall time at sf0.1). bfs keeps eager
+    // checkpoints deliberately: its frontier has TWO consumers.
+    var ranks = nodeTbl.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     for (_ <- 1 to sweeps) {
       val mass = weighted.join(ranks, weighted("src") === ranks("node"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("mass"))
-      ranks = nodes.crossJoin(broadcast(nRow))
-        .join(mass, nodes("node") === mass("dst"), "left")
-        .select(nodes("node"),
+      ranks = nodeTbl.crossJoin(broadcast(nRow))
+        .join(mass, nodeTbl("node") === mass("dst"), "left")
+        .select(nodeTbl("node"),
           (lit(1.0 - Damping) / col("n") +
             lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
     }
     ranks
   }

@@ -959,6 +959,26 @@ object Relational {
         .orderBy(col("o_custkey"))
     }),
 
+    // Running DISTINCT count over a window — the "distinct products a
+    // customer has touched so far" lifetime metric. Spark has no
+    // count(DISTINCT) window aggregate, so the idiom is
+    // size(collect_set() OVER w) — the set lives per-frame in the
+    // window operator's buffer, bounded by the distinct-value count of
+    // the column (9 priorities here), NOT the frame length. One window
+    // partitioned on the customer key = one shuffle; the frame anchor
+    // (o_orderdate, o_orderkey) is a unique prefix, so the running
+    // value at every row is deterministic in both engines.
+    "q45_window_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          size(collect_set(col("o_orderpriority")).over(w)).as("n_prio"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     "q41_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "orders")
@@ -996,6 +1016,16 @@ object Relational {
         |  round(sum(1.0::DOUBLE / n.n_touch), 6) AS credit
         |FROM pairs pr JOIN n USING (purchase_id)
         |GROUP BY pr.click_id ORDER BY pr.click_id""".stripMargin,
+
+    // DuckDB supports DISTINCT window aggregates natively; the frame
+    // and unique ordering prefix mirror the Spark window exactly.
+    "q45_window_distinct" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  count(DISTINCT o_orderpriority) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_prio
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     // Same distinct month grid, same rn-difference anchors.
     "q43_islands" ->

@@ -234,6 +234,29 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("shared") == 3) // 10 tokens → 3 distinct 8-grams
   }
 
+  test("span coverage flags the doc whose 6-grams are corpus-duplicated") {
+    import spark.implicits._
+    // doc 2 repeats doc 1's text verbatim → every span in both is
+    // duplicated (dup_frac 1.0, dropped at thr 0.5); doc 3 shares only
+    // its first 6 words with doc 1 → exactly one duplicated span out of
+    // five; doc 4 shares nothing and keeps dup_frac 0.
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),
+      (2L, shared),
+      (3L, (1 to 6).map(i => s"w$i").mkString(" ") + " x7 x8 x9 x10"),
+      (4L, (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.spanCoverage(docs, 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Double]("dup_frac"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(rows(1L) == ((5L, 1.0, false)))
+    assert(rows(2L) == ((5L, 1.0, false)))
+    assert(rows(3L) == ((5L, 0.2, true)))
+    assert(rows(4L) == ((25L, 0.0, true)))
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val sig1 = corpus.select(GraftFunctions.minhashSig(Dedup.shingles(col("text"), 3), 128))
       .collect().map(_.getSeq[Long](0).toVector).toVector

@@ -142,6 +142,15 @@ class RelationalSpec extends AnyFunSuite {
     assert(p.split("Exchange hashpartitioning").length == 2, p)
   }
 
+  test("q45 running distinct count: one window shuffle, set bounded by domain") {
+    val p = plan("q45_window_distinct")
+    assert(p.contains("collect_set"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the customer-key window is the only hash exchange (the trailing
+    // presentation sort is a range exchange)
+    assert(p.split("Exchange hashpartitioning").length == 2, p)
+  }
+
   test("q34 funnel: three dependent stage windows share one shuffle") {
     val p = plan("q34_funnel")
     assert(p.split("Window").length - 1 >= 3, p)

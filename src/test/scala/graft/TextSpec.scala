@@ -236,6 +236,28 @@ class TextSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("text_repetition gates on exact duplicate and modal bigram fractions") {
+    import spark.implicits._
+    // doc 1 "a b a b a b": 5 bigram occurrences, "a b"×3 + "b a"×2 —
+    // every occurrence belongs to a repeated bigram (dup_frac 1.0) and
+    // the modal one claims 3/5 → both caps tripped, dropped.
+    // doc 2: 12 distinct tokens → 11 distinct bigrams, dup_frac 0,
+    // top_frac 1/11 < 0.1 → kept.
+    // doc 3: a single token — no bigrams, filtered out entirely.
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val rows = functions.TextAnalysis.repetitionScreen(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Double]("dup_frac"),
+          r.getAs[Double]("top_frac"), r.getAs[Boolean]("keep")))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) == ((5L, 1.0, 0.6, false)))
+    assert(rows(2L) == ((11L, 0.0, 1.0 / 11.0, true)))
+  }
+
   test("bigram LM: deterministic transitions score 0, branching scores ln2 shares") {
     import spark.implicits._
     // doc 1 alternates a/b forever: every transition is certain →
