@@ -169,28 +169,68 @@ object Similarity {
     // its bucket mates (~|corpus|/2^bits per table), never the corpus —
     // the quadratic stays inside buckets. Dense regions make hot
     // buckets; AQE skew-join handles them (GraftSession enables it).
-    "ann_knn_join" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-        .withColumn("buckets",
-          GraftFunctions.lshBuckets(col("embedding"), tables = LshTables, bits = LshBits))
-      val b = emb.select(col("vec_id"), col("embedding"), explode(col("buckets")).as("bucket"))
-      val left = b.select(col("bucket"), col("vec_id"), col("embedding").as("emb_a"))
-      val right = b.select(col("bucket"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("emb_b"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos_full").desc, col("neighbor_id"))
-      left.join(right, Seq("bucket"))
-        .filter(col("vec_id") =!= col("neighbor_id"))
-        .select(col("vec_id"), col("neighbor_id"), col("emb_a"), col("emb_b"))
-        .distinct()                                  // same pair can meet in several tables
-        .withColumn("cos_full", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= KnnK)
+    "ann_knn_join" -> ((s, dir) =>
+      knnGraph(t(s, dir, "embeddings"))
         .select(col("vec_id"), col("neighbor_id"), col("rank"),
                 round(col("cos_full"), 6).as("cosine"))
-        .orderBy(col("vec_id"), col("rank"))
-    })
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // kNN label transfer (semi-supervised labeling / quality-classifier
+    // propagation — label the unlabeled web by its embedding neighbors):
+    // each vector takes the MAJORITY label of its k=3 LSH-graph
+    // neighbors, ties to the smallest label; output compares the vote
+    // to the vector's own label (`agree` — self-consistency of the
+    // label space under the similarity structure). Reuses the
+    // ann_knn_join graph verbatim; the vote is a ≤ k-row-per-vector
+    // aggregate + argmax window on the SAME vec_id partitioning (one
+    // exchange), and the label joins are HINT-FREE — labels are
+    // corpus-sized at scale.
+    "ann_knn_classify" -> ((s, dir) =>
+      knnClassify(t(s, dir, "embeddings")).orderBy(col("vec_id")))
   )
+
+  /** The ann_knn_classify engine over explicit (vec_id, embedding,
+    * label) rows — split out so specs can plant labeled clusters. */
+  private[graft] def knnClassify(emb: DataFrame): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val byVotes = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c").desc, col("n_label"))
+    knnGraph(emb)
+      .select(col("vec_id"), col("neighbor_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .groupBy(col("vec_id"), col("n_label")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(byVotes))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("n_label").as("pred_label"))
+      .join(labels, Seq("vec_id"))
+      .select(col("vec_id"), col("label").as("true_label"),
+        col("pred_label"),
+        (col("label") === col("pred_label")).as("agree"))
+  }
+
+  /** The corpus k-NN graph behind ann_knn_join / ann_knn_classify:
+    * LSH-bucket self-join candidates (no broadcast side — the
+    * quadratic stays inside buckets), exact cosine, per-vector top-k.
+    * Returns (vec_id, neighbor_id, rank, cos_full) for rank ≤ KnnK. */
+  private[graft] def knnGraph(emb0: DataFrame): DataFrame = {
+    val emb = emb0
+      .withColumn("buckets",
+        GraftFunctions.lshBuckets(col("embedding"), tables = LshTables, bits = LshBits))
+    val b = emb.select(col("vec_id"), col("embedding"), explode(col("buckets")).as("bucket"))
+    val left = b.select(col("bucket"), col("vec_id"), col("embedding").as("emb_a"))
+    val right = b.select(col("bucket"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_b"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_full").desc, col("neighbor_id"))
+    left.join(right, Seq("bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("emb_a"), col("emb_b"))
+      .distinct()                                  // same pair can meet in several tables
+      .withColumn("cos_full", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+  }
 
   /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 codes each — a
     * vector compresses to 8 bytes (32× vs 256 raw), which is WHY product
@@ -548,6 +588,36 @@ object Similarity {
          |SELECT vec_id, neighbor_id, rank, round(cos_full, 6) AS cosine
          |FROM scored WHERE rank <= $KnnK
          |ORDER BY vec_id, rank""".stripMargin,
+    // Same bucket replay + top-k, then the identical (count DESC,
+    // label) majority vote over the k neighbor labels.
+    "ann_knn_classify" ->
+      s"""WITH $lshBucketsCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_id, cb.vec_id AS neighbor_id
+         |  FROM buckets a JOIN buckets cb ON a.bucket = cb.bucket
+         |  WHERE a.vec_id <> cb.vec_id),
+         |scored AS (
+         |  SELECT c.vec_id, c.neighbor_id,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY list_cosine_similarity(ae.emb, ne.emb) DESC, c.neighbor_id) AS rank
+         |  FROM cand c JOIN e ae ON ae.vec_id = c.vec_id
+         |              JOIN e ne ON ne.vec_id = c.neighbor_id),
+         |votes AS (
+         |  SELECT s.vec_id, l.label AS n_label, count(*) AS c
+         |  FROM scored s JOIN embeddings l ON l.vec_id = s.neighbor_id
+         |  WHERE s.rank <= $KnnK
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT vec_id, n_label AS pred_label FROM (
+         |    SELECT vec_id, n_label,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, n_label) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT p.vec_id, t.label AS true_label, p.pred_label,
+         |  t.label = p.pred_label AS agree
+         |FROM pred p JOIN embeddings t ON t.vec_id = p.vec_id
+         |ORDER BY p.vec_id""".stripMargin,
+
     // k-means + assignment replayed sweep-for-sweep (the ann_ivf
     // chain), then the same smoothed PSI arithmetic on the k-row
     // histogram (profile_psi precedent; DuckDB ln = natural log).

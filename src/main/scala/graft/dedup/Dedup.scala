@@ -504,6 +504,17 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(ws) - ${gramLen - 1}), " +
           s"i -> concat_ws(' ', slice(ws, i, $gramLen)))")).as("g"))
+      // ONE explicit gram shuffle serves the whole middle of the
+      // operator: hash(g) satisfies ClusteredDistribution(doc_id, g) by
+      // the subset rule, so the (doc, gram, cnt) aggregate needs no
+      // exchange of its own, the df rollup (groupBy g) runs in-place,
+      // and the coverage join meets both sides co-partitioned on g —
+      // the cache preserves the partitioning for all three consumers.
+      // Skew note (100 TB): a boilerplate gram shared by millions of
+      // docs hot-spots its hash(g) partition in any g-clustered layout;
+      // AQE skew handling splits it, and capping document frequency
+      // before the join (the dedup_containment note) removes it outright.
+      .repartition(col("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
       .cache()
     grams.count() // eager — df aggregate and coverage join both read it

@@ -53,6 +53,25 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
 
+  /** The text_winnowing engine over explicit documents — split out so
+    * specs can plant known shared runs. k = 4 (gram width), w = 4
+    * (window); any shared token run of ≥ w+k−1 = 7 yields a shared
+    * fingerprint. */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 7)
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, size(ws) - 3),
+          |  i -> cast(conv(substring(md5(concat_ws(' ', slice(ws, i, 4))), 1, 15), 16, 10) as bigint))"""
+          .stripMargin).as("hs"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, size(hs) - 3),
+          |  j -> named_struct(
+          |    'pos', j + array_position(slice(hs, j, 4), array_min(slice(hs, j, 4))) - 1,
+          |    'fp', array_min(slice(hs, j, 4)))))""".stripMargin)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+
   /** The text_repetition engine over explicit documents — split out so
     * specs can plant corpora with known repetition structure. Gate caps
     * (dup 0.2, modal 0.1) are the Gopher-style within-document screen;
@@ -64,6 +83,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
         .as("bg"))
+      // ONE explicit doc_id shuffle serves both aggregates:
+      // hash(doc_id) satisfies ClusteredDistribution(doc_id, bg) by the
+      // subset rule, so the bigram count needs no second exchange and
+      // the per-doc rollup reuses the same partitioning. (Letting
+      // groupBy(doc_id, bg) shuffle on its own keys would buy map-side
+      // partials — worthless here, bigrams rarely repeat within a doc —
+      // and cost a second full exchange for the doc_id rollup.)
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_bigrams"),
@@ -354,6 +381,42 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-scaled source mixing (the multilingual/pretraining
+    // rebalance of mC4/XLM-R: sample source s with probability ∝ p_s^α,
+    // α = 0.3 — upweights tail sources without drowning the head).
+    // Acceptance rate per document of source s reduces to
+    // (n_s/n_min)^(α−1) — the corpus total CANCELS, so the only inputs
+    // are the per-source counts and their minimum (k-row broadcast
+    // scalars; source cardinality is thousands at web scale, always
+    // broadcastable). The accept decision is the deterministic hash-u
+    // (reproducible, ingestion-order-free) against the 6dp-ROUNDED
+    // threshold — pow is transcendental, so the cutoff is decided on
+    // the rounded grid in BOTH engines (the collocations/PMI
+    // discipline), while u itself is an exact hash/2^60 rational.
+    "text_mix_temperature" -> ((s, dir) => {
+      // α = 0.3; the exponent is the LITERAL −0.7, not `0.3 − 1`
+      // computed at runtime — 0.3−1.0 rounds to a tie-adjacent double
+      // that need not equal the parsed literal -0.7 the oracle uses,
+      // and pow() amplifies a 1-ulp exponent difference across the 6dp
+      // grid. Same-literal-both-engines is the portable contract.
+      val AlphaMinus1 = -0.7
+      val docs = t(s, dir, "documents")
+      val u = expr("CAST(conv(substring(md5(concat('tmix:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS DOUBLE)") /
+        lit(1152921504606846976.0) // 2^60
+      val srcCnt = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      val minRow = srcCnt.agg(min(col("n_src")).as("n_min"))
+      val thr = srcCnt.crossJoin(broadcast(minRow))
+        .select(col("source"),
+          round(pow(col("n_src").cast("double") / col("n_min"), AlphaMinus1), 6)
+            .as("thr"))
+      docs.select(col("source"), u.as("u"))
+        .join(broadcast(thr), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), first(col("thr")).as("thr"),
+          sum(when(col("u") < col("thr"), 1L).otherwise(0L)).as("n_sampled"))
+        .orderBy(col("source"))
+    }),
+
     // Gopher-style boilerplate scoring: the mass fraction of the most
     // frequent token / bigram per document — repeated boilerplate pushes
     // both up. The max count is a per-row fold over the SORTED gram
@@ -500,6 +563,23 @@ object TextAnalysis {
             PhoneRe, "<PHONE>")).as("redacted_hash"))
         .orderBy(col("doc_id"))
     }),
+
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    // local fingerprinting algorithm): hash every word-4-gram, slide a
+    // window of 4 consecutive hashes, keep each window's minimum (the
+    // LEFTMOST minimal position on ties — a fixed deterministic variant
+    // of the paper's robust winnowing), emit the distinct (pos, hash)
+    // selections. Guarantee: any shared run of ≥ w+k−1 = 7 tokens
+    // yields at least one IDENTICAL fingerprint in both documents, so
+    // cross-doc plagiarism/overlap detection becomes an equi-join on
+    // fp — positional and partial-overlap-robust where text_fingerprint
+    // (whole-doc) is all-or-nothing. Everything up to the final explode
+    // is per-row array HOFs — a narrow scan at any corpus size; the
+    // gram hash is the engine-portable md5-top-15-nibble bigint (the
+    // text_sample_weighted idiom), never xxhash (Spark-local seeding).
+    "text_winnowing" -> ((s, dir) =>
+      winnowFingerprints(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("pos"), col("fp"))),
 
     // Within-document repetition screen — the Gopher repetition rules
     // (Rae et al. 2021 §A1.1): per document, the fraction of bigram
@@ -772,6 +852,23 @@ object TextAnalysis {
         |  (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // Same cancelled-total acceptance rate, same 6dp grid, same hash-u.
+    "text_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        |m AS (SELECT min(n_src) AS n_min FROM c),
+        |t AS (SELECT source,
+        |        round(pow(CAST(n_src AS DOUBLE) / n_min, -0.7), 6) AS thr
+        |      FROM c CROSS JOIN m),
+        |d AS (SELECT source,
+        |        CAST(concat('0x', substr(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |          / 1152921504606846976.0 AS u
+        |      FROM documents)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, t.thr,
+        |  CAST(sum(CASE WHEN d.u < t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM d JOIN t ON d.source = t.source
+        |GROUP BY d.source, t.thr
+        |ORDER BY d.source""".stripMargin,
+
     "text_sample_weighted" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -880,6 +977,21 @@ object TextAnalysis {
         |CROSS JOIN nb CROSS JOIN nu
         |ORDER BY pmi DESC, bigram
         |LIMIT 25""".stripMargin,
+
+    // Identical gram hashing (md5 top-15 nibbles), identical window
+    // minima and leftmost-tie positions via list comprehensions.
+    "text_winnowing" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |h AS (SELECT doc_id,
+        |  [CAST(concat('0x', substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15)) AS BIGINT)
+        |   for i in range(1, len(ws) - 2)] AS hs
+        |  FROM base WHERE len(ws) >= 7),
+        |w AS (SELECT doc_id, unnest([
+        |  {'pos': j + list_position(hs[j:j+3], list_aggregate(hs[j:j+3], 'min')) - 1,
+        |   'fp': list_aggregate(hs[j:j+3], 'min')}
+        |  for j in range(1, len(hs) - 2)]) AS f FROM h)
+        |SELECT DISTINCT doc_id, f.pos AS pos, f.fp AS fp
+        |FROM w ORDER BY doc_id, pos, fp""".stripMargin,
 
     // Same per-doc bigram counts; both gate fractions are exact-bits
     // integer divisions mirrored verbatim.

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Lake
 
@@ -114,6 +115,34 @@ object Graph {
       frontier = next.select("node")
     }
     visited
+  }
+
+  /** Synchronous label-propagation communities over explicit undirected
+    * (u, v) edges (u < v single copies) — split out so specs can plant
+    * graphs with known community structure (two cliques joined by one
+    * bridge edge must keep distinct labels). Every node of the edge set
+    * participates (the symmetrized list makes each a dst), so no
+    * isolated-node leg exists here. */
+  private[graft] def labelProp(edges: DataFrame, sweeps: Int): DataFrame = {
+    val sym = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = false)
+    val byVotes = Window.partitionBy(col("dst"))
+      .orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to sweeps) {
+      labels = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst"), col("label"))
+        .repartition(col("dst"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byVotes))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
   }
 
   /** Undirected supplier co-supply edges for one calendar month: two
@@ -245,6 +274,23 @@ object Graph {
         .select(col("doc_id").as("supp_id"), col("label").as("component_id"))
         .orderBy(col("supp_id"))),
 
+    // Community detection by synchronous label propagation (Raghavan/
+    // Albert/Kumara 2007) over the same repeated-co-supply graph —
+    // finer than graph_components (a bridge edge joins two components
+    // but LPA keeps dense cores apart). Deterministic variant: every
+    // sweep ALL nodes simultaneously adopt the most frequent neighbor
+    // label, ties to the SMALLEST label; a fixed sweep count (no
+    // convergence test an oracle couldn't replay). Sweep shape = the
+    // pagerank discipline: the gather (dst, label) aggregate rides ONE
+    // explicit dst exchange (hash(dst) serves the count AND the argmax
+    // window by the subset rule), the label table checkpoints lazily
+    // (single consumer per sweep), and nothing broadcasts — labels are
+    // node-sized at any scale.
+    "graph_labelprop" -> ((s, dir) =>
+      labelProp(coSupplyEdges(s, dir, minCount = 2), sweeps = 4)
+        .select(col("node").as("supp_id"), col("label").as("community"))
+        .orderBy(col("supp_id"))),
+
     // Degree-distribution profile of the trade graph (the first thing a
     // graph pipeline reports — skew here decides every downstream
     // partition strategy): per-node neighbor counts from the doubled
@@ -302,6 +348,38 @@ object Graph {
     * DOUBLE (DuckDB's bare 1.0 literals are DECIMAL) so both engines
     * run the identical IEEE ops; the final rank rounds to 6dp on both
     * sides. */
+  /** The labelprop oracle unrolls the fixed sweeps the pagerankSql way:
+    * each stage re-derives every node's modal neighbor label with the
+    * identical (count DESC, label) tie-break via row_number. */
+  private def labelPropSql(sweeps: Int): String = {
+    val stages = (1 to sweeps).map { i =>
+      s"""l$i AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT e.dst, l.label,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mo AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+       |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+       |sup AS (
+       |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+       |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS (
+       |  SELECT x.sk AS u, y.sk AS v
+       |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS (SELECT u AS src, v AS dst FROM e0
+       |          UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$stages
+       |SELECT node AS supp_id, label AS community
+       |FROM l$sweeps ORDER BY supp_id""".stripMargin
+  }
+
   private def pagerankSql(sweeps: Int): String = {
     val stages = (1 to sweeps).map { i =>
       s"""r$i AS (
@@ -355,6 +433,7 @@ object Graph {
         |SELECT node, hop FROM v3 ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(Sweeps),
+    "graph_labelprop" -> labelPropSql(4),
 
     // Transitive closure over the same ≥2-count edges; min reachable id
     // = the converged min-label (the dedup_clusters oracle shape).

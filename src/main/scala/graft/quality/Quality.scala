@@ -110,6 +110,41 @@ object Quality {
         .orderBy(col("col_name"))
     }),
 
+    // MERGEABLE distinct-count sketches (Datasketches HLL via Spark's
+    // hll_sketch_agg / hll_union_agg) — the distributed profiling
+    // primitive approx_count_distinct can't give you: per-group (in
+    // production, per-partition / per-day) sketches that roll up to
+    // wider scopes WITHOUT re-scanning the fact table. One scan builds
+    // the distinct (priority, customer) pair table (sketching the
+    // pre-distinct pairs leaves HLL estimates unchanged); per-priority
+    // rows carry exact + sketch from that table, and the ALL row MERGES
+    // the five sketches — its only fact-table touch is the global
+    // distinct needed for the gate. AQE exchange reuse computes the
+    // shared distinct once (lazy on purpose — no builder cache needed).
+    // q20-style in-query contract: |estimate − exact| ≤ 5% of exact
+    // (lgK 12 → rsd ≈ 1.6%, a 3σ gate), so the driver gate is
+    // non-vacuous while the output stays engine-portable.
+    "profile_hll_union" -> ((s, dir) => {
+      val pairs = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_custkey").as("ck"))
+        .distinct()
+      val perGrp = pairs.groupBy(col("grp"))
+        .agg(count(lit(1)).as("exact_cnt"),
+          hll_sketch_agg(col("ck"), 12).as("sk"))
+      val grpRows = perGrp.select(col("grp"), col("exact_cnt"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_cnt")) <=
+          col("exact_cnt") * 0.05).as("hll_ok"))
+      val unionRow = perGrp.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val allRow = pairs.select(col("ck")).distinct()
+        .agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(unionRow))
+        .select(lit("ALL").as("grp"), col("exact_cnt"),
+          (abs(col("est") - col("exact_cnt")) <=
+            col("exact_cnt") * 0.05).as("hll_ok"))
+      grpRows.unionByName(allRow).orderBy(col("grp"))
+    }),
+
     // Constraint report: every check is expressed as a VIOLATION COUNT
     // (passed ⇔ 0), so completeness, uniqueness, range, accepted-values
     // fuse into the same one-scan wide aggregate, and referential
@@ -544,6 +579,18 @@ object Quality {
         |  UNION ALL SELECT 'o_orderdate', count(DISTINCT o_orderdate) FROM orders)
         |SELECT col_name, n_distinct, TRUE AS within_tol
         |FROM p ORDER BY col_name""".stripMargin,
+
+    // The sketch bits are engine-private; the portable surface is the
+    // exact counts plus the in-query 3σ contract (profile_stats_approx
+    // discipline).
+    "profile_hll_union" ->
+      """WITH p AS (
+        |  SELECT DISTINCT o_orderpriority AS grp, o_custkey AS ck FROM orders)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS exact_cnt, TRUE AS hll_ok
+        |FROM p GROUP BY grp
+        |UNION ALL
+        |SELECT 'ALL', CAST(count(DISTINCT ck) AS BIGINT), TRUE FROM p
+        |ORDER BY grp""".stripMargin,
 
     "profile_corr" ->
       """WITH p AS (

@@ -138,4 +138,25 @@ class AnnSpec extends AnyFunSuite {
     assert(agree.toDouble / graph1.size >= 0.3,
       s"rank-1 agreement $agree/${graph1.size}")
   }
+
+  test("knn classify transfers labels perfectly on planted tight clusters") {
+    import spark.implicits._
+    // three well-separated direction clusters of 5 vectors each, tiny
+    // deterministic per-vector jitter on a second axis: every vector's
+    // LSH neighbors are its own cluster, so the majority vote must
+    // reproduce every label (agree = true on all 15 rows).
+    val vecs = for (c <- 0 until 3; i <- 0 until 5) yield {
+      val base = Array.fill(64)(0f)
+      base(c * 2) = 1f
+      base(c * 2 + 1) = 0.01f * (i + 1)
+      (c * 100L + i, base.toSeq, c)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+    val rows = Similarity.knnClassify(emb).collect()
+    assert(rows.length == 15)
+    assert(rows.forall(_.getAs[Boolean]("agree")),
+      rows.filterNot(_.getAs[Boolean]("agree")).mkString(","))
+  }
 }

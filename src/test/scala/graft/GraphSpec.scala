@@ -99,4 +99,21 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_triangles") == 0L)
     assert(r.getAs[Double]("clustering") == 0.0)
   }
+
+  test("label propagation separates two cliques that one bridge connects") {
+    import spark.implicits._
+    // cliques {1,2,3,4} and {11,12,13,14} + bridge (4,11): connected
+    // components would merge everything; LPA must keep two communities —
+    // min-label tie-breaking drives each clique to its smallest member,
+    // and the 3-vs-1 vote keeps the bridge from flipping either side.
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val e = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L))
+      .toDF("u", "v")
+    val labels = Graph.labelProp(e, sweeps = 4).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(labels).toSet.size == 1)
+    assert(Seq(11L, 12L, 13L, 14L).map(labels).toSet.size == 1)
+    assert(labels(1L) != labels(11L), labels.toString)
+  }
 }

@@ -216,4 +216,21 @@ class QualitySpec extends AnyFunSuite {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
     assert(rows.map(_.getAs[Long]("key")).distinct.length == rows.length)
   }
+
+  test("HLL union of disjoint group sketches equals the direct global sketch") {
+    // Mergeability is the whole point: sketching two disjoint halves and
+    // unioning must give the SAME estimate as sketching everything at
+    // once (Datasketches HLL union is exact over sketch state, not an
+    // approximation of an approximation).
+    val ids = spark.range(10000)
+      .select((col("id") % 2).as("grp"), col("id").as("v"))
+    val direct = ids.agg(hll_sketch_estimate(hll_sketch_agg(col("v"), 12)))
+      .head.getLong(0)
+    val unioned = ids.groupBy(col("grp"))
+      .agg(hll_sketch_agg(col("v"), 12).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head.getLong(0)
+    assert(unioned == direct, s"union=$unioned direct=$direct")
+    assert(math.abs(direct - 10000L) <= 500, s"estimate $direct vs 10000")
+  }
 }

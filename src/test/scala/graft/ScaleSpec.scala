@@ -140,14 +140,15 @@ class ScaleSpec extends AnyFunSuite {
       val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
         .queryExecution.optimizedPlan.toString
       assert(!plan.contains("LocalRelation"), s"$k materializes on the driver")
-      // dedup_clusters' label table, graph_pagerank's rank table, and
-      // graph_bfs's visited table are lineage-truncated by per-sweep
-      // checkpoints (the iterative self-join would otherwise double the
-      // plan every sweep) — their roots are LogicalRDDs over DISTRIBUTED
-      // executor partitions, not driver data, so they are the plans
-      // allowed to lack a lake relation
+      // dedup_clusters' label table, graph_pagerank's rank table,
+      // graph_bfs's visited table, and graph_labelprop's label table
+      // are lineage-truncated by per-sweep checkpoints (the iterative
+      // self-join would otherwise double the plan every sweep) — their
+      // roots are LogicalRDDs over DISTRIBUTED executor partitions, not
+      // driver data, so they are the plans allowed to lack a lake
+      // relation
       if (Set("dedup_clusters", "graph_pagerank", "graph_bfs",
-          "graph_components")(k))
+          "graph_components", "graph_labelprop")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }

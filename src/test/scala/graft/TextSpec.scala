@@ -236,6 +236,48 @@ class TextSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("temperature mix: smallest source keeps everything, thresholds fall with size") {
+    val rows = functions.TextAnalysis.queries("text_mix_temperature")(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("thr"), r.getAs[Long]("n_sampled")))
+    assert(rows.nonEmpty)
+    // the minimum-count source has acceptance rate exactly 1 → keeps all
+    val minN = rows.map(_._2).min
+    rows.filter(_._2 == minN).foreach { case (s, n, thr, k) =>
+      assert(thr >= 1.0 && k == n, s"$s thr=$thr kept=$k/$n")
+    }
+    // acceptance threshold is non-increasing in source size (α < 1
+    // flattens the head), and sampled counts respect the threshold cap
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, n1, t1, _), (_, n2, t2, _)) if n1 < n2 => assert(t1 >= t2)
+      case _ =>
+    }
+    rows.foreach { case (s, n, _, k) => assert(k <= n, s"$s kept=$k/$n") }
+  }
+
+  test("winnowing: docs sharing a >=7-token run share a fingerprint; disjoint docs share none") {
+    import spark.implicits._
+    // docs 1 and 2 embed the same 8-token run at different offsets →
+    // the winnowing guarantee (k=4, w=4, t=7) forces ≥1 common fp VALUE;
+    // doc 3 is disjoint → zero overlap with either. Fingerprint density
+    // must also be well below one per gram (that's the point of
+    // windowed selection).
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5"),
+      (2L, s"b1 $run b2 b3 b4 b5"),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fps = functions.TextAnalysis.winnowFingerprints(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // 20 tokens → 17 grams → 14 windows; selection must compress
+    assert(fps(3L).size < 14, fps(3L).size.toString)
+  }
+
   test("text_repetition gates on exact duplicate and modal bigram fractions") {
     import spark.implicits._
     // doc 1 "a b a b a b": 5 bigram occurrences, "a b"×3 + "b a"×2 —
