@@ -257,6 +257,21 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(4L) == ((25L, 0.0, true)))
   }
 
+  test("span coverage shares one gram exchange across count, df, and join") {
+    // the explicit repartition(g) must be the only REQUIRED hash
+    // exchange before the final doc_id rollup: the (doc, gram, cnt)
+    // aggregate, the df rollup, and the coverage join all satisfy their
+    // distributions from hash(g) (subset rule + co-partitioned cache).
+    val plan = Dedup.spanCoverage(corpus, 0.5).queryExecution.executedPlan.toString
+    // REQUIRED exchanges (ENSURE_REQUIREMENTS): only the final doc_id
+    // rollup — everything upstream satisfies its distribution from the
+    // explicit REPARTITION_BY_COL hash(g); a second required hash
+    // exchange means the subset-rule shape regressed
+    val required = plan.split("ENSURE_REQUIREMENTS").length - 1
+    assert(required <= 1, s"$required required exchanges:\n$plan")
+    assert(plan.contains("REPARTITION_BY_COL"), plan)
+  }
+
   test("minhash signatures are deterministic across evaluations") {
     val sig1 = corpus.select(GraftFunctions.minhashSig(Dedup.shingles(col("text"), 3), 128))
       .collect().map(_.getSeq[Long](0).toVector).toVector

@@ -236,6 +236,17 @@ class TextSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("text_repetition rides one hash exchange end-to-end") {
+    // hash(doc_id) satisfies ClusteredDistribution(doc_id, bg) by the
+    // subset rule: the bigram count, the per-doc rollup, and the
+    // presentation sort's input must all reuse the single explicit
+    // repartition — a second ENSURE_REQUIREMENTS hash exchange means
+    // the subset-rule shape regressed.
+    val plan = functions.TextAnalysis.queries("text_repetition")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length == 2, plan)
+  }
+
   test("temperature mix: smallest source keeps everything, thresholds fall with size") {
     val rows = functions.TextAnalysis.queries("text_mix_temperature")(spark, TestSpark.Sf)
       .collect()
