@@ -30,8 +30,13 @@ object Graph {
   val Sweeps = 6
 
   /** Undirected bipartite trade edges, both directions, with 1/deg
-    * weights. Node ids are prefixed ('c'/'s') so the two key spaces
-    * can't collide. */
+    * weights. Node ids are LONG-encoded (customer c → 2c, supplier s →
+    * 2s+1 — disjoint by parity): every sweep join, groupBy, and
+    * distinct hashes an 8-byte long instead of a 4-8 char string, the
+    * shuffled edge list is smaller, and numeric join keys are the right
+    * shape at 100 TB regardless (never join on a string a long can
+    * encode). The presentation decode back to the 'c'/'s'-prefixed form
+    * happens once per OUTPUT row via [[decodeNode]]. */
   private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     // cached: the doubled edge list reads eb TWICE (one union branch per
     // direction) and every consumer (pagerank sweeps, BFS, the degree
@@ -42,13 +47,20 @@ object Graph {
     val eb = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+      .select((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
       .distinct()
       .cache()
     eb.select(col("a").as("src"), col("b").as("dst"))
       .union(eb.select(col("b").as("src"), col("a").as("dst")))
   }
+
+  /** Long node id → the 'c<custkey>' / 's<suppkey>' presentation form
+    * (parity decodes the side; node >> 1 recovers the key exactly for
+    * both parities — no double division anywhere near the key space). */
+  private[graft] def decodeNode(node: org.apache.spark.sql.Column) =
+    concat(when(pmod(node, lit(2)) === 0, lit("c")).otherwise(lit("s")),
+      shiftright(node, 1).cast("string"))
 
   /** Damped PageRank over explicit (src, dst) edges and a node universe
     * (which may include isolated nodes — they hold the floor mass). */
@@ -65,7 +77,10 @@ object Graph {
     // the node table is corpus-sized; a partitioned persist is the
     // legal shape (never broadcast).
     val nodeTbl = nodes.repartition(col("node")).persist()
-    val nRow = nodeTbl.agg(count(lit(1)).cast("double").as("n"))
+    // one-row cache: every sweep broadcasts this scalar — cached, the
+    // 2nd..Nth broadcast reads one row instead of re-aggregating the
+    // node table
+    val nRow = nodeTbl.agg(count(lit(1)).cast("double").as("n")).persist()
     // LAZY localCheckpoints: every intermediate rank table has exactly
     // one consumer (the next sweep), so nothing can double-compute, and
     // lineage still truncates at each sweep — but the whole iteration
@@ -77,7 +92,13 @@ object Graph {
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to sweeps) {
-      val mass = weighted.join(ranks, weighted("src") === ranks("node"))
+      // shuffle_hash, build = ranks: a sort-merge join would re-SORT the
+      // edge-sized weighted table every sweep (the dominant CPU cost
+      // measured at sf0.1); hashing the node-sized rank table instead is
+      // the classical PageRank join build side, and stays shuffle-free
+      // on the cached, pre-partitioned weighted side
+      val mass = weighted.join(ranks.hint("shuffle_hash"),
+          weighted("src") === ranks("node"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("mass"))
       ranks = nodeTbl.crossJoin(broadcast(nRow))
         .join(mass, nodeTbl("node") === mass("dst"), "left")
@@ -301,7 +322,8 @@ object Graph {
     "graph_degree" -> ((s, dir) => {
       tradeEdges(s, dir)
         .groupBy(col("src")).agg(count(lit(1)).as("degree"))
-        .select(substring(col("src"), 1, 1).as("side"), col("degree"))
+        .select(when(pmod(col("src"), lit(2)) === 0, lit("c"))
+          .otherwise(lit("s")).as("side"), col("degree"))
         .groupBy(col("side"), col("degree"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("side"), col("degree"))
@@ -325,18 +347,20 @@ object Graph {
     "graph_bfs" -> ((s, dir) => {
       val seeds = t(s, dir, "customer")
         .filter(col("c_nationkey") === 3)
-        .select(concat(lit("c"), col("c_custkey")).as("node"))
+        .select((col("c_custkey") * 2).as("node"))
       bfs(seeds, tradeEdges(s, dir), hops = 3)
+        .select(decodeNode(col("node")).as("node"), col("hop"))
         .orderBy(col("node"))
     }),
 
     "graph_pagerank" -> ((s, dir) => {
       val nodes = t(s, dir, "customer")
-        .select(concat(lit("c"), col("c_custkey")).as("node"))
+        .select((col("c_custkey") * 2).as("node"))
         .union(t(s, dir, "supplier")
-          .select(concat(lit("s"), col("s_suppkey")).as("node")))
+          .select((col("s_suppkey") * 2 + 1).as("node")))
       pagerank(nodes, tradeEdges(s, dir), Sweeps)
-        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .select(decodeNode(col("node")).as("node"),
+          round(col("rank"), 6).as("rank"))
         .orderBy(col("node"))
     })
   )
