@@ -293,16 +293,24 @@ object Dedup {
   def embeddingLshPairs(emb: DataFrame, threshold: Double,
                         tables: Int = 90, bits: Int = 12): DataFrame = {
     requireSoundHyperplanes(threshold, tables, bits)
-    val bucketed = Lake.fanOut(emb).select(col("vec_id"), col("embedding"),
+    // Candidates travel as ID PAIRS only (the knnGraph discipline): at
+    // 90 tables the bucket cache holds 90 (id, bucket) rows per vector
+    // (~1.4 KB) instead of 90 copies of the embedding (~25 KB), the
+    // self-join and distinct shuffle 16-byte rows, and the vectors join
+    // back exactly once per side for the verification cosine —
+    // hint-free, the corpus is never broadcastable.
+    val src = Lake.fanOut(emb).select(col("vec_id"), col("embedding"))
+    val bucketed = src.select(col("vec_id"),
       explode(GraftFunctions.lshBuckets(col("embedding"), tables, bits)).as("bucket"))
       .cache()
     bucketed.count() // eager — both legs of the self-join read this cache
-    val a = bucketed.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("bucket"))
-    val b = bucketed.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    bucketed.select(col("vec_id").as("vec_a"), col("bucket"))
+      .join(bucketed.select(col("vec_id").as("vec_b"), col("bucket")), Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "emb_a", "emb_b")
+      .select("vec_a", "vec_b")
       .distinct()
+      .join(src.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(src.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .withColumn("cosine", GraftFunctions.cosineSim(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
