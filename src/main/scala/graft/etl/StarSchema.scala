@@ -179,6 +179,38 @@ object StarSchema {
     // Semi-structured props parsing: the JSON column every event lake has
     // (reference's raw log payloads) — schema-on-read with from_json into
     // typed fields, aggregated. No UDF: from_json is codegen'd.
+    // Nested semi-structured round trip — the array-of-structs shape
+    // etl_json_props' scalar extract doesn't touch: each order's line
+    // set encodes to ONE json document (to_json over a collected struct
+    // array — the event-payload/API-export format), then shreds back
+    // through schema-FULL from_json + explode into relational rows.
+    // Schema-full parsing is the 100 TB discipline: a declared
+    // ArrayType(StructType) lets the parser skip what the query prunes
+    // and fails loudly on drift, where schema_of_json sampling or
+    // get_json_object per field re-parses the document per access. The
+    // oracle needs no JSON at all — a lossless round trip must
+    // reproduce the plain relational aggregate of the source table,
+    // which is exactly what it verifies (doubles survive bit-exactly:
+    // to_json emits shortest-round-trip representations).
+    "etl_json_nested" -> ((s, dir) => {
+      val lineSchema = ArrayType(StructType(Seq(
+        StructField("ln", LongType), StructField("pk", LongType),
+        StructField("qty", DoubleType))))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(to_json(collect_list(struct(
+          col("l_linenumber").cast("long").as("ln"),
+          col("l_partkey").cast("long").as("pk"),
+          col("l_quantity").cast("double").as("qty")))).as("doc"))
+        .select(col("l_orderkey"), explode(from_json(col("doc"), lineSchema)).as("line"))
+        .select(col("l_orderkey"), col("line.pk").as("pk"), col("line.qty").as("qty"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("qty")), 2).as("sum_qty"),
+          max(col("pk")).as("max_pk"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     "etl_json_props" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -522,6 +554,16 @@ object StarSchema {
   )
 
   val oracles: Map[String, String] = Map(
+    // A lossless nested-JSON round trip must reproduce the plain
+    // relational aggregate of the source — no JSON in the oracle.
+    "etl_json_nested" ->
+      """SELECT l_orderkey,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+        |  CAST(max(l_partkey) AS BIGINT) AS max_pk
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
     // Time travel: the as-of-v1 read must equal the untouched source.
     "etl_snapshot_read" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
