@@ -139,6 +139,18 @@ class AnnSpec extends AnyFunSuite {
       s"rank-1 agreement $agree/${graph1.size}")
   }
 
+  test("knn candidates travel as id pairs — no embedding reaches the distinct") {
+    // the multi-table dedup must aggregate on (vec_id, neighbor_id)
+    // only; an embedding column inside the distinct's grouping keys
+    // means the bucket join regressed to carrying arrays (≈4× shuffle)
+    val plan = Similarity.queries("ann_knn_join")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    val distinctKeys = "HashAggregate\\(keys=\\[[^\\]]*\\]".r
+      .findAllIn(plan).toSeq
+    val offending = distinctKeys.filter(k => k.contains("emb"))
+    assert(offending.isEmpty, offending.mkString("\n"))
+  }
+
   test("knn classify transfers labels perfectly on planted tight clusters") {
     import spark.implicits._
     // three well-separated direction clusters of 5 vectors each, tiny
