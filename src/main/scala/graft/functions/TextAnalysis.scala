@@ -53,6 +53,52 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .persist()
 
+  /** BPE merge training rounds (Sennrich et al. 2016 — the tokenizer-
+    * training kernel): start from the character-split WORD VOCABULARY
+    * with corpus frequencies (the trainer never iterates the corpus,
+    * only the vocab — that is what makes it tractable at 100 TB), and
+    * per round (a) count adjacent symbol pairs weighted by word count
+    * (overlapping occurrences enumerate identically in both engines),
+    * (b) pick the argmax pair (count DESC, then lexicographic pair —
+    * deterministic), (c) merge it left-to-right in every word. The
+    * merge is a plain string replace over the space-delimited symbol
+    * sequence with sentinel spaces at both ends — replace() scans
+    * left-to-right non-overlapping in Spark and DuckDB alike, which IS
+    * the BPE merge order. Each round's vocab is an eager diamond cache
+    * (read by the pair count and the next rewrite); the last round
+    * skips the rewrite nobody reads. Output = the merge table, one row
+    * per round. */
+  private[graft] def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    var cur = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq"))
+      .cache()
+    cur.count()
+    val merges = (1 to rounds).map { r =>
+      val top = cur
+        .select(col("wc"), split(trim(col("seq")), " ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> concat(element_at(ss, i), ' ', element_at(ss, i + 1)))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .cache()
+      if (r < rounds) {
+        val next = cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+          .select(col("wc"), expr(
+            "replace(seq, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))")
+            .as("seq"))
+          .cache()
+        next.count() // eager — read by next round's count AND rewrite
+        cur = next
+      }
+      top.select(lit(r).as("round"), col("pair"), col("cnt"))
+    }
+    merges.reduce(_ unionByName _)
+  }
+
   /** The text_winnowing engine over explicit documents — split out so
     * specs can plant known shared runs. k = 4 (gram width), w = 4
     * (window); any shared token run of ≥ w+k−1 = 7 yields a shared
@@ -564,6 +610,11 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge training (see bpeMerges): the first 3 merge rounds of
+    // the tokenizer trainer, over the char-split word vocabulary.
+    "text_bpe" -> ((s, dir) =>
+      bpeMerges(t(s, dir, "documents"), rounds = 3).orderBy(col("round"))),
+
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
     // local fingerprinting algorithm): hash every word-4-gram, slide a
     // window of 4 consecutive hashes, keep each window's minimum (the
@@ -978,6 +1029,11 @@ object TextAnalysis {
         |ORDER BY pmi DESC, bigram
         |LIMIT 25""".stripMargin,
 
+    // Unrolled merge rounds (the pagerank-oracle discipline): the same
+    // weighted pair counts, the same (cnt DESC, pair) argmax, the same
+    // sentinel-space replace per round.
+    "text_bpe" -> bpeSql(3),
+
     // Identical gram hashing (md5 top-15 nibbles), identical window
     // minima and leftmost-tie positions via list comprehensions.
     "text_winnowing" ->
@@ -1043,6 +1099,42 @@ object TextAnalysis {
          |  ${rollingHashSql("lower(trim(text))")} AS fingerprint_norm
          |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /** The text_bpe oracle unrolls the merge rounds: one (pairs, top,
+    * rewritten-vocab) CTE triple per round, the identical argmax
+    * tie-break and sentinel-space replace. */
+  private def bpeSql(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      val rewrite =
+        if (r < rounds)
+          s""",
+             |v$r AS (
+             |  SELECT wc, replace(seq, ' ' || t$r.pair || ' ',
+             |    ' ' || replace(t$r.pair, ' ', '') || ' ') AS seq
+             |  FROM v${r - 1} CROSS JOIN t$r)""".stripMargin
+        else ""
+      s"""p$r AS (
+         |  SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |    SELECT wc, unnest(list_transform(range(1, len(ss)),
+         |             i -> ss[i] || ' ' || ss[i + 1])) AS pair
+         |    FROM (SELECT wc, string_split(trim(seq), ' ') AS ss FROM v${r - 1})
+         |    WHERE len(ss) >= 2)
+         |  GROUP BY pair),
+         |t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)$rewrite"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, cnt FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH v0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS wc,
+       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |$stages
+       |$out
+       |ORDER BY round""".stripMargin
+  }
 
   /** The corpus-gate oracle composes the component oracles verbatim as
     * subqueries — the same reuse-not-rederive contract as the Spark

@@ -247,6 +247,20 @@ class TextSpec extends AnyFunSuite {
     assert(plan.split("Exchange hashpartitioning").length == 2, plan)
   }
 
+  test("bpe merges follow the hand-computed sequence on a planted vocab") {
+    import spark.implicits._
+    // corpus "aaab aaab ab": vocab {aaab: 2, ab: 1}.
+    // round 1: pairs (a,a)×2 per aaab → 4; (a,b) → 2+1 = 3 → merge "a a".
+    // round 2: aaab = [aa,a,b] → (aa,a) 2, (a,b) 2+1 = 3 → merge "a b".
+    // round 3: aaab = [aa,ab] → (aa,ab) 2; ab = [ab] no pairs → "aa ab".
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val rows = functions.TextAnalysis.bpeMerges(docs, rounds = 3).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)),
+      rows.mkString(","))
+  }
+
   test("temperature mix: smallest source keeps everything, thresholds fall with size") {
     val rows = functions.TextAnalysis.queries("text_mix_temperature")(spark, TestSpark.Sf)
       .collect()
