@@ -186,7 +186,29 @@ object Similarity {
     // exchange), and the label joins are HINT-FREE — labels are
     // corpus-sized at scale.
     "ann_knn_classify" -> ((s, dir) =>
-      knnClassify(t(s, dir, "embeddings")).orderBy(col("vec_id")))
+      knnClassify(t(s, dir, "embeddings")).orderBy(col("vec_id"))),
+
+    // Recall@k evaluation AS AN OPERATOR — the acceptance gate every
+    // approximate index must pass before it replaces the exact path in
+    // production. Composes the EXISTING ann_bruteforce (ground truth)
+    // and ann_lsh (candidate) operators verbatim (the corpus-gate
+    // reuse-not-rederive discipline) and reports per-query hit counts
+    // plus the exact-bits integer-ratio recall. Left join on the
+    // (query, neighbor) pair — both sides are k·|Q| rows, so the
+    // evaluation costs nothing beyond the two searches at any scale.
+    "ann_recall" -> ((s, dir) => {
+      val exact = queries("ann_bruteforce")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = queries("ann_lsh")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("query_id"), col("k"), col("hits"),
+          (col("hits").cast("double") / col("k")).as("recall"))
+        .orderBy(col("query_id"))
+    })
   )
 
   /** The ann_knn_classify engine over explicit (vec_id, embedding,
@@ -563,7 +585,7 @@ object Similarity {
        |  FROM dots
        |  GROUP BY vec_id, (plane // $LshBits))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // The PQ ranking is engine-specific (quantizer + ADC), so the gate
     // is the q20 contract: exact brute-force top-k + a constant-true
     // recall boolean — a PQ regression flips pq_ok and fails the hash.
@@ -738,4 +760,23 @@ object Similarity {
          |WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin
   )
+
+  /** The recall oracle composes the exact and approximate oracles
+    * verbatim as subqueries (the corpus-gate discipline) — a drift in
+    * either component surfaces in both gates. */
+  val oracles: Map[String, String] = baseOracles + ("ann_recall" ->
+    s"""WITH ex AS (SELECT query_id, neighbor_id
+       |           FROM (${baseOracles("ann_bruteforce")})),
+       |ap AS (SELECT query_id, neighbor_id
+       |       FROM (${baseOracles("ann_lsh")})),
+       |j AS (
+       |  SELECT ex.query_id,
+       |    CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+       |    AND ex.neighbor_id = ap.neighbor_id)
+       |SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+       |  CAST(sum(hit) AS BIGINT) AS hits,
+       |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+       |FROM j GROUP BY query_id
+       |ORDER BY query_id""".stripMargin)
 }
