@@ -187,6 +187,18 @@ object Multimodal {
       phashPairs(Lake.fanOut(withPayload(t(s, dir, "documents"))), 3)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Image/asset dedup clusters: the phash near-dup pair graph closed
+    // into components by the dedup family's pointer-jumping engine —
+    // one CC engine, three edge domains (text near-dups, co-supply,
+    // perceptual hashes). Keep-one-per-cluster then follows the
+    // dedup_corpus pattern; only pair-graph nodes are labeled (an
+    // unpaired asset is its own trivial cluster by definition).
+    "mm_cluster" -> ((s, dir) =>
+      graft.dedup.Dedup.connectedComponents(
+        phashPairs(Lake.fanOut(withPayload(t(s, dir, "documents"))), 3))
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))),
+
     // Frame sampling + resize — the rest of the §F pipeline after decode:
     // keep a deterministic stride of frames (every 2nd — reproducible,
     // no rand()) and scale each frame's dimensions to fit a 32×32 box
@@ -229,7 +241,7 @@ object Multimodal {
       |      / greatest(len, 1) AS feature
       |  FROM f)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // Replays the frame grid and the same exact-integer sums from the
     // hex expansion of the UTF-8 payload (list comprehension over the
     // sample range, 2-hex-char byte decode); the single double division
@@ -332,4 +344,19 @@ object Multimodal {
          |WHERE frame_idx % 2 = 0
          |ORDER BY doc_id, frame_idx""".stripMargin
   )
+
+  /** The cluster oracle composes the phash-pair oracle verbatim and
+    * closes it with the dedup_clusters recursive-CTE shape. */
+  val oracles: Map[String, String] = baseOracles + ("mm_cluster" ->
+    s"""WITH RECURSIVE pr AS (${baseOracles("mm_phash")}),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, min(dst) AS cluster_id
+       |FROM reach GROUP BY src
+       |ORDER BY doc_id""".stripMargin)
 }

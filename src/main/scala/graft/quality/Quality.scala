@@ -110,6 +110,28 @@ object Quality {
         .orderBy(col("col_name"))
     }),
 
+    // Freshness / staleness monitor — the "is this feed still
+    // arriving" check every ingest pipeline pages on. Wall-clock NOW is
+    // nondeterministic across engines, so the reference instant is the
+    // newest event in the table (one broadcast scalar — the q11
+    // pattern) and each event_type reports its lag behind it in whole
+    // seconds (integral division of the micros delta — no float
+    // boundary). One scan: the per-type aggregate and the global max
+    // both fold off the same grouped pass. The gate flags types more
+    // than a day behind the feed head.
+    "dq_freshness" -> ((s, dir) => {
+      val perType = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("n_events"))
+      val head = perType.agg(max(col("last_us")).as("now_us"))
+      perType.crossJoin(broadcast(head))
+        .select(col("event_type"), col("n_events"),
+          expr("(now_us - last_us) div 1000000").as("lag_sec"))
+        .withColumn("fresh", col("lag_sec") <= 86400L)
+        .orderBy(col("event_type"))
+    }),
+
     // MERGEABLE distinct-count sketches (Datasketches HLL via Spark's
     // hll_sketch_agg / hll_union_agg) — the distributed profiling
     // primitive approx_count_distinct can't give you: per-group (in
@@ -579,6 +601,19 @@ object Quality {
         |  UNION ALL SELECT 'o_orderdate', count(DISTINCT o_orderdate) FROM orders)
         |SELECT col_name, n_distinct, TRUE AS within_tol
         |FROM p ORDER BY col_name""".stripMargin,
+
+    // Same feed-head reference instant, same integral-seconds lag.
+    "dq_freshness" ->
+      """WITH p AS (
+        |  SELECT event_type, epoch_us(max(ts)) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY event_type),
+        |h AS (SELECT max(last_us) AS now_us FROM p)
+        |SELECT event_type, n_events,
+        |  (now_us - last_us) // 1000000 AS lag_sec,
+        |  (now_us - last_us) // 1000000 <= 86400 AS fresh
+        |FROM p CROSS JOIN h
+        |ORDER BY event_type""".stripMargin,
 
     // The sketch bits are engine-private; the portable surface is the
     // exact counts plus the in-query 3σ contract (profile_stats_approx
