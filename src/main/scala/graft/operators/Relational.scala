@@ -979,6 +979,28 @@ object Relational {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Trailing TIME-RANGE window aggregate (the 7-day rolling revenue
+    // every ops dashboard draws): a RANGE frame over integer day
+    // numbers (-6..0), which handles calendar GAPS correctly where a
+    // ROWS frame would silently span them. Shape: one distributed
+    // daily aggregate (the only data-sized shuffle), then the window
+    // runs on the calendar-bounded DAY table — constant-size at any
+    // data volume (the q35/q41 spine contract). Day numbers are exact
+    // integers in both engines; revenue rides the 2dp grid.
+    "q46_time_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+        .withColumn("day_num", unix_date(col("day")))
+      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      daily
+        .select(col("day"), round(col("rev"), 2).as("daily_rev"),
+          round(sum(col("rev")).over(w), 2).as("rev_7d"),
+          count(lit(1)).over(w).as("days_present_7d"))
+        .orderBy(col("day"))
+    }),
+
     "q41_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "orders")
@@ -1016,6 +1038,21 @@ object Relational {
         |  round(sum(1.0::DOUBLE / n.n_touch), 6) AS credit
         |FROM pairs pr JOIN n USING (purchase_id)
         |GROUP BY pr.click_id ORDER BY pr.click_id""".stripMargin,
+
+    // Same integer-day RANGE frame; the 7-day sum re-rounds at 2dp on
+    // both sides (sum of exact decimals — order-independent).
+    "q46_time_range" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(o_totalprice) AS rev,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+        |  FROM orders GROUP BY 1, 3)
+        |SELECT day, round(rev, 2) AS daily_rev,
+        |  round(sum(rev) OVER (ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d,
+        |  count(*) OVER (ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_present_7d
+        |FROM d ORDER BY day""".stripMargin,
 
     // DuckDB supports DISTINCT window aggregates natively; the frame
     // and unique ordering prefix mirror the Spark window exactly.
