@@ -202,7 +202,11 @@ object StarSchema {
           col("l_linenumber").cast("long").as("ln"),
           col("l_partkey").cast("long").as("pk"),
           col("l_quantity").cast("double").as("qty")))).as("doc"))
-        .select(col("l_orderkey"), explode(from_json(col("doc"), lineSchema)).as("line"))
+        // FAILFAST, not the PERMISSIVE default: silent null-out on a
+        // malformed document is exactly the drift this op exists to
+        // surface
+        .select(col("l_orderkey"), explode(from_json(col("doc"), lineSchema,
+          Map("mode" -> "FAILFAST"))).as("line"))
         .select(col("l_orderkey"), col("line.pk").as("pk"), col("line.qty").as("qty"))
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_lines"),
