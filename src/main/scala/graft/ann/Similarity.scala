@@ -242,7 +242,9 @@ object Similarity {
     // back exactly once per side for the cosine, hint-free (the corpus
     // is never broadcastable), and only (vec_id, neighbor_id, cos)
     // reaches the top-k window. Carrying the vectors through the
-    // bucket join instead was measured ~4× more shuffled bytes.
+    // bucket join instead measured ~4× slower at sf0.1, and its
+    // shuffle volume grows with (tables × pair fan-out) copies of
+    // every embedding.
     val emb = emb0.select(col("vec_id"), col("embedding"))
     val b = emb
       .select(col("vec_id"), explode(
