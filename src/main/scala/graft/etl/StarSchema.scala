@@ -539,6 +539,94 @@ object StarSchema {
         .orderBy(col("event_type"))
     }),
 
+    // Corrupt-record quarantine (the PERMISSIVE complement of
+    // etl_json_nested's FAILFAST): real ingest feeds carry malformed
+    // lines, and at 100 TB neither "crash the job" (FAILFAST) nor
+    // "silently null them out" (bare PERMISSIVE) is acceptable — the
+    // lakehouse pattern is route-and-count: parse what parses, capture
+    // the raw text of what doesn't in the corrupt-record column, and
+    // land both streams in ONE pass (no second scan to find the bad
+    // lines). Rows where event_id % 97 == 0 are deterministically
+    // mangled before the write; the read-back groups cleans by
+    // event_type and quarantines the rest under '_corrupt' — whose
+    // sum_value is NULL by construction (nothing parsed), which the
+    // oracle pins. The aggregate references data columns alongside
+    // _corrupt, satisfying Spark's corrupt-column-not-alone rule
+    // without caching the table.
+    "etl_badrecords" -> ((s, dir) => {
+      val path = scratch("etl_badrecords")
+      val ev = t(s, dir, "events")
+      val line = to_json(struct(ev.columns.map(col).toIndexedSeq: _*),
+        Map("timestampFormat" -> TsFmt))
+      ev.select(when(pmod(col("event_id"), lit(97)) === 0,
+          concat(lit("CORRUPT"), line)).otherwise(line).as("value"))
+        .write.mode("overwrite").text(path)
+      val parsed = s.read.schema(eventsSchema.add("_corrupt", StringType))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .option("timestampFormat", TsFmt)
+        .json(path)
+      parsed
+        .groupBy(when(col("_corrupt").isNotNull, lit("_corrupt"))
+          .otherwise(col("event_type")).as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("bucket"))
+    }),
+
+    // File-skipping stats index end-to-end (§H writeStatsIndex /
+    // readSkippingBetween as a query surface): orders land range-sorted
+    // on o_totalprice (16 files with near-disjoint value ranges), ONE
+    // distributed pass publishes the per-file min/max sidecar, and the
+    // band read consults the index to open only intersecting files —
+    // the Delta add.stats / Iceberg manifest-metrics mechanism as plain
+    // parquet. Unlike row-group skipping (etl_zorder_read's mechanism),
+    // pruned files are never opened at all: no footer decode, no
+    // object-store GET — at 100 TB the listing+open saving is the point.
+    // The exact predicate is re-applied to survivors, so the index is
+    // result-invariant by construction; the oracle is the same band
+    // aggregate over the raw table, and LakeSpec pins the actual
+    // file-open count.
+    "etl_stats_prune" -> ((s, dir) => {
+      val path = scratch("etl_stats_prune")
+      Lake.writeSorted(
+        t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_totalprice"),
+        path, Seq("o_totalprice"), partitions = 16)
+      Lake.writeStatsIndex(s, path, "o_totalprice")
+      Lake.readSkippingBetween(s, path, "o_totalprice", 50000.0, 100000.0)
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"),
+             round(min(col("o_totalprice")), 2).as("min_tp"),
+             round(max(col("o_totalprice")), 2).as("max_tp"))
+    }),
+
+    // Dynamic partition pruning end-to-end: the fact lands partitioned
+    // by event_date, the dim side is a filtered calendar (weekend days
+    // only), and the join key IS the partition column — so Catalyst
+    // injects the dim's key set as a runtime partition filter into the
+    // fact scan (dynamicpruningexpression, reusing the broadcast
+    // exchange), and only matching date directories are ever read. This
+    // is the 100 TB star-join discipline: the static planner can't know
+    // which dates survive the dim filter, DPP prunes them at runtime —
+    // without it this scan reads every partition. ScaleSpec pins the
+    // dynamicpruning expression in the fact scan's PartitionFilters;
+    // the oracle replays the weekend filter over the raw table.
+    "etl_dpp_join" -> ((s, dir) => {
+      val path = scratch("etl_dpp_join")
+      Lake.writePartitioned(
+        t(s, dir, "events").withColumn("event_date", to_date(col("ts"))),
+        path, Seq("event_date"))
+      val fact = s.read.parquet(path)
+      val dim = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d")).distinct()
+        .filter(dayofweek(col("d")).isin(1, 7))
+      fact.join(broadcast(dim), fact("event_date") === dim("d"))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_date"))
+    }),
+
     // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
     // the reference's songplay query shape end-to-end in SQL.
     "sql_surface" -> ((s, dir) => {
@@ -604,6 +692,34 @@ object StarSchema {
     "etl_ingest_json" -> IngestSummarySql,
     "etl_ingest_csv" -> IngestSummarySql,
     "etl_ingest_orc" -> IngestSummarySql,
+
+    // Quarantined rows parse nothing, so their sum_value is NULL —
+    // recomputed here from the planted key split.
+    "etl_badrecords" ->
+      """SELECT CASE WHEN event_id % 97 = 0 THEN '_corrupt'
+        |            ELSE event_type END AS bucket,
+        |  count(*) AS cnt,
+        |  round(sum(CASE WHEN event_id % 97 = 0 THEN NULL
+        |                 ELSE value END), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The file-skipping read must be result-invariant: same band
+    // aggregate over the raw table.
+    "etl_stats_prune" ->
+      """SELECT count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  round(min(o_totalprice), 2) AS min_tp,
+        |  round(max(o_totalprice), 2) AS max_tp
+        |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
+
+    // DuckDB dayofweek is 0=Sunday..6 (Spark is 1..7) — same offset the
+    // etl_time_dim oracle corrects.
+    "etl_dpp_join" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
+        |GROUP BY 1 ORDER BY event_date""".stripMargin,
 
     "etl_filter_events" ->
       """SELECT event_id, user_id, round(value, 2) AS value,

@@ -251,6 +251,29 @@ object TextAnalysis {
         .orderBy(col("source"))
     }),
 
+    // Stratum-dependent rate sampling (sampleBy semantics, made
+    // deterministic): each language keeps a DIFFERENT fraction — the
+    // corpus-rebalancing primitive (downsample the dominant language,
+    // keep the rest) that uniform text_sample can't express. The rate
+    // is a codegen'd CASE on the stratum; membership is the repo's
+    // hash-uniform u (md5 → 15 nibbles → [0,1)), so the draw is stable
+    // across runs and engines — df.stat.sampleBy's seeded rand() is
+    // exactly what this avoids. sampled_chars pins the selected SET,
+    // not just its size. One scan, one tiny shuffle (5 langs).
+    "text_sample_stratified" -> ((s, dir) => {
+      val u = expr("CAST(conv(substring(md5(concat('strat:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS DOUBLE)") /
+        lit(1152921504606846976.0) // 2^60
+      val rate = when(col("lang") === "en", lit(0.25)).otherwise(lit(0.75))
+      val kept = col("u") < col("rate")
+      t(s, dir, "documents")
+        .withColumn("u", u).withColumn("rate", rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(kept, 1L).otherwise(0L)).as("n_sampled"),
+             sum(when(kept, col("n_chars"))).as("sampled_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Exact-size stratified sampling: exactly k documents per source in
     // deterministic content-hash order — the fixed-size eval-subset /
     // human-review draw (hash-THRESHOLD sampling above gives a fixed
@@ -856,6 +879,18 @@ object TextAnalysis {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "text_sample_stratified" ->
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 AS u,
+        |    CASE WHEN lang = 'en' THEN 0.25 ELSE 0.75 END AS rate
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN u < rate THEN n_chars END) AS BIGINT) AS sampled_chars
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (

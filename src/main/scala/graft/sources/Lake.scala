@@ -185,6 +185,55 @@ object Lake {
     spark.read.parquet(path).filter(col(partitionCol) > lit(sinceExclusive))
   }
 
+  /** Where [[writeStatsIndex]] publishes the per-file stats sidecar for a
+    * table directory. The leading '_' keeps it invisible to Spark's own
+    * parquet listing of `path` (same convention as _SUCCESS). */
+  def statsIndexPath(path: String): String = s"$path/_stats_index"
+
+  /** Build the file-skipping stats index for a table: one row per data
+    * file with the min/max of `statCol` — the Delta `add.stats` /
+    * Iceberg manifest-metrics idea as a plain parquet sidecar. Built as
+    * ONE distributed pass (groupBy `input_file_name()`, map-side
+    * combined to a row per file per task before the tiny shuffle) at
+    * write/commit time, so the cost amortizes over every later read;
+    * the index itself is file-count-sized, orders of magnitude smaller
+    * than the table. Most useful after [[writeSorted]]/[[writeZOrdered]]
+    * on the same column, which gives files disjoint value ranges. */
+  def writeStatsIndex(spark: SparkSession, path: String, statCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(statsIndexPath(path))
+  }
+
+  /** File-skipping read: consult the stats index and list ONLY the files
+    * whose [min,max] range intersects [lo,hi], then re-apply the exact
+    * predicate to the survivors (the index is a pruning accelerator, not
+    * the filter — min/max are exact so no false exclusions; false
+    * inclusions are caught by the predicate). The surviving file list is
+    * materialized on the driver deliberately: it is file-count-bounded
+    * metadata — the same thing Spark's own InMemoryFileIndex and every
+    * table format's manifest plan on the driver — never row data. Beats
+    * plain row-group skipping because excluded files are never opened:
+    * no footer decode, no object-store GET at all. */
+  def readSkippingBetween(spark: SparkSession, path: String, statCol: String,
+                          lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keep = spark.read.parquet(statsIndexPath(path))
+      .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
+      .select("file").collect().map(_.getString(0))
+    if (keep.isEmpty)
+      // Full prune: an empty relation with the table's schema — one
+      // footer read for the schema, no data file ever listed in the plan.
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.parquet(path).schema)
+    else
+      spark.read.parquet(keep.toIndexedSeq: _*)
+        .filter(col(statCol) >= lit(lo) && col(statCol) <= lit(hi))
+  }
+
   /** Bucketed persistence: pre-shuffles the data into `buckets` stable
     * hash buckets on `bucketCol` at write time, so repeated joins /
     * aggregations on that key read back shuffle-free (the scan itself

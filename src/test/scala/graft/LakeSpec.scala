@@ -331,4 +331,25 @@ class LakeSpec extends AnyFunSuite {
     assert(hc.get("fs.s3a.secret.key") == "sk")
     assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
   }
+
+  test("stats index skips files whose range misses the band, result-invariant") {
+    val p = TestSpark.scratch("lake_statsidx")
+    // 8 range-sorted files over id 0..7999 → near-disjoint per-file ranges
+    Lake.writeSorted(
+      spark.range(8000).select(col("id"), (col("id") * 2).as("v")),
+      p, Seq("id"), partitions = 8)
+    Lake.writeStatsIndex(spark, p, "id")
+    val total = spark.read.parquet(p).inputFiles.length
+    val pruned = Lake.readSkippingBetween(spark, p, "id", 1000L, 1999L)
+    // the band covers ~1/8 of the value space: most files never open
+    assert(pruned.inputFiles.length < total,
+      s"expected fewer than $total files after skipping, " +
+        s"got ${pruned.inputFiles.length}")
+    val full = spark.read.parquet(p).filter(col("id").between(1000L, 1999L))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // full prune: no data file opens, schema survives
+    val none = Lake.readSkippingBetween(spark, p, "id", -100L, -1L)
+    assert(none.inputFiles.isEmpty && none.count() == 0)
+    assert(none.schema == spark.read.parquet(p).schema)
+  }
 }

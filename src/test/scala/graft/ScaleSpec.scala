@@ -122,6 +122,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("etl_dpp_join prunes fact partitions at runtime (DPP)") {
+    // the dim filter's surviving key set must reach the fact scan as a
+    // runtime partition filter — without DPP the star join reads every
+    // date directory no matter how selective the dim side is
+    val df = SparkEntry.queries("etl_dpp_join")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning expression in the fact scan's partition filters:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("ann_filtered pushes the class predicate to the corpus scan") {
     // pre-filtering is the operator's whole scale claim: the label
     // predicate must reach the parquet scan, not run after the kernel
