@@ -28,7 +28,8 @@ object SparkEntry {
     * scan per sweep, k-row results) — bounded passes, acceptable in a
     * plan audit; graph_pagerank's fixed power-iteration sweeps are the
     * same class, each checkpoint a node-sized (id, rank) table, as is
-    * graph_triangles' eager edge-list/oriented-edge cache pair. Those small caches are deliberately left to Spark's LRU
+    * graph_triangles' eager edge-list/oriented-edge cache pair, and
+    * etl_bloom_join's eager ~100 KB key-sketch build. Those small caches are deliberately left to Spark's LRU
     * cache manager rather than hand-unpersisted: every entry is a
     * sketch/centroid table orders of magnitude smaller than the corpus,
     * and repeated query CONSTRUCTION (bench iterations, plan audits)

@@ -627,6 +627,48 @@ object StarSchema {
         .orderBy(col("event_date"))
     }),
 
+    // Bloom-filter runtime join pruning — the non-partition-key
+    // complement of etl_dpp_join: when the join key is NOT the
+    // partition column, DPP can't help, but a bounded sketch of the
+    // filtered dim's keys CAN drop most fact rows BEFORE they shuffle.
+    // This is exactly Spark's own InjectRuntimeFilter plan
+    // (bloom_filter_agg → might_contain on the application side); built
+    // manually here because the optimizer's trigger thresholds are
+    // cluster-scale (application side > 10 GB) — right for 100 TB,
+    // never reachable at test SF, and lowering them globally would
+    // reshape every other audited plan in the suite. The sketch is
+    // built distributed (per-partition partials, merged), ~9 KB for the
+    // 1e4-key capacity at 3% fpp (a 100 TB run sizes capacity from dim
+    // stats) — driver-bounded like the IVF centroids; false
+    // positives are dropped by the exact join that follows, so
+    // correctness never depends on fpp (the oracle is the plain join).
+    // ScaleSpec pins the might_contain filter on the fact side.
+    "etl_bloom_join" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.types.BinaryType
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bf = cust.stat.bloomFilter("c_custkey",
+        expectedNumItems = 10000L, fpp = 0.03)
+      val bytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos); bos.toByteArray
+      }
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType),
+        Bridge.expression(col("o_custkey").cast("long"))))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .filter(mightContain)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(month(col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("month"))
+    }),
+
     // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
     // the reference's songplay query shape end-to-end in SQL.
     "sql_surface" -> ((s, dir) => {
@@ -711,6 +753,15 @@ object StarSchema {
         |  round(min(o_totalprice), 2) AS min_tp,
         |  round(max(o_totalprice), 2) AS max_tp
         |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
+
+    // Bloom pruning must be result-invariant: plain join, the sketch
+    // never appears.
+    "etl_bloom_join" ->
+      """SELECT month(o_orderdate) AS month, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
 
     // DuckDB dayofweek is 0=Sunday..6 (Spark is 1..7) — same offset the
     // etl_time_dim oracle corrects.

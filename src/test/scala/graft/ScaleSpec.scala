@@ -133,6 +133,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("etl_bloom_join prunes fact rows with the key sketch before the join") {
+    // the sketch's whole point is dropping non-matching fact rows before
+    // they shuffle — the might_contain predicate must sit on the fact
+    // side of the plan, and the join must stay an equi-join
+    val df = SparkEntry.queries("etl_bloom_join")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected the bloom predicate in the fact-side filter:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+    assert(df.count() > 0)
+  }
+
   test("ann_filtered pushes the class predicate to the corpus scan") {
     // pre-filtering is the operator's whole scale claim: the label
     // predicate must reach the parquet scan, not run after the kernel
