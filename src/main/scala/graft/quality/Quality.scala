@@ -228,6 +228,46 @@ object Quality {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // Per-segment revenue trend by closed-form least squares — the
+    // statistical-modeling leg of the profile family (is this segment
+    // growing?). Two tiny-keyed aggregates: monthly revenue per segment
+    // (exact CENTS sums — longs, not doubles, so the partials are
+    // order-independent and engine-exact), then the per-segment
+    // regression moments n, Σx, Σy, Σxy, Σx². The slope is the exact
+    // integer rational (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) evaluated once in
+    // DECIMAL(38,0) (overflow-proof past sf100, where cents×month
+    // products would exceed long range) and cast to double UNROUNDED —
+    // identical integers divide to the identical double in both
+    // engines, the repo's exact-rational discipline. The month index is
+    // re-based to 1992-01 so Σx stays small; the slope is shift-
+    // invariant. Map-side combine does the heavy lifting: the first
+    // shuffle carries (segment, month) partials only.
+    "profile_trend" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val monthly = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"),
+          ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("mx"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      monthly.groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_months"),
+             sum(col("mx")).as("sx"),
+             sum(col("y")).as("sy"),
+             sum(col("mx") * col("y")).as("sxy"),
+             sum(col("mx") * col("mx")).as("sxx"))
+        .select(col("segment"), col("n_months"),
+          ((col("n_months").cast(dec) * col("sxy").cast(dec) -
+            col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
+           (col("n_months").cast(dec) * col("sxx").cast(dec) -
+            col("sx").cast(dec) * col("sx").cast(dec)).cast("double"))
+            .as("slope_cents_per_month"))
+        .orderBy(col("segment"))
+    }),
+
     // Robust outlier report (median/MAD, the anomaly screen that — unlike
     // mean/stddev z-scores — outliers can't poison): per priority class,
     // count orders whose |price − median| exceeds 3·1.4826·MAD (the
@@ -649,6 +689,27 @@ object Quality {
         |    round(covar_samp(l_quantity, l_tax), 2) FROM lineitem)
         |SELECT col_a, col_b, pearson_r, covar
         |FROM p ORDER BY col_a, col_b""".stripMargin,
+
+    // Slope from the same exact-integer moments — HUGEINT is DuckDB's
+    // decimal(38) stand-in; identical integers cast to the identical
+    // double, so the division is unrounded on both sides.
+    "profile_trend" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mx,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT segment, count(*) AS n, CAST(sum(mx) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(mx * y) AS BIGINT) AS sxy,
+        |    CAST(sum(mx * mx) AS BIGINT) AS sxx
+        |  FROM m GROUP BY 1)
+        |SELECT segment, CAST(n AS BIGINT) AS n_months,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+        |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |    AS slope_cents_per_month
+        |FROM r ORDER BY segment""".stripMargin,
 
     // Same two percentile passes (quantile_cont ↔ Spark percentile, the
     // q25 pairing), same strict > on the same 4.4478·mad threshold from
