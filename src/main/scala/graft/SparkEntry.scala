@@ -44,8 +44,8 @@ object SparkEntry {
     "etl_snapshot_read", "etl_wap", "etl_snapshot_diff", "etl_evolve_read",
     "etl_badrecords", "etl_stats_prune", "etl_dpp_join",
     "stream_window", "stream_session", "stream_dedup", "stream_join",
-    "stream_content_dedup", "stream_trending", "stream_upsert",
-    "stream_quality")
+    "stream_join_outer", "stream_content_dedup", "stream_trending",
+    "stream_upsert", "stream_quality")
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */

@@ -84,6 +84,29 @@ object Streams {
     stage(spark, sfDir, "stream_dedup_src", ev.union(ev))
     stage(spark, sfDir, "stream_content_dedup_src_v2", contentLanding(spark, sfDir))
     stage(spark, sfDir, "stream_trending_src", trendingLanding(spark, sfDir))
+    stage(spark, sfDir, "stream_join_outer_src", outerJoinLanding(spark, sfDir))
+  }
+
+  /** Landing for the OUTER stream-stream join: the raw event feed plus
+    * one end-of-feed clock sentinel (event_type 'clock', id −1) at
+    * max(ts) + 2 hours — far enough past the data to clear the 1-hour
+    * watermark delay plus the 10-minute join range at EVERY scale
+    * factor, because it is derived FROM the data (a one-row aggregate
+    * joined in as a row, never a driver collect). Outer joins need it
+    * in a bounded replay: a null-extension only emits once the
+    * watermark PASSES the purchase's match window, and the last real
+    * event can't push the watermark past itself. On an unbounded feed
+    * new arrivals do this for free. */
+  private def outerJoinLanding(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.sources.Lake.table(spark, sfDir, "events")
+    ev.unionByName(
+      ev.agg(max(col("ts")).as("mx")).select(
+        lit(-1L).as("event_id"),
+        (col("mx") + expr("INTERVAL 2 HOURS")).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("clock").as("event_type"),
+        lit(null).cast(DoubleType).as("value"),
+        lit(null).cast(StringType).as("props")))
   }
 
   /** Content-landing arrival clock — these three constants form ONE
@@ -459,6 +482,47 @@ object Streams {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // LEFT OUTER stream-stream interval join — the attribution shape
+    // stream_join's inner variant can't express: every purchase must
+    // surface, clicked-through or not (conversion telemetry needs the
+    // denominators). The state semantic is genuinely different: an
+    // unmatched purchase is held in the state store until the CLICK
+    // watermark passes its whole match window, and only then emits its
+    // null-extended row exactly once — which is why the landing carries
+    // the end-of-feed clock sentinel (see outerJoinLanding): in a
+    // bounded replay the last real event can't push the watermark past
+    // itself. The sentinel flows through BOTH side filters (it must
+    // advance BOTH watermarks), self-joins on user −1, and is dropped
+    // from the batch result. Oracle = the plain batch LEFT JOIN; the
+    // no-data micro-batch after the final watermark advance flushes the
+    // tail, so stream and batch agree exactly.
+    "stream_join_outer" -> ((s, dir) => {
+      val staged = stage(s, dir, "stream_join_outer_src",
+        outerJoinLanding(s, dir))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val ev = s.readStream.schema(schema).parquet(staged)
+      val purchases = ev.filter(col("event_type").isin("purchase", "clock"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = ev.filter(col("event_type").isin("click", "clock"))
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks, expr(
+        "user_id = c_uid AND c_ts BETWEEN p_ts - INTERVAL 10 MINUTES AND p_ts"),
+        "leftOuter")
+      val res = materialize(s, joined, "graft_stream_join_outer", OutputMode.Append())
+      res.filter(col("purchase_id") >= 0)
+        .groupBy(col("purchase_id"))
+        .agg(count(col("click_id")).as("n_clicks"),
+             (count(col("click_id")) > 0).as("matched"))
+        .orderBy(col("purchase_id"))
+    }),
+
     // Streaming CDC upsert into a lake dimension (foreachBatch — the
     // sink-side maintenance loop every streaming pipeline ends with):
     // the event feed is a change stream keyed by user_id, and each
@@ -515,6 +579,22 @@ object Streams {
         | AND c.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // Every purchase appears exactly once — matched or not; count over
+    // the null-extended rows gives 0 for the unmatched.
+    "stream_join_outer" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id AS c_uid, ts AS c_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT purchase_id,
+        |  CAST(count(click_id) AS BIGINT) AS n_clicks,
+        |  count(click_id) > 0 AS matched
+        |FROM p LEFT JOIN c
+        |  ON user_id = c_uid
+        | AND c_ts BETWEEN p_ts - INTERVAL 10 MINUTE AND p_ts
+        |GROUP BY purchase_id
+        |ORDER BY purchase_id""".stripMargin,
 
     "stream_dedup" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value

@@ -165,4 +165,17 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessions.head.startMicros == 0L)
     assert(sessions.head.endMicros == 39L * 60 * 1000000)
   }
+
+  test("outer stream join surfaces unmatched purchases (sentinel flushes the tail)") {
+    // the left-outer semantic is only proven if BOTH classes appear:
+    // matched purchases (clicked within the window) and unmatched ones
+    // whose null-extension the end-of-feed sentinel had to flush; the
+    // clock sentinel itself must not leak into the result
+    val res = SparkEntry.queries("stream_join_outer")(spark, TestSpark.Sf)
+      .collect()
+    val matched = res.count(_.getBoolean(2))
+    assert(matched > 0, "no matched purchase — join condition never hit")
+    assert(res.length > matched, "no unmatched purchase — outer semantic vacuous")
+    assert(!res.exists(_.getLong(0) < 0), "clock sentinel leaked into the result")
+  }
 }
