@@ -55,6 +55,47 @@ object Graph {
       .union(eb.select(col("b").as("src"), col("a").as("dst")))
   }
 
+  /** Weighted trade edges: same bipartite customer↔supplier graph as
+    * [[tradeEdges]], but each edge carries its co-occurrence count (how
+    * many lineitems connect the pair) as an exact INTEGER cost — the
+    * SSSP distances stay in long arithmetic end to end, so no float
+    * path-sum can diverge between engines. Cached like tradeEdges: the
+    * symmetrizing union reads the grouped join twice. */
+  private[graft] def weightedTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val eb = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("a"),
+        (col("l_suppkey") * 2 + 1).as("b"))
+      .agg(count(lit(1)).as("w"))
+      .cache()
+    eb.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(eb.select(col("b").as("src"), col("a").as("dst"), col("w")))
+  }
+
+  /** Bounded Bellman-Ford: `rounds` synchronous relaxations of the
+    * weighted edge set from the seed set at distance 0. Each round is
+    * one src-keyed join (frontier-sized, not graph-sized state) and one
+    * min-combine by node — the same shuffle discipline as [[bfs]], with
+    * per-round checkpoints truncating the lineage. Unreachable-in-k
+    * nodes are absent (not ∞), matching the unrolled oracle. Distances
+    * are exact longs — min over identical integers is engine-exact, no
+    * float path-sum anywhere. */
+  private[graft] def sssp(seeds: DataFrame, wedges: DataFrame,
+                          rounds: Int): DataFrame = {
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val relaxed = wedges.join(dist, wedges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+    }
+    dist
+  }
+
   /** Long node id → the 'c<custkey>' / 's<suppkey>' presentation form
     * (parity decodes the side; node >> 1 recovers the key exactly for
     * both parities — no double division anywhere near the key space). */
@@ -362,6 +403,22 @@ object Graph {
         .select(decodeNode(col("node")).as("node"),
           round(col("rank"), 6).as("rank"))
         .orderBy(col("node"))
+    }),
+
+    // Weighted shortest paths (bounded Bellman-Ford) — the cost-aware
+    // sibling of graph_bfs: min TOTAL edge cost within 3 relaxations
+    // from the same nation-3 customer seeds, where an edge costs its
+    // lineitem co-occurrence count. Everything stays in exact long
+    // arithmetic (weights are counts, distances are sums of counts), so
+    // the min-combine is engine-exact and the oracle can unroll the
+    // identical three relaxations in SQL.
+    "graph_sssp" -> ((s, dir) => {
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 3)
+        .select((col("c_custkey") * 2).as("node"))
+      sssp(seeds, weightedTradeEdges(s, dir), rounds = 3)
+        .select(decodeNode(col("node")).as("node"), col("dist"))
+        .orderBy(col("node"))
     })
   )
 
@@ -458,6 +515,35 @@ object Graph {
 
     "graph_pagerank" -> pagerankSql(Sweeps),
     "graph_labelprop" -> labelPropSql(4),
+
+    // Same three relaxations unrolled; min over exact longs each round.
+    "graph_sssp" ->
+      """WITH eb AS (
+        |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |e AS (SELECT a AS src, b AS dst, w FROM eb
+        |      UNION ALL SELECT b, a, w FROM eb),
+        |d0 AS (SELECT DISTINCT 'c' || c_custkey AS node,
+        |         CAST(0 AS BIGINT) AS dist
+        |       FROM customer WHERE c_nationkey = 3),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d0
+        |    UNION ALL
+        |    SELECT e.dst, d0.dist + e.w FROM e JOIN d0 ON e.src = d0.node)
+        |  GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d1
+        |    UNION ALL
+        |    SELECT e.dst, d1.dist + e.w FROM e JOIN d1 ON e.src = d1.node)
+        |  GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |    SELECT node, dist FROM d2
+        |    UNION ALL
+        |    SELECT e.dst, d2.dist + e.w FROM e JOIN d2 ON e.src = d2.node)
+        |  GROUP BY node)
+        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
 
     // Transitive closure over the same ≥2-count edges; min reachable id
     // = the converged min-label (the dedup_clusters oracle shape).

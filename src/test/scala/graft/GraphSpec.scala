@@ -116,4 +116,20 @@ class GraphSpec extends AnyFunSuite {
     assert(Seq(11L, 12L, 13L, 14L).map(labels).toSet.size == 1)
     assert(labels(1L) != labels(11L), labels.toString)
   }
+
+  test("sssp prefers the cheaper two-hop path over the direct edge") {
+    import spark.implicits._
+    // a→b direct costs 10; a→c→b costs 2+3=5 — min-COST must disagree
+    // with min-hop, or the weighted relaxation is vacuous
+    val seeds = Seq("a").toDF("node")
+    val wedges = Seq(("a", "b", 10L), ("a", "c", 2L), ("c", "b", 3L))
+      .toDF("src", "dst", "w")
+    val one = Graph.sssp(seeds, wedges, rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("a" -> 0L, "b" -> 10L, "c" -> 2L))
+    val two = Graph.sssp(seeds, wedges, rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two == Map("a" -> 0L, "b" -> 5L, "c" -> 2L),
+      s"second relaxation must improve b via c: $two")
+  }
 }

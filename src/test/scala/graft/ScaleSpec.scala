@@ -172,7 +172,8 @@ class ScaleSpec extends AnyFunSuite {
       // driver data, so they are the plans allowed to lack a lake
       // relation
       if (Set("dedup_clusters", "graph_pagerank", "graph_bfs",
-          "graph_components", "graph_labelprop", "mm_cluster")(k))
+          "graph_components", "graph_labelprop", "mm_cluster",
+          "graph_sssp")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
