@@ -42,7 +42,7 @@ object SparkEntry {
     "etl_partitioned_write", "etl_zorder_read", "etl_incremental_read",
     "etl_incremental_agg", "etl_compact_read", "etl_delete",
     "etl_snapshot_read", "etl_wap", "etl_snapshot_diff", "etl_evolve_read",
-    "etl_badrecords", "etl_stats_prune", "etl_dpp_join",
+    "etl_badrecords", "etl_stats_prune", "etl_dpp_join", "etl_ivm_join",
     "stream_window", "stream_session", "stream_dedup", "stream_join",
     "stream_join_outer", "stream_content_dedup", "stream_trending",
     "stream_upsert", "stream_quality")

@@ -627,6 +627,52 @@ object StarSchema {
         .orderBy(col("event_date"))
     }),
 
+    // Incremental JOIN maintenance — the Δ-join algebra leg of
+    // materialized-view refresh (etl_incremental_agg maintains an
+    // AGGREGATE; a fact×dim JOIN MV needs different algebra because a
+    // dim-side change invalidates rows the MV is not keyed by). With
+    // change batches ΔA (orders) and ΔB (customer), the affected MV rows
+    // split disjointly: keys in ΔA recompute against the NEW dim state,
+    // and un-changed orders whose customer is in ΔB recompute against
+    // ΔB; everything else passes through via two anti-joins. Refresh
+    // cost = one MV scan + delta-sized joins — never the full fact×dim
+    // join the oracle pays (bucket the MV on o_custkey and the ΔB
+    // invalidation partition-prunes too). The planted price bump is an
+    // exact IEEE addition (+1000.0 — one fp op on identical inputs is
+    // bit-identical in both engines; a ×1.1-then-round bump diverged on
+    // 1-in-150k half-ulp grid boundaries at sf0.1), the dim bump a
+    // sentinel segment; the oracle is the full recompute over the
+    // post-change states — the incremental path must be row-identical.
+    "etl_ivm_join" -> ((s, dir) => {
+      val path = scratch("etl_ivm_join")
+      val ordersOld = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val custOld = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val mvCols = Seq("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+      Lake.writeParquet(
+        ordersOld.join(custOld, col("o_custkey") === col("c_custkey"))
+          .select(mvCols.map(col): _*), path)
+      val dA = ordersOld.filter(pmod(col("o_orderkey"), lit(89)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val dB = custOld.filter(pmod(col("c_custkey"), lit(91)) === 0)
+        .withColumn("c_mktsegment", lit("DELTA"))
+      val ordersNew = Lake.upsert(ordersOld, dA, Seq("o_orderkey"))
+      val custNew = Lake.upsert(custOld, dB, Seq("c_custkey"))
+      val kept = s.read.parquet(path)
+        .join(dA.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .join(dB.select(col("c_custkey").as("o_custkey")), Seq("o_custkey"),
+          "left_anti")
+      val fromA = dA.join(custNew, col("o_custkey") === col("c_custkey"))
+        .select(mvCols.map(col): _*)
+      val fromB = ordersNew
+        .join(dA.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .join(dB, col("o_custkey") === col("c_custkey"))
+        .select(mvCols.map(col): _*)
+      kept.select(mvCols.map(col): _*)
+        .unionByName(fromA).unionByName(fromB)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Bloom-filter runtime join pruning — the non-partition-key
     // complement of etl_dpp_join: when the join key is NOT the
     // partition column, DPP can't help, but a bounded sketch of the
@@ -753,6 +799,23 @@ object StarSchema {
         |  round(min(o_totalprice), 2) AS min_tp,
         |  round(max(o_totalprice), 2) AS max_tp
         |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
+
+    // Full recompute over the post-change table states — the Δ-join
+    // refresh must reproduce it row for row.
+    "etl_ivm_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders),
+        |c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 91 = 0 THEN 'DELTA'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Bloom pruning must be result-invariant: plain join, the sketch
     // never appears.
