@@ -74,24 +74,37 @@ object Graph {
   }
 
   /** Bounded Bellman-Ford: `rounds` synchronous relaxations of the
-    * weighted edge set from the seed set at distance 0. Each round is
-    * one src-keyed join (frontier-sized, not graph-sized state) and one
-    * min-combine by node — the same shuffle discipline as [[bfs]], with
-    * per-round checkpoints truncating the lineage. Unreachable-in-k
-    * nodes are absent (not ∞), matching the unrolled oracle. Distances
-    * are exact longs — min over identical integers is engine-exact, no
-    * float path-sum anywhere. */
+    * weighted edge set from the seed set at distance 0. FRONTIER-PRUNED
+    * like [[bfs]]: only nodes whose distance improved last round relax
+    * their out-edges, so per-round relax work is O(frontier edges) and
+    * shrinks as the wave converges — relaxing the full dist table every
+    * round would stay O(E·rounds) no matter how settled the graph is.
+    * The min-combine merges candidates into the running dist via ONE
+    * co-partitioned full-outer join on node (node-sized, the same key
+    * both sides shuffle on); per-round eager checkpoints truncate the
+    * lineage (dist and frontier both feed the next round — the BFS
+    * multi-consumer rule). Unreachable-in-k nodes are absent (not ∞),
+    * matching the unrolled oracle. Distances are exact longs — min over
+    * identical integers is engine-exact, no float path-sum anywhere. */
   private[graft] def sssp(seeds: DataFrame, wedges: DataFrame,
                           rounds: Int): DataFrame = {
     var dist = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint(eager = true)
+    var frontier = dist
     for (_ <- 1 to rounds) {
-      val relaxed = wedges.join(dist, wedges("src") === dist("node"))
-        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val cand = wedges.join(frontier, wedges("src") === frontier("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+        .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"), col("dist"), col("cand"),
+          least(coalesce(col("dist"), col("cand")),
+            coalesce(col("cand"), col("dist"))).as("best"))
         .localCheckpoint(eager = true)
+      frontier = merged
+        .filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("node"), col("best").as("dist"))
+      dist = merged.select(col("node"), col("best").as("dist"))
     }
     dist
   }
