@@ -1001,6 +1001,54 @@ object Relational {
         .orderBy(col("day"))
     }),
 
+    // Linear interpolation over a sparse daily series — the lerp
+    // complement of q35's zero-fill (sensor/metric backfill where
+    // "missing means unchanged trend", not "missing means zero"): the
+    // daily average is OBSERVED only every third day (deterministic
+    // day-offset mask), and each gap day takes
+    // prev + (next − prev)·(Δd/span) between its observed neighbors,
+    // carry-forward/back at the edges. The neighbor search is two
+    // ignoreNulls window passes (last/first) over the day table —
+    // calendar-bounded (≤ 365·years rows at ANY data scale), so the
+    // single-partition window is the q46 contract, not a skew risk; the
+    // heavy work (the daily aggregate) is distributed and grid-exact
+    // before the window. The lerp runs on identical 2dp inputs and
+    // exact integer day ratios in both engines — emitted UNROUNDED.
+    "q47_interpolate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      val daily = p.groupBy(to_date(col("ts")).as("day"))
+        .agg(round(avg(col("value")), 2).as("v"))
+      val bounds = p.agg(to_date(min(col("ts"))).as("d0"),
+        to_date(max(col("ts"))).as("d1"))
+      val spine = bounds.select(col("d0"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val obs = spine.join(daily, Seq("day"), "left")
+        .withColumn("dd", datediff(col("day"), col("d0")))
+        .withColumn("v_obs", when(pmod(col("dd"), lit(3)) === 0, col("v")))
+      val prevW = Window.orderBy(col("dd"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val nextW = Window.orderBy(col("dd"))
+        .rowsBetween(0, Window.unboundedFollowing)
+      obs
+        .withColumn("pv", last(col("v_obs"), ignoreNulls = true).over(prevW))
+        .withColumn("pd",
+          last(when(col("v_obs").isNotNull, col("dd")), ignoreNulls = true).over(prevW))
+        .withColumn("nv", first(col("v_obs"), ignoreNulls = true).over(nextW))
+        .withColumn("nd",
+          first(when(col("v_obs").isNotNull, col("dd")), ignoreNulls = true).over(nextW))
+        .select(col("day").cast("string").as("day"), col("v_obs"),
+          when(col("v_obs").isNotNull, col("v_obs"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("dd") - col("pd")).cast("double") /
+               (col("nd") - col("pd")).cast("double")))
+            .as("v_filled"),
+          col("v_obs").isNull.as("interpolated"))
+        .orderBy(col("day"))
+    }),
+
     "q41_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = t(s, dir, "orders")
@@ -1053,6 +1101,37 @@ object Relational {
         |  count(*) OVER (ORDER BY day_num
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_present_7d
         |FROM d ORDER BY day""".stripMargin,
+
+    // Neighbor search by correlated scalar subqueries over the observed
+    // set (no IGNORE NULLS dependence); the lerp runs on the identical
+    // 2dp grid values and exact integer day ratios, emitted unrounded.
+    "q47_interpolate" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS day, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+        |daily AS (SELECT day, round(avg(value), 2) AS v FROM p GROUP BY 1),
+        |spine AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |            CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day, d0
+        |          FROM b),
+        |o AS (SELECT s.day, date_diff('day', s.d0, s.day) AS dd,
+        |        CASE WHEN date_diff('day', s.d0, s.day) % 3 = 0 THEN daily.v END AS v_obs
+        |      FROM spine s LEFT JOIN daily USING (day)),
+        |obs AS (SELECT dd AS od, v_obs AS ov FROM o WHERE v_obs IS NOT NULL)
+        |SELECT CAST(day AS VARCHAR) AS day, v_obs,
+        |  CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |       WHEN NOT EXISTS (SELECT 1 FROM obs WHERE od < dd)
+        |         THEN (SELECT ov FROM obs WHERE od > dd ORDER BY od LIMIT 1)
+        |       WHEN NOT EXISTS (SELECT 1 FROM obs WHERE od > dd)
+        |         THEN (SELECT ov FROM obs WHERE od < dd ORDER BY od DESC LIMIT 1)
+        |       ELSE (SELECT ov FROM obs WHERE od < dd ORDER BY od DESC LIMIT 1)
+        |            + ((SELECT ov FROM obs WHERE od > dd ORDER BY od LIMIT 1)
+        |               - (SELECT ov FROM obs WHERE od < dd ORDER BY od DESC LIMIT 1))
+        |            * (CAST(dd - (SELECT max(od) FROM obs WHERE od < dd) AS DOUBLE)
+        |               / CAST((SELECT min(od) FROM obs WHERE od > dd)
+        |                      - (SELECT max(od) FROM obs WHERE od < dd) AS DOUBLE))
+        |  END AS v_filled,
+        |  v_obs IS NULL AS interpolated
+        |FROM o ORDER BY day""".stripMargin,
 
     // DuckDB supports DISTINCT window aggregates natively; the frame
     // and unique ordering prefix mirror the Spark window exactly.
