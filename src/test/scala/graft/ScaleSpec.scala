@@ -155,6 +155,25 @@ class ScaleSpec extends AnyFunSuite {
       s"expected the label predicate pushed to the scan:\n$scans")
   }
 
+  test("ANALYZE-collected stats drive the broadcast decision without a hint") {
+    // the CBO wiring a warehouse relies on: after COMPUTE STATISTICS the
+    // planner knows the dim is small and broadcasts it on its own — the
+    // graft operators hint explicitly (dims are KNOWN small), but tables
+    // landed by outside writers only get the right join strategy if
+    // catalog stats feed sizeInBytes
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS cbo_dim")
+    sources.Lake.table(s, TestSpark.Sf, "nation")
+      .write.mode("overwrite").saveAsTable("cbo_dim")
+    s.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS")
+    val fact = sources.Lake.table(s, TestSpark.Sf, "customer")
+    val plan = fact.join(s.table("cbo_dim"),
+        fact("c_nationkey") === org.apache.spark.sql.functions.col("n_nationkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected stats-driven broadcast of the analyzed dim:\n$plan")
+  }
+
   test("no operator plan materializes data on the driver") {
     // structural guard: driver-collected data re-entering a plan shows up
     // as LocalTableScan / Scan ExistingRDD — no query may contain either
