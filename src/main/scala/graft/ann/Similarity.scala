@@ -41,6 +41,10 @@ object Similarity {
   private val IvfProbe = 4
   /** Neighbors kept per vector in the corpus k-NN graph. */
   private val KnnK = 3
+  /** ann_range radius: ~the 99th percentile of the query-to-corpus
+    * cosine distribution in the testdata, so the range result is a
+    * small non-empty set at every SF. */
+  private val RangeThr = 0.25
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -58,6 +62,30 @@ object Similarity {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
                 round(col("cos_full"), 6).as("cosine"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Radius (range) search — the fixed-threshold sibling of top-k:
+    // every corpus vector within cosine ≥ RangeThr of a query, the
+    // primitive behind "find ALL near-duplicates / all matches above
+    // the contract score" where k is unknowable in advance. Scale
+    // shape: the query set broadcasts, the corpus STREAMS through one
+    // scan with a codegen'd score-and-filter — no shuffle, no window,
+    // no state at all (unlike top-k there is no rank to coordinate),
+    // so it parallelizes embarrassingly at any corpus size; the
+    // threshold compares UNROUNDED scores (both engines fold the dot
+    // product in the same sequential order — the ann_bruteforce
+    // bit-parity), rounding only the surfaced value.
+    "ann_range" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+        .filter(col("cos_full") >= RangeThr)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(col("cos_full"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
     // Embedding-distribution drift (the ML-ops "did my corpus shift
@@ -706,6 +734,19 @@ object Similarity {
          |      CROSS JOIN embeddings c)
          |WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
+
+    // Same sequential-fold cosine, same UNROUNDED threshold compare —
+    // the radius cutoff is decided on identical bits in both engines.
+    "ann_range" ->
+      s"""SELECT query_id, neighbor_id, round(cos_full, 6) AS cosine
+         |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                               CAST(c.embedding AS DOUBLE[])) AS cos_full
+         |      FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q
+         |      CROSS JOIN embeddings c
+         |      WHERE q.vec_id <> c.vec_id)
+         |WHERE cos_full >= $RangeThr
+         |ORDER BY query_id, neighbor_id""".stripMargin,
 
     // Bit-exact replica of the LSH pipeline: the hyperplane weights are
     // md5-derived (Kernels.planes — w = (md5Top8("42:plane:d") >>> 11)

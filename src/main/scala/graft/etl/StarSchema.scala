@@ -327,6 +327,49 @@ object StarSchema {
         .orderBy(col("event_type"))
     }),
 
+    // Merge-on-read deletes end-to-end (the write-cheap sibling of
+    // etl_delete's copy-on-write rewrite): orders land as data files,
+    // two delete commits write ONLY key tombstones (O(deleted keys) —
+    // no data file is touched at delete time), the MoR read applies
+    // them as one anti-join, and compactDeletes folds them in. The
+    // gate aggregates the MoR read AND the post-compaction read and
+    // emits their equality per group — read-time merge and
+    // materialized compaction must agree exactly. The oracle replays
+    // both as the same logical delete. The MoR aggregate is
+    // materialized (eager localCheckpoint) BEFORE compaction mutates
+    // the directory under it — the deleteKeys don't-read-what-you-
+    // mutate discipline.
+    "etl_delete_vector" -> ((s, dir) => {
+      val path = scratch("etl_delete_vector")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+      orders.write.mode("overwrite").parquet(s"$path/data")
+      Lake.writeDeleteVector(s, path, orders
+        .filter(col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey")))
+      Lake.writeDeleteVector(s, path, orders
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey")))
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      val mor = agg(Lake.readMergeOnRead(s, path, "o_orderkey"))
+        .localCheckpoint(eager = true)
+      Lake.compactDeletes(s, path, "o_orderkey")
+      val compacted = agg(s.read.parquet(s"$path/data"))
+        .withColumnRenamed("n_rows", "c_rows")
+        .withColumnRenamed("sum_cents", "c_cents")
+      mor.join(compacted, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"), col("n_rows"), col("sum_cents"),
+          (col("n_rows") <=> col("c_rows") &&
+            col("sum_cents") <=> col("c_cents")).as("compact_match"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Time travel exercised end-to-end (§H writeVersion/readVersion):
     // v1 = the orders snapshot, v2 = the same table with a price-bump
     // change batch upserted. The gate reads AS-OF v1 — which must be
@@ -347,6 +390,29 @@ object StarSchema {
         .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
       Lake.writeVersion(s, Lake.upsert(orders, changes, Seq("o_orderkey")), path)
       Lake.readVersion(s, path, Some(1)).orderBy(col("o_orderkey"))
+    }),
+
+    // Version ROLLBACK end-to-end (the undo-a-bad-load leg of the
+    // lifecycle — time travel reads around a bad version;
+    // restoreVersion makes the rollback durable for every downstream
+    // reader of LATEST): v1 = clean orders, v2 = a bad price-bump
+    // load, restore(1) publishes v3. The gate reads LATEST with no pin
+    // — it must be the untouched source again even though the bad v2
+    // still exists (pinned readers undisturbed, forensics intact;
+    // LakeSpec pins the version listing and v2's content surviving).
+    "etl_restore" -> ((s, dir) => {
+      val path = scratch("etl_restore")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders, path)
+      val bad = orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2.0, 2))
+      Lake.writeVersion(s, Lake.upsert(orders, bad, Seq("o_orderkey")), path)
+      Lake.restoreVersion(s, path, 1)
+      Lake.readVersion(s, path, None).orderBy(col("o_orderkey"))
     }),
 
     // Schema evolution exercised end-to-end (§A mergeSchema, previously
@@ -749,6 +815,12 @@ object StarSchema {
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    // Restore must hand LATEST readers the exact pre-bad-load table —
+    // the same plain-source projection the pinned read is held to.
+    "etl_restore" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     // The null backfill recomputed with a CASE on the same key split.
     "etl_evolve_read" ->
       """SELECT o_orderkey, o_totalprice,
@@ -972,6 +1044,22 @@ object StarSchema {
         |  (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // Both the MoR read and the compacted table replay as the same
+    // logical delete of the two tombstone predicates; agreement between
+    // them is asserted by the Spark side, so the oracle's column is
+    // constant TRUE — a read/compact divergence flips it and fails the
+    // hash compare.
+    "etl_delete_vector" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  TRUE AS compact_match
+        |FROM orders
+        |WHERE NOT ((o_orderstatus = 'F' AND o_orderkey % 10 = 7)
+        |        OR (o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 3))
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     "etl_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

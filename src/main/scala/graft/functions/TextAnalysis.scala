@@ -211,6 +211,32 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Heaps-law vocabulary-growth curve (the tokenizer-sizing / "how
+    // fast does new vocabulary appear" profile a corpus pipeline reads
+    // before fixing a vocab budget): the distinct-term count of the
+    // corpus prefix at each doc_id decile. ONE corpus scan: each term
+    // reduces to its FIRST document (min doc_id — all the growth curve
+    // needs), the 10-row checkpoint spine derives from a broadcast
+    // one-row max-doc scalar (the q11 pattern — no driver collect),
+    // and the curve is a ≤-join of the VOCAB-sized first-seen table
+    // against the 10-row spine (≤10× vocab rows, map-side partial
+    // counts) — the corpus itself is never re-read or sorted.
+    // Everything is exact integers.
+    "text_vocab_growth" -> ((s, dir) => {
+      val firstSeen = t(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      val spine = t(s, dir, "documents")
+        .agg(max(col("doc_id")).as("max_doc"))
+        .select(explode(sequence(lit(1), lit(10))).as("decile"), col("max_doc"))
+        .select(col("decile"),
+          expr("(max_doc * decile) div 10").as("bound"))
+      firstSeen.join(broadcast(spine), col("first_doc") <= col("bound"))
+        .groupBy(col("decile"), col("bound"))
+        .agg(count(lit(1)).as("vocab_size"))
+        .orderBy(col("decile"))
+    }),
+
     // Language ID: stopword-hit voting across per-language function-word
     // lists; argmax with a deterministic tie order (en > de > fr).
     "text_langid" -> ((s, dir) => {
@@ -827,6 +853,22 @@ object TextAnalysis {
         |  len(ws[p:p + 15]) AS n_tokens,
         |  md5(array_to_string(ws[p:p + 15], ' ')) AS chunk_hash
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same min-doc-per-term reduction, same integer-division decile
+    // spine, same ≤-join — exact integers end to end.
+    "text_vocab_growth" ->
+      """WITH fs AS (
+        |  SELECT term, min(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY term),
+        |m AS (SELECT max(doc_id) AS max_doc FROM documents),
+        |sp AS (SELECT d AS decile, (max_doc * d) // 10 AS bound
+        |       FROM m, generate_series(1, 10) t(d))
+        |SELECT sp.decile, sp.bound, count(*) AS vocab_size
+        |FROM fs JOIN sp ON fs.first_doc <= sp.bound
+        |GROUP BY sp.decile, sp.bound
+        |ORDER BY decile""".stripMargin,
 
     "text_pii" ->
       s"""WITH $plantedPiiCte,

@@ -220,6 +220,42 @@ object Graph {
     labels
   }
 
+  /** k-core by synchronous peeling (Seidman 1983 / the Batagelj-
+    * Zaveršnik distributed variant): `sweeps` rounds of "drop every
+    * node of degree < k, and every edge touching a dropped node". The
+    * k-core is the fixpoint; a FIXED sweep count (no data-dependent
+    * convergence loop an oracle couldn't replay) plus an in-query
+    * fixpoint certificate — min surviving degree ≥ k, a one-row
+    * broadcast scalar — make the gate non-vacuous: if the sweeps
+    * didn't reach the core, `converged` flips false and the hash
+    * compare fails. Sweep shape: ONE grouped degree count + two
+    * semi-joins of the edge list against the keep set, all hash-
+    * partitioned on node id, so the same partitioning serves every
+    * sweep and per-sweep work is O(surviving edges) — shrinking as the
+    * periphery peels away. Per-sweep eager checkpoints truncate
+    * lineage (the edge table feeds the next degree count AND both
+    * semi-join legs — the bfs multi-consumer rule). Nothing
+    * broadcasts except the one-row certificate: the keep set is
+    * node-sized at 100 TB. */
+  private[graft] def kcore(eIn: DataFrame, k: Int, sweeps: Int): DataFrame = {
+    var e = eIn.select(col("u").as("src"), col("v").as("dst"))
+      .union(eIn.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to sweeps) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      e = e.join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint(eager = true)
+    }
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+    val cert = deg.agg(coalesce(min(col("core_deg")) >= k, lit(true))
+      .as("converged"))
+    deg.crossJoin(broadcast(cert))
+      .select(col("src").as("supp_id"), col("core_deg"), col("converged"))
+      .orderBy(col("supp_id"))
+  }
+
   /** Undirected supplier co-supply edges for one calendar month: two
     * suppliers are linked iff they supplied the same order in the
     * slice. The within-order pair join fans out only within an order
@@ -432,8 +468,55 @@ object Graph {
       sssp(seeds, weightedTradeEdges(s, dir), rounds = 3)
         .select(decodeNode(col("node")).as("node"), col("dist"))
         .orderBy(col("node"))
-    })
+    }),
+
+    // 3-core of the month-sliced co-supply graph — the dense backbone
+    // that survives when every peripheral supplier (fewer than 3
+    // co-supply partners, recursively) peels away; the standard
+    // "dense subgraph seed" a graph pipeline extracts before community
+    // work. Fixed 6 peels + the in-query fixpoint certificate (see
+    // kcore); the oracle unrolls the identical 6 peels in SQL.
+    "graph_kcore" -> ((s, dir) =>
+      kcore(coSupplyEdges(s, dir), k = KcoreK, sweeps = KcoreSweeps))
   )
+
+  val KcoreK = 3
+  val KcoreSweeps = 6
+
+  /** The kcore oracle unrolls the fixed peels the labelPropSql way:
+    * each stage keeps nodes of degree ≥ k over the previous stage's
+    * edges, then edges with both endpoints kept; the certificate is
+    * the same min-degree scalar. Unlike the single-reference labelprop/
+    * pagerank chains, every peel reads its predecessor TWICE (degree
+    * count + the edge filter), so the stages are pinned AS MATERIALIZED
+    * — DuckDB 1.0 inlines multiply-referenced CTEs by default, which
+    * would expand this chain exponentially. */
+  private def kcoreSql(k: Int, sweeps: Int): String = {
+    val stages = (1 to sweeps).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT src FROM e${i - 1} GROUP BY src
+         |        HAVING count(*) >= $k),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |        JOIN n$i a ON e.src = a.src
+         |        JOIN n$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mo AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+       |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+       |sup AS (
+       |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+       |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+       |eu AS (
+       |  SELECT DISTINCT x.sk AS u, y.sk AS v
+       |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
+       |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM eu
+       |       UNION ALL SELECT v, u FROM eu),
+       |$stages,
+       |d AS (SELECT src, count(*) AS core_deg FROM e$sweeps GROUP BY src),
+       |c AS (SELECT coalesce(min(core_deg) >= $k, TRUE) AS converged FROM d)
+       |SELECT src AS supp_id, core_deg, converged
+       |FROM d CROSS JOIN c ORDER BY supp_id""".stripMargin
+  }
 
   /** The oracle UNROLLS the power iteration — one CTE stage per sweep,
     * the same join + grouped sum + damping floor at every step (DuckDB
@@ -528,6 +611,7 @@ object Graph {
 
     "graph_pagerank" -> pagerankSql(Sweeps),
     "graph_labelprop" -> labelPropSql(4),
+    "graph_kcore" -> kcoreSql(KcoreK, KcoreSweeps),
 
     // Same three relaxations unrolled; min over exact longs each round.
     "graph_sssp" ->

@@ -1062,10 +1062,61 @@ object Relational {
           round(corr(col("cnt"), col("lag7")), 4).as("r7"))
         .select(expr("stack(2, 1, r1, 7, r7) AS (lag, pearson_r)"))
         .orderBy(col("lag"))
+    }),
+
+    // Value-based decile histogram of order prices. Deliberately NOT
+    // ntile(): a global ntile is an unpartitioned window — one task
+    // totally sorts the table, the classic 100 TB anti-pattern. The
+    // distributed shape is bounds-then-bin: the 9 interior percentile
+    // bounds come from ONE percentile aggregate (a one-row broadcast —
+    // the q11 scalar pattern), then a codegen'd CASE bins the table in
+    // the same scan that aggregates it — no global sort, no window, no
+    // second pass over the data. Ties at a bound land deterministically
+    // by VALUE (identical doubles compare identically in both engines —
+    // the q25 percentile pairing), where ntile would split them
+    // arbitrarily by position.
+    "q48_deciles" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // ONE percentile(array) aggregate: all 9 bounds come from a
+      // single sorted buffer — nine scalar percentile() calls would
+      // each hold and sort their own copy of the column (measured 2.5×
+      // slower at sf0.1)
+      val bounds = o.agg(percentile(col("o_totalprice"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+        .select((1 to 9).map(i => element_at(col("bs"), i).as(s"b$i")): _*)
+      val decile = (1 to 9).foldLeft(when(lit(false), 0)) { (acc, i) =>
+        acc.when(col("o_totalprice") <= col(s"b$i"), i)
+      }.otherwise(10)
+      o.crossJoin(broadcast(bounds))
+        .select(decile.as("decile"), col("o_totalprice"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("decile"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Same quantile_cont bounds (the q25 percentile pairing), same CASE
+    // binning on identical doubles, same exact cents sum.
+    "q48_deciles" -> {
+      val bs = (1 to 9).map(i =>
+        s"quantile_cont(o_totalprice, 0.$i) AS b$i").mkString(", ")
+      val cases = (1 to 9).map(i =>
+        s"WHEN o_totalprice <= b$i THEN $i").mkString(" ")
+      s"""WITH b AS (SELECT $bs FROM orders)
+         |SELECT CASE $cases ELSE 10 END AS decile,
+         |  count(*) AS n_orders,
+         |  round(min(o_totalprice), 2) AS lo,
+         |  round(max(o_totalprice), 2) AS hi,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS sum_cents
+         |FROM orders CROSS JOIN b
+         |GROUP BY 1 ORDER BY decile""".stripMargin
+    },
+
     // Plain inequality join replays the band join; 1.0::DOUBLE forces
     // DuckDB off its decimal literal so the 1/n credit is the same IEEE
     // double division.

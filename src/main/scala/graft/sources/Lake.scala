@@ -321,6 +321,68 @@ object Lake {
     }
   }
 
+  /** Merge-on-read deletes (the Iceberg v2 equality-delete-file /
+    * Delta deletion-vector pattern) — the WRITE-cheap sibling of
+    * [[deleteKeys]]'s copy-on-write rewrite: a delete lands as a tiny
+    * tombstone file of keys under `base/_deletes/d=N` and no data file
+    * is touched, so the delete commit is O(deleted keys) no matter how
+    * large the table is. Every [[readMergeOnRead]] then applies the
+    * accumulated tombstones as ONE anti-join on the key — broadcast
+    * while the tombstone set is small (AQE measures it), key-hash
+    * co-partitioned once it isn't. Reads slow as tombstones pile up,
+    * which is why MoR tables schedule [[compactDeletes]]: fold the
+    * tombstones into the data files and reset — after which reads are
+    * plain scans again. Each call writes a NEW d=N directory (never
+    * appends into an existing one), so concurrent readers listing
+    * earlier deletes are undisturbed — the same immutable-commit
+    * contract as writeVersion. */
+  def writeDeleteVector(spark: SparkSession, base: String, keys: DataFrame): Unit = {
+    val delRoot = new org.apache.hadoop.fs.Path(s"$base/_deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next =
+      if (!fs.exists(delRoot)) 0
+      else fs.listStatus(delRoot).map(_.getPath.getName)
+        .filter(_.startsWith("d=")).map(_.stripPrefix("d=").toInt)
+        .foldLeft(-1)(math.max) + 1
+    keys.write.mode(SaveMode.ErrorIfExists).parquet(s"$base/_deletes/d=$next")
+  }
+
+  /** Read a merge-on-read table: the data files minus every key named
+    * by an accumulated tombstone. The tombstone union is
+    * de-duplicated before the anti-join (deleting a key twice is
+    * legal and idempotent). */
+  def readMergeOnRead(spark: SparkSession, base: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val data = spark.read.parquet(s"$base/data")
+    val delRoot = new org.apache.hadoop.fs.Path(s"$base/_deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delRoot)) data
+    else {
+      val dels = spark.read.parquet(s"$base/_deletes")
+        .select(col(keyCol)).distinct()
+      data.join(dels, Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Fold the accumulated tombstones into the data files (the
+    * read-optimize maintenance pass): survivors are materialized FIRST
+    * (localCheckpoint — the plan must not read `base` while we mutate
+    * it, the deleteKeys discipline), then data + tombstones are
+    * replaced by the survivor set. Idempotent on re-run; a crash
+    * before the data swap leaves the MoR view intact (tombstones still
+    * present), after it leaves a plain table with at worst stale
+    * tombstone dirs that the final delete re-drops. */
+  def compactDeletes(spark: SparkSession, base: String, keyCol: String): Unit = {
+    val delRoot = new org.apache.hadoop.fs.Path(s"$base/_deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delRoot)) {
+      val survivors = readMergeOnRead(spark, base, keyCol)
+        .localCheckpoint(eager = true)
+      survivors.write.mode(SaveMode.Overwrite).parquet(s"$base/data")
+      fs.delete(delRoot, true)
+    }
+  }
+
   /** Versioned (time-travel) persistence — the snapshot layer a lake
     * needs before overwrites are safe: every publish lands as a NEW
     * immutable directory `base/v=N`, so readers pinned to a version are
@@ -367,6 +429,17 @@ object Lake {
     require(vs.contains(v), s"readVersion: version $v not in $vs")
     spark.read.parquet(s"$base/v=$v")
   }
+
+  /** Roll a versioned table back to `version` by PUBLISHING that
+    * snapshot again as the NEWEST version — never by deleting newer
+    * versions: readers pinned to them stay undisturbed, the bad
+    * versions remain for forensics, and the restore itself is one more
+    * immutable commit through the same staged-rename publish as any
+    * write (a crash mid-restore leaves latest untouched). The
+    * superseded versions retire later through the ordinary retention
+    * vacuum. Returns the newly published version. */
+  def restoreVersion(spark: SparkSession, base: String, version: Int): Int =
+    writeVersion(spark, readVersion(spark, base, Some(version)), base)
 
   /** Zero-copy shallow clone of a published version: the clone is a
     * MANIFEST (one text file of absolute data-file paths) — no data

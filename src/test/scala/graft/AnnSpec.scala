@@ -171,4 +171,19 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("agree")),
       rows.filterNot(_.getAs[Boolean]("agree")).mkString(","))
   }
+
+  test("range search agrees with brute-force top-k where they overlap") {
+    val range = Similarity.queries("ann_range")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(range.nonEmpty)
+    assert(range.keys.forall { case (q, n) => q != n }, "no self pairs")
+    // every bruteforce hit at/above the radius must be in the range
+    // result with the identical rounded score — and none below it
+    val bf = Similarity.queries("ann_bruteforce")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+    bf.filter { case ((q, n), _) => q != n }.foreach { case (k, cos) =>
+      if (cos >= 0.25) assert(range.get(k).contains(cos), s"$k missing/diverged")
+      else assert(!range.contains(k), s"$k below the radius leaked in")
+    }
+  }
 }

@@ -132,4 +132,30 @@ class GraphSpec extends AnyFunSuite {
     assert(two == Map("a" -> 0L, "b" -> 5L, "c" -> 2L),
       s"second relaxation must improve b via c: $two")
   }
+
+  test("kcore peels a cascade to the fixpoint and certifies it") {
+    import spark.implicits._
+    // 4-clique {1..4} + pendant path 4-5, 5-6: the 3-core is the clique
+    // alone, but reaching it CASCADES — 6 peels first (degree 1), which
+    // only then drops 5 to degree 1; a one-sweep peel can't get there
+    val clique = for (a <- 1 to 4; b <- a + 1 to 4) yield (a.toLong, b.toLong)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val got = Graph.kcore(edges, k = 3, sweeps = 3).collect()
+    assert(got.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got.mkString(","))
+    assert(got.forall(_.getBoolean(2)), "fixpoint must certify converged")
+  }
+
+  test("kcore flags an unreached fixpoint and handles the empty core") {
+    import spark.implicits._
+    // path 1-2-3-4-5, k=2: each sweep peels one pendant pair, so one
+    // sweep leaves 2-3-4 with the ends at degree 1 — NOT the 2-core
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val early = Graph.kcore(path, k = 2, sweeps = 1).collect()
+    assert(early.nonEmpty && early.forall(!_.getBoolean(2)),
+      s"stopping mid-peel must flip the certificate: ${early.mkString(",")}")
+    // enough sweeps: the 2-core of a path is EMPTY — a valid fixpoint
+    val done = Graph.kcore(path, k = 2, sweeps = 4).collect()
+    assert(done.isEmpty)
+  }
 }

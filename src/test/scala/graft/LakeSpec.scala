@@ -232,6 +232,46 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(p).count() == 200 - fullBucket.length - 2)
   }
 
+  test("merge-on-read deletes apply at read time and compaction folds them in") {
+    import spark.implicits._
+    val p = TestSpark.scratch("mor_deletes")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    spark.range(100).toDF("id").withColumn("v", col("id") * 7)
+      .write.parquet(s"$p/data")
+    val dataListing = new java.io.File(s"$p/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified())).toSet
+    // two commits, overlapping keys (double-delete must be idempotent)
+    Lake.writeDeleteVector(spark, p, Seq(3L, 5L, 7L).toDF("id"))
+    Lake.writeDeleteVector(spark, p, Seq(7L, 11L).toDF("id"))
+    // materialize the MoR view BEFORE compaction mutates the directory
+    // under the lazy plan (the don't-read-what-you-mutate discipline the
+    // gate query follows with an eager localCheckpoint)
+    val morIds = Lake.readMergeOnRead(spark, p, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(morIds.size == 96)
+    assert(Set(3L, 5L, 7L, 11L).forall(!morIds(_)))
+    // delete commits are O(keys): no data file was touched
+    assert(new java.io.File(s"$p/data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == dataListing,
+      "a MoR delete must not rewrite data files")
+    assert(new java.io.File(s"$p/_deletes").listFiles()
+      .map(_.getName).toSet == Set("d=0", "d=1"),
+      "each delete commit lands as its own immutable directory")
+    // compaction folds the tombstones in and resets the delete log
+    Lake.compactDeletes(spark, p, "id")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p/_deletes")))
+    val compactedIds = Lake.readMergeOnRead(spark, p, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(compactedIds == morIds,
+      "compaction must be result-identical to the MoR read")
+    // idempotent: compacting with no tombstones is a no-op
+    Lake.compactDeletes(spark, p, "id")
+    assert(Lake.readMergeOnRead(spark, p, "id").count() == 96)
+  }
+
   test("ini config loading wires S3A credentials like the reference's dl.cfg") {
     val cfg = TestSpark.scratch("cfg/dl.cfg")
     Files.writeString(Paths.get(cfg),
@@ -263,6 +303,25 @@ class LakeSpec extends AnyFunSuite {
     // no staging leftovers
     val dirs = new java.io.File(base).listFiles().map(_.getName).toSet
     assert(dirs == Set("v=1", "v=2"), dirs.toString)
+  }
+
+  test("restoreVersion republishes the pinned snapshot without touching newer versions") {
+    import spark.implicits._
+    val base = TestSpark.scratch("lake_restore")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Lake.writeVersion(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base)
+    Lake.writeVersion(spark, Seq((1L, "a"), (2L, "BAD")).toDF("k", "v"), base)
+    val v3 = Lake.restoreVersion(spark, base, 1)
+    assert(v3 == 3)
+    assert(Lake.listVersions(spark, base) == Seq(1, 2, 3))
+    // latest is the v1 content again
+    val latest = Lake.readVersion(spark, base)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(latest == Map(1L -> "a", 2L -> "b"))
+    // the bad version survives for forensics and pinned readers
+    val v2 = Lake.readVersion(spark, base, Some(2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v2 == Map(1L -> "a", 2L -> "BAD"))
   }
 
   test("snapshotDiff classifies added, removed, and changed keys exactly") {

@@ -211,4 +211,20 @@ class RelationalSpec extends AnyFunSuite {
       assert(w0.isDefined && byOff.forall(_._2 <= w0.get), cells.mkString("; "))
     }
   }
+
+  test("decile histogram partitions the table with ordered value ranges") {
+    val rows = operators.Relational.queries("q48_deciles")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val total = sources.Lake.table(TestSpark.spark, TestSpark.Sf, "orders").count()
+    assert(rows.map(_.getLong(1)).sum == total, "bins must partition the table")
+    // value-based bins: each decile's hi must not exceed the next's lo
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2),
+        s"overlapping bins: ${a.mkString(",")} vs ${b.mkString(",")}")
+    }
+    // roughly equal mass (interpolated bounds can't be exactly equal):
+    // no decile may be empty
+    assert(rows.forall(_.getLong(1) > 0))
+  }
 }

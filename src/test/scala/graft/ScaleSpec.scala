@@ -163,6 +163,13 @@ class ScaleSpec extends AnyFunSuite {
     // catalog stats feed sizeInBytes
     val s = spark
     s.sql("DROP TABLE IF EXISTS cbo_dim")
+    // each test run starts a FRESH in-memory catalog, so a previous
+    // (killed) run's managed-table directory survives on disk with no
+    // catalog entry — DROP above is then a no-op and CREATE refuses the
+    // existing location; clear the orphaned dir explicitly
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + "/cbo_dim")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     sources.Lake.table(s, TestSpark.Sf, "nation")
       .write.mode("overwrite").saveAsTable("cbo_dim")
     s.sql("ANALYZE TABLE cbo_dim COMPUTE STATISTICS")
@@ -192,7 +199,7 @@ class ScaleSpec extends AnyFunSuite {
       // relation
       if (Set("dedup_clusters", "graph_pagerank", "graph_bfs",
           "graph_components", "graph_labelprop", "mm_cluster",
-          "graph_sssp")(k))
+          "graph_sssp", "graph_kcore")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }

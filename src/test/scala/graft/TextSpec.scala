@@ -342,4 +342,19 @@ class TextSpec extends AnyFunSuite {
     assert(rows(2L)._1 == 3L)
     assert(math.abs(rows(2L)._2 - 0.4621) < 1e-9, rows(2L).toString)
   }
+
+  test("vocab growth is monotone and ends at the full vocabulary") {
+    val rows = functions.TextAnalysis.queries("text_vocab_growth")(
+      TestSpark.spark, TestSpark.Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1 to 10), rows.mkString(","))
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 }, "growth must be monotone")
+    val docs = sources.Lake.table(TestSpark.spark, TestSpark.Sf, "documents")
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val totalVocab = docs.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    assert(rows.last._3 == totalVocab,
+      s"decile 10 must cover the full vocabulary: ${rows.last._3} vs $totalVocab")
+  }
 }
