@@ -558,6 +558,43 @@ object Streams {
         .orderBy(col("user_id"))
     }),
 
+    // Streaming erasure via merge-on-read deletion vectors — the
+    // CDC-DELETE sibling of stream_upsert's CDC-upsert: erasure
+    // requests (error events from the user_id%10=7 pilot cohort)
+    // arrive on the stream, and every micro-batch commits ONE O(keys)
+    // tombstone file against the orders table through
+    // Lake.writeDeleteVector — no data file is read or rewritten at
+    // request time, which is what makes a delete feed sustainable
+    // against a 100 TB table (stream_upsert's fold rewrites state;
+    // a delete need only append its keys). The serving read applies
+    // the accumulated vectors as one anti-join. The final table is
+    // BATCHING-INVARIANT — tombstones union to the same key set
+    // however the stream is sliced — so the oracle replays the whole
+    // feed as one logical delete.
+    "stream_delete" -> ((s, dir) => {
+      val key = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val base = s"/root/repo/target/graft-scratch/stream_delete-$key"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      graft.sources.Lake.table(s, dir, "orders")
+        .write.parquet(s"$base/data")
+      val requests = readEventsStream(s, dir)
+        .filter(col("event_type") === "error" && col("user_id") % 10 === 7)
+        .select(col("user_id").as("o_custkey"))
+      val q = requests.writeStream
+        .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty)
+            graft.sources.Lake.writeDeleteVector(s, base, batch.distinct()))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.Lake.readMergeOnRead(s, base, "o_custkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Gap sessionization (batch path of the shared fold; the streaming
     // flatMapGroupsWithState path is asserted equal in the spec).
     "stream_session" -> ((s, dir) => {
@@ -612,6 +649,21 @@ object Streams {
         |      FROM events)
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    // The whole delete feed replayed as one logical anti-join: the
+    // tombstone union is batching-invariant, so however the stream was
+    // sliced into commits, the served table equals this.
+    "stream_delete" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT DISTINCT user_id FROM events
+        |   WHERE event_type = 'error' AND user_id % 10 = 7)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
 
     // Batch equivalent of the landing-zone content dedup: one row per
     // distinct normalized-content hash (columns are hash-determined, so

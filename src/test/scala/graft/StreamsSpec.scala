@@ -154,6 +154,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(res.exceptAll(direct).isEmpty && direct.exceptAll(res).isEmpty)
   }
 
+  test("stream_delete commits per-batch tombstones and serves the full anti-join") {
+    val res = SparkEntry.queries("stream_delete")(spark, TestSpark.Sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch replay of the whole feed as one logical delete
+    val erased = sources.Lake.table(spark, TestSpark.Sf, "events")
+      .filter(col("event_type") === "error" && pmod(col("user_id"), lit(10)) === 7)
+      .select(col("user_id").as("o_custkey")).distinct()
+    val expect = sources.Lake.table(spark, TestSpark.Sf, "orders")
+      .join(erased, Seq("o_custkey"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("nc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(res == expect, s"$res vs $expect")
+    // the erasure was non-vacuous and landed as O(keys) tombstone
+    // commits, not a data rewrite
+    assert(erased.count() > 0)
+    val key = java.lang.Long.toHexString(TestSpark.Sf.hashCode.toLong & 0xffffffffL)
+    val dels = new java.io.File(
+      s"/root/repo/target/graft-scratch/stream_delete-$key/_deletes")
+    assert(dels.isDirectory &&
+      dels.listFiles().count(_.getName.startsWith("d=")) >= 1)
+  }
+
   test("session fold: gap splitting, counts and sums") {
     def ev(uid: Long, minute: Long, v: Double, id: Long) =
       Streams.Ev(uid, minute * 60L * 1000000, id, v)
