@@ -64,6 +64,34 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Maximum-inner-product search (MIPS) — top-k by UNNORMALIZED dot
+    // product, the scoring of recommendation/retrieval models trained
+    // on inner product where the vector norm carries signal (a popular
+    // item's long embedding should outrank a cosine-similar niche one;
+    // on these unnormalized testdata vectors the MIPS ranking provably
+    // differs from ann_bruteforce's cosine ranking). Same scale shape
+    // as the cosine baseline: queries broadcast, the corpus streams
+    // through the codegen'd dot kernel once, per-query top-k via the
+    // rank window; the classic scale path beyond brute force is the
+    // norm-augmentation reduction to cosine ANN (append sqrt(M²−|x|²)
+    // — Bachrach 2014) over the SAME LSH machinery, so brute-force
+    // MIPS is the recall=1 baseline the reduction would be gated on.
+    "ann_mips" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("dot").desc, col("vec_id"))
+      emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("dot", GraftFunctions.dotProduct(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+          round(col("dot"), 6).as("dot"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Radius (range) search — the fixed-threshold sibling of top-k:
     // every corpus vector within cosine ≥ RangeThr of a query, the
     // primitive behind "find ALL near-duplicates / all matches above
@@ -732,6 +760,23 @@ object Similarity {
          |                     CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
          |      FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q
          |      CROSS JOIN embeddings c)
+         |WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Same sequential-fold accumulation as the dot kernel (the cosine
+    // parity discipline minus the norm divide) — ranks decided on
+    // identical bits, ties broken by vec_id.
+    "ann_mips" ->
+      s"""SELECT query_id, neighbor_id, rank, round(dot, 6) AS dot
+         |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_inner_product(CAST(q.embedding AS DOUBLE[]),
+         |                           CAST(c.embedding AS DOUBLE[])) AS dot,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY list_inner_product(CAST(q.embedding AS DOUBLE[]),
+         |                     CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+         |      FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q
+         |      CROSS JOIN embeddings c
+         |      WHERE q.vec_id <> c.vec_id)
          |WHERE rank <= $K
          |ORDER BY query_id, rank""".stripMargin,
 

@@ -71,6 +71,37 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** dot_product(array<float|double>, array<float|double>) → double.
+  * The unnormalized sibling of [[CosineSimilarity]] — MIPS scoring
+  * (recommendation / retrieval models trained on inner product, where
+  * the norm carries signal and cosine ranking is wrong). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private lazy val isDouble: Boolean = K.vectorElem(left.dataType).contains(true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (K.vectorElem(left.dataType), K.vectorElem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => K.fail(prettyName,
+        "two array<float> or two array<double> arguments",
+        Seq(left.dataType, right.dataType))
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isDouble) Kernels.dotDouble(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = if (isDouble) "dotDouble" else "dot"
+    defineCodeGen(ctx, ev, (a, b) => s"${K.Cls}.$k($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
 /** simhash64(array<string> tokens) → long fingerprint. */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
@@ -208,6 +239,7 @@ object GraftFunctions {
   private def col(x: Expression): Column = Bridge.column(x)
 
   def cosineSim(a: Column, b: Column): Column = col(CosineSimilarity(e(a), e(b)))
+  def dotProduct(a: Column, b: Column): Column = col(DotProduct(e(a), e(b)))
   def simhash64(tokens: Column): Column = col(SimHash64(e(tokens)))
   def minhashSig(shingles: Column, numPerms: Int = 128): Column =
     col(MinHashSignature(e(shingles), numPerms))

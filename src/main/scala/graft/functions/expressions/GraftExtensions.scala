@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - inner product of two float arrays"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (es: Seq[Expression]) => SimHash64(es.head)))

@@ -30,6 +30,33 @@ object Kernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Inner (dot) product of two float vectors, accumulated in double
+    * left-to-right — bit-identical to DuckDB's list_inner_product over
+    * the DOUBLE-cast arrays (the cosine parity discipline, minus the
+    * norm divide). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** [[dot]] over double vectors. */
+  def dotDouble(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Cosine similarity over double vectors (the natural type of SQL array
     * literals after a DOUBLE cast) — same accumulation as [[cosine]]. */
   def cosineDouble(a: ArrayData, b: ArrayData): Double = {

@@ -172,6 +172,28 @@ class AnnSpec extends AnyFunSuite {
       rows.filterNot(_.getAs[Boolean]("agree")).mkString(","))
   }
 
+  test("MIPS ranking is dot-ordered and differs from the cosine ranking") {
+    val mips = Similarity.queries("ann_mips")(spark, TestSpark.Sf).collect()
+    val byQ = mips.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length),
+        "ranks must be contiguous from 1")
+      val dots = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        "dot scores must be non-increasing in rank")
+    }
+    // non-vacuity: on unnormalized vectors the inner-product ranking
+    // must disagree with the cosine ranking for at least one query
+    val cosTop = Similarity.queries("ann_bruteforce")(spark, TestSpark.Sf)
+      .collect().filter(r => r.getLong(0) != r.getLong(1))
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val mipsTop = byQ.map { case (q, rs) =>
+      q -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    assert(mipsTop.exists { case (q, ns) => cosTop.get(q).exists(_ != ns) },
+      "MIPS ordering never diverged from cosine — the metric is vacuous here")
+  }
+
   test("range search agrees with brute-force top-k where they overlap") {
     val range = Similarity.queries("ann_range")(spark, TestSpark.Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
