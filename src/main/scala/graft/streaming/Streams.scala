@@ -85,6 +85,7 @@ object Streams {
     stage(spark, sfDir, "stream_content_dedup_src_v2", contentLanding(spark, sfDir))
     stage(spark, sfDir, "stream_trending_src", trendingLanding(spark, sfDir))
     stage(spark, sfDir, "stream_join_outer_src", outerJoinLanding(spark, sfDir))
+    stage(spark, sfDir, "stream_session_native_src", outerJoinLanding(spark, sfDir))
   }
 
   /** Landing for the OUTER stream-stream join: the raw event feed plus
@@ -595,6 +596,46 @@ object Streams {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Gap sessionization through Spark's NATIVE session_window state
+    // store — the built-in operator beside stream_session's custom
+    // flatMapGroupsWithState fold: one watermarked session-window
+    // aggregate, Append mode (sessions finalize and state evicts when
+    // the watermark passes session_end + gap), merged entirely inside
+    // the state store with no per-group user code. The feed carries
+    // the outer-join clock sentinel (max(ts)+2h, user −1, data-derived
+    // — no driver collect) so every real session clears the watermark
+    // in a bounded replay; the sentinel's own session is dropped from
+    // the result. Boundary semantics: session_window's merge is
+    // INCLUSIVE — an event starting at exactly prev_ts + gap still
+    // merges (StreamsSpec pins it on a planted exact-gap triple) — so
+    // the oracle splits on diff > gap, the same rule as the custom
+    // fold. session_end is the last event (window end minus the gap
+    // extension). At 100 TB this is the sessionization to prefer: the
+    // state store handles merge/evict natively and the whole query is
+    // one stateful exchange on user_id.
+    "stream_session_native" -> ((s, dir) => {
+      val staged = stage(s, dir, "stream_session_native_src",
+        outerJoinLanding(s, dir))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      val agg = s.readStream.schema(schema).parquet(staged)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv"))
+      materialize(s, agg, "graft_stream_session_native", OutputMode.Append())
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          (col("sw.end") - expr("INTERVAL 30 MINUTES")).as("session_end"),
+          col("n_events"), round(col("sv"), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // Gap sessionization (batch path of the shared fold; the streaming
     // flatMapGroupsWithState path is asserted equal in the spec).
     "stream_session" -> ((s, dir) => {
@@ -723,6 +764,28 @@ object Streams {
         |ORDER BY window_start, event_type""".stripMargin,
 
     "stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // Same gaps-and-islands replay and the SAME > split as the custom
+    // fold: session_window's merge is INCLUSIVE (an event starting at
+    // exactly prev_ts + gap still merges — pinned empirically in
+    // StreamsSpec), so both sessionizers share one boundary rule.
+    "stream_session_native" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'

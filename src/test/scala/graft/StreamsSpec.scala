@@ -177,6 +177,34 @@ class StreamsSpec extends AnyFunSuite {
       dels.listFiles().count(_.getName.startsWith("d=")) >= 1)
   }
 
+  test("native session_window shares the custom fold's inclusive gap boundary") {
+    import spark.implicits._
+    // three events: 0 min, 30 min (EXACTLY the gap), 40 min — then a
+    // fourth at 80 min (past the gap from 40). session_window's merge
+    // is inclusive, so the exact-gap event merges (one session of 3)
+    // and the 80-minute event splits — the same > rule as the custom
+    // fold, which is why both oracles can share one gaps-and-islands
+    // replay. This pins the boundary so a Spark-side semantic change
+    // (an exclusive merge would split the exact-gap triple) fails here
+    // rather than silently at an oracle mismatch on unlucky data.
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z micros
+    def us(min: Long) = t0 + min * 60L * 1000000
+    val ev = Seq(
+      (1L, us(0), 1L, 1.0), (1L, us(30), 2L, 1.0),
+      (1L, us(40), 3L, 1.0), (1L, us(80), 4L, 1.0))
+      .toDF("user_id", "tsMicros", "event_id", "value")
+      .select(col("user_id"), timestamp_micros(col("tsMicros")).as("ts"),
+        col("event_id"), col("value"))
+    val native = ev
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(native.map(_.getLong(2)).sorted.toSeq == Seq(1L, 3L),
+      s"inclusive merge + split past the gap: ${native.mkString(",")}")
+    val custom = Streams.sessionizeBatch(spark, ev).collect()
+    assert(custom.map(_.n_events).sorted.toSeq == Seq(1L, 3L),
+      s"custom fold must agree on both boundaries: ${custom.mkString(",")}")
+  }
+
   test("session fold: gap splitting, counts and sums") {
     def ev(uid: Long, minute: Long, v: Double, id: Long) =
       Streams.Ev(uid, minute * 60L * 1000000, id, v)
