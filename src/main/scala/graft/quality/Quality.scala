@@ -228,6 +228,35 @@ object Quality {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // Chi-square independence screen over a categorical pair (the
+    // association test profile_corr can't do — corr needs numbers;
+    // "does order priority predict status" needs the contingency
+    // table): ONE scan builds the k×m cell counts, and every further
+    // step (row/column marginals, the n scalar, expected counts
+    // rt·ct/n, per-cell (o−e)²/e contributions) runs on the ≤ k·m-row
+    // cell table — broadcast joins, no second data pass, the
+    // profile_stats O(cells) report contract. Arithmetic: marginals
+    // are exact longs; expected and contributions are IEEE doubles
+    // computed in the same spelled order both engines, surfaced on
+    // the 6dp grid ((o−e)·(o−e), not pow — no transcendental).
+    "profile_chisq" -> ((s, dir) => {
+      val cells = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy(col("prio")).agg(sum(col("obs")).as("rt"))
+      val ct = cells.groupBy(col("status")).agg(sum(col("obs")).as("ct"))
+      val n = cells.agg(sum(col("obs")).cast("double").as("n"))
+      val e = col("rt") * col("ct") / col("n")
+      cells.join(broadcast(rt), Seq("prio"))
+        .join(broadcast(ct), Seq("status"))
+        .crossJoin(broadcast(n))
+        .select(col("prio"), col("status"), col("obs"),
+          round(e, 6).as("expected"),
+          round((col("obs") - e) * (col("obs") - e) / e, 6).as("contrib"))
+        .orderBy(col("prio"), col("status"))
+    }),
+
     // Per-segment revenue trend by closed-form least squares — the
     // statistical-modeling leg of the profile family (is this segment
     // growing?). Two tiny-keyed aggregates: monthly revenue per segment
@@ -689,6 +718,23 @@ object Quality {
         |    round(covar_samp(l_quantity, l_tax), 2) FROM lineitem)
         |SELECT col_a, col_b, pearson_r, covar
         |FROM p ORDER BY col_a, col_b""".stripMargin,
+
+    // Same one-scan cell table, same exact-long marginals, same
+    // spelled-order double expected/contrib on the 6dp grid.
+    "profile_chisq" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |    count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT prio, CAST(sum(obs) AS BIGINT) AS rt FROM c GROUP BY 1),
+        |k AS (SELECT status, CAST(sum(obs) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM c)
+        |SELECT c.prio, c.status, c.obs,
+        |  round(r.rt * k.ct / t.n, 6) AS expected,
+        |  round((c.obs - r.rt * k.ct / t.n) * (c.obs - r.rt * k.ct / t.n) /
+        |        (r.rt * k.ct / t.n), 6) AS contrib
+        |FROM c JOIN r USING (prio) JOIN k USING (status) CROSS JOIN t
+        |ORDER BY prio, status""".stripMargin,
 
     // Slope from the same exact-integer moments — HUGEINT is DuckDB's
     // decimal(38) stand-in; identical integers cast to the identical

@@ -233,4 +233,15 @@ class QualitySpec extends AnyFunSuite {
     assert(unioned == direct, s"union=$unioned direct=$direct")
     assert(math.abs(direct - 10000L) <= 500, s"estimate $direct vs 10000")
   }
+
+  test("chi-square cells reconcile with the table and its marginals") {
+    val rows = quality.Quality.queries("profile_chisq")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    val total = sources.Lake.table(TestSpark.spark, TestSpark.Sf, "orders").count()
+    assert(rows.map(_.getLong(2)).sum == total, "cells must partition the table")
+    // expected counts reproduce n (each row/column marginal distributes
+    // exactly once) and contributions are non-negative
+    assert(math.abs(rows.map(_.getDouble(3)).sum - total) < 1e-3 * rows.length)
+    assert(rows.forall(_.getDouble(4) >= 0.0))
+  }
 }
