@@ -240,6 +240,10 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column = col(CosineSimilarity(e(a), e(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(e(a), e(b)))
+  /** Exact one-pass distinct count (set-union partials, no Expand) —
+    * see [[BitmapDistinct]]. */
+  def bitmapDistinct(key: Column): Column =
+    col(BitmapDistinct(e(key)).toAggregateExpression())
   def simhash64(tokens: Column): Column = col(SimHash64(e(tokens)))
   def minhashSig(shingles: Column, numPerms: Int = 128): Column =
     col(MinHashSignature(e(shingles), numPerms))

@@ -228,6 +228,26 @@ object Quality {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // Exact per-group distinct counts through the custom
+    // bitmap_distinct aggregate (graft's TypedImperativeAggregate; see
+    // BitmapDistinct.scala) — ONE ordinary aggregate pass where the
+    // countDistinct spelling of the same query plans an Expand, and a
+    // second distinct column would double it: map-side set partials
+    // dedup before the shuffle, partials merge by union, the shuffle
+    // carries one serialized set per group per task. The result is
+    // EXACT, so the oracle is plain count(DISTINCT) equality — no
+    // tolerance contract needed. Two distinct keys in one pass makes
+    // the no-Expand point concrete.
+    "profile_bitmap_distinct" -> ((s, dir) => {
+      import graft.functions.expressions.GraftFunctions
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(GraftFunctions.bitmapDistinct(col("o_custkey")).as("n_customers"),
+          GraftFunctions.bitmapDistinct(
+            unix_date(to_date(col("o_orderdate"))).cast("long")).as("n_days"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Chi-square independence screen over a categorical pair (the
     // association test profile_corr can't do — corr needs numbers;
     // "does order priority predict status" needs the contingency
@@ -718,6 +738,17 @@ object Quality {
         |    round(covar_samp(l_quantity, l_tax), 2) FROM lineitem)
         |SELECT col_a, col_b, pearson_r, covar
         |FROM p ORDER BY col_a, col_b""".stripMargin,
+
+    // The bitmap aggregate is exact, so the oracle is direct
+    // count(DISTINCT) equality — a set-union bug of any kind fails the
+    // hash compare outright.
+    "profile_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // Same one-scan cell table, same exact-long marginals, same
     // spelled-order double expected/contrib on the 6dp grid.

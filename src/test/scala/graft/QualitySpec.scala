@@ -234,6 +234,29 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(direct - 10000L) <= 500, s"estimate $direct vs 10000")
   }
 
+  test("bitmap_distinct equals countDistinct across partial/merge paths") {
+    import TestSpark.spark.implicits._
+    import graft.functions.expressions.GraftFunctions
+    // planted: duplicates, negatives, and the 0 key (the set's empty-slot
+    // sentinel — carried by a side flag), spread over 8 partitions so
+    // map-side partials MUST serialize and merge
+    val keys = (0L until 1000L).flatMap(k => Seq(k % 97 - 48, k % 13)) ++ Seq(0L, 0L)
+    val df = keys.toDF("k").repartition(8)
+    val got = df.agg(GraftFunctions.bitmapDistinct(col("k"))).head.getLong(0)
+    val want = df.agg(countDistinct(col("k"))).head.getLong(0)
+    assert(got == want, s"bitmap=$got exact=$want")
+    assert(got == keys.distinct.length.toLong)
+    // grouped, on real data, against the built-in — both distinct keys
+    val o = sources.Lake.table(TestSpark.spark, TestSpark.Sf, "orders")
+    val viaBitmap = o.groupBy(col("o_orderstatus"))
+      .agg(GraftFunctions.bitmapDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaExpand = o.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBitmap == viaExpand)
+  }
+
   test("chi-square cells reconcile with the table and its marginals") {
     val rows = quality.Quality.queries("profile_chisq")(
       TestSpark.spark, TestSpark.Sf).collect()

@@ -181,6 +181,17 @@ class ScaleSpec extends AnyFunSuite {
       s"expected stats-driven broadcast of the analyzed dim:\n$plan")
   }
 
+  test("bitmap_distinct carries two distinct counts through one Expand-free pass") {
+    // the aggregate's reason to exist: the countDistinct spelling of
+    // this query replicates every row per distinct column through an
+    // Expand; the set-buffer aggregate must plan as a plain two-phase
+    // ObjectHashAggregate (partials dedup map-side, union on merge)
+    val plan = SparkEntry.queries("profile_bitmap_distinct")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"bitmap distinct must not Expand:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("no operator plan materializes data on the driver") {
     // structural guard: driver-collected data re-entering a plan shows up
     // as LocalTableScan / Scan ExistingRDD — no query may contain either
