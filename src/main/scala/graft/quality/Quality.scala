@@ -458,6 +458,32 @@ object Quality {
         .orderBy(col("col_name"))
     }),
 
+    // Most-frequent values per profiled column (the value-histogram
+    // half of a profiling report, next to profile_entropy's summary
+    // number): the same 3-column melt (one stack Expand with map-side
+    // partials — the shuffle carries (col, value) partial counts, not
+    // rows), one grouped count, then the top-3 cutoff runs on the
+    // k-row value table via a rank window partitioned by column —
+    // (cnt DESC, val) total order, integer ties broken by the value
+    // text identically in both engines.
+    "profile_topvalues" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "orders").select(expr(
+        """stack(3,
+          |  'o_orderstatus', o_orderstatus,
+          |  'o_orderpriority', o_orderpriority,
+          |  'order_year', CAST(year(o_orderdate) AS STRING))
+          |AS (col_name, val)""".stripMargin))
+        .groupBy(col("col_name"), col("val"))
+        .agg(count(lit(1)).as("cnt"))
+      val byCnt = Window.partitionBy(col("col_name"))
+        .orderBy(col("cnt").desc, col("val"))
+      counts.withColumn("rk", row_number().over(byCnt))
+        .filter(col("rk") <= 3)
+        .select(col("col_name"), col("rk"), col("val"), col("cnt"))
+        .orderBy(col("col_name"), col("rk"))
+    }),
+
     // Heavy-hitter report through a DISTRIBUTED count-min sketch — the
     // fixed-memory frequency summary a 100 TB pipeline keeps when the
     // key space (parts, urls, ngrams) is too wide for an exact count
@@ -901,6 +927,23 @@ object Quality {
         |       AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m USING (yr)
         |GROUP BY d.yr ORDER BY yr""".stripMargin,
+
+    // Same melt and counts, same (cnt DESC, val) rank cutoff on
+    // integer counts.
+    "profile_topvalues" ->
+      """WITH v AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR)
+        |    FROM orders),
+        |c AS (SELECT col_name, val, count(*) AS cnt FROM v GROUP BY 1, 2),
+        |r AS (SELECT col_name, val, cnt,
+        |        row_number() OVER (PARTITION BY col_name
+        |          ORDER BY cnt DESC, val) AS rk
+        |      FROM c)
+        |SELECT col_name, rk, val, cnt
+        |FROM r WHERE rk <= 3
+        |ORDER BY col_name, rk""".stripMargin,
 
     // Same melt, same (col, value) counts, same -Σ p·ln p on the k-row
     // tables, same 6dp grid (DuckDB ln = natural log).

@@ -257,6 +257,23 @@ class QualitySpec extends AnyFunSuite {
     assert(viaBitmap == viaExpand)
   }
 
+  test("top values rank modal values first with contiguous ranks") {
+    val rows = quality.Quality.queries("profile_topvalues")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (c, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), c)
+      val cnts = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, c)
+    }
+    // the rank-1 status is the true modal status
+    val modal = sources.Lake.table(TestSpark.spark, TestSpark.Sf, "orders")
+      .groupBy(col("o_orderstatus")).count()
+      .orderBy(col("count").desc, col("o_orderstatus"))
+      .head.getString(0)
+    val top = rows.find(r => r.getString(0) == "o_orderstatus" && r.getInt(1) == 1)
+    assert(top.exists(_.getString(2) == modal))
+  }
+
   test("chi-square cells reconcile with the table and its marginals") {
     val rows = quality.Quality.queries("profile_chisq")(
       TestSpark.spark, TestSpark.Sf).collect()
