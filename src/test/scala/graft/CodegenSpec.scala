@@ -24,6 +24,8 @@ class CodegenSpec extends AnyFunSuite {
         |                  array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS cos,
         |       simhash64(array('a', 'b')) AS sh,
         |       rolling_hash('spark') AS rh,
+        |       dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                   array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp,
         |       size(minhash_sig(array('x y z'))) AS mh_len,
         |       size(lsh_buckets(array(CAST(1.0 AS FLOAT)))) AS lsh_len,
         |       size(chargram_minhash('hello world')) AS cgm_len,
@@ -31,6 +33,7 @@ class CodegenSpec extends AnyFunSuite {
         |                          chargram_hashset('hello world')) AS ssj""".stripMargin)
       .head()
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("dp") == 10.0)
     assert(r.getAs[Int]("mh_len") == 128)
     assert(r.getAs[Int]("lsh_len") == 8)
     assert(r.getAs[Int]("cgm_len") == 128)
@@ -43,9 +46,12 @@ class CodegenSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT cosine_sim(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
         |                  CAST(array(2.0, 4.0) AS ARRAY<DOUBLE>)) AS cos,
+        |       dot_product(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>),
+        |                   CAST(array(2.0, 4.0) AS ARRAY<DOUBLE>)) AS dp,
         |       size(lsh_buckets(CAST(array(1.0) AS ARRAY<DOUBLE>))) AS lsh_len
         |""".stripMargin).head()
     assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("dp") == 10.0)
     assert(r.getAs[Int]("lsh_len") == 8)
     // Wrong types must be an analysis error, not silent garbage: decimal
     // arrays, string args, mixed float/double sides all rejected.
@@ -81,9 +87,11 @@ class CodegenSpec extends AnyFunSuite {
       assert(r1.forall(_.getDouble(4) == 1.0))
       val r2 = emb.select(
         GraftFunctions.cosineSim(col("embedding"), col("embedding")).as("cos"),
+        GraftFunctions.dotProduct(col("embedding"), col("embedding")).as("dp"),
         GraftFunctions.lshBuckets(col("embedding")).as("b")).collect()
       assert(r2.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
-      assert(r2.forall(_.getSeq[Long](1).length == 8))
+      assert(r2.forall(r => r.getDouble(1) == 14.0))
+      assert(r2.forall(_.getSeq[Long](2).length == 8))
     }
   }
 }
