@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - inner product of two float arrays"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    // an AggregateFunction returned bare from a builder is wrapped in
+    // its AggregateExpression by the analyzer, same as built-in aggs
+    e.injectFunction((FunctionIdentifier("bitmap_distinct"),
+      info("bitmap_distinct", "bitmap_distinct(key) - exact one-pass distinct count"),
+      (es: Seq[Expression]) => BitmapDistinct(es.head)))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       (es: Seq[Expression]) => SimHash64(es.head)))

@@ -40,6 +40,14 @@ class CodegenSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ssj") == 1.0)
   }
 
+  test("bitmap_distinct aggregates through the SQL surface") {
+    import spark.implicits._
+    Seq(1L, 2L, 2L, 3L, 0L, 0L).toDF("k").createOrReplaceTempView("bd_t")
+    val r = spark.sql(
+      "SELECT bitmap_distinct(k) AS n, count(DISTINCT k) AS x FROM bd_t").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+  }
+
   test("double arrays work natively; wrong-typed input fails at analysis") {
     // array(1.0, 2.0) in SQL is array<decimal>; a DOUBLE cast is the
     // natural literal type — must work without a FLOAT cast.

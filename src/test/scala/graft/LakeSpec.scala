@@ -272,6 +272,35 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.readMergeOnRead(spark, p, "id").count() == 96)
   }
 
+  test("MSCK repair discovers partitions added out-of-band") {
+    import spark.implicits._
+    // the catalog-table complement of file-source partition listing: a
+    // writer that lands partition directories directly (a backfill job,
+    // a different engine) is invisible to the metastore until MSCK
+    // REPAIR scans the location — the standard recover-partitions
+    // maintenance op a shared lake needs
+    val base = TestSpark.scratch("msck_tbl")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    spark.sql("DROP TABLE IF EXISTS msck_tbl")
+    def land(p: Int): Unit =
+      Seq.tabulate(10)(i => p * 100L + i).toDF("id")
+        .write.parquet(s"$base/p=$p")
+    land(1); land(2)
+    spark.sql(
+      s"CREATE TABLE msck_tbl (id BIGINT) USING parquet PARTITIONED BY (p INT) LOCATION '$base'")
+    assert(spark.table("msck_tbl").count() == 0,
+      "catalog must know no partitions before repair")
+    spark.sql("MSCK REPAIR TABLE msck_tbl")
+    assert(spark.table("msck_tbl").count() == 20)
+    // a partition landed after the repair stays invisible until the next
+    land(3)
+    assert(spark.table("msck_tbl").count() == 20)
+    spark.sql("MSCK REPAIR TABLE msck_tbl")
+    assert(spark.table("msck_tbl").count() == 30)
+    assert(spark.table("msck_tbl").select("p").distinct().count() == 3)
+    spark.sql("DROP TABLE msck_tbl")
+  }
+
   test("ini config loading wires S3A credentials like the reference's dl.cfg") {
     val cfg = TestSpark.scratch("cfg/dl.cfg")
     Files.writeString(Paths.get(cfg),
