@@ -1095,6 +1095,47 @@ object Relational {
           round(max(col("o_totalprice")), 2).as("hi"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
         .orderBy(col("decile"))
+    }),
+
+    // Decile lift/gain table — the model-eval staple ("the top spend
+    // decile carries X× its share of revenue") over customer-level
+    // revenue. Same bounds-then-bin discipline as q48 (never a global
+    // ntile), but over the CUSTOMER aggregate — already one row per
+    // customer, so the heavy work is the one orders scan; everything
+    // after the bin runs on a 10-row table. Decile 1 = top spenders.
+    // Shares and lift divide exact integer cent/count CUMULATIVES
+    // (window sums of longs over the 10 fixed rows) — one IEEE
+    // division per output value, no float accumulation anywhere —
+    // then surface on the 6dp grid.
+    "q49_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val bounds = cust.agg(percentile(col("cents"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bs"))
+        .select((1 to 9).map(i => element_at(col("bs"), i).as(s"b$i")): _*)
+      val bin = (1 to 9).foldLeft(when(lit(false), 0)) { (acc, i) =>
+        acc.when(col("cents") <= col(s"b$i"), i)
+      }.otherwise(10)
+      val byDec = cust.crossJoin(broadcast(bounds))
+        .select((lit(11) - bin).as("decile"), col("cents"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("rev_cents"))
+      val w = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = byDec.agg(sum(col("n_customers")).as("tc"),
+        sum(col("rev_cents")).as("trc"))
+      byDec
+        .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+        .withColumn("cum_cust", sum(col("n_customers")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"), col("rev_cents"),
+          round(col("cum_cents").cast("double") / col("trc"), 6)
+            .as("cum_rev_share"),
+          round((col("cum_cents").cast("double") / col("trc")) /
+            (col("cum_cust").cast("double") / col("tc")), 6).as("lift"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -1115,6 +1156,42 @@ object Relational {
          |    AS sum_cents
          |FROM orders CROSS JOIN b
          |GROUP BY 1 ORDER BY decile""".stripMargin
+    },
+
+    // Same customer cents aggregate, same quantile_cont bounds and CASE
+    // bin (reversed to spend-rank), same exact-integer cumulatives with
+    // one spelled-order division per surfaced value.
+    "q49_lift" -> {
+      val bs = (1 to 9).map(i =>
+        s"quantile_cont(cents, 0.$i) AS b$i").mkString(", ")
+      val cases = (1 to 9).map(i =>
+        s"WHEN cents <= b$i THEN $i").mkString(" ")
+      s"""WITH cust AS (
+         |  SELECT o_custkey,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM orders GROUP BY 1),
+         |b AS (SELECT $bs FROM cust),
+         |d AS (SELECT 11 - (CASE $cases ELSE 10 END) AS decile, cents
+         |      FROM cust CROSS JOIN b),
+         |g AS (SELECT decile, count(*) AS n_customers,
+         |        CAST(sum(cents) AS BIGINT) AS rev_cents
+         |      FROM d GROUP BY 1),
+         |c AS (SELECT decile, n_customers, rev_cents,
+         |        CAST(sum(rev_cents) OVER (ORDER BY decile
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS cum_cents,
+         |        CAST(sum(n_customers) OVER (ORDER BY decile
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          AS cum_cust
+         |      FROM g),
+         |t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS tc,
+         |        CAST(sum(rev_cents) AS BIGINT) AS trc FROM g)
+         |SELECT decile, CAST(n_customers AS BIGINT) AS n_customers, rev_cents,
+         |  round(CAST(cum_cents AS DOUBLE) / trc, 6) AS cum_rev_share,
+         |  round((CAST(cum_cents AS DOUBLE) / trc) /
+         |        (CAST(cum_cust AS DOUBLE) / tc), 6) AS lift
+         |FROM c CROSS JOIN t ORDER BY decile""".stripMargin
     },
 
     // Plain inequality join replays the band join; 1.0::DOUBLE forces

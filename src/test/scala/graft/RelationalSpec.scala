@@ -212,6 +212,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("lift table: top decile over-indexes, cumulative closes at exactly 1") {
+    val rows = operators.Relational.queries("q49_lift")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val nCust = sources.Lake.table(TestSpark.spark, TestSpark.Sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    // decile 1 = top spenders: their revenue share must exceed their
+    // customer share, or the ranking is broken
+    assert(rows.head.getDouble(4) > 1.0, rows.head.toString)
+    // the full-population row is exact by construction
+    assert(rows.last.getDouble(3) == 1.0 && rows.last.getDouble(4) == 1.0)
+    // cumulative share is monotone non-decreasing
+    val shares = rows.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+  }
+
   test("decile histogram partitions the table with ordered value ranges") {
     val rows = operators.Relational.queries("q48_deciles")(
       TestSpark.spark, TestSpark.Sf).collect()
