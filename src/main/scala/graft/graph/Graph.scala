@@ -220,6 +220,33 @@ object Graph {
     labels
   }
 
+  /** Degree-assortativity engine over explicit undirected (u, v)
+    * single-copy edges — split out so specs can plant graphs with a
+    * closed-form coefficient (a star is perfectly disassortative,
+    * r = −1). See the graph_assortativity query for the design
+    * rationale (exact decimal moments, correctly-rounded sqrt). */
+  private[graft] def assortativity(eIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val sym = eIn.select(col("u").as("a"), col("v").as("b"))
+      .union(eIn.select(col("v"), col("u")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val xy = sym
+      .join(deg.select(col("a"), col("d").as("dx")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("d").as("dy")), Seq("b"))
+    val m = xy.agg(count(lit(1)).cast(dec).as("n"),
+      sum(col("dx")).cast(dec).as("sx"),
+      sum(col("dy")).cast(dec).as("sy"),
+      sum(col("dx") * col("dy")).cast(dec).as("sxy"),
+      sum(col("dx") * col("dx")).cast(dec).as("sxx"),
+      sum(col("dy") * col("dy")).cast(dec).as("syy"))
+    m.select(col("n").cast("long").as("n_directed_edges"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        .as("assortativity"))
+  }
+
   /** k-core by synchronous peeling (Seidman 1983 / the Batagelj-
     * Zaveršnik distributed variant): `sweeps` rounds of "drop every
     * node of degree < k, and every edge touching a dropped node". The
@@ -470,6 +497,21 @@ object Graph {
         .orderBy(col("node"))
     }),
 
+    // Degree assortativity of the co-supply graph (Newman 2002 — do
+    // hubs link to hubs?): Pearson correlation of endpoint degrees
+    // over the symmetrized edge list. The profile_trend exact-moment
+    // discipline makes it engine-exact: degrees are integers, so the
+    // five moments n, Σx, Σy, Σxy, Σx² (x-y symmetric under the
+    // doubled edge list, but both sides computed — no shortcut that an
+    // oracle couldn't spell identically) accumulate as EXACT decimals
+    // (overflow-proof past long at web scale), and r evaluates as a
+    // fixed expression over those integers — IEEE sqrt is correctly
+    // rounded, so even the denominator is bit-identical. Shape: two
+    // node-keyed degree joins + one moment aggregate with map-side
+    // partials; nothing broadcasts except the one-row output.
+    "graph_assortativity" -> ((s, dir) =>
+      assortativity(coSupplyEdges(s, dir))),
+
     // 3-core of the month-sliced co-supply graph — the dense backbone
     // that survives when every peripheral supplier (fewer than 3
     // co-supply partners, recursively) peels away; the standard
@@ -612,6 +654,38 @@ object Graph {
     "graph_pagerank" -> pagerankSql(Sweeps),
     "graph_labelprop" -> labelPropSql(4),
     "graph_kcore" -> kcoreSql(KcoreK, KcoreSweeps),
+
+    // Same exact HUGEINT moments over the same doubled edge list, same
+    // fixed expression — DuckDB sqrt is the same correctly-rounded
+    // IEEE sqrt, so r matches to the bit before the 6dp round.
+    "graph_assortativity" ->
+      """WITH mo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+        |sup AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+        |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (
+        |  SELECT DISTINCT x.sk AS u, y.sk AS v
+        |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
+        |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+        |xy AS (
+        |  SELECT dx.d AS dx, dy.d AS dy
+        |  FROM sym JOIN deg dx ON sym.a = dx.a JOIN deg dy ON sym.b = dy.a),
+        |m AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+        |    CAST(sum(dx * dy) AS HUGEINT) AS sxy,
+        |    CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+        |    CAST(sum(dy * dy) AS HUGEINT) AS syy
+        |  FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS assortativity
+        |FROM m""".stripMargin,
 
     // Same three relaxations unrolled; min over exact longs each round.
     "graph_sssp" ->

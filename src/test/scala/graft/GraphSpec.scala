@@ -133,6 +133,17 @@ class GraphSpec extends AnyFunSuite {
       s"second relaxation must improve b via c: $two")
   }
 
+  test("assortativity hits the star graph's closed form exactly") {
+    import spark.implicits._
+    // a star is perfectly disassortative: every edge joins the hub
+    // (degree 4) to a leaf (degree 1), so r = -1 exactly — exact
+    // moments + correctly-rounded sqrt must land on the closed form
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("u", "v")
+    val r = Graph.assortativity(star).head
+    assert(r.getLong(0) == 8L)
+    assert(r.getDouble(1) == -1.0, r.toString)
+  }
+
   test("kcore peels a cascade to the fixpoint and certifies it") {
     import spark.implicits._
     // 4-clique {1..4} + pendant path 4-5, 5-6: the 3-core is the clique
