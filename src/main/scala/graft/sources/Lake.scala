@@ -25,9 +25,20 @@ object Lake {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") {
+      // The events feed has shipped ts as BOTH int64 epoch-nanos and a
+      // native parquet timestamp across generator versions — normalize
+      // to a session-zone TIMESTAMP either way (schema-on-read: dispatch
+      // on the footer's type, never assume the writer). The cast branch
+      // also lifts TIMESTAMP_NTZ to the session zone (UTC here), so
+      // downstream window/date arithmetic sees one type everywhere.
+      import org.apache.spark.sql.types.LongType
+      val norm =
+        if (df.schema("ts").dataType == LongType)
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+        else org.apache.spark.sql.functions.col("ts").cast("timestamp")
+      df.withColumn("ts", norm)
+    } else df
   }
 
   /** Fan a scan out to the session's parallelism when the source planned
