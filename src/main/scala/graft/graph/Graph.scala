@@ -354,6 +354,83 @@ object Graph {
           .as("clustering"))
   }
 
+  /** Per-node local clustering coefficient (Watts–Strogatz) over
+    * explicit undirected (u, v) edges — the node-resolved sibling of
+    * [[triangleStats]]' global coefficient: for each node, the fraction
+    * of its neighbor pairs that are themselves linked,
+    * 2·tri(n) / (deg(n)·(deg(n)−1)). Reuses the degree-oriented wedge
+    * join (each triangle enumerated exactly ONCE as an oriented wedge
+    * closed by the third edge — the O(m^1.5) bound), then attributes
+    * the triangle to all THREE corners via one explode over the 3-wide
+    * corner array: per-node triangle counts come from a grouped count
+    * of 3×|triangles| corner rows, never a per-node neighborhood
+    * re-join. Degree-2+ nodes with zero triangles survive the left
+    * join with an explicit 0 (a missing node would silently shrink the
+    * report). The oracle enumerates the same triangles orientation-free
+    * (a<b<c), independently checking the orientation lost nothing. */
+  private[graft] def localClustering(eIn: DataFrame): DataFrame = {
+    val e = eIn.cache(); e.count() // eager diamond: degree + both orientation legs
+    val und = e.select(col("u").as("n")).union(e.select(col("v")))
+    val deg = und.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val lower = col("du.deg") < col("dv.deg") ||
+      (col("du.deg") === col("dv.deg") && col("u") < col("v"))
+    val dirE = e.join(deg.as("du"), col("u") === col("du.n"))
+      .join(deg.as("dv"), col("v") === col("dv.n"))
+      .select(when(lower, col("u")).otherwise(col("v")).as("src"),
+        when(lower, col("v")).otherwise(col("u")).as("dst"))
+      .cache()
+    dirE.count() // feeds both wedge legs + the closing probe
+    val corners = dirE.as("e1").join(dirE.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+      .join(dirE.as("e3"), col("x") === col("e3.src") && col("z") === col("e3.dst"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+    val perNode = corners.groupBy(col("n")).agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 2)
+      .join(perNode, Seq("n"), "left")
+      .select(col("n").as("supp_id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        round(coalesce(col("tri"), lit(0L)).cast("double") * 2.0 /
+          (col("deg") * (col("deg") - 1)), 6).as("clustcoef"))
+      .orderBy(col("supp_id"))
+  }
+
+  /** HITS (Kleinberg 1999) over the DIRECTED customer→supplier trade
+    * edges — hubs (customers whose orders touch authoritative
+    * suppliers) and authorities (suppliers endorsed by strong hubs)
+    * emerge together, unlike PageRank's single score. L1-normalized
+    * power iteration with a FIXED sweep count (the pagerank oracle
+    * contract: no data-dependent convergence test an oracle couldn't
+    * unroll). Sweep shape = the pagerank discipline: each half-sweep is
+    * ONE shuffle-hash join of the edge list with the node-sized score
+    * table plus a grouped sum; the L1 total enters as a broadcast
+    * one-row scalar (never a driver-side collect); lazy localCheckpoints
+    * truncate lineage (each score table's consumers run after its
+    * checkpoint materializes, so nothing double-computes). Nothing
+    * node-sized ever broadcasts. */
+  private[graft] def hits(edges: DataFrame, sweeps: Int): DataFrame = {
+    val e = edges.persist()
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("score", lit(1.0))
+      .localCheckpoint(eager = false)
+    var auth: DataFrame = hub.limit(0)
+    for (_ <- 1 to sweeps) {
+      val aRaw = e.join(hub.hint("shuffle_hash"), e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("score")).as("raw"))
+      val aTot = aRaw.agg(sum(col("raw")).as("t"))
+      auth = aRaw.crossJoin(broadcast(aTot))
+        .select(col("dst").as("node"), (col("raw") / col("t")).as("score"))
+        .localCheckpoint(eager = false)
+      val hRaw = e.join(auth.hint("shuffle_hash"), e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("score")).as("raw"))
+      val hTot = hRaw.agg(sum(col("raw")).as("t"))
+      hub = hRaw.crossJoin(broadcast(hTot))
+        .select(col("src").as("node"), (col("raw") / col("t")).as("score"))
+        .localCheckpoint(eager = false)
+    }
+    hub.select(col("node"), lit("hub").as("kind"), col("score"))
+      .unionByName(auth.select(col("node"), lit("auth").as("kind"), col("score")))
+  }
+
   /** Jaccard link prediction over explicit undirected (u, v) edges
     * (u < v single copies): for node pairs NOT currently linked, the
     * neighbor-set Jaccard |Γu ∩ Γv| / |Γu ∪ Γv| — the classic
@@ -519,8 +596,34 @@ object Graph {
     // work. Fixed 6 peels + the in-query fixpoint certificate (see
     // kcore); the oracle unrolls the identical 6 peels in SQL.
     "graph_kcore" -> ((s, dir) =>
-      kcore(coSupplyEdges(s, dir), k = KcoreK, sweeps = KcoreSweeps))
+      kcore(coSupplyEdges(s, dir), k = KcoreK, sweeps = KcoreSweeps)),
+
+    // Local clustering coefficient of every co-supply node (how
+    // clique-ish is each supplier's own neighborhood) — the per-node
+    // report graph_triangles' one global number can't give; see
+    // localClustering for the corner-attribution design.
+    "graph_clustcoef" -> ((s, dir) =>
+      localClustering(coSupplyEdges(s, dir))),
+
+    // Hubs & authorities of the directed customer→supplier trade
+    // graph; 4 L1-normalized HITS sweeps, both score families in one
+    // (node, kind, score) report. The oracle unrolls the identical
+    // sweeps (the pagerank discipline).
+    "graph_hits" -> ((s, dir) => {
+      val eb = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      hits(eb, sweeps = HitsSweeps)
+        .select(decodeNode(col("node")).as("node"), col("kind"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("kind"), col("node"))
+    })
   )
+
+  val HitsSweeps = 4
 
   val KcoreK = 3
   val KcoreSweeps = 6
@@ -627,7 +730,70 @@ object Graph {
        |FROM r$sweeps ORDER BY node""".stripMargin
   }
 
+  /** HITS oracle: the identical L1-normalized half-sweeps unrolled, one
+    * CTE pair per sweep; all arithmetic forced DOUBLE, 6dp round at the
+    * end only (the pagerankSql discipline). Every raw-score stage is
+    * referenced TWICE (the normalize projection + its L1-total scalar
+    * subquery), so the whole chain is pinned AS MATERIALIZED — DuckDB
+    * inlines multiply-referenced CTEs by default, which would expand
+    * the sweep chain exponentially (the kcoreSql lesson). */
+  private def hitsSql(sweeps: Int): String = {
+    val stages = (1 to sweeps).map { i =>
+      s"""a${i}r AS MATERIALIZED (SELECT eb.b AS node, sum(h.score) AS raw
+         |  FROM eb JOIN h${i - 1} h ON eb.a = h.node GROUP BY eb.b),
+         |a$i AS MATERIALIZED (
+         |  SELECT node, raw / (SELECT sum(raw) FROM a${i}r) AS score
+         |  FROM a${i}r),
+         |h${i}r AS MATERIALIZED (SELECT eb.a AS node, sum(x.score) AS raw
+         |  FROM eb JOIN a$i x ON eb.b = x.node GROUP BY eb.a),
+         |h$i AS MATERIALIZED (
+         |  SELECT node, raw / (SELECT sum(raw) FROM h${i}r) AS score
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eb AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT a AS node, 1.0::DOUBLE AS score FROM eb),
+       |$stages
+       |SELECT node, kind, round(score, 6) AS score FROM (
+       |  SELECT node, 'hub' AS kind, score FROM h$sweeps
+       |  UNION ALL
+       |  SELECT node, 'auth', score FROM a$sweeps)
+       |ORDER BY kind, node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // Orientation-free triangle corners (each a<b<c triangle unnests to
+    // its three nodes), same degree table, same 6dp coefficient.
+    "graph_clustcoef" ->
+      """WITH mo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+        |sup AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+        |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (
+        |  SELECT DISTINCT x.sk AS u, y.sk AS v
+        |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |            UNION ALL SELECT z FROM tri),
+        |pn AS (SELECT n, count(*) AS tri FROM corners GROUP BY n),
+        |und AS (SELECT u AS n FROM e UNION ALL SELECT v FROM e),
+        |deg AS (SELECT n, count(*) AS deg FROM und GROUP BY n)
+        |SELECT deg.n AS supp_id, deg.deg,
+        |  CAST(coalesce(pn.tri, 0) AS BIGINT) AS n_tri,
+        |  round(CAST(coalesce(pn.tri, 0) AS DOUBLE) * 2.0
+        |    / (deg.deg * (deg.deg - 1)), 6) AS clustcoef
+        |FROM deg LEFT JOIN pn ON deg.n = pn.n
+        |WHERE deg.deg >= 2 ORDER BY supp_id""".stripMargin,
+
+    "graph_hits" -> hitsSql(HitsSweeps),
+
     // Frontier expansion unrolled: f_i = new nodes at hop i (reachable
     // from f_{i-1}, not seen in any earlier v), v_i = running visited
     // set. NOT IN is null-safe here (node is a non-null concat).

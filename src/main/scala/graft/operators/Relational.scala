@@ -1136,6 +1136,94 @@ object Relational {
           round((col("cum_cents").cast("double") / col("trc")) /
             (col("cum_cust").cast("double") / col("tc")), 6).as("lift"))
         .orderBy(col("decile"))
+    }),
+
+    // Ordered string aggregation (LISTAGG / string_agg) — the report
+    // surface every SQL engine ships and Spark spells differently: per
+    // order status, the 5 highest-value order keys joined as a CSV in
+    // rank order. The per-group top-5 is a rank window filtered to
+    // rn <= 5 — Spark plans it as WindowGroupLimit, so every task keeps
+    // a 5-row heap per group and only (groups × 5) rows reach the final
+    // window (the text_sample_topk contract: never sort a stratum to
+    // take its head). The string assembly then runs on ≤ 5 rows per
+    // group: collect_list of (rn, key) structs, array_sort (rn leads the
+    // struct, so sort order IS rank order), transform to the key text,
+    // concat_ws — a bounded in-memory fold, never a wide row. Ties
+    // can't happen at the cutoff: the rank key is (cents DESC, okey)
+    // and okey is unique.
+    "q50_stringagg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("cents").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_top"),
+          concat_ws(",",
+            transform(array_sort(collect_list(struct(col("rn"), col("o_orderkey")))),
+              x => x.getField("o_orderkey").cast("string"))).as("top_keys"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Exact weighted median (l_quantity weighted by revenue cents) per
+    // return flag — the robust-statistics sibling of q25's unweighted
+    // percentiles. The distributed shape is VALUE COMPRESSION, not a
+    // global sort: quantity has a bounded distinct domain, so one
+    // grouped aggregate collapses the table to (flag, quantity,
+    // weight) rows — the shuffle carries map-side partials, never
+    // lineitems — and the prefix-sum window runs over the ≤ |domain|
+    // rows per flag (constant-size at any data volume, the q41/q42
+    // calendar-table contract). Weights are exact longs, the median
+    // pick is the standard lower weighted median (smallest v with
+    // 2·cum(v) ≥ total) decided entirely in integer arithmetic — no
+    // float anywhere, engine-exact by construction.
+    "q51_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vw = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+      val cum = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy(col("l_returnflag"))
+      vw.withColumn("cw", sum(col("w")).over(cum))
+        .withColumn("tw", sum(col("w")).over(tot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("w_median"),
+          max(col("tw")).as("total_weight"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Relational division ("FOR ALL" — customers who ordered in EVERY
+    // priority class), reported per market segment. Division rewrites
+    // to counting: a customer is complete iff its distinct-priority
+    // count equals the global distinct-priority count — ONE grouped
+    // distinct aggregate over orders (the standard Expand
+    // multi-distinct plan, map-side partials, single shuffle on
+    // custkey), with the universe size entering as a broadcast one-row
+    // scalar (never hardcoded — the query stays correct if a priority
+    // class appears or dies). The customer-dim join is co-partitioned
+    // on the key; the report aggregate runs on one row per buyer.
+    "q52_division" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val nPrio = o.agg(countDistinct(col("o_orderpriority")).as("n_prio"))
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(countDistinct(col("o_orderpriority")).as("npr"))
+      perCust.crossJoin(broadcast(nPrio))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_buyers"),
+          sum(when(col("npr") === col("n_prio"), 1L).otherwise(0L))
+            .as("n_complete"),
+          round(sum(when(col("npr") === col("n_prio"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1)), 6).as("complete_share"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -1788,6 +1876,55 @@ object Relational {
         |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
         |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
         |GROUP BY measure
-        |ORDER BY measure""".stripMargin
+        |ORDER BY measure""".stripMargin,
+
+    // string_agg ORDER BY rn replays the rank-ordered CSV; the same
+    // (cents DESC, okey) rank key with the unique-okey tie-break.
+    "q50_stringagg" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |               o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_top,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_keys
+        |FROM r WHERE rn <= 5
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Same value-compressed prefix sums over exact cent weights; the
+    // lower-median pick is pure integer comparison on both sides.
+    "q51_weighted_median" ->
+      """WITH vw AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM vw)
+        |SELECT l_returnflag, min(l_quantity) AS w_median,
+        |  CAST(max(tw) AS BIGINT) AS total_weight
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Division-by-counting with the same live universe scalar; the
+    // share is one integer/integer IEEE division on the 6dp grid.
+    "q52_division" ->
+      """WITH np AS (SELECT count(DISTINCT o_orderpriority) AS n_prio FROM orders),
+        |pc AS (
+        |  SELECT o_custkey, count(DISTINCT o_orderpriority) AS npr
+        |  FROM orders GROUP BY 1)
+        |SELECT c_mktsegment, count(*) AS n_buyers,
+        |  CAST(sum(CASE WHEN npr = n_prio THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_complete,
+        |  round(CAST(sum(CASE WHEN npr = n_prio THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS complete_share
+        |FROM pc CROSS JOIN np
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -169,4 +169,37 @@ class GraphSpec extends AnyFunSuite {
     val done = Graph.kcore(path, k = 2, sweeps = 4).collect()
     assert(done.isEmpty)
   }
+
+  test("local clustering: kite graph corners hit their closed forms") {
+    import spark.implicits._
+    // kite: triangle {1,2,3} + pendant path 3-4; node 3 has deg 3 with
+    // one linked neighbor pair of three → 1/3; nodes 1,2 are fully
+    // clustered (their single neighbor pair is linked); node 4 (deg 1)
+    // is out of scope
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = Graph.localClustering(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.333333))), got.toString)
+  }
+
+  test("hits: bipartite star concentrates authority on the shared supplier") {
+    import spark.implicits._
+    // customers 1,2,3 all buy from supplier 10; customer 1 also buys
+    // from supplier 11. Supplier 10 must out-rank 11 (more hubs), and
+    // customer 1 must out-rank 2,3 (it touches more authority mass).
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    val rows = Graph.hits(edges, sweeps = 4).collect()
+    val hub = rows.filter(_.getString(1) == "hub")
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val auth = rows.filter(_.getString(1) == "auth")
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(auth(10L) > auth(11L), auth.toString)
+    assert(hub(1L) > hub(2L) && hub(2L) == hub(3L), hub.toString)
+    // L1 normalization: each family sums to 1
+    assert(math.abs(hub.values.sum - 1.0) < 1e-9)
+    assert(math.abs(auth.values.sum - 1.0) < 1e-9)
+  }
 }

@@ -244,4 +244,64 @@ class RelationalSpec extends AnyFunSuite {
     // no decile may be empty
     assert(rows.forall(_.getLong(1) > 0))
   }
+
+  test("string_agg: rank-ordered CSV of exactly the per-group top keys") {
+    import graft.sources.Lake
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational.queries("q50_stringagg")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_top") == 5L))
+    // re-derive one group's expected order independently
+    val status = rows.head.getAs[String]("o_orderstatus")
+    val expected = Lake.table(TestSpark.spark, TestSpark.Sf, "orders")
+      .filter(col("o_orderstatus") === status)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .orderBy(col("cents").desc, col("o_orderkey")).limit(5)
+      .collect().map(_.getLong(0)).mkString(",")
+    assert(rows.head.getAs[String]("top_keys") == expected)
+    // WindowGroupLimit must bound the pre-window rows (the top-k plan)
+    assert(plan("q50_stringagg").contains("WindowGroupLimit"),
+      "rank<=k filter should plan as WindowGroupLimit")
+  }
+
+  test("weighted median: half the weight sits at or below the pick") {
+    import graft.sources.Lake
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational.queries("q51_weighted_median")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val li = Lake.table(TestSpark.spark, TestSpark.Sf, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("w"))
+      .collect()
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val med = r.getAs[Double]("w_median")
+      val grp = li.filter(_.getString(0) == flag)
+      val tot = grp.map(_.getLong(2)).sum
+      assert(r.getAs[Long]("total_weight") == tot)
+      val below = grp.filter(_.getDouble(1) <= med).map(_.getLong(2)).sum
+      val strictlyBelow = grp.filter(_.getDouble(1) < med).map(_.getLong(2)).sum
+      assert(below * 2 >= tot, s"$flag: med=$med not a median")
+      assert(strictlyBelow * 2 < tot, s"$flag: med=$med not the LOWER median")
+    }
+  }
+
+  test("division: complete buyers hold every priority class") {
+    import graft.sources.Lake
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational.queries("q52_division")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val o = Lake.table(TestSpark.spark, TestSpark.Sf, "orders")
+    val nPrio = o.select("o_orderpriority").distinct().count()
+    // independent recount of complete buyers over all segments
+    val complete = o.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("npr"))
+      .filter(col("npr") === nPrio).count()
+    assert(rows.map(_.getAs[Long]("n_complete")).sum == complete)
+    assert(rows.forall(r => r.getAs[Long]("n_complete") <= r.getAs[Long]("n_buyers")))
+  }
 }
