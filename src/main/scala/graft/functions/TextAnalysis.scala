@@ -237,6 +237,94 @@ object TextAnalysis {
         .orderBy(col("decile"))
     }),
 
+    // Readability profile per language (Flesch reading-ease over the
+    // standard proxies: words per sentence, vowel-group syllables per
+    // word) — the quality-scoring sibling a filtering pipeline runs
+    // beside text_quality's ratio screens. Per-doc work is three
+    // codegen'd regexp counts in ONE narrow scan (no explode — counts,
+    // not token rows); the per-language rollup accumulates EXACT
+    // integer sums (words, syllables) plus the per-doc Flesch score
+    // micro-quantized to a long (round(f·1e6) — the per-doc value is a
+    // fixed IEEE expression over two integer ratios, deterministic in
+    // both engines, and quantizing before the sum removes float
+    // accumulation order from the aggregate entirely — the
+    // profile_trend exact-moment discipline applied to a transcendental-
+    // free score). Sentence count floors at 1 (untokenized corpora).
+    "text_readability" -> ((s, dir) => {
+      val w = size(tokens(col("text")))
+      val syl = expr("regexp_count(text, '[aeiou]+')")
+      val sen = greatest(lit(1), expr("regexp_count(text, '[.!?]+')"))
+      val flesch = lit(206.835) -
+        lit(1.015) * (w.cast("double") / sen.cast("double")) -
+        lit(84.6) * (syl.cast("double") / w.cast("double"))
+      t(s, dir, "documents")
+        .select(col("lang"), w.cast("long").as("w"), syl.cast("long").as("syl"),
+          round(flesch * 1e6).cast("long").as("micro"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("sum_words"),
+          sum(col("syl")).as("sum_syllables"),
+          round(sum(col("w")).cast("double") / count(lit(1)), 6).as("avg_words"),
+          round((sum(col("micro")).cast("double") / count(lit(1))) / 1e6, 6)
+            .as("avg_flesch"))
+        .orderBy(col("lang"))
+    }),
+
+    // Zipf rank-frequency fit over the corpus term distribution (the
+    // log-log least-squares slope every corpus report quotes; Heaps'
+    // growth curve above is its vocabulary-side twin). Heavy work is
+    // the one cached tf explode (shared with tfidf/logprob); everything
+    // after runs on the VOCAB table (corpus-compressed at any scale).
+    // The global (freq DESC, term) rank deliberately avoids one global
+    // row_number window (a single task sorting the vocab — the q48
+    // anti-pattern): a term's rank = its freq-class/first-char-bucket
+    // offset (cumsum over the small (freq, bucket) class table,
+    // broadcast back) + its row_number WITHIN the (freq, bucket)
+    // partition — exact global ranks, max partition = one hapax
+    // first-char bucket instead of the whole vocab. ln(rank)/ln(freq)
+    // micro-quantize to longs (round(ln·1e6) — both engines' ln agree
+    // far inside the micro grid), the five moments accumulate as EXACT
+    // decimal(38), and slope/intercept/r² evaluate as fixed expressions
+    // over them (the graph_assortativity discipline) — no
+    // order-dependent float sum anywhere.
+    "text_zipf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val freq = tfTable(s, dir)
+        .groupBy(col("term")).agg(sum(col("tf")).as("freq"))
+      val bucketed = freq.withColumn("bkt", substring(col("term"), 1, 1))
+      val offsets = bucketed.groupBy(col("freq"), col("bkt"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("off", sum(col("c")).over(
+          Window.orderBy(col("freq").desc, col("bkt"))
+            .rowsBetween(Window.unboundedPreceding, 0)) - col("c"))
+        .select(col("freq"), col("bkt"), col("off"))
+      val wIn = Window.partitionBy(col("freq"), col("bkt")).orderBy(col("term"))
+      val ranked = bucketed.join(broadcast(offsets), Seq("freq", "bkt"))
+        .select((col("off") + row_number().over(wIn)).as("rank"), col("freq"))
+      val q = ranked.select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("y"))
+      val m = q.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+        sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"),
+        sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+      m.select(col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"),
+        round(((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) / 1e6, 6)
+          .as("intercept_ln"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+           (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r2"))
+    }),
+
     // Language ID: stopword-hit voting across per-language function-word
     // lists; argmax with a deterministic tie order (en > de > fr).
     "text_langid" -> ((s, dir) => {
@@ -869,6 +957,65 @@ object TextAnalysis {
         |FROM fs JOIN sp ON fs.first_doc <= sp.bound
         |GROUP BY sp.decile, sp.bound
         |ORDER BY decile""".stripMargin,
+
+    // Same regexp counts, the identical spelled-order Flesch expression
+    // micro-quantized per doc BEFORE the sum (no float accumulation),
+    // exact integer rollups.
+    "text_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(string_split(text, ' ')) AS w,
+        |    len(regexp_extract_all(text, '[aeiou]+')) AS syl,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sen
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang, w, syl,
+        |    CAST(round((206.835::DOUBLE
+        |      - 1.015::DOUBLE * (CAST(w AS DOUBLE) / CAST(sen AS DOUBLE))
+        |      - 84.6::DOUBLE * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))
+        |      * 1000000.0) AS BIGINT) AS micro
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS sum_words,
+        |  CAST(sum(syl) AS BIGINT) AS sum_syllables,
+        |  round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS avg_words,
+        |  round((CAST(sum(micro) AS DOUBLE) / count(*)) / 1000000.0, 6)
+        |    AS avg_flesch
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // row_number over (freq DESC, term) IS the bucketed rank; same
+    // micro-quantized lns, same HUGEINT moments, same fixed
+    // slope/intercept/r² expressions.
+    "text_zipf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+        |      FROM terms GROUP BY term),
+        |r AS (SELECT freq,
+        |        row_number() OVER (ORDER BY freq DESC, term) AS rank
+        |      FROM f),
+        |q AS (SELECT
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+        |  FROM r),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy
+        |  FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  round((CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE)) / 1000000.0, 6) AS intercept_ln,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM m""".stripMargin,
 
     "text_pii" ->
       s"""WITH $plantedPiiCte,

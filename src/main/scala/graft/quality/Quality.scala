@@ -413,6 +413,43 @@ object Quality {
         .orderBy(col("determinant"), col("dependent"))
     }),
 
+    // Column joinability discovery (the Aurum/Sherlock-style "which
+    // columns join" profile — FD discovery's cross-table sibling): for
+    // each candidate (fk → pk) column pair, exact distinct cardinalities
+    // both sides, the distinct-key overlap, and the derived containment
+    // (|A∩B|/|A| — 1.0 means referential integrity would hold) and
+    // Jaccard scores. Per pair the work is two single-column DISTINCT
+    // aggregates + one co-partitioned key join of the distinct sets —
+    // key-sized, never row-sized; the report assembles one-row
+    // aggregates via broadcast cross joins (the q11 scalar pattern).
+    // At 100 TB with WIDE schemas (all-pairs discovery over thousands
+    // of columns) the exact sets swap for per-column HLL/MinHash
+    // sketches unioned in one pass — the same report contract, sketch
+    // accuracy traded for a single scan; the exact form here IS the
+    // gate its q20-style tolerance check would verify against.
+    "profile_joinability" -> ((s, dir) => {
+      val cands = Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events", "user_id", "customer", "c_custkey"))
+      cands.map { case (ft, fc, pt, pc) =>
+        val a = t(s, dir, ft).select(col(fc).cast("long").as("k")).distinct()
+        val b = t(s, dir, pt).select(col(pc).cast("long").as("k")).distinct()
+        val common = a.join(b, Seq("k")).agg(count(lit(1)).as("n_common"))
+        a.agg(count(lit(1)).as("nd_fk"))
+          .crossJoin(broadcast(b.agg(count(lit(1)).as("nd_pk"))))
+          .crossJoin(broadcast(common))
+          .select(lit(s"$ft.$fc").as("fk_col"), lit(s"$pt.$pc").as("pk_col"),
+            col("nd_fk"), col("nd_pk"), col("n_common"),
+            round(col("n_common").cast("double") / col("nd_fk"), 6)
+              .as("containment"),
+            round(col("n_common").cast("double") /
+              (col("nd_fk") + col("nd_pk") - col("n_common")), 6).as("jaccard"))
+      }.reduce(_ unionByName _).orderBy(col("fk_col"), col("pk_col"))
+    }),
+
     // Ingest-volume anomaly screen (the "did a feed break or double-fire
     // yesterday" check): daily order counts run through the SAME
     // median/MAD robust engine as dq_outliers — a broken day can't
@@ -878,6 +915,33 @@ object Quality {
     // count(DISTINCT a) / distinct-pair subqueries mirror Spark's
     // null-skipping multi-arg countDistinct; the profiled columns are
     // non-null so the filters are no-ops that pin the semantics.
+    // Same distinct sets, same one-join overlap, same 6dp divisions.
+    "profile_joinability" -> {
+      val cands = Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events", "user_id", "customer", "c_custkey"))
+      val branches = cands.map { case (ft, fc, pt, pc) =>
+        s"""SELECT '$ft.$fc' AS fk_col, '$pt.$pc' AS pk_col,
+           |  (SELECT count(DISTINCT $fc) FROM $ft) AS nd_fk,
+           |  (SELECT count(DISTINCT $pc) FROM $pt) AS nd_pk,
+           |  (SELECT count(*) FROM
+           |    (SELECT DISTINCT $fc AS k FROM $ft) a
+           |    JOIN (SELECT DISTINCT $pc AS k FROM $pt) b USING (k))
+           |    AS n_common""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS ($branches)
+         |SELECT fk_col, pk_col,
+         |  CAST(nd_fk AS BIGINT) AS nd_fk, CAST(nd_pk AS BIGINT) AS nd_pk,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  round(CAST(n_common AS DOUBLE) / nd_fk, 6) AS containment,
+         |  round(CAST(n_common AS DOUBLE) / (nd_fk + nd_pk - n_common), 6)
+         |    AS jaccard
+         |FROM p ORDER BY fk_col, pk_col""".stripMargin
+    },
+
     "profile_fd" ->
       """WITH p AS (
         |  SELECT 'o_orderkey' AS determinant, 'o_custkey' AS dependent,

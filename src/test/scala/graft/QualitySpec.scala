@@ -284,4 +284,24 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(3)).sum - total) < 1e-3 * rows.length)
     assert(rows.forall(_.getDouble(4) >= 0.0))
   }
+
+  test("joinability: true foreign keys show full containment, scores bounded") {
+    val rows = quality.Quality.queries("profile_joinability")(
+      TestSpark.spark, TestSpark.Sf).collect()
+      .map(r => r.getAs[String]("fk_col") -> r).toMap
+    assert(rows.size == 5)
+    // the star schema's real FKs are fully contained in their dims
+    Seq("orders.o_custkey", "lineitem.l_orderkey", "lineitem.l_partkey",
+      "lineitem.l_suppkey").foreach { fk =>
+      assert(rows(fk).getAs[Double]("containment") == 1.0,
+        s"$fk should be a perfect FK: ${rows(fk)}")
+    }
+    rows.values.foreach { r =>
+      val (ndFk, ndPk, common) = (r.getAs[Long]("nd_fk"),
+        r.getAs[Long]("nd_pk"), r.getAs[Long]("n_common"))
+      assert(common <= math.min(ndFk, ndPk))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0 && j <= r.getAs[Double]("containment"))
+    }
+  }
 }

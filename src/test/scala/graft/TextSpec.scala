@@ -357,4 +357,63 @@ class TextSpec extends AnyFunSuite {
     assert(rows.last._3 == totalVocab,
       s"decile 10 must cover the full vocabulary: ${rows.last._3} vs $totalVocab")
   }
+
+  test("readability: integer rollups reconcile against a direct recount") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val rows = functions.TextAnalysis.queries("text_readability")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val docs = sources.Lake.table(TestSpark.spark, TestSpark.Sf, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totalWords = docs
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    assert(rows.map(_.getAs[Long]("sum_words")).sum == totalWords)
+    // vowel-group syllables are bounded by words only for real language;
+    // here just require positivity and a finite flesch per group
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_syllables") > 0)
+      assert(!r.getAs[Double]("avg_flesch").isNaN)
+    }
+  }
+
+  test("zipf fit: slope is negative and r2 sits in [0, 1]") {
+    val r = functions.TextAnalysis.queries("text_zipf")(
+      TestSpark.spark, TestSpark.Sf).collect().head
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val vocab = sources.Lake.table(TestSpark.spark, TestSpark.Sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(r.getAs[Long]("n_terms") == vocab)
+    // frequency is non-increasing in rank by construction
+    assert(r.getAs[Double]("zipf_slope") < 0.0, r.toString)
+    val r2 = r.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0, r.toString)
+  }
+
+  test("zipf bucketed rank equals the global row_number rank") {
+    // the two-level (freq, first-char bucket) rank must reproduce the
+    // single-window global rank exactly — planted vocab with freq ties
+    // across bucket boundaries
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val freq = Seq(("apple", 5L), ("ant", 5L), ("bee", 5L), ("cat", 3L),
+      ("cow", 3L), ("dog", 1L), ("ape", 1L), ("bat", 1L))
+      .toDF("term", "freq")
+    val global = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+      .select("term", "rank")
+    val bucketed = freq.withColumn("bkt", substring(col("term"), 1, 1))
+    val offsets = bucketed.groupBy(col("freq"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(
+        Window.orderBy(col("freq").desc, col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, 0)) - col("c"))
+      .select(col("freq"), col("bkt"), col("off"))
+    val wIn = Window.partitionBy(col("freq"), col("bkt")).orderBy(col("term"))
+    val two = bucketed.join(broadcast(offsets), Seq("freq", "bkt"))
+      .select(col("term"), (col("off") + row_number().over(wIn)).as("rank"))
+    val g = global.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val t2 = two.collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    assert(g == t2, s"global=$g two-level=$t2")
+  }
 }
