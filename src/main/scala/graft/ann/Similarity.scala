@@ -294,8 +294,53 @@ object Similarity {
         .select(col("query_id"), col("rk"), col("neighbor_id"),
           round(col("score"), 6).as("rrf"))
         .orderBy(col("query_id"), col("rk"))
-    })
+    }),
+
+    // SemDeDup (Abbas et al. 2023) — semantic dedup, registered beside
+    // the dedup family in SURVEY §C: k-means clusters bound the
+    // quadratic, then WITHIN each cluster any vector with a lower-id
+    // neighbor at cosine ≥ θ drops (one representative per semantic
+    // near-dup set survives). The cluster pair-join is an equi-join on
+    // centroid_id — the all-pairs work is information-theoretically
+    // required only inside clusters, exactly what clustering is FOR;
+    // at 100 TB k grows with the corpus so cluster sizes stay bounded,
+    // and AQE skew-join splits hot clusters. Reuses the deterministic
+    // seeded k-means (fixed sweeps, quantized centroids/compares) so
+    // the full train→assign→pair→drop pipeline replays as plain SQL.
+    "dedup_semantic" -> ((s, dir) =>
+      semanticDedup(t(s, dir, "embeddings"),
+        nCentroids = IvfCentroids, thr = SemDedupThr))
   )
+
+  /** 0.45 matches dedup_embedding's near-dup radius for THIS synthetic
+    * corpus (its max pair cosine is ~0.51 — a 0.9 gate would be
+    * vacuously all-kept; AnnSpec plants true 0.9 near-dup sets to pin
+    * the greedy-drop semantics at a production threshold). */
+  private[graft] val SemDedupThr = 0.45
+
+  /** The dedup_semantic engine: assign every vector to its trained
+    * centroid, self-join within clusters (id pairs + one cosine per
+    * candidate pair — the pair join carries the arrays only once per
+    * side), mark the HIGHER id of every ≥ θ pair dropped. The kept set
+    * is the per-cluster greedy-by-id SemDeDup exemplar set. */
+  private[graft] def semanticDedup(emb: DataFrame, nCentroids: Int,
+                                   thr: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = trainCentroids(emb, nCentroids)
+    // eager diamond: feeds both pair-join legs + the output spine
+    val assigned = assignNearest(e, cents).cache()
+    assigned.count()
+    val drops = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(GraftFunctions.cosineSim(col("a.emb"), col("b.emb")) >= thr)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+      .orderBy(col("vec_id"))
+  }
 
   /** The ann_knn_classify engine over explicit (vec_id, embedding,
     * label) rows — split out so specs can plant labeled clusters. */
@@ -920,5 +965,32 @@ object Similarity {
          |  FROM f)
          |SELECT query_id, rk, neighbor_id, round(score, 6) AS rrf
          |FROM r WHERE rk <= 5
-         |ORDER BY query_id, rk""".stripMargin)
+         |ORDER BY query_id, rk""".stripMargin) +
+    // The ann_ivf k-means chain replayed, then the same within-cluster
+    // lower-id-drops pair join on unrounded cosine bits. `assigned` is
+    // read three times (both pair legs + the spine) — AS MATERIALIZED,
+    // or DuckDB re-inlines the whole k-means per reference (the
+    // kcoreSql lesson).
+    ("dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |${kmeansCtes(IvfCentroids, KmeansIters)},
+         |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, emb, centroid_id FROM (
+         |    SELECT e.vec_id, e.emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c)
+         |  WHERE rnk = 1),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.emb, b.emb) >= $SemDedupThr)
+         |SELECT a.vec_id, a.centroid_id,
+         |  (d.vec_id IS NOT NULL) AS dropped
+         |FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin)
 }

@@ -796,6 +796,27 @@ object StarSchema {
           |WHERE e.event_type = 'purchase'
           |GROUP BY c.c_mktsegment, month(e.ts)
           |ORDER BY segment, month""".stripMargin)
+    }),
+
+    // Correlated LATERAL subquery through the SQL parser (top-2 orders
+    // per customer — the "top-N per key" SQL idiom): Spark DECORRELATES
+    // the per-customer ORDER BY + LIMIT into WindowGroupLimit stages +
+    // one join (verified in the plan — partial per-task top-k heaps,
+    // never a per-customer re-execution and never a global sort), so
+    // the lateral form costs the same as the hand-written rank window
+    // at any scale. Exact cents ranking with the unique-okey tie-break;
+    // DuckDB runs the identical LATERAL text.
+    "sql_lateral" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("lat_orders")
+      t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.cents
+          |FROM lat_customer c, LATERAL (
+          |  SELECT o_orderkey,
+          |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          |  FROM lat_orders WHERE o_custkey = c.c_custkey
+          |  ORDER BY cents DESC, o_orderkey LIMIT 2) t
+          |ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""".stripMargin)
     })
   )
 
@@ -1077,6 +1098,17 @@ object StarSchema {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'
         |GROUP BY c.c_mktsegment, month(e.ts)
-        |ORDER BY segment, month""".stripMargin
+        |ORDER BY segment, month""".stripMargin,
+
+    // The identical LATERAL text — both engines decorrelate it; exact
+    // integer ranking, unique-key tie-break.
+    "sql_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.cents
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY cents DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.cents DESC, t.o_orderkey""".stripMargin
   )
 }

@@ -229,4 +229,26 @@ class AnnSpec extends AnyFunSuite {
       else assert(!range.contains(k), s"$k below the radius leaked in")
     }
   }
+
+  test("semantic dedup keeps one exemplar per planted near-dup set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two orthogonal base directions, each with two near-identical
+    // copies (cos > 0.99) and one far vector; centroids seed from the
+    // first 2 ids. Greedy-by-id must keep the LOWEST id of each dup
+    // set and never drop across sets (cross-set cosine ~0).
+    def unit(d: Int, eps: Double): Seq[Float] =
+      (0 until 8).map(i =>
+        (if (i == d) 1.0f else 0.0f) + (if (i == (d + 4)) eps.toFloat else 0.0f))
+    val rows = Seq(
+      (0L, unit(0, 0.0), 0), (1L, unit(1, 0.0), 0),   // seeds, one per direction
+      (2L, unit(0, 0.01), 0),                          // dup of 0
+      (3L, unit(1, 0.01), 0),                          // dup of 1
+      (4L, unit(2, 0.0), 0)                            // far from both
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ann.Similarity.semanticDedup(rows, nCentroids = 2, thr = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(0L -> false, 1L -> false, 2L -> true, 3L -> true,
+      4L -> false), got.toString)
+  }
 }

@@ -111,6 +111,19 @@ class ScaleSpec extends AnyFunSuite {
       s"stratified draw must keep the partial top-k partition-local:\n$draw")
   }
 
+  test("sql_lateral decorrelates into a group-limit join, not a re-execution") {
+    // the correlated LATERAL ORDER BY + LIMIT must compile to
+    // WindowGroupLimit stages + ONE join of the two tables — a
+    // CartesianProduct or nested-loop means Spark fell back to
+    // re-executing the subquery per outer row
+    val plan = SparkEntry.queries("sql_lateral")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"lateral top-2 must plan as WindowGroupLimit:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"lateral join must stay an equi-join:\n$plan")
+  }
+
   test("etl_incremental_read prunes partitions at the scan (PartitionFilters)") {
     // the incremental consumer's cost must scale with the NEW data: the
     // watermark predicate has to reach the file listing as a partition
@@ -210,7 +223,7 @@ class ScaleSpec extends AnyFunSuite {
       // relation
       if (Set("dedup_clusters", "graph_pagerank", "graph_bfs",
           "graph_components", "graph_labelprop", "mm_cluster",
-          "graph_sssp", "graph_kcore")(k))
+          "graph_sssp", "graph_kcore", "graph_hits")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
