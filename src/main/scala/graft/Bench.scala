@@ -120,7 +120,60 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val ok = results.collect { case (_, v, true) => v }
+    val geomean =
+      if (ok.isEmpty) 0.0 else math.exp(ok.map(v => math.log(math.max(v, 1e-4))).sum / ok.size)
+    // Full-fidelity per-query map: stderr + target/bench_full.json. The
+    // driver keeps only the LAST ~2000 chars of stdout, and the full
+    // 185-key map blew past that in rounds 7-8 — the one stdout JSON
+    // line was truncated mid-map and the driver parsed nothing, so two
+    // rounds shipped without bench numbers. stdout now carries a
+    // curated headline subset (every family represented, the heavy
+    // hitters included) at 3dp, sized to stay well inside the buffer;
+    // everything else lives in the full dump.
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    System.err.println(s"[bench] full: $fullLine")
+    try {
+      new java.io.File("target").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_full.json"), fullLine + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-dump write failed: ${e.getMessage}")
+    }
+    val headline = Seq(
+      "etl_fact_join", "etl_bucketed_join", "etl_skew_join", "etl_zorder_read",
+      "etl_scd2", "etl_merge_upsert", "etl_dpp_join", "etl_incremental_agg",
+      "q1_agg", "q3_join_agg", "q5_multijoin", "q6_filter_agg", "q7_window",
+      "q9_profit", "q16_distinct_agg", "q18_having", "q21_waiting", "q24_cube",
+      "q25_percentiles", "q26_asof", "q27_bandjoin", "q34_funnel", "q36_arrays",
+      "q37_sessionize", "q38_retention", "q39_concurrency", "q43_islands",
+      "q48_deciles", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+      "dedup_embedding", "dedup_corpus", "dedup_clusters", "dedup_semantic",
+      "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_knn_join", "ann_pq",
+      "ann_mips", "text_tfidf", "text_mix", "text_pack", "text_logprob",
+      "text_bpe", "text_winnowing", "text_zipf", "text_pii",
+      "text_decontaminate", "mm_decode", "mm_phash", "stream_window",
+      "stream_dedup", "stream_join", "stream_trending", "stream_session",
+      "stream_upsert", "profile_stats", "profile_corr", "profile_psi",
+      "graph_pagerank", "graph_components", "graph_triangles")
+    val byName = results.map { case (k, v, o) => k -> (v, o) }.toMap
+    def fmt3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def line(keys: Seq[String]): String = {
+      val hqs = keys.flatMap(k => byName.get(k).map { case (v, o) =>
+        "\"" + k + "\":" + (if (o) fmt3(v) else "null")
+      }).mkString("{", ",", "}")
+      val failedShort = results.collect { case (k, _, false) => "\"" + k + "\"" }
+        .take(8).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$hqs,""" +
+        s""""geomean":${fmt3(geomean)},"n_queries":${results.size},""" +
+        s""""n_failed":${results.count(!_._3)},"failed":$failedShort,"sf":"$sfDir"}"""
+    }
+    // hard cap: drop trailing headline keys until the line fits the
+    // driver's buffer with margin (never drops in practice)
+    var keys = headline
+    var out = line(keys)
+    while (out.length > 1900 && keys.nonEmpty) { keys = keys.dropRight(5); out = line(keys) }
+    println(out)
     spark.stop()
   }
 }

@@ -321,8 +321,14 @@ object Similarity {
   /** The dedup_semantic engine: assign every vector to its trained
     * centroid, self-join within clusters (id pairs + one cosine per
     * candidate pair — the pair join carries the arrays only once per
-    * side), mark the HIGHER id of every ≥ θ pair dropped. The kept set
-    * is the per-cluster greedy-by-id SemDeDup exemplar set. */
+    * side), mark the HIGHER id of every ≥ θ pair dropped. Semantics:
+    * drop a vector iff ANY lower-id in-cluster neighbor is ≥ θ (the
+    * SemDeDup lower-triangle-max rule) — NOT sequential greedy: in a
+    * chain a–b–c with cos(a,b) ≥ θ, cos(b,c) ≥ θ, cos(a,c) < θ this
+    * keeps only {a}, where a greedy scan would keep {a, c}. The pair
+    * cosine rides the same 1e-12 quantization as the k-means
+    * assignment (cosQ/CosQuantSql) so a pair landing within an ulp of
+    * θ can't split the engines. */
   private[graft] def semanticDedup(emb: DataFrame, nCentroids: Int,
                                    thr: Double): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -333,7 +339,7 @@ object Similarity {
     val drops = assigned.as("a").join(assigned.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.vec_id") < col("b.vec_id"))
-      .filter(GraftFunctions.cosineSim(col("a.emb"), col("b.emb")) >= thr)
+      .filter(cosQ(GraftFunctions.cosineSim(col("a.emb"), col("b.emb"))) >= thr)
       .select(col("b.vec_id").as("vec_id")).distinct()
       .withColumn("dropped", lit(true))
     assigned.join(drops, Seq("vec_id"), "left")
@@ -988,7 +994,7 @@ object Similarity {
          |  SELECT DISTINCT b.vec_id
          |  FROM assigned a JOIN assigned b
          |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-         |  WHERE list_cosine_similarity(a.emb, b.emb) >= $SemDedupThr)
+         |  WHERE ${CosQuantSql.format("list_cosine_similarity(a.emb, b.emb)")} >= $SemDedupThr)
          |SELECT a.vec_id, a.centroid_id,
          |  (d.vec_id IS NOT NULL) AS dropped
          |FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id

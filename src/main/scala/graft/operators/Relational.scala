@@ -1224,10 +1224,124 @@ object Relational {
           round(sum(when(col("npr") === col("n_prio"), 1L).otherwise(0L))
             .cast("double") / count(lit(1)), 6).as("complete_share"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Exact-dyadic EWMA (the smoother a monitoring pipeline runs over
+    // daily volumes): per event_type, fold y = (y_prev + x)/2 over a
+    // 30-observation trailing frame of daily counts, zero-seeded.
+    // α = 1/2 is chosen so EVERY step is exact IEEE — halving is an
+    // exponent shift and the partial sums of count·2⁻ᵏ terms stay
+    // under 2⁵³ in units of the finest kept scale (counts < 2²⁰ here;
+    // at ≥ 2³³ daily events the budget tightens and the 6dp grid
+    // absorbs the last ulp) — so the left fold is bit-identical on any
+    // engine, no transcendental, no pow(). Two small shuffles: the
+    // daily aggregate (map-side partials over the raw scan), then the
+    // per-type window over the tiny daily table; the frame is ROWS
+    // 29 PRECEDING so the state is O(30) per series regardless of
+    // history length.
+    "q53_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-29, 0)
+      daily
+        .withColumn("frame", collect_list(col("cnt")).over(w))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("cnt"),
+          round(expr(
+            "aggregate(frame, 0.0D, (acc, x) -> (acc + CAST(x AS DOUBLE)) / 2.0D)"),
+            6).as("ewma"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Cart-abandonment (temporal NOT EXISTS — the negation q34_funnel
+    // can't express: a view with NO purchase by the same user within
+    // the next hour). The naive spelling is a per-view anti-join
+    // against purchases (O(views·purchases) per hot user at 100 TB);
+    // the scalable one is a REVERSE SWEEP: scan each user's events in
+    // descending time order keeping a running min of future purchase
+    // timestamps — at a view row that min IS the next purchase, so
+    // "abandoned" is one integer compare. ONE shuffle on user_id, one
+    // window scan, then a daily rollup; purchases sort before views at
+    // an equal instant (pflag DESC) so a same-microsecond conversion
+    // counts on both engines. All arithmetic is epoch-micros longs;
+    // the rate is an exact int/int division on the 6dp grid.
+    "q54_abandon" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), to_date(col("ts")).as("day"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("pflag"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("pflag").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.withColumn("next_p",
+          min(when(col("pflag") === 1, col("us"))).over(w))
+        .filter(col("pflag") === 0)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("next_p").isNull ||
+              col("next_p") - col("us") > 3600L * 1000000L, 1L)
+            .otherwise(0L)).as("n_abandoned"))
+        .select(col("day").cast("string").as("day"), col("n_views"),
+          col("n_abandoned"),
+          round(col("n_abandoned").cast("double") /
+            col("n_views").cast("double"), 6).as("abandon_rate"))
+        .orderBy(col("day"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // Same daily counts, same 30-row frame list, same zero-seeded
+    // (acc + x)/2 left fold — every step exact IEEE, so no tolerance.
+    "q53_ewma" ->
+      """WITH ev AS (
+        |  SELECT event_type, make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, day, cnt,
+        |    list(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |                    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS frame
+        |  FROM d)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+        |  round(list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE),
+        |                 [CAST(x AS DOUBLE) for x in frame]),
+        |    (acc, x) -> (acc + x) / 2.0), 6) AS ewma
+        |FROM f ORDER BY event_type, day""".stripMargin,
+
+    // Same reverse sweep: running min of future purchase micros per
+    // user (purchases before views at an equal instant), same integer
+    // 1h compare, same exact daily rate.
+    "q54_abandon" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(ts AS DATE) AS day,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pflag
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (
+        |  SELECT *, min(CASE WHEN pflag = 1 THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us DESC, pflag DESC, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS next_p
+        |  FROM ev)
+        |SELECT CAST(day AS VARCHAR) AS day,
+        |  CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(sum(CASE WHEN next_p IS NULL
+        |               OR next_p - us > CAST(3600 AS BIGINT) * 1000000
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+        |  round(CAST(sum(CASE WHEN next_p IS NULL
+        |                     OR next_p - us > CAST(3600 AS BIGINT) * 1000000
+        |                 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS abandon_rate
+        |FROM m WHERE pflag = 0
+        |GROUP BY day ORDER BY day""".stripMargin,
     // Same quantile_cont bounds (the q25 percentile pairing), same CASE
     // binning on identical doubles, same exact cents sum.
     "q48_deciles" -> {
@@ -1421,18 +1535,27 @@ object Relational {
         |  n_trans / sum(n_trans) OVER (PARTITION BY from_type) AS prob
         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
+    // ev normalizes ts to micros TIMESTAMP no matter what the feed
+    // shipped (epoch_us truncates TIMESTAMP_NS exactly like Spark's
+    // `div 1000`; a no-op on native-micros data) — the lag ordering,
+    // gap arithmetic, and outputs all run on the SAME micro instants
+    // Spark sees, so sub-microsecond precision can never split the
+    // engines.
     "q37_sessionize" ->
-      """WITH e AS (
+      """WITH ev AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id
+        |  FROM events),
+        |e AS (
         |  SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
+        |  FROM ev),
         |s AS (
         |  SELECT user_id, ts,
-        |    sum(CASE WHEN prev_ts IS NULL
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
         |             OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
         |             THEN 1 ELSE 0 END)
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |            ROWS UNBOUNDED PRECEDING) AS session_idx
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |  FROM e)
         |SELECT user_id, session_idx,
         |  epoch_us(min(ts)) AS session_start_us,
@@ -1446,21 +1569,24 @@ object Relational {
     // (event_type, start day). epoch_us on the nanos timestamp truncates
     // to micros — the testdata is micro-aligned (q37 precedent).
     "q39_concurrency" ->
-      """WITH b AS (
+      """WITH ev AS (
+        |  SELECT event_type, make_timestamp(epoch_us(ts)) AS ts, event_id
+        |  FROM events),
+        |b AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS bts,
         |    1 AS delta, event_id
-        |  FROM events
+        |  FROM ev
         |  UNION ALL
         |  SELECT event_type, CAST(ts AS DATE), epoch_us(ts) + 900 * 1000000,
         |    -1, event_id
-        |  FROM events),
+        |  FROM ev),
         |c AS (
         |  SELECT event_type, day,
         |    sum(delta) OVER (PARTITION BY event_type, day
         |                     ORDER BY bts, delta DESC, event_id) AS conc
         |  FROM b)
         |SELECT event_type, CAST(day AS VARCHAR) AS day,
-        |  max(conc) AS max_concurrent
+        |  CAST(max(conc) AS BIGINT) AS max_concurrent
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q38_retention" ->

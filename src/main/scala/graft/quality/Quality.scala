@@ -206,22 +206,53 @@ object Quality {
     // is one table scan regardless of pair count, same contract as
     // profile_stats. O(k²) aggregate slots for k profiled columns is
     // fine at profiling widths (k ≤ ~40); past that, sample first or
-    // melt to a pair-keyed self-join. Values round to 4dp (corr) / 2dp
-    // (covar) on both engines — the co-moment sums agree to ~1e-12
-    // relative, far inside the grid.
+    // melt to a pair-keyed self-join. Arithmetic: native corr/covar
+    // accumulate doubles in partition order, and a 4dp/2dp round sits
+    // ON a rounding boundary often enough to flip the last digit
+    // cross-engine (round-8 regression) — so the values ride the
+    // text_zipf exact-moment discipline instead: micro-quantize each
+    // double onto a 1e-6 long grid, accumulate the co-moments as EXACT
+    // decimal(38) sums (order-free), and evaluate corr / covar_samp as
+    // fixed expressions over them — identical integers in, identical
+    // IEEE ops, identical doubles out on both engines.
     "profile_corr" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val pairs = for {
         i <- cols.indices; j <- cols.indices if i < j
       } yield (cols(i), cols(j))
-      val aggs = pairs.flatMap { case (a, b) => Seq(
-        round(corr(col(a), col(b)), 4).as(s"corr_${a}_$b"),
-        round(covar_samp(col(a), col(b)), 2).as(s"cov_${a}_$b")) }
+      val q = t(s, dir, "lineitem").select(
+        cols.map(c => round(col(c) * 1e6).cast("long").as(c)): _*)
+      val moments =
+        Seq(count(lit(1)).cast(dec).as("n")) ++
+        cols.flatMap(c => Seq(
+          sum(col(c).cast(dec)).as(s"sx_$c"),
+          sum(col(c).cast(dec) * col(c).cast(dec)).as(s"sxx_$c"))) ++
+        pairs.map { case (a, b) =>
+          sum(col(a).cast(dec) * col(b).cast(dec)).as(s"sxy_${a}_$b") }
+      val aggs = pairs.flatMap { case (a, b) =>
+        val cov = (col("n") * col(s"sxy_${a}_$b") -
+          col(s"sx_$a") * col(s"sx_$b")).cast("double")
+        val va = (col("n") * col(s"sxx_$a") -
+          col(s"sx_$a") * col(s"sx_$a")).cast("double")
+        val vb = (col("n") * col(s"sxx_$b") -
+          col(s"sx_$b") * col(s"sx_$b")).cast("double")
+        // + 0.0 canonicalizes IEEE −0.0 (a tiny negative covar rounds
+        // to −0.0 in DuckDB but +0.0 through Spark's BigDecimal round
+        // — a driver hash split on equal values)
+        Seq(
+          (round(cov / sqrt(va) / sqrt(vb), 4) + lit(0.0)).as(s"corr_${a}_$b"),
+          // covar_samp of the quantized grid: (n·sxy − sx·sy) /
+          // (n·(n−1)) / 1e12 undoes the two 1e6 scalings
+          (round(cov / (col("n") * (col("n") - lit(1))).cast("double") / 1e12, 2)
+            + lit(0.0)).as(s"cov_${a}_$b"))
+      }
       val stackRows = pairs
         .map { case (a, b) => s"'$a', '$b', corr_${a}_$b, cov_${a}_$b" }
         .mkString(",\n          ")
-      t(s, dir, "lineitem")
-        .agg(aggs.head, aggs.tail: _*)
+      q.agg(moments.head, moments.tail: _*)
+        .select(aggs: _*)
         .select(expr(
           s"""stack(${pairs.size},
              |  $stackRows) AS (col_a, col_b, pearson_r, covar)""".stripMargin))
@@ -648,15 +679,31 @@ object Quality {
       .groupBy(col("bin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
-    // the windows below run over the 10-row bin table, not table data
+    // the windows below run over the 10-row bin table, not table data.
+    // Arithmetic: the Laplace-smoothed shares are exact rationals —
+    // p = a/A with a = 2·ref+1, A = 2·rt+10 (doubling clears the 0.5) —
+    // so p − q = (aB − bA)/(AB) evaluates over exact decimal(38)
+    // integer products, and the one transcendental ln(p/q) =
+    // ln(aB) − ln(bA) micro-quantizes each term to a long BEFORE the
+    // difference (text_zipf discipline: Java's and libc's ln disagree
+    // by an ulp on identical inputs, which flipped the 6dp round in
+    // round 8 — the 1e-6 grid absorbs it). Identical integers →
+    // identical IEEE ops → identical psi on both engines.
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
     val wAll = Window.partitionBy()
     binned
-      .withColumn("p", (col("ref_cnt") + 0.5) /
-        (sum(col("ref_cnt")).over(wAll) + 5.0))
-      .withColumn("q", (col("cur_cnt") + 0.5) /
-        (sum(col("cur_cnt")).over(wAll) + 5.0))
+      .withColumn("a", (lit(2L) * col("ref_cnt") + lit(1L)).cast(dec))
+      .withColumn("b", (lit(2L) * col("cur_cnt") + lit(1L)).cast(dec))
+      .withColumn("ta", (lit(2L) * sum(col("ref_cnt")).over(wAll) + lit(10L)).cast(dec))
+      .withColumn("tb", (lit(2L) * sum(col("cur_cnt")).over(wAll) + lit(10L)).cast(dec))
+      .withColumn("lq",
+        round(log((col("a") * col("tb")).cast("double")) * 1e6).cast("long") -
+        round(log((col("b") * col("ta")).cast("double")) * 1e6).cast("long"))
       .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
-        round((col("p") - col("q")) * log(col("p") / col("q")), 6).as("psi"))
+        round((col("a") * col("tb") - col("b") * col("ta")).cast("double") /
+            (col("ta") * col("tb")).cast("double") *
+            (col("lq").cast("double") / lit(1e6)), 6).as("psi"))
       .orderBy(col("bin"))
   }
 
@@ -779,28 +826,45 @@ object Quality {
         |SELECT 'ALL', CAST(count(DISTINCT ck) AS BIGINT), TRUE FROM p
         |ORDER BY grp""".stripMargin,
 
-    "profile_corr" ->
-      """WITH p AS (
-        |  SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
-        |    round(corr(l_discount, l_tax), 4) AS pearson_r,
-        |    round(covar_samp(l_discount, l_tax), 2) AS covar FROM lineitem
-        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
-        |    round(corr(l_extendedprice, l_discount), 4),
-        |    round(covar_samp(l_extendedprice, l_discount), 2) FROM lineitem
-        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
-        |    round(corr(l_extendedprice, l_tax), 4),
-        |    round(covar_samp(l_extendedprice, l_tax), 2) FROM lineitem
-        |  UNION ALL SELECT 'l_quantity', 'l_extendedprice',
-        |    round(corr(l_quantity, l_extendedprice), 4),
-        |    round(covar_samp(l_quantity, l_extendedprice), 2) FROM lineitem
-        |  UNION ALL SELECT 'l_quantity', 'l_discount',
-        |    round(corr(l_quantity, l_discount), 4),
-        |    round(covar_samp(l_quantity, l_discount), 2) FROM lineitem
-        |  UNION ALL SELECT 'l_quantity', 'l_tax',
-        |    round(corr(l_quantity, l_tax), 4),
-        |    round(covar_samp(l_quantity, l_tax), 2) FROM lineitem)
-        |SELECT col_a, col_b, pearson_r, covar
-        |FROM p ORDER BY col_a, col_b""".stripMargin,
+    // Same micro-quantized grid, same exact HUGEINT co-moments (the
+    // text_zipf stand-in for decimal(38)), same fixed corr/covar_samp
+    // expressions — native corr/covar_samp would re-introduce the
+    // order-dependent float accumulation this spelling removes.
+    "profile_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val quant = cols.map(c =>
+        s"CAST(round($c * 1000000.0) AS BIGINT) AS $c").mkString(",\n        |    ")
+      val moms =
+        cols.flatMap(c => Seq(
+          s"sum(CAST($c AS HUGEINT)) AS sx_$c",
+          s"sum(CAST($c AS HUGEINT) * CAST($c AS HUGEINT)) AS sxx_$c")) ++
+        pairs.map { case (a, b) =>
+          s"sum(CAST($a AS HUGEINT) * CAST($b AS HUGEINT)) AS sxy_${a}_$b" }
+      val branches = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |    round(CAST(n * sxy_${a}_$b - sx_$a * sx_$b AS DOUBLE)
+           |      / sqrt(CAST(n * sxx_$a - sx_$a * sx_$a AS DOUBLE))
+           |      / sqrt(CAST(n * sxx_$b - sx_$b * sx_$b AS DOUBLE)), 4) + 0.0 AS pearson_r,
+           |    round(CAST(n * sxy_${a}_$b - sx_$a * sx_$b AS DOUBLE)
+           |      / CAST(n * (n - 1) AS DOUBLE) / 1000000000000.0, 2) + 0.0 AS covar
+           |  FROM m""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH q AS (
+         |  SELECT
+         |    $quant
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    ${moms.mkString(",\n    ")}
+         |  FROM q),
+         |p AS (
+         |  $branches)
+         |SELECT col_a, col_b, pearson_r, covar
+         |FROM p ORDER BY col_a, col_b""".stripMargin
+    },
 
     // The bitmap aggregate is exact, so the oracle is direct
     // count(DISTINCT) equality — a set-union bug of any kind fails the
@@ -878,23 +942,39 @@ object Quality {
     // Same 10 equi-width bins (grid-identical edges, profile_hist
     // precedent), same Laplace-smoothed shares, same (p−q)·ln(p/q) —
     // DuckDB's ln() is natural log (its log() is log10, unlike Spark's).
+    // Same exact-integer Laplace numerators (a=2·ref+1 over A=2·rt+10
+    // clears the 0.5 smoothing into HUGEINTs), same micro-quantized
+    // ln(aB)−ln(bA) split, same fixed (aB−bA)/(AB)·lq/1e6 spelling —
+    // the bare (p−q)·ln(p/q) over raw doubles flipped the 6dp round on
+    // a ln ulp in round 8. DuckDB's ln() is natural log (its log() is
+    // log10, unlike Spark's).
     "profile_psi" ->
       """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |           FROM orders),
         |c AS (
         |  SELECT CAST(least(9, floor((o_totalprice - mn) / ((mx - mn) / 10.0)))
         |              AS INT) AS bin,
-        |    sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
-        |             THEN 1 ELSE 0 END) AS ref_cnt,
-        |    sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
-        |             THEN 1 ELSE 0 END) AS cur_cnt
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
         |  FROM orders CROSS JOIN b GROUP BY 1),
-        |t AS (SELECT sum(ref_cnt) AS rt, sum(cur_cnt) AS ct FROM c)
+        |t AS (SELECT CAST(2 * sum(ref_cnt) + 10 AS HUGEINT) AS ta,
+        |             CAST(2 * sum(cur_cnt) + 10 AS HUGEINT) AS tb FROM c),
+        |x AS (
+        |  SELECT bin, ref_cnt, cur_cnt,
+        |    CAST(2 * ref_cnt + 1 AS HUGEINT) AS a,
+        |    CAST(2 * cur_cnt + 1 AS HUGEINT) AS b, ta, tb
+        |  FROM c CROSS JOIN t),
+        |l AS (
+        |  SELECT *,
+        |    CAST(round(ln(CAST(a * tb AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    - CAST(round(ln(CAST(b * ta AS DOUBLE)) * 1000000.0) AS BIGINT) AS lq
+        |  FROM x)
         |SELECT bin, ref_cnt, cur_cnt,
-        |  round(((ref_cnt + 0.5) / (rt + 5.0) - (cur_cnt + 0.5) / (ct + 5.0)) *
-        |        ln(((ref_cnt + 0.5) / (rt + 5.0)) /
-        |           ((cur_cnt + 0.5) / (ct + 5.0))), 6) AS psi
-        |FROM c CROSS JOIN t ORDER BY bin""".stripMargin,
+        |  round(CAST(a * tb - b * ta AS DOUBLE) / CAST(ta * tb AS DOUBLE)
+        |        * (CAST(lq AS DOUBLE) / 1000000.0), 6) AS psi
+        |FROM l ORDER BY bin""".stripMargin,
 
     // Same decimal-string first digit (canonical text both engines
     // print identically), same long/long share division, same log10 on

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Strict local replica of the driver's DuckDB-oracle hash compare.
+
+Unlike selfcheck.py (atol=1e-9 value compare), this matches the driver's
+failure mode exactly: pandas DTYPE drift (DuckDB HUGEINT -> float64 vs
+Spark int64) and FLOAT BIT drift (-0.0 vs 0.0, last-ulp flips) both count
+as failures, because the driver hashes rendered values.
+"""
+import sys, json, glob, os
+import duckdb
+import numpy as np
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails, checked, rows_only = 0, 0, 0
+names = [os.path.basename(p) for p in sorted(glob.glob(f"{outdir}/*"))
+         if os.path.isdir(p)]
+for name in names:
+    if only and name not in only:
+        continue
+    spark_df = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
+    if name not in oracle:
+        rows_only += 1
+        if len(spark_df) == 0:
+            print(f"{name}: rows-only EMPTY!")
+            fails += 1
+        continue
+    checked += 1
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}")
+        fails += 1
+        continue
+    cols = sorted(spark_df.columns)
+    if cols != sorted(duck_df.columns):
+        print(f"{name}: COLUMN MISMATCH spark={cols} duck={sorted(duck_df.columns)}")
+        fails += 1
+        continue
+    s = spark_df.reindex(cols, axis=1).sort_values(by=cols).reset_index(drop=True)
+    d = duck_df.reindex(cols, axis=1).sort_values(by=cols).reset_index(drop=True)
+    if len(s) != len(d):
+        print(f"{name}: ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}")
+        fails += 1
+        continue
+    bad = []
+    for c in cols:
+        sv, dv = s[c].values, d[c].values
+        # int width drift (int32 vs int64) hashes identically in the
+        # driver; KIND drift (int vs float = DuckDB HUGEINT -> pandas
+        # float64) does not.
+        if sv.dtype.kind in "iu" and dv.dtype.kind in "iu":
+            if not np.array_equal(sv.astype("int64"), dv.astype("int64")):
+                i = np.where(sv.astype("int64") != dv.astype("int64"))[0][:3]
+                bad.append(f"{c}: int values differ rows {i.tolist()} "
+                           f"{sv[i].tolist()} vs {dv[i].tolist()}")
+        elif sv.dtype.kind != dv.dtype.kind:
+            bad.append(f"{c}: dtype {sv.dtype} vs {dv.dtype}")
+        elif sv.dtype.kind == "f":
+            if not np.array_equal(sv.view("int64"), dv.view("int64")):
+                i = np.where(sv.view("int64") != dv.view("int64"))[0][:3]
+                bad.append(f"{c}: float bits differ rows {i.tolist()} "
+                           f"{sv[i].tolist()} vs {dv[i].tolist()}")
+        else:
+            eq = s[c].astype(str).values == d[c].astype(str).values
+            if not eq.all():
+                i = np.where(~eq)[0][:3]
+                bad.append(f"{c}: values differ rows {i.tolist()} "
+                           f"{s[c].values[i].tolist()} vs {d[c].values[i].tolist()}")
+    if bad:
+        print(f"{name}: STRICT MISMATCH: {'; '.join(bad)}")
+        fails += 1
+print(f"checked={checked} rows_only={rows_only} FAILURES={fails}")
+sys.exit(1 if fails else 0)
