@@ -599,6 +599,48 @@ object Dedup {
         .select(col("d_key"), col("c_custkey").as("matched_key"),
           col("c_name").as("matched_name"), col("lev"), col("n_cand"))
         .orderBy(col("d_key"))
+    }),
+
+    // Train/test split LEAKAGE audit (the eval-integrity check that
+    // motivates this whole dedup family: a random by-id 80/20 split
+    // scatters exact duplicates across the boundary, so the test set
+    // scores memorization). Two deterministic md5-keyed splits —
+    // by doc_id (the naive one) and by content fingerprint (dup-safe:
+    // identical texts share a hash, hence a side) — and for each, the
+    // number of exact-dup pairs crossing the boundary. Leakage counts
+    // via GROUP COUNTS, never a pair join: per fingerprint group the
+    // crossing pairs are n_train·n_test, so the audit is one grouped
+    // aggregate + one scalar fold — O(corpus), not O(dups²), and the
+    // shuffle carries (fp, two longs), never text. The content split
+    // must audit to exactly ZERO leaked pairs (structural, any corpus);
+    // the by-id split's positive count on the planted dups is what
+    // fails a naive pipeline. Split rule: first two md5 nibbles of
+    // 'split:'+key < 205/256 ≈ 80.1% train. The corpus ships with all
+    // texts distinct, so every 25th document is PLANTED as an exact
+    // copy under a fresh id (the dedup_embedding_lsh planted-recall
+    // pattern) — the by-id count is provably positive on this input
+    // while by_content stays structurally zero.
+    "dedup_split_leakage" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = base.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val docs = base.unionByName(planted)
+        .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
+      def audit(name: String, trainFlag: Column): DataFrame =
+        docs.select(col("fp"), trainFlag.as("tr"))
+          .groupBy(col("fp"))
+          .agg(sum(when(col("tr"), 1L).otherwise(0L)).as("ntr"),
+            sum(when(!col("tr"), 1L).otherwise(0L)).as("nte"))
+          .agg(sum(col("ntr")).as("n_train"), sum(col("nte")).as("n_test"),
+            sum(col("ntr") * col("nte")).as("leak_pairs"))
+          .select(lit(name).as("strategy"), col("n_train"), col("n_test"),
+            col("leak_pairs"))
+      def splitKey(k: Column): Column =
+        conv(substring(md5(concat(lit("split:"), k)), 1, 2), 16, 10)
+          .cast("long") < 205
+      audit("by_content", splitKey(col("text")))
+        .unionByName(audit("by_doc_id", splitKey(col("doc_id").cast("string"))))
+        .orderBy(col("strategy"))
     })
   )
 
@@ -682,6 +724,44 @@ object Dedup {
         |SELECT d_key, c_custkey AS matched_key, c_name AS matched_name,
         |  lev, n_cand
         |FROM ranked WHERE rn = 1 ORDER BY d_key""".stripMargin,
+
+    // Same md5-nibble 205/256 split rule (strpos nibble unpack — the
+    // DuckDB stand-in for conv(hex)), same per-fingerprint group
+    // counts, same n_train·n_test crossing-pair fold.
+    "dedup_split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, md5(text) AS fp FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, md5(text)
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |flags AS (
+        |  SELECT fp,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |                 substr(md5('split:' || text), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef',
+        |                 substr(md5('split:' || text), 2, 1)) - 1) < 205
+        |         THEN 1 ELSE 0 END AS tr_content,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef',
+        |                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 205
+        |         THEN 1 ELSE 0 END AS tr_id
+        |  FROM d),
+        |gc AS (SELECT fp, CAST(sum(tr_content) AS BIGINT) AS ntr,
+        |         CAST(sum(1 - tr_content) AS BIGINT) AS nte
+        |       FROM flags GROUP BY fp),
+        |gi AS (SELECT fp, CAST(sum(tr_id) AS BIGINT) AS ntr,
+        |         CAST(sum(1 - tr_id) AS BIGINT) AS nte
+        |       FROM flags GROUP BY fp),
+        |rc AS (SELECT 'by_content' AS strategy,
+        |         CAST(sum(ntr) AS BIGINT) AS n_train,
+        |         CAST(sum(nte) AS BIGINT) AS n_test,
+        |         CAST(sum(ntr * nte) AS BIGINT) AS leak_pairs FROM gc),
+        |ri AS (SELECT 'by_doc_id',
+        |         CAST(sum(ntr) AS BIGINT), CAST(sum(nte) AS BIGINT),
+        |         CAST(sum(ntr * nte) AS BIGINT) FROM gi)
+        |SELECT * FROM rc UNION ALL SELECT * FROM ri
+        |ORDER BY strategy""".stripMargin,
 
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCte

@@ -300,6 +300,42 @@ object StarSchema {
         .orderBy(col("event_id"))
     }),
 
+    // CDC changelog replay (the binlog/Debezium apply etl_merge_upsert
+    // can't express: a key can carry MULTIPLE ordered changes —
+    // update-then-update takes the later one, anything-then-delete
+    // drops the key — where upsert's contract rejects duplicate-key
+    // batches). The synthesized changelog exercises every path:
+    // %10 ∈ {0,1} one update; %10 = 2 two updates (last-writer-wins
+    // must pick seq 3); %10 = 3 a delete; %10 = 4 an insert under a
+    // fresh key. See Lake.cdcApply for the one-shuffle per-key top-1
+    // shape (base rides along as seq-0 upserts).
+    "etl_cdc_apply" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+      val m = pmod(col("k"), lit(10))
+      val base = src.select(col("k"), col("status"), col("price"),
+        lit(0L).as("seq"), lit("U").as("op"))
+      val up1 = src.filter(m.isin(0, 1, 2))
+        .select(col("k"), lit("P").as("status"),
+          (col("price") + 1000).as("price"), lit(2L).as("seq"), lit("U").as("op"))
+      val up2 = src.filter(m === 2)
+        .select(col("k"), lit("F").as("status"),
+          (col("price") + 2000).as("price"), lit(3L).as("seq"), lit("U").as("op"))
+      val del = src.filter(m === 3)
+        .select(col("k"), lit(null).cast("string").as("status"),
+          lit(null).cast("double").as("price"), lit(2L).as("seq"),
+          lit("D").as("op"))
+      val ins = src.filter(m === 4)
+        .select((col("k") + 10000000000L).as("k"), lit("N").as("status"),
+          col("price").as("price"), lit(1L).as("seq"), lit("I").as("op"))
+      val log = up1.unionByName(up2).unionByName(del).unionByName(ins)
+      Lake.cdcApply(base, log, Seq("k"), "seq", "op")
+        .select(col("k").as("o_key"), col("status"),
+          round(col("price"), 2).as("price"))
+        .orderBy(col("o_key"))
+    }),
+
     // Targeted key erasure end-to-end (the GDPR/right-to-be-forgotten
     // maintenance pass — §A engine completeness beyond upsert): events
     // land bucket-partitioned on user_id (the stream_upsert state-store
@@ -1026,6 +1062,29 @@ object StarSchema {
         |  round(value, 2) AS value
         |FROM merged
         |ORDER BY event_id""".stripMargin,
+
+    // Same synthesized changelog (base as seq-0 upserts), same per-key
+    // ORDER BY seq DESC top-1, same delete drop.
+    "etl_cdc_apply" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |log AS (
+        |  SELECT k, status, price, 0 AS seq, 'U' AS op FROM src
+        |  UNION ALL SELECT k, 'P', price + 1000, 2, 'U'
+        |    FROM src WHERE k % 10 IN (0, 1, 2)
+        |  UNION ALL SELECT k, 'F', price + 2000, 3, 'U'
+        |    FROM src WHERE k % 10 = 2
+        |  UNION ALL SELECT k, NULL, NULL, 2, 'D' FROM src WHERE k % 10 = 3
+        |  UNION ALL SELECT k + 10000000000, 'N', price, 1, 'I'
+        |    FROM src WHERE k % 10 = 4),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+        |        AS rn
+        |      FROM log)
+        |SELECT k AS o_key, status, round(price, 2) AS price
+        |FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_key""".stripMargin,
 
     "etl_zorder_read" ->
       """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,

@@ -444,6 +444,60 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 ranked retrieval (Robertson/Spärck Jones — the lexical
+    // search half of a hybrid retrieval stack, beside ann_* / ann_rrf):
+    // score every document against a fixed 3-term query, return the
+    // top 15. k1 = 1.2, b = 0.75. Arithmetic is the profile_psi
+    // discipline end to end: idf = ln((N−df+½)/(df+½)) splits into
+    // ln(2N−2df+1) − ln(2df+1) over exact integers with each ln
+    // micro-quantized to a long; the tf saturation term is a fixed
+    // IEEE expression over integer (tf, dl, N, Σdl); the 3 per-term
+    // scores add in FIXED spelled order (each conditional sum folds
+    // ≤ 1 element, so no accumulation order exists). Shape: the shared
+    // cached tf table feeds dl (per-doc sum), the term filter (3 rows
+    // per matching doc), and df — one corpus explode total; df and the
+    // (N, Σdl) scalars broadcast; the top-15 cut is
+    // TakeOrderedAndProject (distributed top-k, never a global-sort
+    // window — the q48 rule; the rank window then runs over 15 rows).
+    "text_bm25" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("dup", "spark", "vector")
+      val tf = tfTable(s, dir)
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+      val qtf = tf.filter(col("term").isin(terms: _*))
+      val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = qtf.join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lq",
+          round(log((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
+            .cast("double")) * 1e6).cast("long") -
+          round(log((lit(2L) * col("df") + lit(1L)).cast("double")) * 1e6)
+            .cast("long"))
+        .withColumn("dlnorm",
+          (col("dl") * col("n_docs")).cast("double") /
+            col("tot_len").cast("double"))
+        .withColumn("tscore",
+          col("tf").cast("double") * lit(2.2) /
+            (col("tf").cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dlnorm"))) *
+            (col("lq").cast("double") / lit(1e6)))
+      val perDoc = scored.groupBy(col("doc_id"))
+        .agg(sum(when(col("term") === terms(0), col("tscore"))).as("s0"),
+          sum(when(col("term") === terms(1), col("tscore"))).as("s1"),
+          sum(when(col("term") === terms(2), col("tscore"))).as("s2"))
+        .select(col("doc_id"),
+          (coalesce(col("s0"), lit(0.0)) + coalesce(col("s1"), lit(0.0)) +
+            coalesce(col("s2"), lit(0.0))).as("score"))
+      val top = perDoc.orderBy(col("score").desc, col("doc_id")).limit(15)
+      top.withColumn("rk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("rk"), col("doc_id"),
+          (round(col("score"), 6) + lit(0.0)).as("bm25"))
+        .orderBy(col("rk"))
+    }),
+
     // Deterministic weighted data mixing: assemble a training mix by
     // drawing documents per source in reproducible content-hash order
     // until each source's TOKEN budget fills. Budgets are
@@ -1036,6 +1090,49 @@ object TextAnalysis {
         |      FROM documents)
         |WHERE rn <= 10
         |ORDER BY source, draw_idx""".stripMargin,
+
+    // Same tf/dl/df integer moments, same quantized-ln idf split, same
+    // fixed saturation expression, same fixed-order 3-term add, same
+    // (score DESC, doc_id) top-15.
+    "text_bm25" ->
+      """WITH tfb AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tfb GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(dl) AS BIGINT) AS tot_len FROM dl),
+        |q AS (SELECT * FROM tfb WHERE term IN ('dup', 'spark', 'vector')),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |        FROM q GROUP BY 1),
+        |sc AS (
+        |  SELECT q.doc_id, q.term,
+        |    CAST(round(ln(CAST(2 * n_docs - 2 * df + 1 AS DOUBLE))
+        |               * 1000000.0) AS BIGINT)
+        |    - CAST(round(ln(CAST(2 * df + 1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      AS lq,
+        |    CAST(q.tf AS DOUBLE) AS tfd,
+        |    CAST(dl.dl * n_docs AS DOUBLE) / CAST(tot_len AS DOUBLE) AS dlnorm
+        |  FROM q JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |ts AS (
+        |  SELECT doc_id, term,
+        |    tfd * 2.2 / (tfd + 1.2 * (0.25 + 0.75 * dlnorm))
+        |      * (CAST(lq AS DOUBLE) / 1000000.0) AS tscore
+        |  FROM sc),
+        |agg AS (
+        |  SELECT doc_id,
+        |    coalesce(sum(CASE WHEN term = 'dup' THEN tscore END), 0.0)
+        |    + coalesce(sum(CASE WHEN term = 'spark' THEN tscore END), 0.0)
+        |    + coalesce(sum(CASE WHEN term = 'vector' THEN tscore END), 0.0)
+        |      AS score
+        |  FROM ts GROUP BY doc_id),
+        |r AS (SELECT doc_id, score,
+        |        row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |      FROM agg)
+        |SELECT rk, doc_id, round(score, 6) + 0.0 AS bm25
+        |FROM r WHERE rk <= 15 ORDER BY rk""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,

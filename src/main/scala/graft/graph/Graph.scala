@@ -247,6 +247,48 @@ object Graph {
         .as("assortativity"))
   }
 
+  /** Newman modularity of a community assignment over undirected
+    * (u, v) single-copy edges: per community c,
+    * Q_c = L_c/m − (d_c/2m)² where L_c counts intra-community edges,
+    * d_c sums member degrees, m counts edges. Everything reduces to
+    * EXACT integer moments — Q_c = (4m·L_c − d_c²) / (4m²) — so the
+    * one double division is a fixed expression over identical
+    * integers on any engine (the assortativity discipline), products
+    * in decimal(38) so corpus-scale m can't overflow. Shape: two
+    * label joins tag each edge's endpoints (hash-partitioned on node
+    * id — labels are node-sized, nothing broadcasts at 100 TB), a
+    * grouped count per community, a degree aggregate joined to
+    * labels, and the one-row m scalar broadcast into the final
+    * per-community report. */
+  private[graft] def modularity(eIn: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val e = eIn.select(col("u"), col("v"))
+    val lab = labels.select(col("node"), col("label"))
+    val tagged = e
+      .join(lab.select(col("node").as("u"), col("label").as("cu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("cv")), Seq("v"))
+    val lin = tagged.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("label")).agg(count(lit(1)).as("l_c"))
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dsum = deg.join(lab, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+    val mTot = e.agg(count(lit(1)).as("m"))
+    dsum.join(lin, Seq("label"), "left")
+      .crossJoin(broadcast(mTot))
+      .select(col("label").as("community"),
+        coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"),
+        // + 0.0 canonicalizes −0.0 (a sparse community's contribution
+        // rounds to zero from below — profile_corr precedent)
+        (round((lit(4L).cast(dec) * col("m").cast(dec) *
+            coalesce(col("l_c"), lit(0L)).cast(dec) -
+            col("d_c").cast(dec) * col("d_c").cast(dec)).cast("double") /
+          (lit(4L).cast(dec) * col("m").cast(dec) * col("m").cast(dec))
+            .cast("double"), 6) + lit(0.0)).as("q_contrib"))
+      .orderBy(col("community"))
+  }
+
   /** k-core by synchronous peeling (Seidman 1983 / the Batagelj-
     * Zaveršnik distributed variant): `sweeps` rounds of "drop every
     * node of degree < k, and every edge touching a dropped node". The
@@ -506,6 +548,19 @@ object Graph {
         .select(col("node").as("supp_id"), col("label").as("community"))
         .orderBy(col("supp_id"))),
 
+    // Community QUALITY for the labelprop assignment (the "did LPA
+    // find real structure" gate a pipeline runs before trusting the
+    // communities): per-community Newman modularity contribution over
+    // the SAME repeated-co-supply graph and the SAME 4-sweep
+    // deterministic LPA — assignment and scorecard replay as one
+    // oracle chain, and a negative-total modularity would expose a
+    // degenerate assignment outright. See modularity() for the
+    // exact-integer-moment arithmetic and partitioning.
+    "graph_modularity" -> ((s, dir) => {
+      val e = coSupplyEdges(s, dir, minCount = 2)
+      modularity(e, labelProp(e, sweeps = 4))
+    }),
+
     // Degree-distribution profile of the trade graph (the first thing a
     // graph pipeline reports — skew here decides every downstream
     // partition strategy): per-node neighbor counts from the doubled
@@ -702,6 +757,54 @@ object Graph {
        |FROM l$sweeps ORDER BY supp_id""".stripMargin
   }
 
+  /** Modularity oracle: the labelPropSql CTE chain (same month slice,
+    * same ≥ 2 co-supply edges, same unrolled sweeps) extended with the
+    * exact-integer community moments — HUGEINT products, one fixed
+    * double division, +0.0 canonicalization. */
+  private def modularitySql(sweeps: Int): String = {
+    val stages = (1 to sweeps).map { i =>
+      s"""l$i AS (
+         |  SELECT dst AS node, label FROM (
+         |    SELECT e.dst, l.label,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM edges e JOIN l${i - 1} l ON e.src = l.node
+         |    GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mo AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+       |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+       |sup AS (
+       |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+       |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS (
+       |  SELECT x.sk AS u, y.sk AS v
+       |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |edges AS (SELECT u AS src, v AS dst FROM e0
+       |          UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$stages,
+       |lab AS (SELECT node, label FROM l$sweeps),
+       |lin AS (
+       |  SELECT lu.label, CAST(count(*) AS HUGEINT) AS l_c
+       |  FROM e0 e JOIN lab lu ON e.u = lu.node JOIN lab lv ON e.v = lv.node
+       |  WHERE lu.label = lv.label GROUP BY 1),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY 1),
+       |dc AS (SELECT l.label, CAST(sum(d.deg) AS HUGEINT) AS d_c
+       |       FROM deg d JOIN lab l ON d.node = l.node GROUP BY 1),
+       |mt AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0)
+       |SELECT dc.label AS community,
+       |  CAST(coalesce(lin.l_c, 0) AS BIGINT) AS l_c,
+       |  CAST(dc.d_c AS BIGINT) AS d_c,
+       |  round(CAST(4 * m * coalesce(lin.l_c, 0) - dc.d_c * dc.d_c AS DOUBLE)
+       |        / CAST(4 * m * m AS DOUBLE), 6) + 0.0 AS q_contrib
+       |FROM dc LEFT JOIN lin ON dc.label = lin.label CROSS JOIN mt
+       |ORDER BY community""".stripMargin
+  }
+
   private def pagerankSql(sweeps: Int): String = {
     val stages = (1 to sweeps).map { i =>
       s"""r$i AS (
@@ -819,6 +922,7 @@ object Graph {
 
     "graph_pagerank" -> pagerankSql(Sweeps),
     "graph_labelprop" -> labelPropSql(4),
+    "graph_modularity" -> modularitySql(4),
     "graph_kcore" -> kcoreSql(KcoreK, KcoreSweeps),
 
     // Same exact HUGEINT moments over the same doubled edge list, same

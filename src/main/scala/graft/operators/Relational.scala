@@ -1051,15 +1051,39 @@ object Relational {
 
     "q41_autocorr" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
       val daily = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).cast("double").as("cnt"))
+        .agg(count(lit(1)).as("cnt"))
       val w = Window.orderBy(col("day"))
-      daily
+      val lagged = daily
         .withColumn("lag1", lag(col("cnt"), 1).over(w))
         .withColumn("lag7", lag(col("cnt"), 7).over(w))
-        .agg(round(corr(col("cnt"), col("lag1")), 4).as("r1"),
-          round(corr(col("cnt"), col("lag7")), 4).as("r7"))
+      // daily counts are integers, so each lag's Pearson r reduces to
+      // EXACT decimal(38) co-moments over the non-null pairs and ONE
+      // fixed double expression (the profile_corr discipline — native
+      // corr's partition-order double accumulation flips a 4dp round).
+      // corr skips null pairs per lag, so each lag aggregates its own
+      // moment set under a null guard in the same single pass.
+      def moms(y: String) = {
+        val ok = col(y).isNotNull
+        val (x, yy) = (when(ok, col("cnt")).cast(dec), col(y).cast(dec))
+        Seq(sum(when(ok, 1L).cast(dec)).as(s"n_$y"),
+          sum(x).as(s"sx_$y"), sum(yy).as(s"sy_$y"),
+          sum(x * yy).as(s"sxy_$y"), sum(x * x).as(s"sxx_$y"),
+          sum(yy * yy).as(s"syy_$y"))
+      }
+      def r(y: String) = round(
+        (col(s"n_$y") * col(s"sxy_$y") - col(s"sx_$y") * col(s"sy_$y"))
+          .cast("double") /
+          sqrt((col(s"n_$y") * col(s"sxx_$y") -
+            col(s"sx_$y") * col(s"sx_$y")).cast("double") *
+            (col(s"n_$y") * col(s"syy_$y") -
+              col(s"sy_$y") * col(s"sy_$y")).cast("double")), 4) + lit(0.0)
+      val all = moms("lag1") ++ moms("lag7")
+      lagged.agg(all.head, all.tail: _*)
+        .select(r("lag1").as("r1"), r("lag7").as("r7"))
         .select(expr("stack(2, 1, r1, 7, r7) AS (lag, pearson_r)"))
         .orderBy(col("lag"))
     }),
@@ -1510,17 +1534,49 @@ object Relational {
 
     // Same day aggregate, same lag windows over the day table, same
     // corr null-pair skipping, same 4dp grid.
+    // Same integer daily counts, same null-guarded exact HUGEINT
+    // co-moments per lag, same fixed Pearson expression on the 4dp
+    // grid — native corr would re-introduce order-dependent float
+    // accumulation (profile_corr lesson).
     "q41_autocorr" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    CAST(count(*) AS DOUBLE) AS cnt
+        |    CAST(count(*) AS BIGINT) AS cnt
         |  FROM orders GROUP BY 1),
         |l AS (
         |  SELECT cnt, lag(cnt, 1) OVER (ORDER BY day) AS lag1,
         |    lag(cnt, 7) OVER (ORDER BY day) AS lag7
-        |  FROM d)
-        |SELECT 1 AS lag, round(corr(cnt, lag1), 4) AS pearson_r FROM l
-        |UNION ALL SELECT 7, round(corr(cnt, lag7), 4) FROM l
+        |  FROM d),
+        |m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN lag1 IS NOT NULL THEN 1 END) AS HUGEINT) AS n_1,
+        |    sum(CASE WHEN lag1 IS NOT NULL THEN CAST(cnt AS HUGEINT) END) AS sx_1,
+        |    sum(CAST(lag1 AS HUGEINT)) AS sy_1,
+        |    sum(CASE WHEN lag1 IS NOT NULL
+        |        THEN CAST(cnt AS HUGEINT) * CAST(lag1 AS HUGEINT) END) AS sxy_1,
+        |    sum(CASE WHEN lag1 IS NOT NULL
+        |        THEN CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT) END) AS sxx_1,
+        |    sum(CAST(lag1 AS HUGEINT) * CAST(lag1 AS HUGEINT)) AS syy_1,
+        |    CAST(sum(CASE WHEN lag7 IS NOT NULL THEN 1 END) AS HUGEINT) AS n_7,
+        |    sum(CASE WHEN lag7 IS NOT NULL THEN CAST(cnt AS HUGEINT) END) AS sx_7,
+        |    sum(CAST(lag7 AS HUGEINT)) AS sy_7,
+        |    sum(CASE WHEN lag7 IS NOT NULL
+        |        THEN CAST(cnt AS HUGEINT) * CAST(lag7 AS HUGEINT) END) AS sxy_7,
+        |    sum(CASE WHEN lag7 IS NOT NULL
+        |        THEN CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT) END) AS sxx_7,
+        |    sum(CAST(lag7 AS HUGEINT) * CAST(lag7 AS HUGEINT)) AS syy_7
+        |  FROM l)
+        |SELECT 1 AS lag,
+        |  round(CAST(n_1 * sxy_1 - sx_1 * sy_1 AS DOUBLE)
+        |    / sqrt(CAST(n_1 * sxx_1 - sx_1 * sx_1 AS DOUBLE)
+        |           * CAST(n_1 * syy_1 - sy_1 * sy_1 AS DOUBLE)), 4) + 0.0
+        |    AS pearson_r
+        |FROM m
+        |UNION ALL SELECT 7,
+        |  round(CAST(n_7 * sxy_7 - sx_7 * sy_7 AS DOUBLE)
+        |    / sqrt(CAST(n_7 * sxx_7 - sx_7 * sx_7 AS DOUBLE)
+        |           * CAST(n_7 * syy_7 - sy_7 * sy_7 AS DOUBLE)), 4) + 0.0
+        |FROM m
         |ORDER BY lag""".stripMargin,
 
     "q40_markov" ->

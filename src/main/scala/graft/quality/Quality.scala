@@ -497,6 +497,46 @@ object Quality {
       outlierReport(daily, "yr", "cnt")
     }),
 
+    // Trailing-window volume anomaly screen (the temporal complement
+    // of dq_volume's per-year MAD screen: "is TODAY's ingest volume
+    // abnormal vs the trailing four weeks" — what a freshness monitor
+    // pages on). Per event_type daily counts; each day z-scores
+    // against the PRECEDING 28 observations, current day excluded so
+    // the candidate can't dilute its own baseline. Exact arithmetic
+    // end to end: the trailing count/sum/sum-of-squares are integer
+    // window sums and z evaluates as ONE fixed expression over
+    // (x, n, s, ss) — the sample-variance numerator n·ss − s² stays
+    // integral — so both engines produce identical doubles; the round
+    // rides +0.0 to canonicalize −0.0 (profile_corr precedent). Days
+    // with < 8 baseline points or zero variance report null z. Shape:
+    // one small shuffle to daily counts, one window scan per type —
+    // the q53_ewma plan; the window state is O(28) per series.
+    "dq_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val tw = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-28, -1)
+      val withMoms = daily
+        .withColumn("n", count(col("cnt")).over(tw))
+        .withColumn("s", sum(col("cnt")).over(tw))
+        .withColumn("ss", sum(col("cnt") * col("cnt")).over(tw))
+      val zRaw = when(col("n") >= 8 &&
+          col("n") * col("ss") - col("s") * col("s") > 0,
+        (col("cnt").cast("double") -
+          col("s").cast("double") / col("n").cast("double")) /
+          sqrt((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+            (col("n") * (col("n") - lit(1))).cast("double")))
+      withMoms
+        .withColumn("zr", zRaw)
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("cnt"), col("n").as("n_base"),
+          (round(col("zr"), 4) + lit(0.0)).as("z"),
+          coalesce(abs(col("zr")) > 3.0, lit(false)).as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Shannon-entropy profile of the categorical columns (the
     // information-content half of profiling — a near-zero entropy
     // column is a constant wearing a type, a too-high one is an ID
@@ -1071,6 +1111,38 @@ object Quality {
         |       AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m USING (yr)
         |GROUP BY d.yr ORDER BY yr""".stripMargin,
+
+    // Same micros-normalized daily counts, same exclusive 28-row
+    // trailing frame, same integer moments and ONE fixed z expression,
+    // same +0.0 canonicalization and unrounded 3.0 compare.
+    "dq_anomaly" ->
+      """WITH ev AS (
+        |  SELECT event_type, make_timestamp(epoch_us(ts)) AS ts
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, day, cnt,
+        |    CAST(count(cnt) OVER tw AS BIGINT) AS n,
+        |    CAST(sum(cnt) OVER tw AS BIGINT) AS s,
+        |    CAST(sum(cnt * cnt) OVER tw AS BIGINT) AS ss
+        |  FROM d
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, day, cnt, n,
+        |    CASE WHEN n >= 8 AND n * ss - s * s > 0 THEN
+        |      (CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(n * ss - s * s AS DOUBLE)
+        |             / CAST(n * (n - 1) AS DOUBLE))
+        |    END AS zr
+        |  FROM m)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, cnt, n AS n_base,
+        |  round(zr, 4) + 0.0 AS z,
+        |  coalesce(abs(zr) > 3.0, FALSE) AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
 
     // Same melt and counts, same (cnt DESC, val) rank cutoff on
     // integer counts.

@@ -289,6 +289,29 @@ object Lake {
       .unionByName(checked)
   }
 
+  /** Apply a CDC changelog (the Debezium/binlog-replay shape: keyed
+    * rows carrying a monotone sequence number and an op tag, 'D' =
+    * delete, anything else = full-row upsert) to a base snapshot —
+    * LAST-WRITER-WINS per key, deletes drop the key. The base rides
+    * along as seq-0 upserts, so the whole apply is ONE hash shuffle on
+    * the key and a per-key top-1 — the rn = 1 filter plans as
+    * WindowGroupLimit, a partial top-1 BEFORE the exchange, so the
+    * shuffle carries at most one surviving candidate per (task, key),
+    * not the whole change history. Requires (key, seq) unique (the
+    * changelog contract); base rows must predate every change (seq 0).
+    * At 100 TB the apply cost is O(base + changelog) with no broadcast
+    * — both sides are corpus-sized. */
+  def cdcApply(base: DataFrame, changelog: DataFrame, keyCols: Seq[String],
+               seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    base.unionByName(changelog)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === lit(1) && col(opCol) =!= lit("D"))
+      .drop("__rn")
+  }
+
   /** Targeted key erasure (the GDPR/right-to-be-forgotten maintenance
     * operation) over a bucket-partitioned lake table: `path` holds rows
     * partitioned by `bucketCol` = pmod(hash(keyCol), buckets) (the

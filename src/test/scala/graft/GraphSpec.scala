@@ -202,4 +202,25 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(hub.values.sum - 1.0) < 1e-9)
     assert(math.abs(auth.values.sum - 1.0) < 1e-9)
   }
+
+  test("modularity: two clean triangles score 1/4 each; merged labels score 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two disjoint triangles, m = 6. Perfect assignment: each community
+    // has L_c = 3, d_c = 6 → Q_c = 3/6 − (6/12)² = 1/4, total 1/2.
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L))
+      .toDF("u", "v")
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val q = Graph.modularity(e, good).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(q == Map(1L -> 0.25, 4L -> 0.25), q.toString)
+
+    // degenerate assignment (everything one community): L_c = m and
+    // d_c = 2m make Q = m/m − 1 = 0 — the scorecard exposes it.
+    val merged = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("node")
+      .select(col("node"), org.apache.spark.sql.functions.lit(1L).as("label"))
+    val q0 = Graph.modularity(e, merged).collect()
+    assert(q0.length == 1 && q0.head.getDouble(3) == 0.0, q0.mkString(","))
+  }
 }

@@ -440,4 +440,19 @@ class LakeSpec extends AnyFunSuite {
     assert(none.inputFiles.isEmpty && none.count() == 0)
     assert(none.schema == spark.read.parquet(p).schema)
   }
+
+  test("cdcApply: last writer wins per key, deletes drop, inserts land") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 0L, "U"), (2L, "b", 0L, "U"), (3L, "c", 0L, "U"))
+      .toDF("k", "v", "seq", "op")
+    val log = Seq(
+      (1L, "a1", 1L, "U"), (1L, "a2", 2L, "U"), // update-update → a2
+      (2L, "xx", 1L, "D"),                      // delete drops key 2
+      (3L, "c1", 1L, "U"), (3L, "zz", 2L, "D"), // update-then-delete drops
+      (4L, "new", 1L, "I")                      // fresh-key insert
+    ).toDF("k", "v", "seq", "op")
+    val got = Lake.cdcApply(base, log, Seq("k"), "seq", "op")
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 4L -> "new"), got.toString)
+  }
 }
