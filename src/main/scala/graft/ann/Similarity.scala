@@ -309,7 +309,47 @@ object Similarity {
     // the full train→assign→pair→drop pipeline replays as plain SQL.
     "dedup_semantic" -> ((s, dir) =>
       semanticDedup(t(s, dir, "embeddings"),
-        nCentroids = IvfCentroids, thr = SemDedupThr))
+        nCentroids = IvfCentroids, thr = SemDedupThr)),
+
+    // Cluster-quality scorecard for the shared k-means (the
+    // graph_modularity counterpart for the ANN index: "are the IVF
+    // lists real structure or noise"): per-cluster mean SIMPLIFIED
+    // silhouette — a(i) = cosine distance to the own centroid, b(i) =
+    // distance to the nearest OTHER centroid, s = (b−a)/max(a,b) —
+    // the centroid-based variant that stays O(n·k) with only the tiny
+    // centroid set broadcast, where classic silhouette's within-
+    // cluster pair sums are quadratic. Since assignment IS argmax,
+    // s = (c1−c2)/(1−c2) over the TOP-2 quantized cosines per vector
+    // (same cosQ grid and (cos, id) tie order as assignNearest).
+    // Per-vector s micro-quantizes to a long, so the per-cluster mean
+    // is an exact integer sum + one fixed division — no float
+    // accumulation (text_zipf discipline).
+    "ann_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val cents = trainCentroids(emb, IvfCentroids)
+      val top2 = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          struct(cosQ(GraftFunctions.cosineSim(col("emb"), col("c_emb"))).as("c"),
+            (-col("centroid_id")).as("nid")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(reverse(sort_array(collect_list(col("sc")))).as("top"))
+        .select(col("vec_id"),
+          (-col("top")(0)("nid")).as("centroid_id"),
+          col("top")(0)("c").as("c1"), col("top")(1)("c").as("c2"))
+      top2
+        .withColumn("sq", round(
+          (when(lit(1.0) - col("c2") > 0,
+            (col("c1") - col("c2")) / (lit(1.0) - col("c2")))
+            .otherwise(lit(0.0))) * lit(1e6)).cast("long"))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("sq")).as("ssq"))
+        .select(col("centroid_id"), col("n_vectors"),
+          round((col("ssq").cast("double") / col("n_vectors").cast("double"))
+            / 1e6, 6).as("avg_silhouette"))
+        .orderBy(col("centroid_id"))
+    })
   )
 
   /** 0.45 matches dedup_embedding's near-dup radius for THIS synthetic
@@ -972,8 +1012,37 @@ object Similarity {
          |SELECT query_id, rk, neighbor_id, round(score, 6) AS rrf
          |FROM r WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin) +
+    // Same k-means chain, same top-2 quantized cosines per vector
+    // (identical (cos DESC, id) order), same (c1−c2)/(1−c2) micro-
+    // quantized per-vector silhouette, same exact-integer cluster mean.
+    ("ann_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |${kmeansCtes(IvfCentroids, KmeansIters)},
+         |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
+         |r AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} AS cq,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |               c.centroid_id) AS rn
+         |  FROM e CROSS JOIN c),
+         |t2 AS (
+         |  SELECT a.vec_id, a.centroid_id, a.cq AS c1, b.cq AS c2
+         |  FROM r a JOIN r b ON a.vec_id = b.vec_id
+         |  WHERE a.rn = 1 AND b.rn = 2),
+         |q AS (
+         |  SELECT centroid_id,
+         |    CAST(round((CASE WHEN 1.0 - c2 > 0
+         |                     THEN (c1 - c2) / (1.0 - c2) ELSE 0.0 END)
+         |               * 1000000.0) AS BIGINT) AS sq
+         |  FROM t2)
+         |SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round((CAST(sum(sq) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |        / 1000000.0, 6) AS avg_silhouette
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) +
     // The ann_ivf k-means chain replayed, then the same within-cluster
-    // lower-id-drops pair join on unrounded cosine bits. `assigned` is
+    // lower-id-drops pair join on quantized cosine. `assigned` is
     // read three times (both pair legs + the spine) — AS MATERIALIZED,
     // or DuckDB re-inlines the whole k-means per reference (the
     // kcoreSql lesson).

@@ -1315,6 +1315,37 @@ object Relational {
           round(col("n_abandoned").cast("double") /
             col("n_views").cast("double"), 6).as("abandon_rate"))
         .orderBy(col("day"))
+    }),
+
+    // Distribution-rank window functions (the percent_rank / cume_dist
+    // / nth_value third of the window family, beside q32's rank/
+    // dense_rank/ntile and q33's range frames): top-5 orders per
+    // priority with their position in the full distribution and the
+    // class's 3rd-highest price as an in-frame reference. ONE shuffle:
+    // all four windows share the (priority | price DESC, okey)
+    // partitioning+order so they share one Exchange+sort (the q37
+    // subset rule); the unique order makes every rank function
+    // deterministic, and percent_rank/cume_dist are exact int/int
+    // rationals — identical doubles on the 6dp grid. nth_value runs
+    // over an explicit ROWS UNBOUNDED PRECEDING..CURRENT frame (both
+    // engines' default, pinned so it can't drift): rows 1-2 see null.
+    "q55_distribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("third_price",
+          nth_value(col("o_totalprice"), 3).over(wf))
+        .filter(col("rn") <= 5)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("pct_rank"),
+          col("cume"), round(col("third_price"), 2).as("third_price"))
+        .orderBy(col("o_orderpriority"), col("rn"))
     })
   )
 
@@ -1366,6 +1397,28 @@ object Relational {
         |        / CAST(count(*) AS DOUBLE), 6) AS abandon_rate
         |FROM m WHERE pflag = 0
         |GROUP BY day ORDER BY day""".stripMargin,
+
+    // Same unique (price DESC, okey) order, same exact int/int
+    // percent_rank/cume_dist rationals, same pinned nth_value frame.
+    "q55_distribution" ->
+      """SELECT o_orderpriority, rn, o_orderkey, price, pct_rank, cume,
+        |  third_price
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    round(o_totalprice, 2) AS price,
+        |    row_number() OVER w AS rn,
+        |    round(percent_rank() OVER w, 6) AS pct_rank,
+        |    round(cume_dist() OVER w, 6) AS cume,
+        |    round(nth_value(o_totalprice, 3) OVER
+        |      (PARTITION BY o_orderpriority
+        |       ORDER BY o_totalprice DESC, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |      AS third_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey))
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin,
     // Same quantile_cont bounds (the q25 percentile pairing), same CASE
     // binning on identical doubles, same exact cents sum.
     "q48_deciles" -> {

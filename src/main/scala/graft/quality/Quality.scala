@@ -382,6 +382,26 @@ object Quality {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     }),
 
+    // Categorical drift screen (the PSI profile_psi can't run —
+    // category shares have no equi-width bins): per-category
+    // (p−q)·ln(p/q) between the same two periods, the categories
+    // themselves as bins, Laplace mass 0.5 per category (k = 5: the
+    // order-priority dimension's fixed cardinality — a dynamic
+    // dimension would thread count(DISTINCT) into the smoothing
+    // scalar instead). ONE scan into a category-grouped conditional
+    // aggregate; the psi
+    // arithmetic is the shared exact-integer engine (psiFromCounts) on
+    // the ≤ k-row category table.
+    "profile_drift_cat" -> ((s, dir) => {
+      val binned = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("category"))
+        .agg(sum(when(col("o_orderdate") < lit("1998-01-01").cast("timestamp"),
+            1L).otherwise(0L)).as("ref_cnt"),
+          sum(when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+            1L).otherwise(0L)).as("cur_cnt"))
+      psiFromCounts(binned, "category", nBins = 5)
+    }),
+
     // Benford first-digit screen (the fraud/synthetic-data smell test a
     // lake runs over money columns): distribution of the first
     // significant digit of o_totalprice vs Benford's law log10(1+1/d).
@@ -710,7 +730,6 @@ object Quality {
     * and current periods; `value` is the profiled numeric column. */
   def psiReport(rows: DataFrame, value: org.apache.spark.sql.Column,
                 isRef: org.apache.spark.sql.Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bounds = rows.agg(min(value).as("mn"), max(value).as("mx"))
     val binned = rows.crossJoin(broadcast(bounds))
       .select(least(lit(9), floor((value - col("mn")) /
@@ -719,7 +738,19 @@ object Quality {
       .groupBy(col("bin"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
-    // the windows below run over the 10-row bin table, not table data.
+    psiFromCounts(binned, "bin", nBins = 10)
+  }
+
+  /** The exact-psi arithmetic over an already-binned (binCol, ref_cnt,
+    * cur_cnt) table — shared by the numeric equi-width psi
+    * (profile_psi) and the categorical drift screen
+    * (profile_drift_cat), where the "bins" are the category values
+    * themselves. `nBins` sets the Laplace mass (0.5 per bin, so the
+    * doubled denominator gains +nBins). */
+  private[graft] def psiFromCounts(binned: DataFrame, binCol: String,
+                                   nBins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the windows below run over the small bin table, not table data.
     // Arithmetic: the Laplace-smoothed shares are exact rationals —
     // p = a/A with a = 2·ref+1, A = 2·rt+10 (doubling clears the 0.5) —
     // so p − q = (aB − bA)/(AB) evaluates over exact decimal(38)
@@ -735,16 +766,16 @@ object Quality {
     binned
       .withColumn("a", (lit(2L) * col("ref_cnt") + lit(1L)).cast(dec))
       .withColumn("b", (lit(2L) * col("cur_cnt") + lit(1L)).cast(dec))
-      .withColumn("ta", (lit(2L) * sum(col("ref_cnt")).over(wAll) + lit(10L)).cast(dec))
-      .withColumn("tb", (lit(2L) * sum(col("cur_cnt")).over(wAll) + lit(10L)).cast(dec))
+      .withColumn("ta", (lit(2L) * sum(col("ref_cnt")).over(wAll) + lit(nBins.toLong)).cast(dec))
+      .withColumn("tb", (lit(2L) * sum(col("cur_cnt")).over(wAll) + lit(nBins.toLong)).cast(dec))
       .withColumn("lq",
         round(log((col("a") * col("tb")).cast("double")) * 1e6).cast("long") -
         round(log((col("b") * col("ta")).cast("double")) * 1e6).cast("long"))
-      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+      .select(col(binCol), col("ref_cnt"), col("cur_cnt"),
         round((col("a") * col("tb") - col("b") * col("ta")).cast("double") /
             (col("ta") * col("tb")).cast("double") *
             (col("lq").cast("double") / lit(1e6)), 6).as("psi"))
-      .orderBy(col("bin"))
+      .orderBy(col(binCol))
   }
 
   /** The dq_checks engine over explicit inputs — split out so specs can
@@ -1015,6 +1046,33 @@ object Quality {
         |  round(CAST(a * tb - b * ta AS DOUBLE) / CAST(ta * tb AS DOUBLE)
         |        * (CAST(lq AS DOUBLE) / 1000000.0), 6) AS psi
         |FROM l ORDER BY bin""".stripMargin,
+
+    // Same category-grouped period counts, same exact-integer psi tail
+    // with Laplace mass 5 (0.5 × 5 categories, doubled).
+    "profile_drift_cat" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS category,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(2 * sum(ref_cnt) + 5 AS HUGEINT) AS ta,
+        |             CAST(2 * sum(cur_cnt) + 5 AS HUGEINT) AS tb FROM c),
+        |x AS (
+        |  SELECT category, ref_cnt, cur_cnt,
+        |    CAST(2 * ref_cnt + 1 AS HUGEINT) AS a,
+        |    CAST(2 * cur_cnt + 1 AS HUGEINT) AS b, ta, tb
+        |  FROM c CROSS JOIN t),
+        |l AS (
+        |  SELECT *,
+        |    CAST(round(ln(CAST(a * tb AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    - CAST(round(ln(CAST(b * ta AS DOUBLE)) * 1000000.0) AS BIGINT) AS lq
+        |  FROM x)
+        |SELECT category, ref_cnt, cur_cnt,
+        |  round(CAST(a * tb - b * ta AS DOUBLE) / CAST(ta * tb AS DOUBLE)
+        |        * (CAST(lq AS DOUBLE) / 1000000.0), 6) AS psi
+        |FROM l ORDER BY category""".stripMargin,
 
     // Same decimal-string first digit (canonical text both engines
     // print identically), same long/long share division, same log10 on
