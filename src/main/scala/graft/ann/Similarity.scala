@@ -311,6 +311,57 @@ object Similarity {
       semanticDedup(t(s, dir, "embeddings"),
         nCentroids = IvfCentroids, thr = SemDedupThr)),
 
+    // Scalar quantization (SQ8 — the FAISS/Milvus memory-tier
+    // workhorse, symmetric variant): one global scale Δ = max|x|/127
+    // over the corpus compresses every vector 8× to int codes in
+    // −127..127, and search scores by EXACT INTEGER dot product over
+    // codes. Symmetric-global is what makes the integer ranking
+    // FAITHFUL: Σ qc·cc = (1/Δ²)·Σ x̂·ŷ for the quantized values, so
+    // ranking by the long dot IS ranking by the quantized dot — an
+    // asymmetric per-dim min-max grid would leave offset cross-terms
+    // the code product can't see (measured: recall collapsed to ~0.1
+    // on these zero-centered embeddings before the switch). No float
+    // compare anywhere in the hot path; the driver gate is recall@k
+    // against the exact-MIPS ranking, composed verbatim (ann_recall
+    // discipline). Shape: ONE scalar broadcast (Δ), codes in a single
+    // narrow transform() pass, queries broadcast, the corpus streams
+    // through a zip_with long fold once. At 100 TB the int8 codes are
+    // the resident tier (8× smaller scan) and the float vectors page
+    // in only for rerank — this key is that pipeline's scoring kernel.
+    "ann_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val scale = e.select(posexplode(col("emb")).as(Seq("i", "x")))
+        .agg(max(abs(col("x"))).as("mxa"))
+      val coded = e.crossJoin(broadcast(scale))
+        .select(col("vec_id"), expr(
+          "transform(emb, x -> CAST(round(x / (mxa / 127.0D)) AS INT))")
+          .as("codes"))
+      val q = coded.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+      val approx = coded.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), expr(
+          "aggregate(zip_with(qc, codes, (a, b) -> CAST(a AS BIGINT) * b), " +
+            "0L, (acc, v) -> acc + v)").as("qdot"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1L).as("hit"))
+      val exact = queries("ann_mips")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("query_id"), col("k"), col("hits"),
+          (col("hits").cast("double") / col("k")).as("recall"))
+        .orderBy(col("query_id"))
+    }),
+
     // Cluster-quality scorecard for the shared k-means (the
     // graph_modularity counterpart for the ANN index: "are the IVF
     // lists real structure or noise"): per-cluster mean SIMPLIFIED
@@ -1012,6 +1063,45 @@ object Similarity {
          |SELECT query_id, rk, neighbor_id, round(score, 6) AS rrf
          |FROM r WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin) +
+    // Same global symmetric scale (one max|x| scalar), same int codes
+    // (identical doubles → identical round → identical integers), same
+    // exact long dot fold, same integer-deterministic ranking;
+    // exact-MIPS reference composed verbatim.
+    ("ann_sq8" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |sc AS (
+         |  SELECT max(abs(x)) AS mxa
+         |  FROM (SELECT unnest(emb) AS x FROM e)),
+         |coded AS (
+         |  SELECT vec_id,
+         |    [CAST(round(x / (mxa / 127.0)) AS INT) for x in emb] AS codes
+         |  FROM e CROSS JOIN sc),
+         |qd AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(q.codes[i] AS BIGINT) * c.codes[i]
+         |       for i in range(1, 65)]),
+         |      (a, b) -> a + b) AS qdot
+         |  FROM (SELECT * FROM coded WHERE vec_id < $NumQueries) q
+         |  CROSS JOIN coded c WHERE c.vec_id <> q.vec_id),
+         |ap AS (
+         |  SELECT query_id, vec_id AS neighbor_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY qdot DESC, vec_id) AS rank FROM qd)
+         |  WHERE rank <= $K),
+         |ex AS (SELECT query_id, neighbor_id
+         |       FROM (${baseOracles("ann_mips")})),
+         |j AS (
+         |  SELECT ex.query_id,
+         |    CASE WHEN ap.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM ex LEFT JOIN ap ON ex.query_id = ap.query_id
+         |    AND ex.neighbor_id = ap.neighbor_id)
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(hit) AS BIGINT) AS hits,
+         |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
+         |FROM j GROUP BY query_id
+         |ORDER BY query_id""".stripMargin) +
     // Same k-means chain, same top-2 quantized cosines per vector
     // (identical (cos DESC, id) order), same (c1−c2)/(1−c2) micro-
     // quantized per-vector silhouette, same exact-integer cluster mean.

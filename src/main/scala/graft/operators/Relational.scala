@@ -1346,6 +1346,44 @@ object Relational {
           round(col("o_totalprice"), 2).as("price"), col("pct_rank"),
           col("cume"), round(col("third_price"), 2).as("third_price"))
         .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    // CUSUM changepoint detection (the "when did the level shift"
+    // screen behind dq_anomaly's per-day alarms): the classic
+    // statistic S_i = Σ_{j≤i}(x_j − x̄) peaks at the shift point; the
+    // mean makes it fractional, so it scales by n into the EXACT
+    // integer form S'_i = n·P_i − i·T (P = prefix sum, T = total) —
+    // argmax |S'| is integer-deterministic, and the before/after means
+    // are exact rationals surfaced on the 4dp grid. Top-3 candidates
+    // by (|S'| DESC, day). The unpartitioned windows run over the
+    // DAILY aggregate only — calendar-bounded, the q41 contract, never
+    // over row data; at 100 TB the prefix sum lifts to the text_mix
+    // two-level pattern if the calendar itself ever sharded.
+    "q56_cusum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val wp = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = daily.agg(sum(col("cnt")).as("t"), count(lit(1)).as("n"))
+      val pre = daily
+        .withColumn("p", sum(col("cnt")).over(wp))
+        .withColumn("i", row_number().over(Window.orderBy(col("day")))
+          .cast("long"))
+        .crossJoin(broadcast(tot))
+        .filter(col("i") < col("n")) // the last point has no after-side
+        .withColumn("s", col("n") * col("p") - col("i") * col("t"))
+      pre.orderBy(abs(col("s")).desc, col("day")).limit(3)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(abs(col("s")).desc, col("day"))))
+        .select(col("rk"), col("day").cast("string").as("day"),
+          col("s").as("cusum_scaled"),
+          round(col("p").cast("double") / col("i").cast("double"), 4)
+            .as("mean_before"),
+          round((col("t") - col("p")).cast("double") /
+            (col("n") - col("i")).cast("double"), 4).as("mean_after"))
+        .orderBy(col("rk"))
     })
   )
 
@@ -1419,6 +1457,31 @@ object Relational {
         |               ORDER BY o_totalprice DESC, o_orderkey))
         |WHERE rn <= 5
         |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    // Same integer prefix sums, same n·P − i·T scaled statistic, same
+    // (|S'| DESC, day) top-3, same exact-rational means on 4dp.
+    "q56_cusum" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT day, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS pf,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+        |  FROM d),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tt,
+        |             CAST(count(*) AS BIGINT) AS n FROM d),
+        |s AS (SELECT day, n * pf - i * tt AS s, pf, i, tt, n
+        |      FROM p CROSS JOIN t WHERE i < n),
+        |r AS (SELECT *, row_number() OVER (ORDER BY abs(s) DESC, day) AS rk
+        |      FROM s)
+        |SELECT rk, CAST(day AS VARCHAR) AS day, s AS cusum_scaled,
+        |  round(CAST(pf AS DOUBLE) / CAST(i AS DOUBLE), 4) AS mean_before,
+        |  round(CAST(tt - pf AS DOUBLE) / CAST(n - i AS DOUBLE), 4)
+        |    AS mean_after
+        |FROM r WHERE rk <= 3 ORDER BY rk""".stripMargin,
     // Same quantile_cont bounds (the q25 percentile pairing), same CASE
     // binning on identical doubles, same exact cents sum.
     "q48_deciles" -> {
