@@ -450,27 +450,45 @@ object Graph {
     * checkpoint materializes, so nothing double-computes). Nothing
     * node-sized ever broadcasts. */
   private[graft] def hits(edges: DataFrame, sweeps: Int): DataFrame = {
+    // Integer power iteration, normalized ONCE at the end: HITS is
+    // linear in the scores, so per-sweep L1 normalization only rescales
+    // by a global constant — deferring it to one final division yields
+    // mathematically IDENTICAL scores while every sweep's sums stay
+    // EXACT integers (unit seeds → integer raws forever; decimal(38)
+    // absorbs degree^sweeps growth at corpus scale — a long would
+    // overflow around 60^8·n here). This kills the order-dependent
+    // float accumulation a grouped double-sum carries — the same
+    // latent cross-engine red profile_corr hit in round 8 — and drops
+    // the two per-sweep total-aggregate jobs and broadcast crossJoins
+    // (decimal aggregation costs slightly more per row, so wall time
+    // is a wash at sf0.1; the contract win is the point). The final
+    // score is exact-int / exact-int — one IEEE division, identical on
+    // any engine.
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
     val e = edges.persist()
+    e.count() // eager: 8 half-sweeps re-read the edge list from cache
     var hub = e.select(col("src").as("node")).distinct()
-      .withColumn("score", lit(1.0))
+      .withColumn("score", lit(1L).cast(dec))
       .localCheckpoint(eager = false)
     var auth: DataFrame = hub.limit(0)
     for (_ <- 1 to sweeps) {
-      val aRaw = e.join(hub.hint("shuffle_hash"), e("src") === hub("node"))
-        .groupBy(col("dst")).agg(sum(col("score")).as("raw"))
-      val aTot = aRaw.agg(sum(col("raw")).as("t"))
-      auth = aRaw.crossJoin(broadcast(aTot))
-        .select(col("dst").as("node"), (col("raw") / col("t")).as("score"))
+      auth = e.join(hub.hint("shuffle_hash"), e("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum(col("score")).as("score"))
+        .select(col("dst").as("node"), col("score"))
         .localCheckpoint(eager = false)
-      val hRaw = e.join(auth.hint("shuffle_hash"), e("dst") === auth("node"))
-        .groupBy(col("src")).agg(sum(col("score")).as("raw"))
-      val hTot = hRaw.agg(sum(col("raw")).as("t"))
-      hub = hRaw.crossJoin(broadcast(hTot))
-        .select(col("src").as("node"), (col("raw") / col("t")).as("score"))
+      hub = e.join(auth.hint("shuffle_hash"), e("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum(col("score")).as("score"))
+        .select(col("src").as("node"), col("score"))
         .localCheckpoint(eager = false)
     }
-    hub.select(col("node"), lit("hub").as("kind"), col("score"))
-      .unionByName(auth.select(col("node"), lit("auth").as("kind"), col("score")))
+    def norm(df: DataFrame, kind: String): DataFrame = {
+      val tot = df.agg(sum(col("score")).as("t"))
+      df.crossJoin(broadcast(tot))
+        .select(col("node"), lit(kind).as("kind"),
+          (col("score").cast("double") / col("t").cast("double")).as("score"))
+    }
+    norm(hub, "hub").unionByName(norm(auth, "auth"))
   }
 
   /** Jaccard link prediction over explicit undirected (u, v) edges
@@ -840,28 +858,32 @@ object Graph {
     * subquery), so the whole chain is pinned AS MATERIALIZED — DuckDB
     * inlines multiply-referenced CTEs by default, which would expand
     * the sweep chain exponentially (the kcoreSql lesson). */
+  /** Same integer power iteration (unit seeds → HUGEINT sums stay
+    * exact through every sweep), same single end normalization — one
+    * exact-int/exact-int division per node. */
   private def hitsSql(sweeps: Int): String = {
     val stages = (1 to sweeps).map { i =>
-      s"""a${i}r AS MATERIALIZED (SELECT eb.b AS node, sum(h.score) AS raw
+      s"""a$i AS MATERIALIZED (
+         |  SELECT eb.b AS node, CAST(sum(h.score) AS HUGEINT) AS score
          |  FROM eb JOIN h${i - 1} h ON eb.a = h.node GROUP BY eb.b),
-         |a$i AS MATERIALIZED (
-         |  SELECT node, raw / (SELECT sum(raw) FROM a${i}r) AS score
-         |  FROM a${i}r),
-         |h${i}r AS MATERIALIZED (SELECT eb.a AS node, sum(x.score) AS raw
-         |  FROM eb JOIN a$i x ON eb.b = x.node GROUP BY eb.a),
          |h$i AS MATERIALIZED (
-         |  SELECT node, raw / (SELECT sum(raw) FROM h${i}r) AS score
-         |  FROM h${i}r)""".stripMargin
+         |  SELECT eb.a AS node, CAST(sum(x.score) AS HUGEINT) AS score
+         |  FROM eb JOIN a$i x ON eb.b = x.node GROUP BY eb.a)""".stripMargin
     }.mkString(",\n")
     s"""WITH eb AS MATERIALIZED (
        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |h0 AS (SELECT DISTINCT a AS node, 1.0::DOUBLE AS score FROM eb),
+       |h0 AS (SELECT DISTINCT a AS node, CAST(1 AS HUGEINT) AS score FROM eb),
        |$stages
-       |SELECT node, kind, round(score, 6) AS score FROM (
-       |  SELECT node, 'hub' AS kind, score FROM h$sweeps
-       |  UNION ALL
-       |  SELECT node, 'auth', score FROM a$sweeps)
+       |SELECT node, kind,
+       |  round(CAST(score AS DOUBLE) /
+       |        (SELECT CAST(sum(score) AS DOUBLE) FROM h$sweeps), 6) AS score
+       |FROM (SELECT node, 'hub' AS kind, score FROM h$sweeps) hub
+       |UNION ALL
+       |SELECT node, 'auth',
+       |  round(CAST(score AS DOUBLE) /
+       |        (SELECT CAST(sum(score) AS DOUBLE) FROM a$sweeps), 6)
+       |FROM a$sweeps
        |ORDER BY kind, node""".stripMargin
   }
 
