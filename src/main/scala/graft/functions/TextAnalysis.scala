@@ -164,13 +164,25 @@ object TextAnalysis {
       val bc = docBi.groupBy(col("bigram")).agg(sum(col("cnt")).as("bc"))
       val cc = bc.withColumn("w1", split(col("bigram"), " ").getItem(0))
         .groupBy(col("w1")).agg(sum(col("bc")).as("cc"))
+      // Per-transition −ln(bc/cc) = ln(cc) − ln(bc) micro-quantizes to
+      // a LONG before the per-doc sum (cc ≥ bc, so the quantized
+      // difference is never negative), making the rollup exact integer
+      // arithmetic in any order — a bare sum of cnt·ln(...) doubles
+      // accumulates in partition order, the cross-engine flip class
+      // that bit profile_corr/psi in round 8.
       docBi.join(bc, Seq("bigram"))
         .withColumn("w1", split(col("bigram"), " ").getItem(0))
         .join(cc, Seq("w1"))
+        .withColumn("lq",
+          round(log(col("cc").cast("double")) * 1e6).cast("long") -
+          round(log(col("bc").cast("double")) * 1e6).cast("long"))
         .groupBy(col("doc_id"))
         .agg(sum(col("cnt")).as("n_bigrams"),
-          round(sum(col("cnt") * -log(col("bc") / col("cc"))) /
-            sum(col("cnt")), 4).as("avg_neg_logprob"))
+          sum(col("cnt") * col("lq")).as("slq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("slq").cast("double") /
+            (col("n_bigrams").cast("double") * lit(1e6)), 4)
+            .as("avg_neg_logprob"))
         .orderBy(col("doc_id"))
     }
 
@@ -710,13 +722,24 @@ object TextAnalysis {
     "text_logprob" -> ((s, dir) => {
       val tf = tfTable(s, dir)
       val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
-      val total = tf.agg(sum(col("tf")).cast("double").as("n_total"))
+      val total = tf.agg(sum(col("tf")).as("n_total"))
+      // −ln(cnt/N) = ln N − ln cnt, each ln over an integer count
+      // micro-quantized to a long — the tf-weighted per-doc rollup is
+      // exact integer arithmetic in any order (N ≥ cnt keeps it ≥ 0),
+      // where the bare tf·ln(...) double sum accumulates in partition
+      // order (the round-8 flip class; text_bigram_lm precedent).
       tf.join(counts, Seq("term"))
         .crossJoin(broadcast(total))
+        .withColumn("lq",
+          round(log(col("n_total").cast("double")) * 1e6).cast("long") -
+          round(log(col("cnt").cast("double")) * 1e6).cast("long"))
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_tokens"),
-             round(sum(col("tf") * -log(col("cnt") / col("n_total"))) /
-                     sum(col("tf")), 4).as("avg_neg_logprob"))
+          sum(col("tf") * col("lq")).as("slq"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("slq").cast("double") /
+            (col("n_tokens").cast("double") * lit(1e6)), 4)
+            .as("avg_neg_logprob"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1283,13 +1306,20 @@ object TextAnalysis {
     "text_logprob" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
-        |counts AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY term),
-        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n_total FROM tf)
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM terms GROUP BY 1, 2),
+        |counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+        |           FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM tf),
+        |l AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(ln(CAST(n_total AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    - CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS lq
+        |  FROM tf JOIN counts USING (term) CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |  round(sum(tf * -ln(cnt / n_total)) / sum(tf), 4) AS avg_neg_logprob
-        |FROM tf JOIN counts USING (term) CROSS JOIN tot
-        |GROUP BY doc_id
+        |  round(CAST(sum(tf * lq) AS DOUBLE)
+        |        / (CAST(sum(tf) AS DOUBLE) * 1e6), 4) AS avg_neg_logprob
+        |FROM l GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "text_decontaminate" ->
@@ -1320,8 +1350,11 @@ object TextAnalysis {
         |cc AS (SELECT string_split(bigram, ' ')[1] AS w1,
         |         CAST(sum(bc) AS BIGINT) AS cc FROM bc GROUP BY 1)
         |SELECT dc.doc_id, CAST(sum(dc.cnt) AS BIGINT) AS n_bigrams,
-        |  round(sum(dc.cnt * -ln(bc.bc / cc.cc)) / sum(dc.cnt), 4)
-        |    AS avg_neg_logprob
+        |  round(CAST(sum(dc.cnt *
+        |          (CAST(round(ln(CAST(cc.cc AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |           - CAST(round(ln(CAST(bc.bc AS DOUBLE)) * 1000000.0) AS BIGINT)))
+        |        AS DOUBLE)
+        |    / (CAST(sum(dc.cnt) AS DOUBLE) * 1e6), 4) AS avg_neg_logprob
         |FROM dc JOIN bc USING (bigram)
         |JOIN cc ON string_split(dc.bigram, ' ')[1] = cc.w1
         |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,

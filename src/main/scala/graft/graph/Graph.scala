@@ -151,14 +151,24 @@ object Graph {
       // measured at sf0.1); hashing the node-sized rank table instead is
       // the classical PageRank join build side, and stays shuffle-free
       // on the cached, pre-partitioned weighted side
+      // Each edge's mass contribution micro-quantizes to a LONG on the
+      // 1e-15 grid BEFORE the grouped sum, so the sum is exact integer
+      // arithmetic in any order — a bare sum(rank*w) accumulates
+      // doubles in partition order, the cross-engine (and run-to-run)
+      // flip class that bit profile_corr in round 8. Total mass ≈ 1,
+      // so per-node sums stay far under long range; the 1e-15 snap is
+      // nine orders inside the 6dp output grid.
       val mass = weighted.join(ranks.hint("shuffle_hash"),
           weighted("src") === ranks("node"))
-        .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("mass"))
+        .groupBy(col("dst"))
+        .agg(sum(round(col("rank") * col("w") * lit(1e15)).cast("long"))
+          .as("cmass"))
       ranks = nodeTbl.crossJoin(broadcast(nRow))
         .join(mass, nodeTbl("node") === mass("dst"), "left")
         .select(nodeTbl("node"),
           (lit(1.0 - Damping) / col("n") +
-            lit(Damping) * coalesce(col("mass"), lit(0.0))).as("rank"))
+            lit(Damping) * (coalesce(col("cmass"), lit(0L)).cast("double")
+              / lit(1e15))).as("rank"))
         .localCheckpoint(eager = false)
     }
     ranks
@@ -827,10 +837,12 @@ object Graph {
     val stages = (1 to sweeps).map { i =>
       s"""r$i AS (
          |  SELECT nodes.node,
-         |    0.15::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(m.mass, 0::DOUBLE) AS rank
+         |    0.15::DOUBLE / nn.n + 0.85::DOUBLE *
+         |      (CAST(coalesce(m.cmass, 0) AS DOUBLE) / 1e15) AS rank
          |  FROM nodes CROSS JOIN nn
          |  LEFT JOIN (
-         |    SELECT w.dst AS node, sum(w.w * r.rank) AS mass
+         |    SELECT w.dst AS node,
+         |      sum(CAST(round(r.rank * w.w * 1e15) AS BIGINT)) AS cmass
          |    FROM w JOIN r${i - 1} r ON w.src = r.node
          |    GROUP BY w.dst) m ON m.node = nodes.node)""".stripMargin
     }.mkString(",\n")
@@ -851,13 +863,6 @@ object Graph {
        |FROM r$sweeps ORDER BY node""".stripMargin
   }
 
-  /** HITS oracle: the identical L1-normalized half-sweeps unrolled, one
-    * CTE pair per sweep; all arithmetic forced DOUBLE, 6dp round at the
-    * end only (the pagerankSql discipline). Every raw-score stage is
-    * referenced TWICE (the normalize projection + its L1-total scalar
-    * subquery), so the whole chain is pinned AS MATERIALIZED — DuckDB
-    * inlines multiply-referenced CTEs by default, which would expand
-    * the sweep chain exponentially (the kcoreSql lesson). */
   /** Same integer power iteration (unit seeds → HUGEINT sums stay
     * exact through every sweep), same single end normalization — one
     * exact-int/exact-int division per node. */

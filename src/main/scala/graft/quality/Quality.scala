@@ -576,13 +576,22 @@ object Quality {
           |AS (col_name, val)""".stripMargin))
       val counts = melted.groupBy(col("col_name"), col("val"))
         .agg(count(lit(1)).as("cnt"))
-      val totals = counts.groupBy(col("col_name"))
-        .agg(sum(col("cnt")).cast("double").as("n"))
-      counts.join(totals, Seq("col_name"))
+      // −Σ p·ln p rewrites to (n·ln n − Σ cnt·ln cnt)/n, each ln over an
+      // INTEGER count micro-quantized to a long — the fold is exact
+      // integer arithmetic in any order (ln monotone + round monotone
+      // keeps the numerator ≥ 0), where the bare p·ln p double sum
+      // accumulates in partition order (the round-8 flip class).
+      counts
         .groupBy(col("col_name"))
         .agg(count(lit(1)).as("n_values"),
-          round(-sum((col("cnt") / col("n")) * log(col("cnt") / col("n"))), 6)
-            .as("entropy"))
+          sum(col("cnt")).as("n"),
+          sum(col("cnt") *
+            round(log(col("cnt").cast("double")) * 1e6).cast("long")).as("s"))
+        .select(col("col_name"), col("n_values"),
+          round((col("n") *
+              round(log(col("n").cast("double")) * 1e6).cast("long") -
+              col("s")).cast("double") /
+            (col("n").cast("double") * lit(1e6)), 6).as("entropy"))
         .orderBy(col("col_name"))
     }),
 
@@ -1227,12 +1236,19 @@ object Quality {
         |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
         |  UNION ALL SELECT 'order_year', CAST(year(o_orderdate) AS VARCHAR)
         |    FROM orders),
-        |c AS (SELECT col_name, val, count(*) AS cnt FROM v GROUP BY 1, 2),
-        |t AS (SELECT col_name, CAST(sum(cnt) AS DOUBLE) AS n FROM c GROUP BY 1)
-        |SELECT c.col_name, count(*) AS n_values,
-        |  round(-sum((c.cnt / t.n) * ln(c.cnt / t.n)), 6) AS entropy
-        |FROM c JOIN t ON c.col_name = t.col_name
-        |GROUP BY c.col_name ORDER BY c.col_name""".stripMargin,
+        |c AS (SELECT col_name, val, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM v GROUP BY 1, 2),
+        |m AS (
+        |  SELECT col_name, count(*) AS n_values,
+        |    CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0)
+        |                        AS BIGINT)) AS BIGINT) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT col_name, n_values,
+        |  round(CAST(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0)
+        |                      AS BIGINT) - s AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * 1e6), 6) AS entropy
+        |FROM m ORDER BY col_name""".stripMargin,
 
     // Exact top-20 (same DESC-count, unique-key tie-break) + the
     // constant-true contract column: a sketch regression past the CMS
