@@ -1384,6 +1384,43 @@ object Relational {
           round((col("t") - col("p")).cast("double") /
             (col("n") - col("i")).cast("double"), 4).as("mean_after"))
         .orderBy(col("rk"))
+    }),
+
+    // Market-basket association rules (the co-purchase analytics a
+    // merchandising pipeline runs): part pairs co-occurring in an
+    // order, scored by support count, confidence c_ab/c_a, and lift
+    // n·c_ab/(c_a·c_b) — every ratio an exact-integer division, so
+    // both engines rank on identical doubles. The pair join is the
+    // per-order self-join — fan-out bounded by basket size squared
+    // (~7² here), the property that keeps it linear-ish at 100 TB;
+    // a ≥ 3 co-occurrence floor drops the 1-count pair tail BEFORE
+    // the per-part count joins (standard min-support pruning — at
+    // scale this floor is what bounds the candidate set, exactly as
+    // in Apriori). Top-20 by (lift DESC, pair) on unrounded lift.
+    "q57_basket" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = li.select(col("ok")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val partCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("pk1"), col("y.pk").as("pk2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      pairs
+        .join(partCnt.select(col("pk").as("pk1"), col("c").as("c_a")), Seq("pk1"))
+        .join(partCnt.select(col("pk").as("pk2"), col("c").as("c_b")), Seq("pk2"))
+        .crossJoin(broadcast(nOrders))
+        .withColumn("lift", (col("n") * col("c_ab")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"))
+        .orderBy(col("lift").desc, col("pk1"), col("pk2")).limit(20)
+        .select(col("pk1"), col("pk2"), col("c_ab"),
+          round(col("c_ab").cast("double") / col("c_a").cast("double"), 6)
+            .as("confidence"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("pk1"), col("pk2"))
     })
   )
 
@@ -1482,6 +1519,29 @@ object Relational {
         |  round(CAST(tt - pf AS DOUBLE) / CAST(n - i AS DOUBLE), 4)
         |    AS mean_after
         |FROM r WHERE rk <= 3 ORDER BY rk""".stripMargin,
+
+    // Same distinct (order, part) pairs, same ≥ 3 support floor, same
+    // exact-integer confidence/lift, same unrounded-lift top-20.
+    "q57_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM li),
+        |pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
+        |pr AS (SELECT x.pk AS pk1, y.pk AS pk2, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |       GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sc AS (
+        |  SELECT pk1, pk2, c_ab,
+        |    CAST(c_ab AS DOUBLE) / CAST(a.c AS DOUBLE) AS confidence_raw,
+        |    CAST(n * c_ab AS DOUBLE) / CAST(a.c * b.c AS DOUBLE) AS lift_raw
+        |  FROM pr JOIN pc a ON pr.pk1 = a.pk JOIN pc b ON pr.pk2 = b.pk
+        |  CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (ORDER BY lift_raw DESC, pk1, pk2)
+        |        AS rk
+        |      FROM sc)
+        |SELECT pk1, pk2, c_ab, round(confidence_raw, 6) AS confidence,
+        |  round(lift_raw, 6) AS lift
+        |FROM r WHERE rk <= 20 ORDER BY lift DESC, pk1, pk2""".stripMargin,
     // Same quantile_cont bounds (the q25 percentile pairing), same CASE
     // binning on identical doubles, same exact cents sum.
     "q48_deciles" -> {

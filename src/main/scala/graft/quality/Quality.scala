@@ -382,6 +382,46 @@ object Quality {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     }),
 
+    // Binned two-sample Kolmogorov–Smirnov (the distribution-drift
+    // screen PSI's 10 coarse bins can smooth over: KS reads the MAX
+    // ECDF gap, so a localized shift PSI dilutes still fires): 256
+    // equi-width bins (the profile_psi binning discipline, finer
+    // grid), cumulative counts per side, and the statistic in EXACT
+    // integer form — D_scaled = max |cr·n_cur − cc·n_ref| over longs,
+    // D = D_scaled/(n_ref·n_cur) as ONE division — with a
+    // deterministic argmax bin (gap DESC, bin). Value-level ECDFs
+    // need a global order over every distinct value (unbounded at
+    // 100 TB); binning bounds the scan's output at 256 rows per
+    // profile and the cumulative window runs over THAT table only.
+    "profile_ks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val isRef = col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      val bounds = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      val binned = o.crossJoin(broadcast(bounds))
+        .select(least(lit(255), floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / 256.0))).cast("int").as("bin"),
+          isRef.as("is_ref"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_cnt"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
+      val wCum = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      val gaps = binned
+        .withColumn("cr", sum(col("ref_cnt")).over(wCum))
+        .withColumn("cc", sum(col("cur_cnt")).over(wCum))
+        .withColumn("nr", sum(col("ref_cnt")).over(wAll))
+        .withColumn("nc", sum(col("cur_cnt")).over(wAll))
+        .withColumn("gap", abs(col("cr") * col("nc") - col("cc") * col("nr")))
+      gaps.orderBy(col("gap").desc, col("bin")).limit(1)
+        .select(col("nr").as("n_ref"), col("nc").as("n_cur"),
+          col("bin").as("argmax_bin"),
+          round(col("gap").cast("double") /
+            (col("nr") * col("nc")).cast("double"), 6).as("ks_d"))
+    }),
+
     // Categorical drift screen (the PSI profile_psi can't run —
     // category shares have no equi-width bins): per-category
     // (p−q)·ln(p/q) between the same two periods, the categories
@@ -1055,6 +1095,38 @@ object Quality {
         |  round(CAST(a * tb - b * ta AS DOUBLE) / CAST(ta * tb AS DOUBLE)
         |        * (CAST(lq AS DOUBLE) / 1000000.0), 6) AS psi
         |FROM l ORDER BY bin""".stripMargin,
+
+    // Same 256 equi-width bins, same integer cumulative counts, same
+    // |cr·nc − cc·nr| scaled gap with (gap DESC, bin) argmax, same one
+    // exact division.
+    "profile_ks" ->
+      """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |           FROM orders),
+        |c AS (
+        |  SELECT CAST(least(255, floor((o_totalprice - mn) / ((mx - mn) / 256.0)))
+        |              AS INT) AS bin,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
+        |    CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
+        |  FROM orders CROSS JOIN b GROUP BY 1),
+        |g AS (
+        |  SELECT bin,
+        |    CAST(sum(ref_cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cr,
+        |    CAST(sum(cur_cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cc,
+        |    CAST(sum(ref_cnt) OVER () AS BIGINT) AS nr,
+        |    CAST(sum(cur_cnt) OVER () AS BIGINT) AS nc
+        |  FROM c),
+        |r AS (
+        |  SELECT nr AS n_ref, nc AS n_cur, bin AS argmax_bin,
+        |    abs(cr * nc - cc * nr) AS gap,
+        |    row_number() OVER (ORDER BY abs(cr * nc - cc * nr) DESC, bin) AS rk
+        |  FROM g)
+        |SELECT n_ref, n_cur, argmax_bin,
+        |  round(CAST(gap AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE), 6) AS ks_d
+        |FROM r WHERE rk = 1""".stripMargin,
 
     // Same category-grouped period counts, same exact-integer psi tail
     // with Laplace mass 5 (0.5 × 5 categories, doubled).
