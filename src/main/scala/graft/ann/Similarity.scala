@@ -334,10 +334,13 @@ object Similarity {
         col("embedding").cast("array<double>").as("emb"))
       val scale = e.select(posexplode(col("emb")).as(Seq("i", "x")))
         .agg(max(abs(col("x"))).as("mxa"))
+      // cached diamond: codes feed the query broadcast AND the corpus
+      // stream — uncached, each leg re-ran the scan + scale aggregate
       val coded = e.crossJoin(broadcast(scale))
         .select(col("vec_id"), expr(
           "transform(emb, x -> CAST(round(x / (mxa / 127.0D)) AS INT))")
           .as("codes"))
+        .cache()
       val q = coded.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("codes").as("qc"))
       val w = Window.partitionBy(col("query_id"))

@@ -1398,9 +1398,13 @@ object Relational {
     // scale this floor is what bounds the candidate set, exactly as
     // in Apriori). Top-20 by (lift DESC, pair) on unrounded lift.
     "q57_basket" -> ((s, dir) => {
+      // cached diamond: the distinct (order, part) projection feeds
+      // FOUR consumers (n scalar, part counts, both pair-join legs) —
+      // uncached, each re-ran the scan + distinct shuffle
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .cache()
       val nOrders = li.select(col("ok")).distinct()
         .agg(count(lit(1)).as("n"))
       val partCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
