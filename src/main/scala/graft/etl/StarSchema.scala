@@ -336,6 +336,28 @@ object StarSchema {
         .orderBy(col("o_key"))
     }),
 
+    // Partition-health report (what a lake operator reads before
+    // choosing file sizes and compaction targets: per-partition row
+    // counts, share of the table, and a hot-partition flag): one
+    // grouped count per partition value, the (total, n_partitions)
+    // scalar broadcast back, share an exact int/int rational and the
+    // hot flag an EXACT integer compare (n·n_parts > 2·total — no
+    // float threshold to drift). The report is O(partitions) rows from
+    // one scan at any table size.
+    "etl_partition_report" -> ((s, dir) => {
+      val parts = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n_rows"))
+      val tot = parts.agg(sum(col("n_rows")).as("t"), count(lit(1)).as("np"))
+      parts.crossJoin(broadcast(tot))
+        .select(col("event_date").cast("string").as("event_date"),
+          col("n_rows"),
+          round(col("n_rows").cast("double") / col("t").cast("double"), 6)
+            .as("share"),
+          (col("n_rows") * col("np") > lit(2L) * col("t")).as("is_hot"))
+        .orderBy(col("event_date"))
+    }),
+
     // Targeted key erasure end-to-end (the GDPR/right-to-be-forgotten
     // maintenance pass — §A engine completeness beyond upsert): events
     // land bucket-partitioned on user_id (the stream_upsert state-store
@@ -1085,6 +1107,22 @@ object StarSchema {
         |SELECT k AS o_key, status, round(price, 2) AS price
         |FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_key""".stripMargin,
+
+    // Same micros-normalized daily partitions, same exact int/int
+    // share, same integer hot compare.
+    "etl_partition_report" ->
+      """WITH ev AS (
+        |  SELECT make_timestamp(epoch_us(ts)) AS ts FROM events),
+        |p AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM ev GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+        |             CAST(count(*) AS BIGINT) AS np FROM p)
+        |SELECT CAST(event_date AS VARCHAR) AS event_date, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+        |  n_rows * np > 2 * t AS is_hot
+        |FROM p CROSS JOIN t ORDER BY event_date""".stripMargin,
 
     "etl_zorder_read" ->
       """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,

@@ -111,6 +111,17 @@ class ScaleSpec extends AnyFunSuite {
       s"stratified draw must keep the partial top-k partition-local:\n$draw")
   }
 
+  test("cdc apply keeps the per-key top-1 partition-local (WindowGroupLimit)") {
+    // etl_cdc_apply's last-writer-wins is rn = 1 over (key | seq DESC) —
+    // WindowGroupLimit must prune each task's change history to its
+    // local top-1 BEFORE the exchange, or the shuffle carries the whole
+    // changelog per key
+    val plan = SparkEntry.queries("etl_cdc_apply")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"cdc apply must plan a partial per-key top-1:\n$plan")
+  }
+
   test("sql_lateral decorrelates into a group-limit join, not a re-execution") {
     // the correlated LATERAL ORDER BY + LIMIT must compile to
     // WindowGroupLimit stages + ONE join of the two tables — a
