@@ -142,11 +142,28 @@ object Similarity {
           sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_cnt"))
         .withColumn("rt", sum(col("ref_cnt")).over(wAll))
         .withColumn("ct", sum(col("cur_cnt")).over(wAll))
-      val smooth = lit(0.5 * IvfCentroids) // 0.5 per bin × k bins = 4.0
-      val p = (col("ref_cnt") + 0.5) / (col("rt") + smooth)
-      val q = (col("cur_cnt") + 0.5) / (col("ct") + smooth)
-      hist.select(col("centroid_id"), col("ref_cnt"), col("cur_cnt"),
-          round((p - q) * log(p / q), 6).as("psi"))
+      // Exact-integer Laplace psi (the profile_psi r9 discipline —
+      // doubling clears the 0.5 smoothing into integers, the one ln
+      // splits into micro-quantized terms over integer products): a
+      // bare (p−q)·ln(p/q) over raw doubles is the ln-ulp flip class
+      // that went red in round 8. Laplace mass 0.5 per centroid bin →
+      // doubled denominator +IvfCentroids.
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val hardened = hist
+        .withColumn("a", (lit(2L) * col("ref_cnt") + lit(1L)).cast(dec))
+        .withColumn("b", (lit(2L) * col("cur_cnt") + lit(1L)).cast(dec))
+        .withColumn("ta",
+          (lit(2L) * col("rt") + lit(IvfCentroids.toLong)).cast(dec))
+        .withColumn("tb",
+          (lit(2L) * col("ct") + lit(IvfCentroids.toLong)).cast(dec))
+        .withColumn("lq",
+          round(log((col("a") * col("tb")).cast("double")) * 1e6).cast("long") -
+          round(log((col("b") * col("ta")).cast("double")) * 1e6).cast("long"))
+      hardened.select(col("centroid_id"), col("ref_cnt"), col("cur_cnt"),
+          round((col("a") * col("tb") - col("b") * col("ta")).cast("double") /
+              (col("ta") * col("tb")).cast("double") *
+              (col("lq").cast("double") / lit(1e6)), 6).as("psi"))
         .orderBy(col("centroid_id"))
     }),
 
@@ -902,13 +919,22 @@ object Similarity {
          |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_cnt,
          |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cur_cnt
          |  FROM assigned GROUP BY 1),
-         |t AS (SELECT CAST(sum(ref_cnt) AS BIGINT) AS rt,
-         |             CAST(sum(cur_cnt) AS BIGINT) AS ct FROM h)
+         |t AS (SELECT CAST(2 * sum(ref_cnt) + $IvfCentroids AS HUGEINT) AS ta,
+         |             CAST(2 * sum(cur_cnt) + $IvfCentroids AS HUGEINT) AS tb FROM h),
+         |x AS (
+         |  SELECT centroid_id, ref_cnt, cur_cnt,
+         |    CAST(2 * ref_cnt + 1 AS HUGEINT) AS a,
+         |    CAST(2 * cur_cnt + 1 AS HUGEINT) AS b, ta, tb
+         |  FROM h CROSS JOIN t),
+         |l AS (
+         |  SELECT *,
+         |    CAST(round(ln(CAST(a * tb AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |    - CAST(round(ln(CAST(b * ta AS DOUBLE)) * 1000000.0) AS BIGINT) AS lq
+         |  FROM x)
          |SELECT centroid_id, ref_cnt, cur_cnt,
-         |  round(((ref_cnt + 0.5) / (rt + 4.0) - (cur_cnt + 0.5) / (ct + 4.0)) *
-         |        ln(((ref_cnt + 0.5) / (rt + 4.0)) /
-         |           ((cur_cnt + 0.5) / (ct + 4.0))), 6) AS psi
-         |FROM h CROSS JOIN t ORDER BY centroid_id""".stripMargin,
+         |  round(CAST(a * tb - b * ta AS DOUBLE) / CAST(ta * tb AS DOUBLE)
+         |        * (CAST(lq AS DOUBLE) / 1000000.0), 6) AS psi
+         |FROM l ORDER BY centroid_id""".stripMargin,
 
     // ann_bruteforce's replay with the class predicate on the corpus
     // side only — queries keep their own labels.
