@@ -173,7 +173,12 @@ object Bench {
     var keys = headline
     var out = line(keys)
     while (out.length > 1900 && keys.nonEmpty) { keys = keys.dropRight(5); out = line(keys) }
-    println(out)
+    // stop() BEFORE the headline println: the driver captures stdout and
+    // stderr interleaved and keeps only the last ~2000 chars, so any
+    // shutdown logging emitted after the JSON line could push it out of
+    // the tail window. With the session already stopped, this println is
+    // the process's final output.
     spark.stop()
+    println(out)
   }
 }

@@ -18,6 +18,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // per-key cache reset: builder-side .cache() calls (q57_basket,
+      // ann_sq8, dedup_semantic, the text tfTable, …) deliberately have
+      // no unpersist — the harness owns cache lifetime, and dropping
+      // them here keeps the 200-key run's memory bounded (Bench does
+      // the same inside timedPass).
+      spark.sharedState.cacheManager.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1110,7 +1110,7 @@ object Similarity {
          |  SELECT q.vec_id AS query_id, c.vec_id,
          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      [CAST(q.codes[i] AS BIGINT) * c.codes[i]
-         |       for i in range(1, 65)]),
+         |       for i in range(1, ${EmbDim + 1})]),
          |      (a, b) -> a + b) AS qdot
          |  FROM (SELECT * FROM coded WHERE vec_id < $NumQueries) q
          |  CROSS JOIN coded c WHERE c.vec_id <> q.vec_id),

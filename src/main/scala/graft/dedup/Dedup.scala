@@ -622,8 +622,14 @@ object Dedup {
     // while by_content stays structurally zero.
     "dedup_split_leakage" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // planted ids start at max(doc_id)+1 — derived, not a constant, so
+      // they can never collide with a real id on ANY corpus size (a fixed
+      // +1e6 offset would silently break the by_content-leaks-zero
+      // invariant past a million documents). One-row broadcast scalar.
+      val off = base.agg((max(col("doc_id")) + 1L).as("off"))
       val planted = base.filter(pmod(col("doc_id"), lit(25)) === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"), col("text"))
       val docs = base.unionByName(planted)
         .select(col("doc_id"), col("text"), md5(col("text")).as("fp"))
       def audit(name: String, trainFlag: Column): DataFrame =
@@ -727,12 +733,14 @@ object Dedup {
 
     // Same md5-nibble 205/256 split rule (strpos nibble unpack — the
     // DuckDB stand-in for conv(hex)), same per-fingerprint group
-    // counts, same n_train·n_test crossing-pair fold.
+    // counts, same n_train·n_test crossing-pair fold, same derived
+    // max(doc_id)+1 planted-id offset.
     "dedup_split_leakage" ->
       """WITH d AS (
         |  SELECT doc_id, text, md5(text) AS fp FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text, md5(text)
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |    text, md5(text)
         |  FROM documents WHERE doc_id % 25 = 0),
         |flags AS (
         |  SELECT fp,

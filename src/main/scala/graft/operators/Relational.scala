@@ -1400,7 +1400,10 @@ object Relational {
     "q57_basket" -> ((s, dir) => {
       // cached diamond: the distinct (order, part) projection feeds
       // FOUR consumers (n scalar, part counts, both pair-join legs) —
-      // uncached, each re-ran the scan + distinct shuffle
+      // uncached, each re-ran the scan + distinct shuffle. No unpersist
+      // here by design: the builder returns before any action runs, so
+      // lifetime belongs to the harness — Bench/Verify clearCache()
+      // between keys, bounding cross-key accumulation.
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()

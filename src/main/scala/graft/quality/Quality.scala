@@ -808,7 +808,12 @@ object Quality {
     // difference (text_zipf discipline: Java's and libc's ln disagree
     // by an ulp on identical inputs, which flipped the 6dp round in
     // round 8 — the 1e-6 grid absorbs it). Identical integers →
-    // identical IEEE ops → identical psi on both engines.
+    // identical IEEE ops → identical psi on both engines. The grid is a
+    // MITIGATION, not a proof: a 1-ulp ln split landing exactly on a
+    // .5e-6 rounding boundary can still flip the quantized long by 1
+    // (probability ~ulp/grid ≈ 1e-10 per term; empirically zero hits
+    // across rounds 8-10). An exact cross-engine ln spelling would
+    // close it; revisit only if a gate ever reds on a ±1e-6 psi split.
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val wAll = Window.partitionBy()
