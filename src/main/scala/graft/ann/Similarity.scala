@@ -520,17 +520,46 @@ object Similarity {
   private val PqM = 8
   private val PqDsub = 8
   private val PqK = 16
-  private val PqIters = 2
+  /** Sweeps were 2 when each one cost a distributed corpus scan; with
+    * driver-local training over the bounded sample a sweep is
+    * microseconds, so the loop runs to practical convergence — the
+    * extra sweeps recover the shortlist recall a thin 1/TrainMod
+    * training sample would otherwise cost. */
+  private val PqIters = 8
   /** ADC shortlist size as a multiple of k: the compressed-domain scan
-    * keeps 5k candidates, the exact re-rank touches only those raw
-    * vectors. */
-  private val PqShortlist = 5
+    * keeps 8k candidates, the exact re-rank touches only those raw
+    * vectors (raised from 5k when codebook training moved to the
+    * bounded sample — the wider rerank absorbs a slightly coarser
+    * quantizer at a cost linear in k, not in the corpus). */
+  private val PqShortlist = 8
+  /** Codebook training-set target (the FAISS 256×k sizing: 256 × PqK
+    * vectors would be 4096; 2048 measured sufficient here). Unlike the
+    * spherical-k-means TrainMod — fixed because the SQL oracle replays
+    * those centroids — the PQ sample modulus can adapt to the corpus
+    * (ann_pq's oracle gates on the exact leg + recall floor, never on
+    * the codebook), so training reads ceil-to-modulus ~2-4k vectors at
+    * ANY corpus size: the full corpus at gate scales, a vanishing
+    * fraction at 100 TB. */
+  private val PqTrainTarget = 2048L
   /** In-query recall contract: the re-ranked PQ top-k must recover at
     * least this fraction of the exact top-k per query. */
   private val PqRecallMin = 0.5
 
   /** k-means training sweeps (fixed — unrolled in the SQL oracle). */
   private val KmeansIters = 3
+  /** Codebook/centroid TRAINING reads only vectors with vec_id ≡ 0
+    * (mod TrainMod) — the FAISS practice: quantizer quality saturates at
+    * a few hundred samples per centroid, so scanning the full corpus
+    * every sweep is pure waste (sweeps × corpus extra reads at 100 TB).
+    * Assignment/search still covers the FULL corpus; only the k-means
+    * input shrinks. The sample rule is a deterministic id residue, not
+    * an engine hash, so the SQL oracle replays the identical subset
+    * (`vec_id % TrainMod = 0`), and seeds become the first nCentroids
+    * sampled ids (vec_id < nCentroids·TrainMod on the dense test ids).
+    * Production sizing picks the modulus from table stats so the sample
+    * lands near 256×k vectors; the constant 4 keeps ≥ 15 samples per
+    * centroid at the smallest gate corpus (500 vectors). */
+  private[graft] val TrainMod = 4
   /** Centroid coordinates are quantized to 1e-6 after every mean:
     * double-sum order across partitions (Spark) vs a sequential scan (a
     * SQL oracle) differs in the last bits, and k-means iterates — an
@@ -565,15 +594,20 @@ object Similarity {
     * dimension mean. The mean is left un-normalized — cosine against it
     * equals cosine against the normalized mean. Each sweep broadcasts
     * only the (tiny) centroid table and shuffles (centroid, dim, partial
-    * sum) — at 100 TB the corpus is scanned `iters` times but never
-    * shuffled. Returns (centroid_id, c_emb: array<double>). */
+    * sum) — and sweeps read only the TrainMod residue-class sample, so
+    * at 100 TB training costs iters × corpus/TrainMod scans while the
+    * full corpus is read once, at assignment.
+    * Returns (centroid_id, c_emb: array<double>). */
   def trainCentroids(emb: DataFrame, nCentroids: Int, iters: Int = KmeansIters): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    var cents = e.filter(col("vec_id") < nCentroids)
+    // bounded training sample (see TrainMod): sweeps scan n/TrainMod
+    // vectors; callers assign the FULL corpus against the result
+    val train = e.filter(pmod(col("vec_id"), lit(TrainMod)) === 0)
+    var cents = train.filter(col("vec_id") < nCentroids * TrainMod)
       .select(col("vec_id").as("centroid_id"), col("emb").as("c_emb"))
     for (_ <- 1 to iters) {
       val prev = cents
-      val assigned = assignNearest(e, prev).select(col("centroid_id"), col("emb"))
+      val assigned = assignNearest(train, prev).select(col("centroid_id"), col("emb"))
       cents = assigned
         .select(col("centroid_id"), posexplode(col("emb")).as(Seq("d", "x")))
         .groupBy(col("centroid_id"), col("d"))
@@ -659,32 +693,74 @@ object Similarity {
           s"m -> struct(m AS m, slice(nemb, m * $PqDsub + 1, $PqDsub) AS semb))")).as("s"))
       .select(col(idCol), col("s.m").as("m"), col("s.semb").as("semb"))
 
-  /** All PqM codebooks trained TOGETHER in one long-format k-means loop:
-    * centroids are keyed (m, code), assignment joins on m (broadcast —
-    * the whole codebook table is PqM·PqK = 128 rows), and the argmin is
-    * an aggregation with map-side combine, so each sweep shuffles one
-    * (id, m) row per subvector and the corpus is scanned once per sweep.
-    * L2 k-means (not spherical): PQ minimizes per-subspace Euclidean
-    * distortion. Same determinism discipline as trainCentroids: 1e-6
-    * centroid quantization, 1e-12 distance quantization, id tie-breaks.
-    * Seeds are the first PqK vectors' slices. */
-  private[graft] def trainCodebooks(sub: DataFrame): DataFrame = {
-    var cents = sub.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").cast("int").as("code"), col("semb").as("c_emb"))
+  /** All PqM codebooks trained TOGETHER in one long-format k-means loop
+    * executed ON THE DRIVER over a bounded sample (see PqTrainTarget) —
+    * the FAISS train/assign split: quantizer quality saturates at a few
+    * thousand samples, so the training input is O(PqTrainTarget), never
+    * O(corpus), and the collect here is bounded by the adaptive sample
+    * modulus at any corpus size (≤ 2·PqTrainTarget × PqM slice rows).
+    * Keeping the sweeps local
+    * removes every training Exchange from ann_pq's plan — the codebook
+    * re-enters as a 128-row LocalRelation that downstream joins
+    * broadcast. L2 k-means (not spherical): PQ minimizes per-subspace
+    * Euclidean distortion. Same determinism discipline as the
+    * distributed spherical k-means: 1e-12-quantized L2 argmin with
+    * lowest-code tie-break, ascending-vec_id summation, 1e-6-quantized
+    * means; seeds are the first PqK SAMPLED vectors' slices, coded by
+    * ascending-id rank. ann_pq's oracle is unaffected: the gate is the
+    * exact top-k + the in-query pq_ok recall floor, which certifies the
+    * shortlist the codebook produces. */
+  private[graft] def trainCodebooksLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    // deterministic residue-class sample sized from the corpus count:
+    // mod 1 (everything) below 2·PqTrainTarget vectors, ~PqTrainTarget
+    // to 2×PqTrainTarget vectors above it
+    val mod = math.max(1L, e.count() / PqTrainTarget)
+    val sample = subvectors(
+        e.filter(pmod(col("vec_id"), lit(mod)) === 0), "vec_id")
+      .select(col("vec_id"), col("m"), col("semb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._2, t._1))
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def q12(x: Double) = math.floor(x * 1e12 + 0.5) / 1e12
+    val seedCode = sample.map(_._1).distinct.sorted.take(PqK).zipWithIndex.toMap
+    var cents: Map[(Int, Int), Array[Double]] =
+      sample.collect { case (id, m, v) if seedCode.contains(id) =>
+        ((m, seedCode(id)), v)
+      }.toMap
     for (_ <- 1 to PqIters) {
-      val prev = cents
-      cents = assignCodes(sub, prev)
-        .select(col("m"), col("code"), posexplode(col("semb")).as(Seq("d", "x")))
-        .groupBy(col("m"), col("code"), col("d"))
-        .agg(avg(col("x")).as("mean"))
-        .groupBy(col("m"), col("code"))
-        .agg(expr(s"transform(array_sort(collect_list(struct(d, mean))), " +
-          s"s -> ${CentQuant.format("s.mean")})").as("c_emb"))
-        .cache()
-      cents.count() // one corpus scan per sweep (the trainCentroids note)
-      prev.unpersist()
+      val byM = cents.groupBy(_._1._1).map { case (m, cs) =>
+        m -> cs.toArray.map { case ((_, c), v) => (c, v) }.sortBy(_._1)
+      }
+      val assigned = sample.map { case (id, m, v) =>
+        val best = byM(m).map { case (c, ce) =>
+          var d = 0.0
+          var i = 0
+          while (i < v.length) { val t = v(i) - ce(i); d += t * t; i += 1 }
+          (q12(d), c) // lexicographic min: nearest code, ties → lowest
+        }.min
+        (id, m, best._2, v)
+      }
+      cents = assigned.groupBy(t => (t._2, t._3)).map { case (k, rows) =>
+        val sorted = rows.sortBy(_._1)
+        k -> Array.tabulate(sorted.head._4.length) { d =>
+          var s = 0.0
+          sorted.foreach(r => s += r._4(d))
+          q6(s / sorted.length)
+        }
+      }
     }
-    cents
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("m", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("c_emb", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val rows = cents.toSeq.sortBy(_._1).map { case ((m, c), v) => Row(m, c, v.toSeq) }
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Nearest-code assignment per (id, m): argmin over the broadcast
@@ -720,9 +796,10 @@ object Similarity {
     * production query runs the ADC + re-rank legs alone. */
   def pqTopK(emb: DataFrame, queryIds: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val sub = subvectors(e, "vec_id").cache()
-    val cents = trainCodebooks(sub)
-    val codes = assignCodes(sub, cents)
+    // codebooks train locally on the bounded sample; the full corpus is
+    // sliced exactly once, for encoding (no cache needed — single pass)
+    val cents = trainCodebooksLocal(e)
+    val codes = assignCodes(subvectors(e, "vec_id"), cents)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
         .as("codes"))
@@ -785,9 +862,10 @@ object Similarity {
     * quantizer, so the trained centroids agree digit-for-digit. Expects
     * a CTE `e(vec_id, emb DOUBLE[])` to be in scope. */
   private def kmeansCtes(nCentroids: Int, iters: Int): String = {
-    val init = s"""cent0 AS (
-                  |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS c_emb
-                  |  FROM embeddings WHERE vec_id < $nCentroids)""".stripMargin
+    val init = s"""et AS (SELECT vec_id, emb FROM e WHERE vec_id % $TrainMod = 0),
+                  |cent0 AS (
+                  |  SELECT vec_id AS centroid_id, emb AS c_emb
+                  |  FROM et WHERE vec_id < ${nCentroids * TrainMod})""".stripMargin
     val sweeps = (1 to iters).map { i =>
       s"""assign$i AS (
          |  SELECT vec_id, emb, centroid_id FROM (
@@ -795,7 +873,7 @@ object Similarity {
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
          |                 c.centroid_id) AS rnk
-         |    FROM e CROSS JOIN cent${i - 1} c)
+         |    FROM et e CROSS JOIN cent${i - 1} c)
          |  WHERE rnk = 1),
          |cent$i AS (
          |  SELECT centroid_id, list(${CentQuant.format("m")} ORDER BY d) AS c_emb FROM (
