@@ -106,7 +106,22 @@ object Graph {
         .select(col("node"), col("best").as("dist"))
       dist = merged.select(col("node"), col("best").as("dist"))
     }
-    dist
+    // Fixpoint certificate (the kcore discipline, which this closes for
+    // the whole fixed-sweep family): ONE probe relaxation of the FULL
+    // dist table — Bellman-Ford terminates exactly when no edge can
+    // improve any distance, so `converged` is true iff the bounded
+    // rounds actually reached the shortest-path fixpoint. On a graph
+    // deeper than the gate data, under-iteration flips this false and
+    // the hash gate fails instead of silently shipping truncated
+    // distances. Cost: one O(E) co-partitioned join — the price of one
+    // extra round, and the certificate compares exact longs only.
+    val probe = wedges.join(dist, wedges("src") === dist("node"))
+      .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+      .groupBy(col("node")).agg(min(col("cand")).as("cand"))
+    val cert = dist.join(probe, Seq("node"), "full_outer")
+      .agg((coalesce(sum(when(col("dist").isNull || col("cand") < col("dist"),
+        1L).otherwise(0L)), lit(0L)) === 0L).as("converged"))
+    dist.crossJoin(broadcast(cert))
   }
 
   /** Long node id → the 'c<custkey>' / 's<suppkey>' presentation form
@@ -145,7 +160,9 @@ object Graph {
     var ranks = nodeTbl.crossJoin(broadcast(nRow))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
       .localCheckpoint(eager = false)
+    var prev = ranks
     for (_ <- 1 to sweeps) {
+      prev = ranks
       // shuffle_hash, build = ranks: a sort-merge join would re-SORT the
       // edge-sized weighted table every sweep (the dominant CPU cost
       // measured at sf0.1); hashing the node-sized rank table instead is
@@ -171,7 +188,21 @@ object Graph {
               / lit(1e15))).as("rank"))
         .localCheckpoint(eager = false)
     }
-    ranks
+    // Convergence certificate, surfaced as a VALUE rather than a
+    // boolean: the L∞ residual of the final sweep. Power iteration at
+    // damping 0.85 contracts by ≤0.85 per sweep — a 1e-6 fixpoint
+    // would need ~80 sweeps, so a "converged" boolean would be
+    // honestly FALSE at any practical sweep count and therefore
+    // vacuous. The residual says exactly how far the fixed sweeps got:
+    // the oracle replays it bit-for-bit (both engines hold identical
+    // rank doubles under the 1e-15 integer-mass discipline), an
+    // under-iterated run surfaces a larger residual and fails the hash
+    // gate, and a reader of the output can judge convergence directly.
+    // One extra node-sized co-partitioned join; the scalar broadcasts.
+    val resid = ranks
+      .join(prev.select(col("node"), col("rank").as("prev_rank")), Seq("node"))
+      .agg(round(max(abs(col("rank") - col("prev_rank"))), 9).as("residual"))
+    ranks.crossJoin(broadcast(resid))
   }
 
   /** Multi-source BFS: min-hop distance from a seed set, `hops` sweeps.
@@ -199,7 +230,18 @@ object Graph {
       visited = visited.unionByName(next).localCheckpoint(eager = true)
       frontier = next.select("node")
     }
-    visited
+    // Exhaustion certificate (the sssp probe, hop-counted): expand the
+    // FINAL frontier once more — if nothing unvisited appears, the
+    // bounded horizon covered the whole reachable set and `converged`
+    // is a true completeness claim; on a deeper graph it flips false
+    // and the hash gate catches the truncation. O(frontier edges),
+    // and on converged gate data the final frontier is already empty
+    // so the probe join is near-free.
+    val probe = edges.join(frontier, edges("src") === frontier("node"))
+      .select(col("dst").as("node")).distinct()
+      .join(visited.select("node"), Seq("node"), "left_anti")
+    val cert = probe.agg((count(lit(1)) === 0L).as("converged"))
+    visited.crossJoin(broadcast(cert))
   }
 
   /** Synchronous label-propagation communities over explicit undirected
@@ -208,16 +250,24 @@ object Graph {
     * bridge edge must keep distinct labels). Every node of the edge set
     * participates (the symmetrized list makes each a dst), so no
     * isolated-node leg exists here. */
-  private[graft] def labelProp(edges: DataFrame, sweeps: Int): DataFrame = {
+  private[graft] def labelProp(edges: DataFrame, sweeps: Int): DataFrame =
+    labelPropWithPrev(edges, sweeps)._1
+
+  /** labelProp plus the previous sweep's labels — the pair the
+    * stability certificate needs without re-running sweeps 1..n−1. */
+  private[graft] def labelPropWithPrev(edges: DataFrame,
+                                       sweeps: Int): (DataFrame, DataFrame) = {
     val sym = edges.select(col("u").as("src"), col("v").as("dst"))
       .union(edges.select(col("v").as("src"), col("u").as("dst")))
       .persist()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(eager = false)
+    var prev = labels
     val byVotes = Window.partitionBy(col("dst"))
       .orderBy(col("c").desc, col("label"))
     for (_ <- 1 to sweeps) {
+      prev = labels
       labels = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst"), col("label"))
         .repartition(col("dst"))
@@ -227,7 +277,26 @@ object Graph {
         .select(col("dst").as("node"), col("label"))
         .localCheckpoint(eager = false)
     }
-    labels
+    (labels, prev)
+  }
+
+  /** labelProp with a STABILITY COUNT riding every row: how many nodes
+    * changed label in the final sweep. Synchronous deterministic LPA
+    * has no fixpoint guarantee — bipartite-ish structure makes labels
+    * oscillate (Raghavan et al. 2007 §3 recommend async update or a
+    * stable-fraction stop for exactly this reason), so a boolean
+    * "converged" would be honestly false on real data and vacuous. The
+    * exact integer count is the meaningful certificate: 0 claims a true
+    * fixpoint, a positive value quantifies residual churn, an
+    * under-iterated run shows a DIFFERENT count and fails the hash
+    * gate. One extra node-sized join; the scalar broadcasts. */
+  private[graft] def labelPropWithCert(edges: DataFrame, sweeps: Int): DataFrame = {
+    val (labels, prev) = labelPropWithPrev(edges, sweeps)
+    val flips = labels
+      .join(prev.select(col("node"), col("label").as("prev_label")), Seq("node"))
+      .filter(col("label") =!= col("prev_label"))
+      .agg(count(lit(1)).as("n_unstable"))
+    labels.crossJoin(broadcast(flips))
   }
 
   /** Degree-assortativity engine over explicit undirected (u, v)
@@ -572,8 +641,9 @@ object Graph {
     // (single consumer per sweep), and nothing broadcasts — labels are
     // node-sized at any scale.
     "graph_labelprop" -> ((s, dir) =>
-      labelProp(coSupplyEdges(s, dir, minCount = 2), sweeps = 4)
-        .select(col("node").as("supp_id"), col("label").as("community"))
+      labelPropWithCert(coSupplyEdges(s, dir, minCount = 2), sweeps = 4)
+        .select(col("node").as("supp_id"), col("label").as("community"),
+          col("n_unstable"))
         .orderBy(col("supp_id"))),
 
     // Community QUALITY for the labelprop assignment (the "did LPA
@@ -626,7 +696,8 @@ object Graph {
         .filter(col("c_nationkey") === 3)
         .select((col("c_custkey") * 2).as("node"))
       bfs(seeds, tradeEdges(s, dir), hops = 3)
-        .select(decodeNode(col("node")).as("node"), col("hop"))
+        .select(decodeNode(col("node")).as("node"), col("hop"),
+          col("converged"))
         .orderBy(col("node"))
     }),
 
@@ -637,7 +708,7 @@ object Graph {
           .select((col("s_suppkey") * 2 + 1).as("node")))
       pagerank(nodes, tradeEdges(s, dir), Sweeps)
         .select(decodeNode(col("node")).as("node"),
-          round(col("rank"), 6).as("rank"))
+          round(col("rank"), 6).as("rank"), col("residual"))
         .orderBy(col("node"))
     }),
 
@@ -653,7 +724,8 @@ object Graph {
         .filter(col("c_nationkey") === 3)
         .select((col("c_custkey") * 2).as("node"))
       sssp(seeds, weightedTradeEdges(s, dir), rounds = 3)
-        .select(decodeNode(col("node")).as("node"), col("dist"))
+        .select(decodeNode(col("node")).as("node"), col("dist"),
+          col("converged"))
         .orderBy(col("node"))
     }),
 
@@ -757,8 +829,11 @@ object Graph {
     * each stage re-derives every node's modal neighbor label with the
     * identical (count DESC, label) tie-break via row_number. */
   private def labelPropSql(sweeps: Int): String = {
+    // AS MATERIALIZED: the stability count reads l_{sweeps} and
+    // l_{sweeps-1} a second time — pin the chain or DuckDB re-inlines
+    // every sweep per reference (the kcoreSql lesson).
     val stages = (1 to sweeps).map { i =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          |  SELECT dst AS node, label FROM (
          |    SELECT e.dst, l.label,
          |      row_number() OVER (PARTITION BY e.dst
@@ -780,9 +855,13 @@ object Graph {
        |edges AS (SELECT u AS src, v AS dst FROM e0
        |          UNION ALL SELECT v, u FROM e0),
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
-       |$stages
-       |SELECT node AS supp_id, label AS community
-       |FROM l$sweeps ORDER BY supp_id""".stripMargin
+       |$stages,
+       |u AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_unstable
+       |  FROM l$sweeps a JOIN l${sweeps - 1} b
+       |    ON a.node = b.node AND a.label <> b.label)
+       |SELECT node AS supp_id, label AS community, n_unstable
+       |FROM l$sweeps CROSS JOIN u ORDER BY supp_id""".stripMargin
   }
 
   /** Modularity oracle: the labelPropSql CTE chain (same month slice,
@@ -834,8 +913,12 @@ object Graph {
   }
 
   private def pagerankSql(sweeps: Int): String = {
+    // AS MATERIALIZED: the residual CTE makes r_{sweeps} and
+    // r_{sweeps-1} multiply-referenced — unpinned, DuckDB 1.0 would
+    // re-inline the whole unrolled chain per reference (the kcoreSql
+    // lesson).
     val stages = (1 to sweeps).map { i =>
-      s"""r$i AS (
+      s"""r$i AS MATERIALIZED (
          |  SELECT nodes.node,
          |    0.15::DOUBLE / nn.n + 0.85::DOUBLE *
          |      (CAST(coalesce(m.cmass, 0) AS DOUBLE) / 1e15) AS rank
@@ -858,9 +941,12 @@ object Graph {
        |          UNION ALL SELECT 's' || s_suppkey FROM supplier),
        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
        |r0 AS (SELECT node, 1.0::DOUBLE / n AS rank FROM nodes CROSS JOIN nn),
-       |$stages
-       |SELECT node, round(rank, 6) AS rank
-       |FROM r$sweeps ORDER BY node""".stripMargin
+       |$stages,
+       |res AS (
+       |  SELECT round(max(abs(a.rank - b.rank)), 9) AS residual
+       |  FROM r$sweeps a JOIN r${sweeps - 1} b ON a.node = b.node)
+       |SELECT node, round(rank, 6) AS rank, residual
+       |FROM r$sweeps CROSS JOIN res ORDER BY node""".stripMargin
   }
 
   /** Same integer power iteration (unit seeds → HUGEINT sums stay
@@ -926,26 +1012,35 @@ object Graph {
 
     // Frontier expansion unrolled: f_i = new nodes at hop i (reachable
     // from f_{i-1}, not seen in any earlier v), v_i = running visited
-    // set. NOT IN is null-safe here (node is a non-null concat).
+    // set. NOT IN is null-safe here (node is a non-null concat). The
+    // probe hop f4 + its emptiness scalar mirror the exhaustion
+    // certificate; stages pinned AS MATERIALIZED now that f3/v3 are
+    // multiply-referenced (the kcoreSql lesson).
     "graph_bfs" ->
       """WITH eb AS (
         |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT a AS src, b AS dst FROM eb
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM eb
         |      UNION ALL SELECT b, a FROM eb),
-        |f0 AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
-        |       WHERE c_nationkey = 3),
-        |v0 AS (SELECT node, 0 AS hop FROM f0),
-        |f1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f0 ON e.src = f0.node
+        |f0 AS MATERIALIZED (SELECT DISTINCT 'c' || c_custkey AS node
+        |       FROM customer WHERE c_nationkey = 3),
+        |v0 AS MATERIALIZED (SELECT node, 0 AS hop FROM f0),
+        |f1 AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+        |       FROM e JOIN f0 ON e.src = f0.node
         |       WHERE e.dst NOT IN (SELECT node FROM v0)),
-        |v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
-        |f2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+        |v1 AS MATERIALIZED (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+        |f2 AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+        |       FROM e JOIN f1 ON e.src = f1.node
         |       WHERE e.dst NOT IN (SELECT node FROM v1)),
-        |v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
-        |f3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+        |v2 AS MATERIALIZED (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+        |f3 AS MATERIALIZED (SELECT DISTINCT e.dst AS node
+        |       FROM e JOIN f2 ON e.src = f2.node
         |       WHERE e.dst NOT IN (SELECT node FROM v2)),
-        |v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
-        |SELECT node, hop FROM v3 ORDER BY node""".stripMargin,
+        |v3 AS MATERIALIZED (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3),
+        |f4 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f3 ON e.src = f3.node
+        |       WHERE e.dst NOT IN (SELECT node FROM v3)),
+        |c AS (SELECT (SELECT count(*) FROM f4) = 0 AS converged)
+        |SELECT node, hop, converged FROM v3 CROSS JOIN c ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(Sweeps),
     "graph_labelprop" -> labelPropSql(4),
@@ -996,22 +1091,29 @@ object Graph {
         |d0 AS (SELECT DISTINCT 'c' || c_custkey AS node,
         |         CAST(0 AS BIGINT) AS dist
         |       FROM customer WHERE c_nationkey = 3),
-        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |d1 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
         |    SELECT node, dist FROM d0
         |    UNION ALL
         |    SELECT e.dst, d0.dist + e.w FROM e JOIN d0 ON e.src = d0.node)
         |  GROUP BY node),
-        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |d2 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
         |    SELECT node, dist FROM d1
         |    UNION ALL
         |    SELECT e.dst, d1.dist + e.w FROM e JOIN d1 ON e.src = d1.node)
         |  GROUP BY node),
-        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |d3 AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
         |    SELECT node, dist FROM d2
         |    UNION ALL
         |    SELECT e.dst, d2.dist + e.w FROM e JOIN d2 ON e.src = d2.node)
-        |  GROUP BY node)
-        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
+        |  GROUP BY node),
+        |p AS (SELECT e.dst AS node, min(d3.dist + e.w) AS cand
+        |      FROM e JOIN d3 ON e.src = d3.node GROUP BY e.dst),
+        |c AS (SELECT coalesce(sum(CASE WHEN d.dist IS NULL
+        |                 OR p.cand < d.dist THEN 1 ELSE 0 END), 0) = 0
+        |        AS converged
+        |      FROM p FULL JOIN d3 d ON p.node = d.node)
+        |SELECT node, dist, converged
+        |FROM d3 CROSS JOIN c ORDER BY node""".stripMargin,
 
     // Transitive closure over the same ≥2-count edges; min reachable id
     // = the converged min-label (the dedup_clusters oracle shape).

@@ -133,6 +133,63 @@ class GraphSpec extends AnyFunSuite {
       s"second relaxation must improve b via c: $two")
   }
 
+  test("sssp certificate flips false exactly when a relaxation was left on the table") {
+    import spark.implicits._
+    // same graph: after 1 round b still improves via c → not converged;
+    // after 2 rounds the probe relaxation finds nothing → converged
+    val seeds = Seq("a").toDF("node")
+    val wedges = Seq(("a", "b", 10L), ("a", "c", 2L), ("c", "b", 3L))
+      .toDF("src", "dst", "w")
+    def cert(rounds: Int) =
+      Graph.sssp(seeds, wedges, rounds).select("converged").head.getBoolean(0)
+    assert(!cert(1), "round-1 distances are improvable; cert must say so")
+    assert(cert(2), "round-2 distances are the fixpoint; cert must certify")
+  }
+
+  test("bfs certificate flips false when the horizon truncates the reachable set") {
+    import spark.implicits._
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    def cert(hops: Int) =
+      Graph.bfs(seeds, edges, hops).select("converged").head.getBoolean(0)
+    assert(!cert(2), "e is still undiscovered at hop 2; cert must flip")
+    assert(cert(4), "hop 4 exhausts the path; cert must certify")
+  }
+
+  test("pagerank surfaces the final-sweep residual, shrinking with more sweeps") {
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    def resid(sweeps: Int) =
+      Graph.pagerank(nodes, edges, sweeps).select("residual").head.getDouble(0)
+    // power iteration contracts: the sweep-6 residual must sit strictly
+    // inside the sweep-2 residual (an under-iterated run is visibly
+    // different), and both are positive (a zero residual would claim a
+    // fixpoint 6 damped sweeps cannot reach on this graph)
+    assert(resid(2) > resid(6) && resid(6) > 0.0,
+      s"residuals must contract: r2=${resid(2)}, r6=${resid(6)}")
+  }
+
+  test("labelprop stability count: converged cliques report 0, an odd cycle churns") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val calm = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) :+ (4L, 11L))
+      .toDF("u", "v")
+    assert(Graph.labelPropWithCert(calm, sweeps = 4)
+      .select("n_unstable").head.getLong(0) == 0L,
+      "two cliques converge by sweep 4; the stability count must be 0")
+    // C4 is bipartite: synchronous min-label LPA oscillates between the
+    // two 2-colorings forever — the count must expose the churn that a
+    // boolean 'converged' oracle could never honestly certify
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    assert(Graph.labelPropWithCert(cycle, sweeps = 3)
+      .select("n_unstable").head.getLong(0) > 0L,
+      "the bipartite cycle never stabilizes; the count must be positive")
+  }
+
   test("assortativity hits the star graph's closed form exactly") {
     import spark.implicits._
     // a star is perfectly disassortative: every edge joins the hub
