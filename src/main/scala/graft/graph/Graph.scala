@@ -186,6 +186,11 @@ object Graph {
           (lit(1.0 - Damping) / col("n") +
             lit(Damping) * (coalesce(col("cmass"), lit(0L)).cast("double")
               / lit(1e15))).as("rank"))
+        // measured round 10: an eager checkpoint midway (i == sweeps/2)
+        // to halve scheduling depth is NOT faster — A/B at sf0.1 gave
+        // lazy {6.68, 7.68}s vs eager {7.42, 6.80}s (min-of-2 passes
+        // each): the extra materialization job cancels the shallower
+        // final DAG. The all-lazy chain stands.
         .localCheckpoint(eager = false)
     }
     // Convergence certificate, surfaced as a VALUE rather than a

@@ -1397,39 +1397,66 @@ object Relational {
     // the per-part count joins (standard min-support pruning — at
     // scale this floor is what bounds the candidate set, exactly as
     // in Apriori). Top-20 by (lift DESC, pair) on unrounded lift.
-    "q57_basket" -> ((s, dir) => {
-      // cached diamond: the distinct (order, part) projection feeds
-      // FOUR consumers (n scalar, part counts, both pair-join legs) —
-      // uncached, each re-ran the scan + distinct shuffle. No unpersist
-      // here by design: the builder returns before any action runs, so
-      // lifetime belongs to the harness — Bench/Verify clearCache()
-      // between keys, bounding cross-key accumulation.
-      val li = t(s, dir, "lineitem")
+    "q57_basket" -> ((s, dir) =>
+      basketRules(t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .cache()
-      val nOrders = li.select(col("ok")).distinct()
-        .agg(count(lit(1)).as("n"))
-      val partCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("pk1"), col("y.pk").as("pk2"))
-        .agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 3)
-      pairs
-        .join(partCnt.select(col("pk").as("pk1"), col("c").as("c_a")), Seq("pk1"))
-        .join(partCnt.select(col("pk").as("pk2"), col("c").as("c_b")), Seq("pk2"))
-        .crossJoin(broadcast(nOrders))
-        .withColumn("lift", (col("n") * col("c_ab")).cast("double") /
-          (col("c_a") * col("c_b")).cast("double"))
-        .orderBy(col("lift").desc, col("pk1"), col("pk2")).limit(20)
-        .select(col("pk1"), col("pk2"), col("c_ab"),
-          round(col("c_ab").cast("double") / col("c_a").cast("double"), 6)
-            .as("confidence"),
-          round(col("lift"), 6).as("lift"))
-        .orderBy(col("lift").desc, col("pk1"), col("pk2"))
-    })
+        .distinct()))
   )
+
+  /** Baskets wider than this are excluded from the market-basket
+    * analysis wholesale (and tallied in the output): the pair self-join
+    * fans out quadratically in basket size, so one pathological
+    * mega-basket — a wholesale order touching 10⁵ parts — would emit
+    * 10¹⁰ pair rows from a single task at 100 TB (the graph_jaccard
+    * super-hub class). TPC-H-shaped baskets top out around 7 distinct
+    * parts, so the cap is far above any legitimate basket while
+    * bounding per-basket fan-out at ≤ MaxBasket²/2 rows. */
+  private[graft] val MaxBasket = 32
+
+  /** The q57 market-basket engine over distinct (ok, pk) rows —
+    * factored out so specs can plant a degenerate mega-basket and pin
+    * the cap semantics. Oversized baskets drop from EVERY leg (order
+    * count, per-part support, pairs) so the reported confidences/lifts
+    * stay internally consistent, and the dropped-basket count rides
+    * every row as a broadcast scalar — the cap is visible in the
+    * result, never silent. */
+  private[graft] def basketRules(liIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cached diamond: the sized (order, part) projection feeds FIVE
+    // consumers (dropped tally, n scalar, part counts, both pair-join
+    // legs) — uncached, each re-ran the scan + distinct shuffle. No
+    // unpersist here by design: the builder returns before any action
+    // runs, so lifetime belongs to the harness — Bench/Verify
+    // clearCache() between keys, bounding cross-key accumulation.
+    val sized = liIn
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("ok"))))
+      .cache()
+    val dropped = sized.filter(col("bsz") > MaxBasket)
+      .select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_dropped_baskets"))
+    val li = sized.filter(col("bsz") <= MaxBasket).select(col("ok"), col("pk"))
+    val nOrders = li.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val partCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("pk1"), col("y.pk").as("pk2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+    pairs
+      .join(partCnt.select(col("pk").as("pk1"), col("c").as("c_a")), Seq("pk1"))
+      .join(partCnt.select(col("pk").as("pk2"), col("c").as("c_b")), Seq("pk2"))
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift", (col("n") * col("c_ab")).cast("double") /
+        (col("c_a") * col("c_b")).cast("double"))
+      .orderBy(col("lift").desc, col("pk1"), col("pk2")).limit(20)
+      .crossJoin(broadcast(dropped))
+      .select(col("pk1"), col("pk2"), col("c_ab"),
+        round(col("c_ab").cast("double") / col("c_a").cast("double"), 6)
+          .as("confidence"),
+        round(col("lift"), 6).as("lift"), col("n_dropped_baskets"))
+      .orderBy(col("lift").desc, col("pk1"), col("pk2"))
+  }
 
   val oracles: Map[String, String] = Map(
     // Same daily counts, same 30-row frame list, same zero-seeded
@@ -1527,11 +1554,17 @@ object Relational {
         |    AS mean_after
         |FROM r WHERE rk <= 3 ORDER BY rk""".stripMargin,
 
-    // Same distinct (order, part) pairs, same ≥ 3 support floor, same
-    // exact-integer confidence/lift, same unrounded-lift top-20.
+    // Same distinct (order, part) pairs, same ≤ MaxBasket cap with the
+    // dropped-basket tally, same ≥ 3 support floor, same exact-integer
+    // confidence/lift, same unrounded-lift top-20.
     "q57_basket" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |            FROM lineitem),
+      s"""WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |             FROM lineitem),
+        |sz AS (SELECT ok, count(*) AS bsz FROM li0 GROUP BY ok),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_dropped_baskets
+        |       FROM sz WHERE bsz > $MaxBasket),
+        |li AS (SELECT li0.ok, li0.pk FROM li0
+        |       JOIN sz ON li0.ok = sz.ok AND sz.bsz <= $MaxBasket),
         |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM li),
         |pc AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY 1),
         |pr AS (SELECT x.pk AS pk1, y.pk AS pk2, CAST(count(*) AS BIGINT) AS c_ab
@@ -1547,8 +1580,9 @@ object Relational {
         |        AS rk
         |      FROM sc)
         |SELECT pk1, pk2, c_ab, round(confidence_raw, 6) AS confidence,
-        |  round(lift_raw, 6) AS lift
-        |FROM r WHERE rk <= 20 ORDER BY lift DESC, pk1, pk2""".stripMargin,
+        |  round(lift_raw, 6) AS lift, n_dropped_baskets
+        |FROM r CROSS JOIN nd
+        |WHERE rk <= 20 ORDER BY lift DESC, pk1, pk2""".stripMargin,
     // Same quantile_cont bounds (the q25 percentile pairing), same CASE
     // binning on identical doubles, same exact cents sum.
     "q48_deciles" -> {

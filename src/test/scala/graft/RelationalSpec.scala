@@ -304,4 +304,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_complete")).sum == complete)
     assert(rows.forall(r => r.getAs[Long]("n_complete") <= r.getAs[Long]("n_buyers")))
   }
+
+  test("basket rules drop a planted mega-basket wholesale and report it") {
+    import TestSpark.spark.implicits._
+    // three clean {100, 200} baskets clear the >=3 support floor; one
+    // mega-basket of MaxBasket+8 parts ALSO contains the pair — if the
+    // cap leaked, c_ab would read 4 and n (the order universe) would
+    // count the mega-basket
+    val clean = (1L to 3L).flatMap(ok => Seq((ok, 100L), (ok, 200L)))
+    val mega = (1L to (Relational.MaxBasket + 8L)).map(pk => (99L, pk + 99L))
+    val rows = Relational.basketRules((clean ++ mega).toDF("ok", "pk")).collect()
+    assert(rows.length == 1, rows.mkString(","))
+    val r = rows.head
+    assert(r.getAs[Long]("pk1") == 100L && r.getAs[Long]("pk2") == 200L)
+    assert(r.getAs[Long]("c_ab") == 3L,
+      "the mega-basket's co-occurrence must not count")
+    assert(r.getAs[Long]("n_dropped_baskets") == 1L)
+    // confidence = 3/3, lift = 3·3/(3·3) over the CAPPED universe
+    assert(r.getAs[Double]("confidence") == 1.0)
+    assert(r.getAs[Double]("lift") == 1.0)
+  }
 }
