@@ -382,6 +382,65 @@ object Similarity {
         .orderBy(col("query_id"))
     }),
 
+    // Two-tier SQ8 CASCADE — the production query the ann_sq8 scoring
+    // kernel exists for, as one operator: the int8-coded corpus is
+    // scanned with the exact-integer dot kernel for a k·8 shortlist
+    // (the resident tier — 8× smaller than raw vectors, no float
+    // anywhere), then ONLY the shortlist's raw vectors page in for the
+    // exact-dot rerank (a co-partitioned id join standing in for point
+    // lookups — k'·|Q| rows at any corpus size). Gated the pq/q20 way:
+    // the OUTPUT is the exact MIPS top-k plus a per-query cascade_ok
+    // recall-floor boolean, so a quantizer or shortlist regression
+    // flips the boolean and fails the hash gate, while the oracle
+    // stays the composed exact ranking + constant true. Dot end to
+    // end (shortlist, rerank, gate) — mixing a dot shortlist with a
+    // cosine gate would entangle two rankings that provably differ.
+    "ann_cascade" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val scale = e.select(posexplode(col("emb")).as(Seq("i", "x")))
+        .agg(max(abs(col("x"))).as("mxa"))
+      val coded = e.crossJoin(broadcast(scale))
+        .select(col("vec_id"), expr(
+          "transform(emb, x -> CAST(round(x / (mxa / 127.0D)) AS INT))")
+          .as("codes"))
+        .cache() // query broadcast + corpus stream (harness clears)
+      val q = coded.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("codes").as("qc"))
+      val wS = Window.partitionBy(col("query_id"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+      val shortlist = coded.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), expr(
+          "aggregate(zip_with(qc, codes, (a, b) -> CAST(a AS BIGINT) * b), " +
+            "0L, (acc, v) -> acc + v)").as("qdot"))
+        .withColumn("srank", row_number().over(wS))
+        .filter(col("srank") <= K * CascadeShortlist)
+        .select(col("query_id"), col("vec_id"))
+      val wR = Window.partitionBy(col("query_id"))
+        .orderBy(col("rdot").desc, col("vec_id"))
+      val rerank = shortlist
+        .join(e, Seq("vec_id"))
+        .join(broadcast(e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))),
+          Seq("query_id"))
+        .withColumn("rdot", GraftFunctions.dotProduct(col("q_emb"), col("emb")))
+        .withColumn("rr", row_number().over(wR))
+        .filter(col("rr") <= K)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          lit(1L).as("cas_hit"))
+      val wQ = Window.partitionBy(col("query_id"))
+      queries("ann_mips")(s, dir)
+        .join(rerank, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("cascade_ok",
+          sum(coalesce(col("cas_hit"), lit(0L))).over(wQ) >=
+            lit(CascadeRecallMin * K))
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("dot"),
+          col("cascade_ok"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Cluster-quality scorecard for the shared k-means (the
     // graph_modularity counterpart for the ANN index: "are the IVF
     // lists real structure or noise"): per-cluster mean SIMPLIFIED
@@ -532,6 +591,11 @@ object Similarity {
     * bounded sample — the wider rerank absorbs a slightly coarser
     * quantizer at a cost linear in k, not in the corpus). */
   private val PqShortlist = 8
+  /** SQ8-cascade shortlist size as a multiple of k (the PqShortlist
+    * sizing applied to the int8 tier) and its in-query recall floor. */
+  private val CascadeShortlist = 8
+  private val CascadeRecallMin = 0.5
+
   /** Codebook training-set target (the FAISS 256×k sizing: 256 × PqK
     * vectors would be 4096; 2048 measured sufficient here). Unlike the
     * spherical-k-means TrainMod — fixed because the SQL oracle replays
@@ -1209,6 +1273,14 @@ object Similarity {
          |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
          |FROM j GROUP BY query_id
          |ORDER BY query_id""".stripMargin) +
+    // The pq/q20 contract for the SQ8 cascade: exact MIPS top-k
+    // composed verbatim + the constant-true recall boolean — a
+    // quantizer/shortlist regression flips cascade_ok in the Spark
+    // result and fails the hash.
+    ("ann_cascade" ->
+      s"""SELECT query_id, neighbor_id, rank, dot, TRUE AS cascade_ok
+         |FROM (${baseOracles("ann_mips")})
+         |ORDER BY query_id, rank""".stripMargin) +
     // Same k-means chain, same top-2 quantized cosines per vector
     // (identical (cos DESC, id) order), same (c1−c2)/(1−c2) micro-
     // quantized per-vector silhouette, same exact-integer cluster mean.

@@ -473,6 +473,36 @@ object StarSchema {
       Lake.readVersion(s, path, None).orderBy(col("o_orderkey"))
     }),
 
+    // Retention vacuum exercised end-to-end (§H vacuumVersions,
+    // previously spec-only): v1 = a partial early load, v2 = the full
+    // corrected load; vacuum keep=1 physically drops v1 and the gate
+    // re-aggregates LATEST — proving retention removed only superseded
+    // snapshots (the report carries the expired/remaining counts, so a
+    // vacuum that dropped the wrong version or left garbage flips
+    // either the aggregate or the counters). Retention is a METADATA
+    // + file-delete operation — at 100 TB it never reads data files,
+    // exactly like Iceberg/Delta expire-snapshots; the gate aggregate
+    // is one grouped scan of the surviving snapshot.
+    "etl_vacuum" -> ((s, dir) => {
+      val path = scratch("etl_vacuum")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders.filter(col("o_orderkey") % 3 =!= 0), path)
+      Lake.writeVersion(s, orders, path)
+      val dropped = Lake.vacuumVersions(s, path, keep = 1)
+      Lake.readVersion(s, path, None)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .withColumn("n_expired", lit(dropped.size))
+        .withColumn("versions_left",
+          lit(Lake.listVersions(s, path).size))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Schema evolution exercised end-to-end (§A mergeSchema, previously
     // spec-only): batch 1 lands BEFORE the o_orderpriority column
     // existed (even keys), batch 2 after (odd keys); the merged read
@@ -899,6 +929,16 @@ object StarSchema {
     "etl_restore" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // LATEST after the vacuum is exactly the full v2 load; the
+    // retention counters are deterministic literals (one version
+    // dropped, one kept).
+    "etl_vacuum" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  1 AS n_expired, 1 AS versions_left
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     // The null backfill recomputed with a CASE on the same key split.
     "etl_evolve_read" ->

@@ -957,6 +957,37 @@ object TextAnalysis {
             ((col("c1") / col("nu")) * (col("c2") / col("nu")))), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("bigram"))
         .limit(25)
+    }),
+
+    // Per-document n-gram NOVELTY (the corpus self-redundancy curve a
+    // training pipeline reads before deciding how hard to dedup: late
+    // documents full of already-seen shingles add little loss signal):
+    // share of a doc's distinct 3-shingles whose FIRST occurrence (min
+    // doc_id — the text_vocab_growth reduction applied at shingle
+    // granularity) is the doc itself. ONE shingle explode feeds both
+    // the first-seen aggregate and the per-doc join (cached diamond —
+    // harness clears between keys); the join/groupBy shuffles carry
+    // (shingle, doc_id) pairs, O(corpus shingles), never text. At
+    // 100 TB the shingle key would hash to 64 bits first (md5-top-8,
+    // oracle-replayable) — raw strings here keep parity with the
+    // dedup-family shingle oracles. Docs under 3 tokens shingle to
+    // empty and are absent, as in dedup_ngram_jaccard. Exact integer
+    // counts; one int/int division rounded at 6dp.
+    "text_novelty" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("s"))
+        .cache()
+      val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles").cast("double"),
+            6).as("novelty"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1010,6 +1041,25 @@ object TextAnalysis {
   }
 
   private val baseOracles: Map[String, String] = Map(
+    // Same distinct word-3-shingles (the dedup shingle spelling), same
+    // min-doc_id first-occurrence reduction, same exact counts and one
+    // 6dp int/int division.
+    "text_novelty" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+        |                          for i in range(1, len(ws) - 1)])) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3),
+        |f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / count(*), 6) AS novelty
+        |FROM sh JOIN f ON sh.s = f.s
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
     "text_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |st AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, 12)) AS p

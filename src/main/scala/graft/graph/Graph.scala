@@ -611,12 +611,51 @@ object Graph {
       .limit(topK)
   }
 
+  /** Adamic-Adar link prediction (Adamic & Adar 2003) — the
+    * degree-weighted sibling of [[jaccardLinks]]: a shared RARE
+    * neighbor says more than a shared hub, so each common neighbor z
+    * contributes 1/ln(deg z). Same wedge-join shape (one join
+    * co-partitioned on the shared node, anti-join drops existing
+    * edges, Σ deg² fan-out with the same super-hub cap/sample caveat
+    * at 100 TB). Arithmetic is the quantized-ln discipline end to end:
+    * ln(deg) micro-quantizes to a long (integer arg — both engines
+    * agree), each term becomes the INTEGER 1e15 div lq, and the score
+    * sum is exact long arithmetic in any order — the top-k cutoff is
+    * decided on the integer sum with a (u, v) tie-break, never on a
+    * float. deg z ≥ 2 for any common neighbor, so lq ≥ ln(2)·1e6 and
+    * the division is always defined. */
+  private[graft] def adamicAdarLinks(eIn: DataFrame, topK: Int): DataFrame = {
+    val e = eIn.cache(); e.count() // eager diamond: feeds und ×2 + anti-join
+    val und = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v"), col("u")))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .withColumn("lq", round(log(col("deg")) * 1e6).cast("long"))
+    val x = und.select(col("a").as("u"), col("b").as("n"))
+    val y = und.select(col("a").as("v"), col("b").as("n"))
+    x.join(y, Seq("n")).filter(col("u") < col("v"))
+      .join(e, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("a").as("n"), col("lq")), Seq("n"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000000000000L div lq")).as("aaq"))
+      .orderBy(col("aaq").desc, col("u"), col("v"))
+      .limit(topK)
+      .select(col("u"), col("v"), col("common"),
+        (col("aaq").cast("double") / lit(1e9)).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("u"), col("v"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Link prediction on the month-sliced co-supply graph: the 25
     // strongest not-yet-linked supplier pairs by neighborhood Jaccard.
     "graph_jaccard" -> ((s, dir) =>
       jaccardLinks(coSupplyEdges(s, dir), topK = 25)),
+
+    // Degree-weighted link prediction over the same graph — rare
+    // shared neighbors outrank shared hubs (see adamicAdarLinks).
+    "graph_adamic_adar" -> ((s, dir) =>
+      adamicAdarLinks(coSupplyEdges(s, dir), topK = 25)),
 
     // Connected components of the REPEATED co-supply graph (edges only
     // where two suppliers co-supplied ≥ 2 orders in the month — the
@@ -1170,6 +1209,40 @@ object Graph {
         |  CAST(n.common AS DOUBLE) / (du.deg + dv.deg - n.common) AS jaccard
         |FROM ne n JOIN deg du ON n.u = du.a JOIN deg dv ON n.v = dv.a
         |ORDER BY jaccard DESC, u, v LIMIT 25""".stripMargin,
+
+    // Same wedge join and anti-join as graph_jaccard, same quantized-ln
+    // per-neighbor terms (ln over integer degrees → the 1e-6 long
+    // grid), same exact-integer 1e15 // lq sum deciding the cutoff.
+    "graph_adamic_adar" ->
+      """WITH mo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+        |sup AS (
+        |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+        |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (
+        |  SELECT DISTINCT x.sk AS u, y.sk AS v
+        |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
+        |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |lq AS (SELECT a, CAST(round(ln(count(*)) * 1000000.0) AS BIGINT)
+        |         AS lq
+        |       FROM und GROUP BY a),
+        |cand AS (
+        |  SELECT x.a AS u, y.a AS v, x.b AS n
+        |  FROM und x JOIN und y ON x.b = y.b AND x.a < y.a),
+        |ne AS (
+        |  SELECT c.* FROM cand c
+        |  LEFT JOIN e ON c.u = e.u AND c.v = e.v
+        |  WHERE e.u IS NULL),
+        |sc AS (
+        |  SELECT ne.u, ne.v, CAST(count(*) AS BIGINT) AS common,
+        |    CAST(sum(1000000000000000 // l.lq) AS BIGINT) AS aaq
+        |  FROM ne JOIN lq l ON ne.n = l.a
+        |  GROUP BY 1, 2)
+        |SELECT u, v, common, CAST(aaq AS DOUBLE) / 1e9 AS adamic_adar
+        |FROM (SELECT * FROM sc ORDER BY aaq DESC, u, v LIMIT 25)
+        |ORDER BY adamic_adar DESC, u, v""".stripMargin,
 
     "graph_degree" ->
       """WITH eb AS (

@@ -1400,7 +1400,68 @@ object Relational {
     "q57_basket" -> ((s, dir) =>
       basketRules(t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()))
+        .distinct())),
+
+    // Pareto concentration (the 80/20 report every revenue dashboard
+    // opens with): per market segment, how many of the top customers
+    // cover 80% of segment revenue. Exact-integer end to end: revenue
+    // in cents, customers ranked by (cents DESC, custkey), and the 80%
+    // cut decided by the INTEGER compare 5·cum ≥ 4·total — no float
+    // threshold anywhere, so both engines pick the identical customer.
+    // Shape: one orders aggregate (map-side partials), one broadcast
+    // customer-dim join, one per-segment window over customer-sized
+    // rows (segments partition the window — no global sort), one
+    // grouped fold. The share division is int/int IEEE — bit-identical
+    // unrounded (the q32 lesson).
+    "q58_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          Seq("o_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("cents").desc, col("o_custkey"))
+      val ranked = perCust
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cum", sum(col("cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("cents")).over(
+          Window.partitionBy(col("c_mktsegment"))))
+      ranked.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_buyers"),
+          min(when(col("cum") * 5 >= col("total") * 4, col("rn")))
+            .as("k_for_80pct"))
+        .select(col("c_mktsegment"), col("n_buyers"), col("k_for_80pct"),
+          (col("k_for_80pct").cast("double") / col("n_buyers").cast("double"))
+            .as("buyer_share"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Month-over-month revenue delta (the trend line behind every
+    // "are we growing" report): monthly cents totals, previous month
+    // via lag over the calendar-bounded month table, relative change
+    // as one int/int IEEE division surfaced UNROUNDED (bit-identical
+    // across engines — the q32 lesson; months with no predecessor are
+    // filtered, not null-padded). The heavy work is one grouped
+    // aggregate with map-side partials; the lag window runs over the
+    // ~80-row month table (q41's constant-size contract).
+    "q59_mom" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM-dd").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.orderBy(col("month"))
+      monthly
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .filter(col("prev_cents").isNotNull)
+        .select(col("month"), col("cents"), col("prev_cents"),
+          ((col("cents") - col("prev_cents")).cast("double") /
+            col("prev_cents").cast("double")).as("mom_change"))
+        .orderBy(col("month"))
+    })
   )
 
   /** Baskets wider than this are excluded from the market-basket
@@ -1583,6 +1644,52 @@ object Relational {
         |  round(lift_raw, 6) AS lift, n_dropped_baskets
         |FROM r CROSS JOIN nd
         |WHERE rk <= 20 ORDER BY lift DESC, pk1, pk2""".stripMargin,
+    // Same per-customer cents, same (cents DESC, custkey) ranking, same
+    // integer 5·cum ≥ 4·total cut, same unrounded int/int share.
+    "q58_pareto" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |seg AS (
+        |  SELECT c_mktsegment, pc.o_custkey, pc.cents
+        |  FROM pc JOIN customer ON pc.o_custkey = c_custkey),
+        |rk AS (
+        |  SELECT c_mktsegment, cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents DESC, o_custkey) AS rn,
+        |    sum(cents) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents DESC, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cents) OVER (PARTITION BY c_mktsegment) AS total
+        |  FROM seg)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_buyers,
+        |  CAST(min(CASE WHEN cum * 5 >= total * 4 THEN rn END) AS BIGINT)
+        |    AS k_for_80pct,
+        |  CAST(min(CASE WHEN cum * 5 >= total * 4 THEN rn END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS buyer_share
+        |FROM rk GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+
+    // Same monthly cents, same lag over the month table, same
+    // unrounded int/int delta, first month filtered on both sides.
+    "q59_mom" ->
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+        |      AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (
+        |  SELECT month, cents,
+        |    lag(cents, 1) OVER (ORDER BY month) AS prev_cents
+        |  FROM m)
+        |SELECT month, cents, prev_cents,
+        |  CAST(cents - prev_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE)
+        |    AS mom_change
+        |FROM l WHERE prev_cents IS NOT NULL
+        |ORDER BY month""".stripMargin,
+
     // Same quantile_cont bounds (the q25 percentile pairing), same CASE
     // binning on identical doubles, same exact cents sum.
     "q48_deciles" -> {

@@ -709,6 +709,66 @@ object Quality {
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_fp"),
           sum(col("h").cast("decimal(38,0)")).cast("string").as("sum_fp"))
+    }),
+
+    // Referential-integrity orphan audit — the ROW-level companion to
+    // profile_joinability's distinct-set containment: how many fact
+    // rows would an enforced FK constraint actually reject (the number
+    // a lake without constraints needs reported, since every silent
+    // orphan is a row a downstream inner join quietly drops). Per FK
+    // edge: orphan ROW count + distinct orphan KEY count via one
+    // co-partitioned LEFT ANTI join against the (distinct) parent key
+    // set — O(n) with map-side partials, nothing broadcast that isn't
+    // dimension-sized, null FKs count as orphan rows (they'd join
+    // nothing) but not as keys (countDistinct skips nulls, both
+    // engines). */
+    "dq_orphans" -> ((s, dir) => {
+      val fks = Seq(
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events", "user_id", "customer", "c_custkey"))
+      fks.map { case (ft, fc, pt, pc) =>
+        val f = t(s, dir, ft).select(col(fc).cast("long").as("k"))
+        val p = t(s, dir, pt).select(col(pc).cast("long").as("k")).distinct()
+        f.join(p, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_rows"),
+            countDistinct(col("k")).as("n_orphan_keys"))
+          .select(lit(s"$ft.$fc").as("fk_col"), lit(s"$pt.$pc").as("pk_col"),
+            col("n_orphan_rows"), col("n_orphan_keys"))
+      }.reduce(_ unionByName _).orderBy(col("fk_col"), col("pk_col"))
+    }),
+
+    // Gini concentration of order revenue per priority class (the
+    // inequality scorecard behind "is our revenue one whale or a long
+    // tail"): G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over cents ranked
+    // ascending. Engine-exact by the assortativity discipline: cents
+    // are integers, the rank weighting Σ i·x_i accumulates in
+    // decimal(38) (tie order among equal cents cannot change the sum —
+    // equal addends commute through equal rank spans), and G evaluates
+    // as ONE fixed expression over exact integer moments. Shape: one
+    // grouped aggregate, one per-priority window over order-sized rows
+    // (priorities partition it — no global sort), one moment fold.
+    "profile_gini" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cents"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("cents")).cast(dec).as("sx"),
+          sum(col("rn").cast(dec) * col("cents").cast(dec)).as("s1"))
+        .select(col("o_orderpriority"), col("n").cast("long").as("n_orders"),
+          round((lit(2L).cast(dec) * col("s1") -
+              (col("n") + lit(1L).cast(dec)) * col("sx")).cast("double") /
+            (col("n") * col("sx")).cast("double"), 6).as("gini"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -1354,6 +1414,48 @@ object Quality {
         |  FROM orders)
         |SELECT count(*) AS n_rows, bit_xor(h) AS xor_fp,
         |  CAST(sum(h) AS VARCHAR) AS sum_fp
-        |FROM h""".stripMargin
+        |FROM h""".stripMargin,
+
+    // Same per-edge LEFT-ANTI orphan counts (LEFT JOIN … IS NULL — the
+    // null-safe spelling; a null FK matches nothing and counts as an
+    // orphan row on both engines, count(DISTINCT) skips it as a key).
+    "dq_orphans" -> Seq(
+      ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("events", "user_id", "customer", "c_custkey"))
+      .map { case (ft, fc, pt, pc) =>
+        s"""SELECT '$ft.$fc' AS fk_col, '$pt.$pc' AS pk_col,
+           |  CAST(count(*) AS BIGINT) AS n_orphan_rows,
+           |  CAST(count(DISTINCT f.k) AS BIGINT) AS n_orphan_keys
+           |FROM (SELECT CAST($fc AS BIGINT) AS k FROM $ft) f
+           |LEFT JOIN (SELECT DISTINCT CAST($pc AS BIGINT) AS k FROM $pt) p
+           |  ON f.k = p.k
+           |WHERE p.k IS NULL""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY fk_col, pk_col"),
+
+    // Same ascending (cents, key) rank weighting, same exact
+    // HUGEINT/decimal moments, same one fixed double division.
+    "profile_gini" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cents, o_orderkey) AS rn
+        |  FROM c),
+        |m AS (
+        |  SELECT o_orderpriority,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(cents) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(rn AS HUGEINT) * cents) AS HUGEINT) AS s1
+        |  FROM r GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+        |  round(CAST(2 * s1 - (n + 1) * sx AS DOUBLE)
+        |        / CAST(n * sx AS DOUBLE), 6) AS gini
+        |FROM m ORDER BY o_orderpriority""".stripMargin
   )
 }
