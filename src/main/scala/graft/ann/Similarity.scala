@@ -441,6 +441,35 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF index-health report (the imbalance factor FAISS prints after
+    // training — the number that predicts probe-latency variance: with
+    // balanced lists IF = 1, a hot list makes every probe touching it
+    // pay |list|/mean extra scans): per-centroid inverted-list sizes
+    // plus IF = k·Σs²/(Σs)² as a broadcast scalar riding every row.
+    // All moments are exact integers in decimal(38) (sizes are counts);
+    // the one division is a fixed expression, 6dp — the assortativity
+    // discipline. k counts non-empty lists (a centroid that captured
+    // nothing is not a list). Rides the sampled-training k-means chain
+    // and ONE full-corpus assignment pass — the oracle replays both.
+    "ann_ivf_balance" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val emb = t(s, dir, "embeddings")
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val cents = trainCentroids(emb, IvfCentroids)
+      val sizes = assignNearest(e, cents)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vectors"))
+      val tot = sizes.agg(count(lit(1)).cast(dec).as("k"),
+        sum(col("n_vectors")).cast(dec).as("ss"),
+        sum(col("n_vectors").cast(dec) * col("n_vectors").cast(dec)).as("ss2"))
+      sizes.crossJoin(broadcast(tot))
+        .select(col("centroid_id"), col("n_vectors"),
+          round((col("k") * col("ss2")).cast("double") /
+            (col("ss") * col("ss")).cast("double"), 6).as("imbalance"))
+        .orderBy(col("centroid_id"))
+    }),
+
     // Cluster-quality scorecard for the shared k-means (the
     // graph_modularity counterpart for the ANN index: "are the IVF
     // lists real structure or noise"): per-cluster mean SIMPLIFIED
@@ -1273,6 +1302,32 @@ object Similarity {
          |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
          |FROM j GROUP BY query_id
          |ORDER BY query_id""".stripMargin) +
+    // The ann_drift k-means + assignment chain, same histogram, same
+    // exact HUGEINT moments and one fixed 6dp division.
+    ("ann_ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |${kmeansCtes(IvfCentroids, KmeansIters)},
+         |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c)
+         |  WHERE rnk = 1),
+         |sz AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vectors
+         |       FROM assigned GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS HUGEINT) AS k,
+         |             CAST(sum(n_vectors) AS HUGEINT) AS ss,
+         |             CAST(sum(CAST(n_vectors AS HUGEINT) * n_vectors)
+         |                  AS HUGEINT) AS ss2
+         |      FROM sz)
+         |SELECT centroid_id, n_vectors,
+         |  round(CAST(k * ss2 AS DOUBLE) / CAST(ss * ss AS DOUBLE), 6)
+         |    AS imbalance
+         |FROM sz CROSS JOIN t ORDER BY centroid_id""".stripMargin) +
     // The pq/q20 contract for the SQ8 cascade: exact MIPS top-k
     // composed verbatim + the constant-true recall boolean — a
     // quantizer/shortlist regression flips cascade_ok in the Spark

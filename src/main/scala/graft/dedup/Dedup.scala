@@ -548,6 +548,34 @@ object Dedup {
       exactGroups(t(s, dir, "documents")).orderBy(col("keep_doc_id"))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       minhashPairs(t(s, dir, "documents"), 0.8).orderBy("doc_a", "doc_b")),
+
+    // Threshold OPERATING CURVE (the tuning report run before fixing a
+    // production dedup threshold — "how much does 0.8 vs 0.9 actually
+    // drop"): pairs generated ONCE at the loosest threshold (0.7 needs
+    // 64×2 banding — 32×4's escape probability 1.5e-4 is unsound
+    // there; at 64 bands a true 0.7 pair escapes with 0.51⁶⁴ ≈ 2e-19)
+    // and bucketed per threshold: surviving pair count, distinct
+    // higher-id docs a greedy drop would remove, and the mean verified
+    // Jaccard re-aggregated EXACTLY from the 1e-4 grid the pair gate
+    // already rides (sum of round(j·10⁴) longs / n·10⁴ — no float
+    // accumulation). One LSH pass + one small pair table re-read per
+    // threshold row; the curve costs one candidate generation, not
+    // three. */
+    "dedup_sweep" -> ((s, dir) => {
+      val pairs = minhashPairs(t(s, dir, "documents"), 0.7, bands = 64)
+        .cache() // three threshold buckets re-read it (harness clears)
+      Seq(0.7, 0.8, 0.9).map { th =>
+        pairs.filter(col("jaccard") >= th)
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("doc_b")).as("n_docs_dropped"),
+            coalesce(round(
+              sum(round(col("jaccard") * 10000).cast("long")).cast("double") /
+                (count(lit(1)) * 10000).cast("double"), 6), lit(0.0))
+              .as("mean_jaccard"))
+          .select(lit(th).as("threshold"), col("n_pairs"),
+            col("n_docs_dropped"), col("mean_jaccard"))
+      }.reduce(_ unionByName _).orderBy(col("threshold"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       simhashPairs(t(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -775,6 +803,26 @@ object Dedup {
       s"""WITH $shingleCte
          |${jaccardPairsSql(0.8)}
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same all-pairs exact Jaccard at the loosest threshold, same
+    // per-threshold buckets, same exact 1e-4-grid mean re-aggregation.
+    "dedup_sweep" -> {
+      val bucket = Seq(0.7, 0.8, 0.9).map { th =>
+        s"""SELECT $th::DOUBLE AS threshold,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped,
+           |  coalesce(round(
+           |    CAST(sum(CAST(round(jaccard * 10000) AS BIGINT)) AS DOUBLE)
+           |      / CAST(count(*) * 10000 AS DOUBLE), 6), 0.0::DOUBLE)
+           |    AS mean_jaccard
+           |FROM p WHERE jaccard >= $th""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $shingleCte,
+         |p AS (
+         |${jaccardPairsSql(0.7)})
+         |$bucket
+         |ORDER BY threshold""".stripMargin
+    },
 
     // Same positional word-6-grams, pre-aggregated to (doc_id, g, cnt);
     // df = rows per gram; gate on the exact-bits integer division.

@@ -473,6 +473,33 @@ object StarSchema {
       Lake.readVersion(s, path, None).orderBy(col("o_orderkey"))
     }),
 
+    // Zero-copy shallow clone exercised end-to-end (§H cloneVersion/
+    // readClone, previously spec-only): v1 = a partial early load is
+    // cloned to a one-file MANIFEST (no data bytes move — cloning a
+    // 100 TB snapshot is a metadata write), then v2 publishes the full
+    // load OVER the base; the gate re-aggregates the CLONE, which must
+    // still read exactly v1 — immutable v=N directories are what make
+    // the manifest stable under later writers (the Iceberg/Delta
+    // shallow-clone contract; LakeSpec pins the manifest contents and
+    // the vacuum-breaks-clones retention edge).
+    "etl_clone" -> ((s, dir) => {
+      val path = scratch("etl_clone")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders.filter(col("o_orderkey") % 3 =!= 0),
+        s"$path/base")
+      Lake.cloneVersion(s, s"$path/base", 1, s"$path/clones/v1.manifest")
+      Lake.writeVersion(s, orders, s"$path/base")
+      Lake.readClone(s, s"$path/clones/v1.manifest")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Retention vacuum exercised end-to-end (§H vacuumVersions,
     // previously spec-only): v1 = a partial early load, v2 = the full
     // corrected load; vacuum keep=1 physically drops v1 and the gate
@@ -929,6 +956,16 @@ object StarSchema {
     "etl_restore" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // The clone reads exactly the partial v1 load — recomputed from
+    // the source with the same % 3 split — even though v2 has since
+    // published the full table over the same base.
+    "etl_clone" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     // LATEST after the vacuum is exactly the full v2 load; the
     // retention counters are deterministic literals (one version

@@ -988,6 +988,33 @@ object TextAnalysis {
           round(col("n_novel").cast("double") / col("n_shingles").cast("double"),
             6).as("novelty"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Per-document CHARACTER entropy (the gibberish/encoding screen —
+    // natural text sits in a narrow band, base64 blobs and repeated
+    // filler fall outside it; profile_entropy's column-level cousin at
+    // document granularity). Quantized-ln integer rollup end to end:
+    // H = ln(n) − (Σ c·ln c)/n over character counts becomes
+    // (n·lq(n) − Σ c·lq(c)) / (n·10⁶) — every term an exact long (ln
+    // of integer args on the 1e-6 grid), the division one int/int
+    // IEEE op, rounded at 6dp. Shape: one character explode (O(chars),
+    // linear), one (doc, char) grouped count with map-side partials,
+    // one per-doc fold. */
+    "text_char_entropy" -> ((s, dir) => {
+      val cnt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_distinct_chars"),
+          sum(col("c") * round(log(col("c")) * 1e6).cast("long")).as("slq"))
+        .select(col("doc_id"), col("n").as("n_chars"),
+          col("n_distinct_chars"),
+          round((col("n") * round(log(col("n")) * 1e6).cast("long") -
+              col("slq")).cast("double") /
+            (col("n").cast("double") * 1e6), 6).as("entropy"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1059,6 +1086,27 @@ object TextAnalysis {
         |             AS DOUBLE) / count(*), 6) AS novelty
         |FROM sh JOIN f ON sh.s = f.s
         |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same character counts, same 1e-6-quantized ln terms over integer
+    // args, same exact-long numerator and one 6dp division.
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch WHERE length(ch) > 0 GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |    CAST(sum(c * CAST(round(ln(c) * 1000000.0) AS BIGINT))
+        |         AS BIGINT) AS slq
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n AS n_chars, n_distinct_chars,
+        |  round(CAST(n * CAST(round(ln(n) * 1000000.0) AS BIGINT) - slq
+        |             AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+        |    AS entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_chunk" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

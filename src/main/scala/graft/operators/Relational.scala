@@ -1461,6 +1461,65 @@ object Relational {
           ((col("cents") - col("prev_cents")).cast("double") /
             col("prev_cents").cast("double")).as("mom_change"))
         .orderBy(col("month"))
+    }),
+
+    // Cohort LTV curves (the retention-economics table behind every
+    // subscription/marketplace dashboard): customers cohorted by first
+    // order month, revenue accumulated by month offset — cum_cents at
+    // offset m IS the cohort's lifetime value m months in. Exact longs
+    // end to end; the month offset is an integral months_between /
+    // date_diff both engines agree on. Shape: one custkey-partitioned
+    // min + one co-partitioned join + a grouped aggregate; the cumsum
+    // window runs over the cohort×offset table (bounded by months²,
+    // constant-class at any data volume — q41's contract).
+    "q60_ltv" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("om"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cohort = o.groupBy(col("o_custkey")).agg(min(col("om")).as("cm"))
+      val w = Window.partitionBy(col("cohort_month")).orderBy(col("offset_m"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      o.join(cohort, Seq("o_custkey"))
+        .select(date_format(col("cm"), "yyyy-MM-dd").as("cohort_month"),
+          months_between(col("om"), col("cm")).cast("int").as("offset_m"),
+          col("cents"))
+        .groupBy(col("cohort_month"), col("offset_m"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .orderBy(col("cohort_month"), col("offset_m"))
+    }),
+
+    // Rank movers (the "what's trending" report): parts ranked by
+    // revenue cents in 1997H1 vs 1997H2, top-15 by absolute rank move
+    // among parts present in BOTH halves. Ranks are row_numbers over
+    // (cents DESC, partkey) — unique — and the cutoff is decided on
+    // exact integer |delta| with a partkey tie-break; no floats
+    // anywhere. Shape: two half-year grouped aggregates off one scan
+    // predicate-pruned to 1997, one co-partitioned join on partkey,
+    // two part-sized rank windows.
+    "q61_movers" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_partkey").as("pk"),
+          (col("o_orderdate") < lit("1997-07-01").cast("timestamp")).as("h1"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      def half(flag: Boolean, rankCol: String) = {
+        val w = Window.orderBy(col("cents").desc, col("pk"))
+        li.filter(col("h1") === flag)
+          .groupBy(col("pk")).agg(sum(col("cents")).as("cents"))
+          .withColumn(rankCol, row_number().over(w))
+          .select(col("pk"), col(rankCol))
+      }
+      half(flag = true, "rank_h1").join(half(flag = false, "rank_h2"), Seq("pk"))
+        .withColumn("delta", col("rank_h1") - col("rank_h2"))
+        .orderBy(abs(col("delta")).desc, col("pk")).limit(15)
+        .select(col("pk"), col("rank_h1"), col("rank_h2"), col("delta"))
+        .orderBy(abs(col("delta")).desc, col("pk"))
     })
   )
 
@@ -1689,6 +1748,53 @@ object Relational {
         |    AS mom_change
         |FROM l WHERE prev_cents IS NOT NULL
         |ORDER BY month""".stripMargin,
+
+    // Same first-month cohorts, same integral month offsets, same
+    // exact-long cumulative window.
+    "q60_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate) AS om,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(om) AS cm FROM o GROUP BY 1),
+        |j AS (
+        |  SELECT strftime(c.cm, '%Y-%m-%d') AS cohort_month,
+        |    CAST(date_diff('month', c.cm, o.om) AS INT) AS offset_m,
+        |    o.cents
+        |  FROM o JOIN c USING (o_custkey)),
+        |g AS (
+        |  SELECT cohort_month, offset_m, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM j GROUP BY 1, 2)
+        |SELECT cohort_month, offset_m, n_orders, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY cohort_month ORDER BY offset_m
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |FROM g ORDER BY cohort_month, offset_m""".stripMargin,
+
+    // Same half-year cents ranks over (cents DESC, pk), same exact
+    // integer |delta| cutoff with the pk tie-break.
+    "q61_movers" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS pk,
+        |    o_orderdate < TIMESTAMP '1997-07-01' AS h1,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |h1 AS (
+        |  SELECT pk, row_number() OVER (ORDER BY sum(cents) DESC, pk)
+        |      AS rank_h1
+        |  FROM li WHERE h1 GROUP BY pk),
+        |h2 AS (
+        |  SELECT pk, row_number() OVER (ORDER BY sum(cents) DESC, pk)
+        |      AS rank_h2
+        |  FROM li WHERE NOT h1 GROUP BY pk),
+        |j AS (
+        |  SELECT pk, rank_h1, rank_h2, rank_h1 - rank_h2 AS delta
+        |  FROM h1 JOIN h2 USING (pk))
+        |SELECT pk, rank_h1, rank_h2, delta
+        |FROM (SELECT * FROM j ORDER BY abs(delta) DESC, pk LIMIT 15)
+        |ORDER BY abs(delta) DESC, pk""".stripMargin,
 
     // Same quantile_cont bounds (the q25 percentile pairing), same CASE
     // binning on identical doubles, same exact cents sum.
