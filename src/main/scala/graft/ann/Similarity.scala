@@ -441,6 +441,32 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Recall@k OPERATING CURVE for the LSH ranker (the dedup_sweep
+    // discipline applied to ANN: the report that sizes LshTables ×
+    // LshBits before production — recall@1 can be perfect while
+    // recall@10 starves, and one number hides that): for k ∈ {1,5,10},
+    // the fraction of exact cosine top-k pairs the LSH ranker also
+    // surfaces in ITS top-k. Composes the two gated rankers VERBATIM
+    // (ann_recall reuse rule) — the curve itself is three joins over
+    // ≤ |Q|·k rows, free at any corpus size. Exact integer hit counts;
+    // one int/int division per row rounded 6dp.
+    "ann_recall_curve" -> ((s, dir) => {
+      val ex = queries("ann_bruteforce")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val ap = queries("ann_lsh")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
+      Seq(1, 5, 10).map { k =>
+        ex.filter(col("rank") <= k)
+          .join(ap.filter(col("arank") <= k), Seq("query_id", "neighbor_id"),
+            "left")
+          .agg(count(lit(1)).as("n_expected"),
+            sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .select(lit(k).as("k"), col("n_expected"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_expected").cast("double"),
+              6).as("recall"))
+      }.reduce(_ unionByName _).orderBy(col("k"))
+    }),
+
     // IVF index-health report (the imbalance factor FAISS prints after
     // training — the number that predicts probe-latency variance: with
     // balanced lists IF = 1, a hot list makes every probe touching it
@@ -1302,6 +1328,30 @@ object Similarity {
          |  CAST(sum(hit) AS DOUBLE) / count(*) AS recall
          |FROM j GROUP BY query_id
          |ORDER BY query_id""".stripMargin) +
+    // Both ranker oracles composed verbatim (MATERIALIZED — each is
+    // read once per k bucket), same per-k left-join hit counts, same
+    // 6dp int/int recall.
+    ("ann_recall_curve" -> {
+      val buckets = Seq(1, 5, 10).map { k =>
+        s"""SELECT $k AS k, CAST(count(*) AS BIGINT) AS n_expected,
+           |  CAST(sum(CASE WHEN a.arank IS NOT NULL THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_hit,
+           |  round(CAST(sum(CASE WHEN a.arank IS NOT NULL THEN 1 ELSE 0 END)
+           |             AS DOUBLE) / count(*), 6) AS recall
+           |FROM (SELECT query_id, neighbor_id FROM ex WHERE rank <= $k) e
+           |LEFT JOIN (SELECT query_id, neighbor_id, arank FROM ap
+           |           WHERE arank <= $k) a
+           |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rank
+         |  FROM (${baseOracles("ann_bruteforce")})),
+         |ap AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id, rank AS arank
+         |  FROM (${baseOracles("ann_lsh")}))
+         |$buckets
+         |ORDER BY k""".stripMargin
+    }) +
     // The ann_drift k-means + assignment chain, same histogram, same
     // exact HUGEINT moments and one fixed 6dp division.
     ("ann_ivf_balance" ->
