@@ -117,6 +117,21 @@ class GraphSpec extends AnyFunSuite {
     assert(labels(1L) != labels(11L), labels.toString)
   }
 
+  test("adamic-adar scores the square's diagonals by 2/ln(2), skips edges") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4-1: the diagonals (1,3) and (2,4) share both
+    // degree-2 neighbors → AA = 2·(1e15 div round(ln 2·1e6))/1e9, the
+    // exact integer-grid spelling of 2/ln 2 ≈ 2.885390; existing edges
+    // must not appear (anti-join)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val expected = 2L * (1000000000000000L / math.round(math.log(2) * 1e6)) / 1e9
+    val rows = Graph.adamicAdarLinks(e, topK = 10).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("common"), r.getAs[Double]("adamic_adar")))
+    assert(rows.toSet == Set((1L, 3L, 2L, expected), (2L, 4L, 2L, expected)),
+      rows.mkString(","))
+  }
+
   test("sssp prefers the cheaper two-hop path over the direct edge") {
     import spark.implicits._
     // a→b direct costs 10; a→c→b costs 2+3=5 — min-COST must disagree
