@@ -1408,11 +1408,28 @@ object Relational {
     // in cents, customers ranked by (cents DESC, custkey), and the 80%
     // cut decided by the INTEGER compare 5·cum ≥ 4·total — no float
     // threshold anywhere, so both engines pick the identical customer.
-    // Shape: one orders aggregate (map-side partials), one broadcast
-    // customer-dim join, one per-segment window over customer-sized
-    // rows (segments partition the window — no global sort), one
-    // grouped fold. The share division is int/int IEEE — bit-identical
-    // unrounded (the q32 lesson).
+    // The share division is int/int IEEE — bit-identical unrounded
+    // (the q32 lesson).
+    //
+    // Scale shape (the profile_gini two-level rank, replacing the r10
+    // 5-partition rank+cumsum window over customer-sized rows): no
+    // customer row is ever ranked —
+    //   (1) tie runs collapse: per (segment, cents) the m customers
+    //       occupy ranks [Lc+1, Lc+m] with running revenue
+    //       Lr + j·cents after j of them, whatever the custkey tie
+    //       order — so the cutoff min{rn : 5·cum ≥ 4·total} inside the
+    //       first qualifying run is Lc + ceil((4·total − 5·Lr)/(5·cents))
+    //       by exact integer arithmetic, and later qualifying runs can
+    //       only yield larger candidates (cum is monotone), so a min()
+    //       over qualifying runs recovers the identical k;
+    //   (2) the exclusive prefixes (Lc rows, Lr revenue) come from the
+    //       two-level prefix sum over 256 descending value classes:
+    //       class offsets cumsum the tiny (segment, class) table
+    //       (broadcast back), in-class exclusive cumsums order by
+    //       cents DESC over DISTINCT values — class order ∘ in-class
+    //       order is the global revenue-DESC order. Max window
+    //       partition ≈ distinct-cents/256 per segment (ScaleSpec pins
+    //       it) vs every customer of a segment in one task before.
     "q58_pareto" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val perCust = t(s, dir, "orders")
@@ -1421,18 +1438,46 @@ object Relational {
         .join(t(s, dir, "customer")
           .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
           Seq("o_custkey"))
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("cents").desc, col("o_custkey"))
-      val ranked = perCust
-        .withColumn("rn", row_number().over(w))
-        .withColumn("cum", sum(col("cents")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum(col("cents")).over(
-          Window.partitionBy(col("c_mktsegment"))))
-      ranked.groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_buyers"),
-          min(when(col("cum") * 5 >= col("total") * 4, col("rn")))
-            .as("k_for_80pct"))
+      val runs = perCust.groupBy(col("c_mktsegment"), col("cents"))
+        .agg(count(lit(1)).as("m"))
+      val seg = runs.groupBy(col("c_mktsegment"))
+        .agg(sum(col("m")).as("n_buyers"),
+          sum(col("m") * col("cents")).as("total"),
+          min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      // descending classes: 0 = richest range; monotone NON-INCREASING
+      // in cents, so class order matches the revenue-DESC rank order
+      val classed = runs.join(broadcast(seg), Seq("c_mktsegment"))
+        .withColumn("cls", expr("((hi - cents) * 256) div (hi - lo + 1)"))
+      val wCls = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("cls")).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = classed.groupBy(col("c_mktsegment"), col("cls"))
+        .agg(sum(col("m")).as("cm"), sum(col("m") * col("cents")).as("cr"))
+        .withColumn("offc", coalesce(sum(col("cm")).over(wCls), lit(0L)))
+        .withColumn("offr", coalesce(sum(col("cr")).over(wCls), lit(0L)))
+        .select(col("c_mktsegment"), col("cls"), col("offc"), col("offr"))
+      val wIn = Window.partitionBy(col("c_mktsegment"), col("cls"))
+        .orderBy(col("cents").desc).rowsBetween(Window.unboundedPreceding, -1)
+      val pref = classed.join(broadcast(offs), Seq("c_mktsegment", "cls"))
+        .withColumn("lc",
+          col("offc") + coalesce(sum(col("m")).over(wIn), lit(0L)))
+        .withColumn("lr",
+          col("offr") + coalesce(sum(col("m") * col("cents")).over(wIn), lit(0L)))
+      // first qualifying run: run END crosses the 80% line; in-run
+      // position j* = ceil((4·total − 5·lr)/(5·cents)) clamps to ≥ 1
+      // for runs past the line (they can't beat the first run's k)
+      val kTab = pref
+        .filter((col("lr") + col("m") * col("cents")) * 5 >= col("total") * 4)
+        .select(col("c_mktsegment"), (col("lc") + greatest(lit(1L),
+          // cents=0 can only qualify once the line is already crossed
+          // (lr ≥ 0.8·total) — its candidate is lc+1; guarding keeps
+          // ANSI div out of the 0-denominator branch
+          when(col("cents") > 0,
+            expr("(4*total - 5*lr + 5*cents - 1) div (5*cents)"))
+            .otherwise(lit(1L)))).as("k"))
+        .groupBy(col("c_mktsegment"))
+        .agg(min(col("k")).as("k_for_80pct"))
+      seg.select(col("c_mktsegment"), col("n_buyers"))
+        .join(kTab, Seq("c_mktsegment"))
         .select(col("c_mktsegment"), col("n_buyers"), col("k_for_80pct"),
           (col("k_for_80pct").cast("double") / col("n_buyers").cast("double"))
             .as("buyer_share"))

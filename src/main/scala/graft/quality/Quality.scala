@@ -743,34 +743,83 @@ object Quality {
     // Gini concentration of order revenue per priority class (the
     // inequality scorecard behind "is our revenue one whale or a long
     // tail"): G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over cents ranked
-    // ascending. Engine-exact by the assortativity discipline: cents
-    // are integers, the rank weighting Σ i·x_i accumulates in
-    // decimal(38) (tie order among equal cents cannot change the sum —
-    // equal addends commute through equal rank spans), and G evaluates
-    // as ONE fixed expression over exact integer moments. Shape: one
-    // grouped aggregate, one per-priority window over order-sized rows
-    // (priorities partition it — no global sort), one moment fold.
+    // ascending (tie-break o_orderkey). Engine-exact by the
+    // assortativity discipline: cents are integers, the moments
+    // accumulate in decimal(38), and G evaluates as ONE fixed
+    // expression over exact integer moments.
+    //
+    // Scale shape (the text_zipf two-level rank, replacing the r10
+    // 5-partition row_number window that sorted every orders row in
+    // ≤5 tasks): the rank weighting never ranks rows at all —
+    //   (1) tie runs collapse first: per (priority, cents) the m rows
+    //       occupy a contiguous rank span [L+1, L+m] whatever the
+    //       o_orderkey tie order, and Σ rank·cents over the span is
+    //       cents·(m·L + m(m+1)/2) — equal addends commute, so only
+    //       L (rows strictly below the run) is needed per DISTINCT
+    //       value, compressing the window input order-sized → distinct-
+    //       cents-sized and deleting single-value tie hot-spots;
+    //   (2) L comes from a two-level prefix sum over GiniClasses
+    //       order-preserving value ranges: class offsets cumsum on the
+    //       ≤ 5·GiniClasses (priority, class) count table (tiny window,
+    //       broadcast back), within-class exclusive cumsum ordered by
+    //       cents — exact because class is monotone in cents and rows
+    //       are distinct values, so class order ∘ in-class order IS the
+    //       global cents order. Max rank-window partition ≈
+    //       distinct/GiniClasses per priority (ScaleSpec pins it), vs
+    //       all orders rows per priority before.
     "profile_gini" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.types.DecimalType
       val dec = DecimalType(38, 0)
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("cents"), col("o_orderkey"))
-      t(s, dir, "orders")
-        .select(col("o_orderpriority"), col("o_orderkey"),
+      val runs = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
-        .withColumn("rn", row_number().over(w))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).cast(dec).as("n"),
-          sum(col("cents")).cast(dec).as("sx"),
-          sum(col("rn").cast(dec) * col("cents").cast(dec)).as("s1"))
+        .groupBy(col("o_orderpriority"), col("cents"))
+        .agg(count(lit(1)).as("m"))
+      val bounds = runs.groupBy(col("o_orderpriority"))
+        .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+      // ((cents-lo)·C) div span: monotone non-decreasing in cents, so
+      // classes are ordered value ranges (no tie can straddle a class —
+      // class is a function of cents alone)
+      val classed = runs.join(broadcast(bounds), Seq("o_orderpriority"))
+        .withColumn("cls",
+          expr(s"((cents - lo) * $GiniClasses) div (hi - lo + 1)"))
+        .select(col("o_orderpriority"), col("cls"), col("cents"), col("m"))
+      val wCls = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("cls")).rowsBetween(Window.unboundedPreceding, -1)
+      val offs = classed.groupBy(col("o_orderpriority"), col("cls"))
+        .agg(sum(col("m")).as("cm"))
+        .withColumn("off", coalesce(sum(col("cm")).over(wCls), lit(0L)))
+        .select(col("o_orderpriority"), col("cls"), col("off"))
+      val wIn = Window.partitionBy(col("o_orderpriority"), col("cls"))
+        .orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = classed.join(broadcast(offs), Seq("o_orderpriority", "cls"))
+        .withColumn("lcnt",
+          col("off") + coalesce(sum(col("m")).over(wIn), lit(0L)))
+      ranked.groupBy(col("o_orderpriority"))
+        .agg(sum(col("m")).cast(dec).as("n"),
+          sum(col("cents").cast(dec) * col("m").cast(dec)).as("sx"),
+          // G's numerator wants 2·Σ rank·cents; over the run that is
+          // cents·(2·m·lcnt + m(m+1)) — all-integer, no /2 anywhere,
+          // exact in decimal(38)
+          sum(col("cents").cast(dec) *
+            (lit(2).cast(dec) * col("m").cast(dec) * col("lcnt").cast(dec) +
+              col("m").cast(dec) * (col("m").cast(dec) + lit(1).cast(dec))))
+            .as("s2"))
         .select(col("o_orderpriority"), col("n").cast("long").as("n_orders"),
-          round((lit(2L).cast(dec) * col("s1") -
+          round((col("s2") -
               (col("n") + lit(1L).cast(dec)) * col("sx")).cast("double") /
             (col("n") * col("sx")).cast("double"), 6).as("gini"))
         .orderBy(col("o_orderpriority"))
     })
   )
+
+  /** Order-preserving value classes for profile_gini's two-level rank:
+    * enough to bound any one in-class window partition to ~1/256 of the
+    * distinct-value table under a smooth value distribution (cents
+    * cluster → hotter classes, but never the single-value tie hot-spot
+    * the run compression already removed). */
+  private[graft] val GiniClasses = 256
 
   /** The profile_heavyhitters engine over an explicit (key) input —
     * split out so specs can plant skewed distributions. d×w cells, the

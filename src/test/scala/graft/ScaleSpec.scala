@@ -245,4 +245,52 @@ class ScaleSpec extends AnyFunSuite {
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
   }
+
+  test("gini/pareto rank windows stay bucket-bounded (no row_number, no 5-task sort)") {
+    // r10's profile_gini / q58_pareto ranked fact-derived rows in a
+    // window partitioned only by a ≤5-cardinality column — the q48
+    // single-task global-sort anti-pattern at 100×. The two-level
+    // rewrite (distinct-value run compression + 256 order-preserving
+    // value classes) must not regress:
+    // (a) structural — neither plan ranks rows at all anymore;
+    Seq("profile_gini", "q58_pareto").foreach { k =>
+      val plan = SparkEntry.queries(k)(spark, TestSpark.SfMedium)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("row_number"),
+        s"$k reintroduced a row-level ranking window:\n$plan")
+    }
+    // (b) empirical — no in-class window partition exceeds the bucket
+    // bound (8× the perfectly-uniform class load, measured on the same
+    // class derivation the queries use).
+    def maxClassLoad(runs: org.apache.spark.sql.DataFrame, grp: String,
+                     clsExpr: String): (Long, Long) = {
+      val b = runs.groupBy(col(grp)).agg(
+        min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+        count(lit(1)).as("nd"))
+      val loads = runs.join(b, Seq(grp))
+        .withColumn("cls", expr(clsExpr))
+        .groupBy(col(grp), col("cls")).agg(count(lit(1)).as("cnt"))
+      (loads.agg(max(col("cnt"))).head.getLong(0),
+        b.agg(max(col("nd"))).head.getLong(0))
+    }
+    val orders = sources.Lake.table(spark, TestSpark.SfMedium, "orders")
+    val giniRuns = orders
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_orderpriority"), col("cents")).agg(count(lit(1)).as("m"))
+    val (gMax, gNd) = maxClassLoad(giniRuns, "o_orderpriority",
+      s"((cents - lo) * ${graft.quality.Quality.GiniClasses}) div (hi - lo + 1)")
+    assert(gMax <= 8L * ((gNd + 255) / 256),
+      s"profile_gini class hot-spot: max=$gMax distinct=$gNd")
+    val cust = sources.Lake.table(spark, TestSpark.SfMedium, "customer")
+    val parRuns = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .join(cust.select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+      .groupBy(col("c_mktsegment"), col("cents")).agg(count(lit(1)).as("m"))
+    val (pMax, pNd) = maxClassLoad(parRuns, "c_mktsegment",
+      "((hi - cents) * 256) div (hi - lo + 1)")
+    assert(pMax <= 8L * ((pNd + 255) / 256),
+      s"q58_pareto class hot-spot: max=$pMax distinct=$pNd")
+  }
 }
