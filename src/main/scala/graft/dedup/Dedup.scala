@@ -455,11 +455,19 @@ object Dedup {
     * set sizes attach as two co-partitioned joins, and the threshold is
     * applied to the 6dp-ROUNDED score (grid-identical cutoff in both
     * engines). The gram table is an eager diamond cache — both self-join
-    * legs and the size aggregate read it. Skew: an 8-WORD gram shared by
-    * many unrelated docs is boilerplate; at 100 TB drop grams with
-    * document frequency above a cap before the join (they can only
-    * inflate containment between docs that already share rarer grams). */
-  private[graft] def containmentPairs(docs: DataFrame, thr: Double): DataFrame = {
+    * legs and the size aggregate read it.
+    * Skew cap (r11, the q57 MaxBasket discipline): an 8-WORD gram
+    * shared by many unrelated docs is boilerplate — a license header in
+    * millions of files fans out df² pair rows from its one hash(g)
+    * partition. Grams with document frequency > [[MaxGramDf]] are
+    * dropped from the PAIR JOIN only (set sizes keep counting them, so
+    * the denominator stays the true gram-set size and capped scores can
+    * only shrink — a pair surviving the threshold still shares rare
+    * grams), the capped-gram count rides every row, and the oracle
+    * replays the identical cap. DedupSpec plants a boilerplate gram
+    * and pins both the exclusion and the tally. */
+  private[graft] def containmentPairs(docs: DataFrame, thr: Double,
+                                      maxDf: Int = MaxGramDf): DataFrame = {
     val gramLen = 8
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -468,10 +476,15 @@ object Dedup {
         s"array_distinct(transform(sequence(1, size(ws) - ${gramLen - 1}), " +
           s"i -> concat_ws(' ', slice(ws, i, $gramLen))))")).as("g"))
       .cache()
-    grams.count() // eager — both join legs + the size aggregate read it
+    grams.count() // eager — join legs + size/df aggregates all read it
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = grams.select(col("doc_id").as("doc_a"), col("g"))
-    val b = grams.select(col("doc_id").as("doc_b"), col("g"))
+    // grams are distinct per doc, so rows per gram = document frequency
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val nCapped = df.agg(
+      sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_capped_grams"))
+    val gOk = grams.join(df.filter(col("df") <= maxDf).select(col("g")), Seq("g"))
+    val a = gOk.select(col("doc_id").as("doc_a"), col("g"))
+    val b = gOk.select(col("doc_id").as("doc_b"), col("g"))
     a.join(b, Seq("g")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
@@ -485,7 +498,16 @@ object Dedup {
         (col("shared").cast("double") / least(col("na"), col("nb")))
           .as("containment"))
       .filter(col("containment") >= thr)
+      .crossJoin(broadcast(nCapped))
   }
+
+  /** Grams with document frequency above this are excluded from the
+    * containment pair join (and tallied in the output): boilerplate
+    * shared by df docs fans out df² pair rows from one partition — the
+    * q57 mega-basket class. Observed 8-gram df tops out at 4 on the
+    * synthetic corpus, and real boilerplate this wide is exactly what
+    * the cap should drop; per-gram fan-out is bounded at MaxGramDf². */
+  private[graft] val MaxGramDf = 128
 
   /** Cross-document duplicated-span coverage — the per-document view of
     * suffix-array span dedup (Lee et al. 2022, "Deduplicating Training
@@ -849,9 +871,10 @@ object Dedup {
 
     // Same distinct word-8-gram sets (text_decontaminate's gram replay
     // + DISTINCT), same single gram equi-join intersection count, same
-    // 6dp-rounded threshold.
+    // 6dp-rounded threshold — and the same MaxGramDf boilerplate cap
+    // with its capped-gram tally (sizes still count capped grams).
     "dedup_containment" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g AS (
         |  SELECT DISTINCT doc_id, g FROM (
         |    SELECT doc_id,
@@ -859,13 +882,20 @@ object Dedup {
         |              for i in range(1, len(ws) - 6)]) AS g
         |    FROM d WHERE len(ws) >= 8)),
         |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        |gdf AS (SELECT g, count(*) AS df FROM g GROUP BY g),
+        |nc AS (SELECT CAST(coalesce(sum(CASE WHEN df > $MaxGramDf
+        |         THEN 1 END), 0) AS BIGINT) AS n_capped_grams FROM gdf),
+        |gok AS (SELECT g.doc_id, g.g FROM g
+        |        JOIN gdf ON g.g = gdf.g WHERE gdf.df <= $MaxGramDf),
         |pr AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM gok a JOIN gok b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, shared,
-        |  CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+        |  CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment,
+        |  nc.n_capped_grams
         |FROM pr JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |CROSS JOIN nc
         |WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -584,17 +584,29 @@ object Graph {
     * degrees attach as two co-partitioned joins. The top-k cutoff is
     * decided on the UNROUNDED score (integer/integer IEEE division —
     * bit-identical across engines) with a (u, v) pair tie-break.
-    * Skew note: a hub of degree d contributes d² wedge pairs; the
-    * month-sliced graph bounds d here, and at 100 TB the standard cap
-    * (drop or sample neighbors of super-hubs before the wedge join)
-    * applies — a top-degree filter, not a different plan. */
-  private[graft] def jaccardLinks(eIn: DataFrame, topK: Int): DataFrame = {
+    * Skew cap (r11, the q57 MaxBasket discipline): a shared node of
+    * degree d fans out d² wedge pairs, so one super-hub — a supplier
+    * on every order of the month — would emit d² rows from a single
+    * hash(n) task at 100 TB. Nodes with deg > maxDeg are excluded AS
+    * SHARED NODES (their own pair scores via rarer shared neighbors
+    * survive, and full degrees still feed the union denominator), the
+    * excluded-hub count rides every row as a broadcast scalar (never
+    * silent), and the oracle replays the identical cap — results stay
+    * engine-equal at any scale, capped or not. GraphSpec plants a
+    * super-hub and pins both the exclusion and the tally. */
+  private[graft] def jaccardLinks(eIn: DataFrame, topK: Int,
+                                  maxDeg: Int = MaxWedgeDeg): DataFrame = {
     val e = eIn.cache(); e.count() // eager diamond: feeds und ×2 + anti-join
     val und = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v"), col("u")))
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val x = und.select(col("a").as("u"), col("b").as("n"))
-    val y = und.select(col("a").as("v"), col("b").as("n"))
+    val nCapped = deg.agg(
+      sum(when(col("deg") > maxDeg, 1L).otherwise(0L)).as("n_capped_hubs"))
+    // wedge legs keep only rows whose SHARED-node side is under the cap
+    val undOk = und.join(
+      deg.filter(col("deg") <= maxDeg).select(col("a").as("b")), Seq("b"))
+    val x = undOk.select(col("a").as("u"), col("b").as("n"))
+    val y = undOk.select(col("a").as("v"), col("b").as("n"))
     x.join(y, Seq("n")).filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
       .join(e, Seq("u", "v"), "left_anti")
@@ -607,31 +619,50 @@ object Graph {
         // at half-ulp boundaries (the q32 lesson)
         (col("common").cast("double") /
           (col("du") + col("dv") - col("common"))).as("jaccard"))
+      .crossJoin(broadcast(nCapped))
       .orderBy(col("jaccard").desc, col("u"), col("v"))
       .limit(topK)
   }
+
+  /** Shared nodes above this degree are excluded from the
+    * jaccard/adamic-adar wedge joins (and tallied in the output): a
+    * super-hub of degree d fans out d² wedge pairs from one task — the
+    * q57 mega-basket class. Co-supply degrees top out around 71 at
+    * sf0.1, so the cap is far above any legitimate neighborhood while
+    * bounding per-hub fan-out at ≤ MaxWedgeDeg² rows; a shared hub
+    * this size carries almost no signal anyway (Jaccard: it inflates
+    * both pair sides equally; Adamic-Adar: its 1/ln(deg) weight is the
+    * floor of the scale). */
+  private[graft] val MaxWedgeDeg = 512
 
   /** Adamic-Adar link prediction (Adamic & Adar 2003) — the
     * degree-weighted sibling of [[jaccardLinks]]: a shared RARE
     * neighbor says more than a shared hub, so each common neighbor z
     * contributes 1/ln(deg z). Same wedge-join shape (one join
     * co-partitioned on the shared node, anti-join drops existing
-    * edges, Σ deg² fan-out with the same super-hub cap/sample caveat
-    * at 100 TB). Arithmetic is the quantized-ln discipline end to end:
+    * edges) and the same IMPLEMENTED [[MaxWedgeDeg]] shared-node cap
+    * bounding the Σ deg² fan-out, tallied on every output row and
+    * replayed by the oracle. Arithmetic is the quantized-ln discipline end to end:
     * ln(deg) micro-quantizes to a long (integer arg — both engines
     * agree), each term becomes the INTEGER 1e15 div lq, and the score
     * sum is exact long arithmetic in any order — the top-k cutoff is
     * decided on the integer sum with a (u, v) tie-break, never on a
     * float. deg z ≥ 2 for any common neighbor, so lq ≥ ln(2)·1e6 and
     * the division is always defined. */
-  private[graft] def adamicAdarLinks(eIn: DataFrame, topK: Int): DataFrame = {
+  private[graft] def adamicAdarLinks(eIn: DataFrame, topK: Int,
+                                     maxDeg: Int = MaxWedgeDeg): DataFrame = {
     val e = eIn.cache(); e.count() // eager diamond: feeds und ×2 + anti-join
     val und = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v"), col("u")))
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .withColumn("lq", round(log(col("deg")) * 1e6).cast("long"))
-    val x = und.select(col("a").as("u"), col("b").as("n"))
-    val y = und.select(col("a").as("v"), col("b").as("n"))
+    val nCapped = deg.agg(
+      sum(when(col("deg") > maxDeg, 1L).otherwise(0L)).as("n_capped_hubs"))
+    // same shared-node cap as jaccardLinks — see MaxWedgeDeg
+    val undOk = und.join(
+      deg.filter(col("deg") <= maxDeg).select(col("a").as("b")), Seq("b"))
+    val x = undOk.select(col("a").as("u"), col("b").as("n"))
+    val y = undOk.select(col("a").as("v"), col("b").as("n"))
     x.join(y, Seq("n")).filter(col("u") < col("v"))
       .join(e, Seq("u", "v"), "left_anti")
       .join(deg.select(col("a").as("n"), col("lq")), Seq("n"))
@@ -642,6 +673,7 @@ object Graph {
       .limit(topK)
       .select(col("u"), col("v"), col("common"),
         (col("aaq").cast("double") / lit(1e9)).as("adamic_adar"))
+      .crossJoin(broadcast(nCapped))
       .orderBy(col("adamic_adar").desc, col("u"), col("v"))
   }
 
@@ -1183,9 +1215,10 @@ object Graph {
         |FROM reach GROUP BY src ORDER BY supp_id""".stripMargin,
 
     // Same wedge-join common counts, same anti-join against existing
-    // edges, same 6dp-rounded cutoff with the (u, v) tie-break.
+    // edges, same 6dp-rounded cutoff with the (u, v) tie-break — and
+    // the same MaxWedgeDeg shared-node cap with its excluded-hub tally.
     "graph_jaccard" ->
-      """WITH mo AS (
+      s"""WITH mo AS (
         |  SELECT o_orderkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
         |    AND o_orderdate < TIMESTAMP '1997-04-01'),
@@ -1197,24 +1230,31 @@ object Graph {
         |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
         |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+        |nc AS (SELECT CAST(coalesce(sum(CASE WHEN deg > $MaxWedgeDeg
+        |         THEN 1 END), 0) AS BIGINT) AS n_capped_hubs FROM deg),
+        |undok AS (SELECT und.a, und.b FROM und
+        |          JOIN deg ON und.b = deg.a WHERE deg.deg <= $MaxWedgeDeg),
         |common AS (
         |  SELECT x.a AS u, y.a AS v, count(*) AS common
-        |  FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+        |  FROM undok x JOIN undok y ON x.b = y.b AND x.a < y.a
         |  GROUP BY 1, 2),
         |ne AS (
         |  SELECT c.* FROM common c
         |  LEFT JOIN e ON c.u = e.u AND c.v = e.v
         |  WHERE e.u IS NULL)
         |SELECT n.u, n.v, n.common,
-        |  CAST(n.common AS DOUBLE) / (du.deg + dv.deg - n.common) AS jaccard
+        |  CAST(n.common AS DOUBLE) / (du.deg + dv.deg - n.common) AS jaccard,
+        |  nc.n_capped_hubs
         |FROM ne n JOIN deg du ON n.u = du.a JOIN deg dv ON n.v = dv.a
+        |CROSS JOIN nc
         |ORDER BY jaccard DESC, u, v LIMIT 25""".stripMargin,
 
     // Same wedge join and anti-join as graph_jaccard, same quantized-ln
     // per-neighbor terms (ln over integer degrees → the 1e-6 long
-    // grid), same exact-integer 1e15 // lq sum deciding the cutoff.
+    // grid), same exact-integer 1e15 // lq sum deciding the cutoff —
+    // and the same MaxWedgeDeg shared-node cap with its hub tally.
     "graph_adamic_adar" ->
-      """WITH mo AS (
+      s"""WITH mo AS (
         |  SELECT o_orderkey FROM orders
         |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
         |    AND o_orderdate < TIMESTAMP '1997-04-01'),
@@ -1225,12 +1265,16 @@ object Graph {
         |  SELECT DISTINCT x.sk AS u, y.sk AS v
         |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
         |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-        |lq AS (SELECT a, CAST(round(ln(count(*)) * 1000000.0) AS BIGINT)
-        |         AS lq
-        |       FROM und GROUP BY a),
+        |dg AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+        |lq AS (SELECT a, CAST(round(ln(deg) * 1000000.0) AS BIGINT) AS lq
+        |       FROM dg),
+        |nc AS (SELECT CAST(coalesce(sum(CASE WHEN deg > $MaxWedgeDeg
+        |         THEN 1 END), 0) AS BIGINT) AS n_capped_hubs FROM dg),
+        |undok AS (SELECT und.a, und.b FROM und
+        |          JOIN dg ON und.b = dg.a WHERE dg.deg <= $MaxWedgeDeg),
         |cand AS (
         |  SELECT x.a AS u, y.a AS v, x.b AS n
-        |  FROM und x JOIN und y ON x.b = y.b AND x.a < y.a),
+        |  FROM undok x JOIN undok y ON x.b = y.b AND x.a < y.a),
         |ne AS (
         |  SELECT c.* FROM cand c
         |  LEFT JOIN e ON c.u = e.u AND c.v = e.v
@@ -1240,8 +1284,10 @@ object Graph {
         |    CAST(sum(1000000000000000 // l.lq) AS BIGINT) AS aaq
         |  FROM ne JOIN lq l ON ne.n = l.a
         |  GROUP BY 1, 2)
-        |SELECT u, v, common, CAST(aaq AS DOUBLE) / 1e9 AS adamic_adar
+        |SELECT u, v, common, CAST(aaq AS DOUBLE) / 1e9 AS adamic_adar,
+        |  nc.n_capped_hubs
         |FROM (SELECT * FROM sc ORDER BY aaq DESC, u, v LIMIT 25)
+        |CROSS JOIN nc
         |ORDER BY adamic_adar DESC, u, v""".stripMargin,
 
     "graph_degree" ->

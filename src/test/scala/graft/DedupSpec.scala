@@ -280,4 +280,33 @@ class DedupSpec extends AnyFunSuite {
     assert(sig1 == sig2)
     assert(sig1.head.size == 128)
   }
+
+  test("containment gram-df cap drops boilerplate pairs, keeps rare-gram overlap") {
+    import spark.implicits._
+    // boilerplate B (exactly one 8-gram) is planted in all five docs;
+    // docs 1 and 2 are identical 38-word pages (30 rare words + B),
+    // docs 3..5 share ONLY B. With maxDf=2 the B gram (df=5) is capped:
+    // (1,2) survives on its 30 rare shared grams out of 31 (sizes still
+    // count the capped gram — the denominator is the true set size),
+    // the boilerplate-only pairs vanish, and every row tallies 1 capped
+    // gram.
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val core = (1 to 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$core $b"), (2L, s"$core $b"),
+      (3L, (1 to 7).map(i => s"x$i").mkString(" ") + " " + b),
+      (4L, (1 to 7).map(i => s"y$i").mkString(" ") + " " + b),
+      (5L, (1 to 7).map(i => s"z$i").mkString(" ") + " " + b)
+    ).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, 0.1, maxDf = 2).collect()
+    assert(capped.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("shared"), r.getAs[Long]("n_capped_grams"))).toSet ==
+      Set((1L, 2L, 30L, 1L)), capped.mkString(","))
+    assert(capped.head.getAs[Double]("containment") == 30.0 / 31.0)
+    // uncapped (default MaxGramDf): the boilerplate gram pairs everyone
+    // with everyone — all 10 pairs appear, tally 0
+    val open = Dedup.containmentPairs(docs, 0.1).collect()
+    assert(open.length == 10, open.mkString(","))
+    assert(open.forall(_.getAs[Long]("n_capped_grams") == 0L))
+  }
 }

@@ -295,4 +295,44 @@ class GraphSpec extends AnyFunSuite {
     val q0 = Graph.modularity(e, merged).collect()
     assert(q0.length == 1 && q0.head.getDouble(3) == 0.0, q0.mkString(","))
   }
+
+  test("wedge-join super-hub cap drops hub-mediated pairs and tallies the hub") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4-1 plus hub 9 wired to 1..6 (deg 9 = 6). With
+    // maxDeg=4 the hub is excluded AS SHARED NODE: pairs that exist only
+    // through it — (5,6) and every (cycle, spoke) pair — vanish, the
+    // diagonals (1,3)/(2,4) keep exactly their 2 cycle wedges, and the
+    // denominator still uses TRUE degrees (cycle nodes deg 3 with the
+    // hub edge counted) → jaccard 2/(3+3−2) = 0.5, n_capped_hubs = 1.
+    val e = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)) ++
+      (1L to 6L).map(i => (i, 9L))).toDF("u", "v")
+    val capped = Graph.jaccardLinks(e, topK = 20, maxDeg = 4).collect()
+    assert(capped.map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+      r.getAs[Long]("common"), r.getAs[Double]("jaccard"),
+      r.getAs[Long]("n_capped_hubs"))).toSet ==
+      Set((1L, 3L, 2L, 0.5, 1L), (2L, 4L, 2L, 0.5, 1L)),
+      capped.mkString(","))
+    // under the default cap the hub participates: diagonals gain its
+    // wedge (common 3, jaccard 1.0), spoke-only pairs like (5,6) appear,
+    // and the tally reads 0
+    val open = Graph.jaccardLinks(e, topK = 20).collect()
+    assert(open.forall(_.getAs[Long]("n_capped_hubs") == 0L))
+    val openPairs = open.map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    assert(openPairs.contains((5L, 6L)) && openPairs.contains((1L, 3L)))
+    assert(open.find(r => r.getAs[Long]("u") == 1L && r.getAs[Long]("v") == 3L)
+      .get.getAs[Long]("common") == 3L)
+
+    // adamic-adar: same exclusion — diagonals score over the two deg-3
+    // cycle neighbors only, 2·(1e15 div round(ln 3·1e6))/1e9
+    val aa = Graph.adamicAdarLinks(e, topK = 20, maxDeg = 4).collect()
+    val exp = 2L * (1000000000000000L / math.round(math.log(3) * 1e6)) / 1e9
+    assert(aa.map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+      r.getAs[Long]("common"), r.getAs[Double]("adamic_adar"),
+      r.getAs[Long]("n_capped_hubs"))).toSet ==
+      Set((1L, 3L, 2L, exp, 1L), (2L, 4L, 2L, exp, 1L)), aa.mkString(","))
+    val aaOpen = Graph.adamicAdarLinks(e, topK = 20).collect()
+    assert(aaOpen.forall(_.getAs[Long]("n_capped_hubs") == 0L))
+    assert(aaOpen.exists(r =>
+      r.getAs[Long]("u") == 5L && r.getAs[Long]("v") == 6L))
+  }
 }
