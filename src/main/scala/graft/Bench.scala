@@ -62,6 +62,13 @@ object Bench {
     val exeRun = new java.util.concurrent.atomic.AtomicLong()
     val exeCpu = new java.util.concurrent.atomic.AtomicLong()
     val exeGc = new java.util.concurrent.atomic.AtomicLong()
+    // Shuffle bytes written per key (r11, VERDICT r10 #4): wall time at
+    // sf0.1 is scheduling-noise-dominated (±15% swings on identical
+    // plans), so plan regressions hide in it; bytes through the shuffle
+    // are deterministic for a fixed plan + data and surface an extra
+    // exchange immediately. Round-over-round: diff bench_full.json's
+    // shuffle_bytes maps.
+    val exeShuffle = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -70,6 +77,7 @@ object Bench {
           exeRun.addAndGet(m.executorRunTime)
           exeCpu.addAndGet(m.executorCpuTime / 1000000L)
           exeGc.addAndGet(m.jvmGCTime)
+          exeShuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       }
     })
@@ -87,13 +95,13 @@ object Bench {
     // passes to survive. Caches are cleared between queries so each
     // query pays its own materializations (intra-query caches still
     // work; only cross-query reuse is suppressed).
-    def timedPass(pass: Int): Seq[(String, Double, Boolean)] =
+    def timedPass(pass: Int): Seq[(String, Double, Boolean, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         spark.sharedState.cacheManager.clearCache()
         val (idle0, steal0) = procStat()
-        val (r0, c0, g0) = (exeRun.get, exeCpu.get, exeGc.get)
+        val (r0, c0, g0, s0) = (exeRun.get, exeCpu.get, exeGc.get, exeShuffle.get)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -104,23 +112,31 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(60) // let straggling stage-completed events land
         val (idle1, steal1) = procStat()
-        System.err.println(f"[bench p$pass] $name%-22s ${sec}%7.3fs run=${exeRun.get - r0}%6dms cpu=${exeCpu.get - c0}%6dms taskgc=${exeGc.get - g0}%5dms idle=${idle1 - idle0}%5d steal=${steal1 - steal0}%4d")
-        (name, sec, ok)
+        val shuf = exeShuffle.get - s0
+        System.err.println(f"[bench p$pass] $name%-22s ${sec}%7.3fs run=${exeRun.get - r0}%6dms cpu=${exeCpu.get - c0}%6dms taskgc=${exeGc.get - g0}%5dms shuffle=${shuf / 1024}%8dKiB idle=${idle1 - idle0}%5d steal=${steal1 - steal0}%4d")
+        (name, sec, ok, shuf)
       }
     val p1 = timedPass(1)
     val p2 = timedPass(2)
-    val results = p1.zip(p2).map { case ((name, s1, ok1), (_, s2, ok2)) =>
-      (name, math.min(s1, s2), ok1 && ok2)
+    val results = p1.zip(p2).map { case ((name, s1, ok1, sh1), (_, s2, ok2, sh2)) =>
+      // time: min of two passes (noise-robust); shuffle bytes: max —
+      // a deterministic plan shuffles identically in both passes, so
+      // any difference is a dropped listener event, not noise
+      (name, math.min(s1, s2), ok1 && ok2, math.max(sh1, sh2))
     }
     // A query that throws must not masquerade as a fast query: its timing is
     // reported as null and its name listed under "failed".
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) v.toString else "null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val shuffles = results.map { case (k, _, _, sh) =>
+      "\"" + k + "\":" + sh
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val ok = results.collect { case (_, v, true) => v }
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    val totalShuffle = results.map(_._4).sum
+    val ok = results.collect { case (_, v, true, _) => v }
     val geomean =
       if (ok.isEmpty) 0.0 else math.exp(ok.map(v => math.log(math.max(v, 1e-4))).sum / ok.size)
     // Full-fidelity per-query map: stderr + target/bench_full.json. The
@@ -131,7 +147,11 @@ object Bench {
     // curated headline subset (every family represented, the heavy
     // hitters included) at 3dp, sized to stay well inside the buffer;
     // everything else lives in the full dump.
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // numeric scale factor (r10 ADVICE: "sf" was the data-path string);
+    // the directory rides along separately as sf_dir
+    val sfNum = new java.io.File(sfDir).getName.stripPrefix("sf")
+      .toDoubleOption.getOrElse(-1.0)
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuffles,"failed":$failed,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     System.err.println(s"[bench] full: $fullLine")
     try {
       new java.io.File("target").mkdirs()
@@ -156,17 +176,18 @@ object Bench {
       "stream_dedup", "stream_join", "stream_trending", "stream_session",
       "stream_upsert", "profile_stats", "profile_corr", "profile_psi",
       "graph_pagerank", "graph_components", "graph_triangles")
-    val byName = results.map { case (k, v, o) => k -> (v, o) }.toMap
+    val byName = results.map { case (k, v, o, _) => k -> (v, o) }.toMap
     def fmt3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def line(keys: Seq[String]): String = {
       val hqs = keys.flatMap(k => byName.get(k).map { case (v, o) =>
         "\"" + k + "\":" + (if (o) fmt3(v) else "null")
       }).mkString("{", ",", "}")
-      val failedShort = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      val failedShort = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
         .take(8).mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$hqs,""" +
         s""""geomean":${fmt3(geomean)},"n_queries":${results.size},""" +
-        s""""n_failed":${results.count(!_._3)},"failed":$failedShort,"sf":"$sfDir"}"""
+        s""""n_failed":${results.count(!_._3)},"failed":$failedShort,""" +
+        s""""shuffle_mb_total":${totalShuffle / 1048576L},"sf":$sfNum,"sf_dir":"$sfDir"}"""
     }
     // hard cap: drop trailing headline keys until the line fits the
     // driver's buffer with margin (never drops in practice)

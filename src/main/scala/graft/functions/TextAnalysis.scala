@@ -482,6 +482,8 @@ object TextAnalysis {
       val scored = qtf.join(broadcast(df), Seq("term"))
         .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(tot))
+        // integer-arg quantized ln: flip-proof per the verified
+        // Kernels.QlnBoundaryGapUlps contract (QuantizedLnSpec)
         .withColumn("lq",
           round(log((lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L))
             .cast("double")) * 1e6).cast("long") -

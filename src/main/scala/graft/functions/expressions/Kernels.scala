@@ -14,6 +14,34 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kernels {
 
+  /** Cross-engine contract of the quantized-ln discipline
+    * (`round(ln(k) * 1e6)` over INTEGER args — graph_adamic_adar's
+    * degree weights, text_bm25's idf, profile_psi / profile_entropy /
+    * text_logprob / text_zipf's count logs, dq_benford's digit-law
+    * terms).
+    *
+    * Both engines compute ln in their own libm; correctly-rounded-ish
+    * implementations agree to within 1 ulp, which at ln ≤ 21 (args to
+    * 1e9) is ≤ 4e-9 after the 1e6 scaling. The quantized long can
+    * therefore only diverge when ln(k)·1e6 lands within ~4e-9 of a
+    * half-integer rounding boundary.
+    *
+    * QuantizedLnSpec VERIFIES the gap exhaustively: for every integer
+    * arg 2..2e7, the distance from ln(k)·1e6 to the nearest boundary
+    * exceeds [[QlnBoundaryGapUlps]] ulps of the scaled value — the
+    * worst case over the whole domain is 4.0 ulps at k=6,610,577,
+    * above the ≤2-ulp reach of a 1-ulp ln divergence plus the product
+    * rounding — a deterministic no-flip GUARANTEE over the domain any
+    * tested scale factor produces (degrees, document frequencies,
+    * vocab counts). Beyond the verified domain the guarantee degrades
+    * to a probabilistic bound: a uniformly placed ln lands within the
+    * ~5-ulp danger zone of a boundary with probability ~1e-8 per
+    * distinct arg (~1e-2 expected flips across a 1e6-distinct-arg
+    * corpus at 100 TB) — and a flip moves one micro-quantized unit
+    * (1e-6), visible only if a downstream top-k tie sits exactly on
+    * it. */
+  val QlnBoundaryGapUlps: Double = 2.5
+
   /** Cosine similarity between two float vectors, accumulated in double
     * (deterministic left-to-right order — bit-identical to the DuckDB
     * oracle's sequential accumulation). Returns 0 for zero-norm inputs. */

@@ -654,6 +654,8 @@ object Graph {
     val e = eIn.cache(); e.count() // eager diamond: feeds und ×2 + anti-join
     val und = e.select(col("u").as("a"), col("v").as("b"))
       .union(e.select(col("v"), col("u")))
+    // integer-arg quantized ln: flip-proof per the verified
+    // Kernels.QlnBoundaryGapUlps contract (QuantizedLnSpec)
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
       .withColumn("lq", round(log(col("deg")) * 1e6).cast("long"))
     val nCapped = deg.agg(

@@ -917,12 +917,14 @@ object Quality {
     // difference (text_zipf discipline: Java's and libc's ln disagree
     // by an ulp on identical inputs, which flipped the 6dp round in
     // round 8 — the 1e-6 grid absorbs it). Identical integers →
-    // identical IEEE ops → identical psi on both engines. The grid is a
-    // MITIGATION, not a proof: a 1-ulp ln split landing exactly on a
-    // .5e-6 rounding boundary can still flip the quantized long by 1
-    // (probability ~ulp/grid ≈ 1e-10 per term; empirically zero hits
-    // across rounds 8-10). An exact cross-engine ln spelling would
-    // close it; revisit only if a gate ever reds on a ±1e-6 psi split.
+    // identical IEEE ops → identical psi on both engines. The residual
+    // boundary risk is now QUANTIFIED AND VERIFIED, not just mitigated:
+    // Kernels.QlnBoundaryGapUlps + QuantizedLnSpec prove every integer
+    // arg to 2e7 clears the rounding boundary by > 2.5 scaled-ulps
+    // (worst case 4.0 at k=6,610,577) — a deterministic no-flip
+    // guarantee on the verified domain; the composite a·tb args here
+    // can exceed it, where the ~1e-8-per-distinct-arg probabilistic
+    // bound in the Kernels scaladoc takes over.
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val wAll = Window.partitionBy()

@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.expressions.Kernels
+
+/** Verifies the quantized-ln cross-engine contract (Kernels.QlnBoundaryGap):
+  * round(ln(k)·1e6) is flip-proof against a 1-ulp libm divergence for every
+  * integer arg the tested scale factors can produce.
+  */
+class QuantizedLnSpec extends AnyFunSuite {
+
+  test("ln(k)*1e6 stays clear of rounding boundaries for all k in 2..2e7") {
+    // a 1-ulp ln(k) divergence plus the *1e6 product rounding can move
+    // the scaled value by at most ~2 of its own ulps; the nearest
+    // half-integer must sit further than QlnBoundaryGapUlps scaled-ulps
+    // away on EVERY integer arg, or round() could disagree across
+    // engines. Exhaustive loop: ~2e7 Math.log calls, ~1s JIT'd. Track
+    // the global minimum so a failure names the worst arg.
+    var worstK = -1L
+    var worstGapUlps = Double.MaxValue
+    var k = 2L
+    while (k <= 20000000L) {
+      val scaled = math.log(k.toDouble) * 1e6
+      val frac = scaled - math.floor(scaled)
+      val gapUlps = math.abs(frac - 0.5) / Math.ulp(scaled)
+      if (gapUlps < worstGapUlps) { worstGapUlps = gapUlps; worstK = k }
+      k += 1
+    }
+    assert(worstGapUlps > Kernels.QlnBoundaryGapUlps,
+      s"ln($worstK)*1e6 sits $worstGapUlps ulps from a rounding boundary " +
+        s"(contract ${Kernels.QlnBoundaryGapUlps}) - the quantized-ln " +
+        "keys could flip between engines on this arg")
+    // pin the measured worst case so a libm change that narrows it is
+    // visible even while still passing the contract
+    assert(worstK == 6610577L && math.abs(worstGapUlps - 4.0) < 0.6,
+      s"worst-case boundary arg moved: k=$worstK gap=$worstGapUlps ulps")
+  }
+}
