@@ -467,6 +467,64 @@ object Similarity {
       }.reduce(_ unionByName _).orderBy(col("k"))
     }),
 
+    // IVF nprobe OPERATING CURVE (r11 — the knob ann_recall_curve sizes
+    // for LSH, applied to the IVF probe depth; real IVF serving sweeps
+    // the nprobe nearest lists to trade recall for scan cost, and this
+    // is the report that picks nprobe before production): for
+    // nprobe ∈ {1, 2, 4, 8}, recall@K against the exact ranker plus the
+    // EXACT scan cost n_scanned = Σ_q Σ_{probed c} |list_c| (the
+    // list-size join — computed from the tiny probe × size tables,
+    // never by counting candidate rows). Composes the trained
+    // centroids/assignment VERBATIM (one sampled k-means chain, ONE
+    // corpus assignment, ONE candidate pass at the deepest probe —
+    // every shallower curve point is a p_rank filter over it, the
+    // dedup_sweep pairs-once discipline). nprobe = IvfCentroids scans
+    // every list, so its row is the curve's own exactness certificate
+    // (AnnSpec pins recall 1.0 there and monotone recall up the curve).
+    "ann_ivf_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      val cents = trainCentroids(emb, IvfCentroids)
+      val assigned = assignNearest(e, cents)
+      val wProbe = Window.partitionBy(col("query_id"))
+        .orderBy(col("q_cos").desc, col("centroid_id"))
+      val probes = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+        .crossJoin(broadcast(cents))
+        .withColumn("q_cos", cosQ(GraftFunctions.cosineSim(col("q_emb"), col("c_emb"))))
+        .withColumn("p_rank", row_number().over(wProbe))
+        .select(col("query_id"), col("q_emb"), col("centroid_id"), col("p_rank"))
+      val sizes = assigned.groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("lsz"))
+      val cands = assigned.join(broadcast(probes), Seq("centroid_id"))
+        .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("emb")))
+        .select(col("query_id"), col("vec_id"), col("p_rank"), col("cos_full"))
+        .cache() // 4 curve points re-rank this one candidate pass
+      val ex = queries("ann_bruteforce")(s, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      Seq(1, 2, 4, 8).map { np =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_full").desc, col("vec_id"))
+        val ap = cands.filter(col("p_rank") <= np)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            lit(1L).as("hit"))
+        val scanned = probes.filter(col("p_rank") <= np)
+          .join(broadcast(sizes), Seq("centroid_id"))
+          .agg(sum(col("lsz")).as("n_scanned"))
+        ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_expected"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .crossJoin(broadcast(scanned))
+          .select(lit(np).as("n_probe"), col("n_expected"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_expected").cast("double"),
+              6).as("recall"),
+            col("n_scanned"))
+      }.reduce(_ unionByName _).orderBy(col("n_probe"))
+    }),
+
     // IVF index-health report (the imbalance factor FAISS prints after
     // training — the number that predicts probe-latency variance: with
     // balanced lists IF = 1, a hot list makes every probe touching it
@@ -1351,6 +1409,61 @@ object Similarity {
          |  FROM (${baseOracles("ann_lsh")}))
          |$buckets
          |ORDER BY k""".stripMargin
+    }) +
+    // Same k-means/assignment chain as ann_ivf, probes kept to the full
+    // depth with their rank, one shared candidate set filtered per
+    // curve point; scan cost replayed from the same probe × list-size
+    // join; ground truth composes the brute-force oracle verbatim.
+    ("ann_ivf_probe" -> {
+      val points = Seq(1, 2, 4, 8).map { np =>
+        s"""SELECT $np AS n_probe, CAST(count(*) AS BIGINT) AS n_expected,
+           |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           |       AS BIGINT) AS n_hit,
+           |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+           |                 END) AS DOUBLE) / count(*), 6) AS recall,
+           |  (SELECT CAST(sum(sz.lsz) AS BIGINT) FROM probes p
+           |   JOIN sizes sz USING (centroid_id)
+           |   WHERE p.p_rank <= $np) AS n_scanned
+           |FROM ex e
+           |LEFT JOIN (
+           |  SELECT query_id, vec_id AS neighbor_id FROM (
+           |    SELECT query_id, vec_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cos_full DESC, vec_id) AS rank
+           |    FROM cands WHERE p_rank <= $np)
+           |  WHERE rank <= $K) a
+           |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |${kmeansCtes(IvfCentroids, KmeansIters)},
+         |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, emb, centroid_id FROM (
+         |    SELECT e.vec_id, e.emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c)
+         |  WHERE rnk = 1),
+         |sizes AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS lsz
+         |          FROM assigned GROUP BY 1),
+         |probes AS MATERIALIZED (
+         |  SELECT query_id, q_emb, centroid_id, rnk AS p_rank FROM (
+         |    SELECT e.vec_id AS query_id, e.emb AS q_emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries)),
+         |cands AS MATERIALIZED (
+         |  SELECT p.query_id, a.vec_id, p.p_rank,
+         |    list_cosine_similarity(p.q_emb, a.emb) AS cos_full
+         |  FROM assigned a JOIN probes p USING (centroid_id)),
+         |ex AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id
+         |  FROM (${baseOracles("ann_bruteforce")}))
+         |$points
+         |ORDER BY n_probe""".stripMargin
     }) +
     // The ann_drift k-means + assignment chain, same histogram, same
     // exact HUGEINT moments and one fixed 6dp division.

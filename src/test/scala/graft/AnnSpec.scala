@@ -251,4 +251,24 @@ class AnnSpec extends AnyFunSuite {
     assert(got == Map(0L -> false, 1L -> false, 2L -> true, 3L -> true,
       4L -> false), got.toString)
   }
+
+  test("ivf probe curve: recall monotone in nprobe, exact at full depth") {
+    // the operating-curve contract: deeper probes can only add
+    // candidates (recall and scan cost both non-decreasing), and
+    // probing every list IS brute force — recall must pin 1.0 there.
+    val rows = SparkEntry.queries("ann_ivf_probe")(spark, TestSpark.Sf)
+      .collect().sortBy(_.getAs[Int]("n_probe"))
+    assert(rows.map(_.getAs[Int]("n_probe")).toSeq == Seq(1, 2, 4, 8))
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    val scans = rows.map(_.getAs[Long]("n_scanned"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      recalls.mkString(","))
+    assert(scans.zip(scans.tail).forall { case (a, b) => a < b },
+      scans.mkString(","))
+    assert(recalls.last == 1.0, s"full-depth probe must be exact: ${recalls.last}")
+    // full depth scans every corpus vector once per query
+    val corpus = sources.Lake.table(spark, TestSpark.Sf, "embeddings").count()
+    val nQ = rows.head.getAs[Long]("n_expected") / 10 // K = 10
+    assert(scans.last == corpus * nQ, s"${scans.last} != $corpus * $nQ")
+  }
 }
