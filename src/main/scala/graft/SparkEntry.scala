@@ -38,7 +38,7 @@ object SparkEntry {
     * are the cheap setup the audited exchange-free join plan exists to
     * prove.) */
   val materializingQueries: Set[String] = Set(
-    "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc",
+    "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc", "etl_ingest_avro",
     "etl_partitioned_write", "etl_zorder_read", "etl_incremental_read",
     "etl_incremental_agg", "etl_compact_read", "etl_delete",
     "etl_snapshot_read", "etl_wap", "etl_snapshot_diff", "etl_evolve_read",

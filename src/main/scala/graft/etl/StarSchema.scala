@@ -101,6 +101,20 @@ object StarSchema {
       ingestSummary(s.read.schema(eventsSchema).orc(path))
     }),
 
+    // Avro round-trip (r11 — closes the rounds-6-10 "no Avro in this
+    // image" gap): the image ships avro-core + avro-mapred but not the
+    // spark-avro DataSource, so the lake speaks Avro through Hadoop I/O
+    // formats (Lake.writeAvro/readAvro — distributed container files,
+    // schema-on-read with the explicit StructType, timestamps via
+    // epoch-micros transport longs). Same ingestSummary gate as the
+    // JSON/CSV/ORC legs: a lossless round trip must reproduce the
+    // source aggregate.
+    "etl_ingest_avro" -> ((s, dir) => {
+      val path = scratch("etl_ingest_avro")
+      Lake.writeAvro(t(s, dir, "events"), path)
+      ingestSummary(Lake.readAvro(s, path, eventsSchema))
+    }),
+
     // Reference filter (etl.py:153): page == 'NextSong' ≙ event_type ==
     // 'purchase'. Predicate + projection both push to the parquet scan.
     "etl_filter_events" -> ((s, dir) =>
@@ -1008,6 +1022,9 @@ object StarSchema {
     "etl_ingest_json" -> IngestSummarySql,
     "etl_ingest_csv" -> IngestSummarySql,
     "etl_ingest_orc" -> IngestSummarySql,
+
+    // Same lossless-round-trip contract as the other ingest legs.
+    "etl_ingest_avro" -> IngestSummarySql,
 
     // Quarantined rows parse nothing, so their sum_value is NULL —
     // recomputed here from the planted key split.

@@ -623,4 +623,125 @@ object Lake {
       cfg("AWS.AWS_ACCESS_KEY_ID"), cfg("AWS.AWS_SECRET_ACCESS_KEY"),
       cfg.get("AWS.AWS_ENDPOINT"))
   }
+
+  // --- Avro container-file leg (no spark-avro DataSource in this image;
+  // --- avro-core + avro-mapred ARE shipped, so the lake speaks Avro
+  // --- through Hadoop I/O formats — the standard pre-spark-avro route).
+
+  /** Avro record schema derived from a Spark schema. Timestamps travel
+    * as epoch-MICROS longs (the repo's presentation-layer discipline —
+    * java.sql.Timestamp(millis) truncates micros); every field is a
+    * nullable union so null-bearing columns round-trip. */
+  private[graft] def avroSchemaJson(schema: StructType, name: String): String = {
+    import org.apache.spark.sql.types._
+    def avroType(dt: DataType): String = dt match {
+      case LongType | TimestampType => "\"long\""
+      case IntegerType => "\"int\""
+      case DoubleType => "\"double\""
+      case FloatType => "\"float\""
+      case BooleanType => "\"boolean\""
+      case StringType => "\"string\""
+      case other => throw new IllegalArgumentException(
+        s"avro leg supports scalar lake columns, got $other")
+    }
+    schema.fields.map(f =>
+        s"""{"name":"${f.name}","type":["null",${avroType(f.dataType)}],"default":null}""")
+      .mkString(s"""{"type":"record","name":"$name","fields":[""", ",", "]}")
+  }
+
+  /** Write a DataFrame as Avro container files (one per partition) via
+    * AvroKeyOutputFormat — distributed, no driver materialization; the
+    * Avro schema string rides the Hadoop job conf and each task builds
+    * its GenericRecords from a task-local parse (Schema is not
+    * serializable-stable across Avro versions). Overwrite semantics
+    * match the parquet legs. */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val sparkSchema = df.schema
+    val json = avroSchemaJson(sparkSchema, "lakerecord")
+    // overwrite: drop any previous container dir (local-FS lake layout)
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+      }
+      rm(dir)
+    }
+    val fields = sparkSchema.fields.map(f => (f.name, f.dataType)).toSeq
+    val rdd = df.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(json)
+      it.map { row =>
+        val rec: GenericRecord = new GenericData.Record(schema)
+        fields.zipWithIndex.foreach { case ((fname, dt), i) =>
+          val v: AnyRef =
+            if (row.isNullAt(i)) null
+            else dt match {
+              case TimestampType =>
+                val ts = row.getTimestamp(i)
+                java.lang.Long.valueOf(
+                  math.floorDiv(ts.getTime, 1000L) * 1000000L +
+                    ts.getNanos / 1000L)
+              case _ => row.get(i).asInstanceOf[AnyRef]
+            }
+          rec.put(fname, v)
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(json))
+    rdd.saveAsNewAPIHadoopFile(path,
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+  }
+
+  /** Schema-on-read Avro ingestion: container files → DataFrame with the
+    * caller's explicit StructType (the no-inference lake rule).
+    * GenericRecords are converted to serializable primitives inside the
+    * reading task (Hadoop input formats reuse record objects — values
+    * must be copied out before the iterator advances, which the
+    * per-record map guarantees); timestamp columns come back from their
+    * epoch-micros transport longs via timestamp_micros. */
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.AvroKeyInputFormat
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{functions => F, Row}
+    val fields = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val transport = StructType(schema.fields.map(f => f.dataType match {
+      case TimestampType => f.copy(dataType = LongType)
+      case _ => f
+    }))
+    val rows = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        spark.sparkContext.hadoopConfiguration)
+      .map { case (k, _) =>
+        val rec = k.datum()
+        Row.fromSeq(fields.map { case (fname, dt) =>
+          val v = rec.get(fname)
+          if (v == null) null
+          else dt match {
+            case StringType => v.toString // Utf8 → String
+            case _ => v
+          }
+        })
+      }
+    val df = spark.createDataFrame(rows, transport)
+    schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == TimestampType)
+        acc.withColumn(f.name, F.timestamp_micros(F.col(f.name)))
+      else acc
+    }
+  }
 }

@@ -455,4 +455,39 @@ class LakeSpec extends AnyFunSuite {
       .select("k", "v").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "a2", 4L -> "new"), got.toString)
   }
+
+  test("avro round-trip: container files, nulls, micro-precision timestamps") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("ts", TimestampType)))
+    // 123456 micros must survive: millis-based Timestamp handling would
+    // truncate to 123000
+    val src = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'a', 1.5D, timestamp_micros(1500000000123456)),
+        |  (2L, CAST(NULL AS STRING), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS TIMESTAMP)),
+        |  (3L, 'c', -0.25D, timestamp_micros(915148800000001))
+        |  AS t(id, name, score, ts)""".stripMargin)
+    val path = TestSpark.scratch("lake_avro_rt")
+    Lake.writeAvro(src, path)
+    // genuine Avro container files on disk, not a renamed something-else
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".avro")),
+      parts.map(_.getName).mkString(","))
+    val back = Lake.readAvro(spark, path, schema)
+    assert(back.schema == schema, back.schema.treeString)
+    val rows = back.orderBy("id").collect()
+    val srcRows = src.orderBy("id").collect()
+    assert(rows.toSeq == srcRows.toSeq,
+      rows.mkString("|") + " vs " + srcRows.mkString("|"))
+    // micros check spelled explicitly, independent of Row equality
+    val micros = back.filter(col("id") === 1L)
+      .select(unix_micros(col("ts"))).head.getLong(0)
+    assert(micros == 1500000000123456L, micros.toString)
+  }
 }

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Derive a 10x-scale stress dataset from the largest driver-generated SF.
+
+The driver ships sf0.001/sf0.01/sf0.1 only; the r10 verdict asks for a
+full-surface oracle sweep one scale factor up. This tool derives it
+deterministically from the driver's own sf0.1 tables (never synthesizing
+new value distributions): the relational/event tables are replicated
+`copies` times with FK-consistent key offsets (copy c shifts each key
+space by c * max_key, so every copy is a disjoint, internally consistent
+star schema and cross-copy joins never match), while region/nation
+(bounded dims) and documents/embeddings (the text/ANN corpora, whose
+oracles are quadratic and already verified at sf0.1) are carried over
+byte-identical.
+
+    python3 tools/scaleup.py [copies] [src_sf_dir] [out_dir]
+
+Defaults: 10 copies, /root/testdata/sf0.1 -> target/sfx10.
+"""
+import os, shutil, sys
+import duckdb
+
+COPIES = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+OUT = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "target", "sfx10")
+
+# per-table key columns and the offset base they shift by
+OFFSETS = {
+    "customer": [("c_custkey", "custkey")],
+    "supplier": [("s_suppkey", "suppkey")],
+    "part": [("p_partkey", "partkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [("l_orderkey", "orderkey"), ("l_partkey", "partkey"),
+                 ("l_suppkey", "suppkey")],
+    "events": [("event_id", "eventid"), ("user_id", "userid")],
+}
+VERBATIM = ["region", "nation", "documents", "embeddings"]
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    # offset bases: the max of each key space in the source
+    base = {
+        "custkey": con.execute(f"SELECT max(c_custkey) FROM '{SRC}/customer.parquet'").fetchone()[0],
+        "suppkey": con.execute(f"SELECT max(s_suppkey) FROM '{SRC}/supplier.parquet'").fetchone()[0],
+        "partkey": con.execute(f"SELECT max(p_partkey) FROM '{SRC}/part.parquet'").fetchone()[0],
+        "orderkey": con.execute(f"SELECT max(o_orderkey) FROM '{SRC}/orders.parquet'").fetchone()[0],
+        "eventid": con.execute(f"SELECT max(event_id) FROM '{SRC}/events.parquet'").fetchone()[0],
+        "userid": con.execute(f"SELECT max(user_id) FROM '{SRC}/events.parquet'").fetchone()[0],
+    }
+    for t in VERBATIM:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+        print(f"{t}: copied verbatim")
+    for t, keys in OFFSETS.items():
+        cols = [c[0] for c in con.execute(
+            f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+        shifted = {k: b for k, b in keys}
+        legs = []
+        for c in range(COPIES):
+            sel = ", ".join(
+                f"CAST({col} + {c} * {base[shifted[col]]} AS BIGINT) AS {col}"
+                if col in shifted else col
+                for col in cols)
+            legs.append(f"SELECT {sel} FROM '{SRC}/{t}.parquet'")
+        q = "\nUNION ALL\n".join(legs)
+        con.execute(f"COPY ({q}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{OUT}/{t}.parquet'").fetchone()[0]
+        print(f"{t}: {COPIES}x -> {n} rows")
+    print(f"done -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()
