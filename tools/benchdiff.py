@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Compare two bench_full.json dumps (times + shuffle bytes).
+
+    python3 tools/benchdiff.py old.json new.json [--threshold 1.3]
+
+Reports per-key time ratios beyond the threshold and ANY shuffle-bytes
+change: wall time at small SFs is noisy, but shuffle bytes are
+deterministic for a fixed plan + data, so a byte delta is a plan change
+(new exchange, changed partitioning, different pre-aggregation), not
+noise. Exits nonzero if shuffle bytes regressed (grew) on any key.
+"""
+import json, sys
+
+def main():
+    old_p, new_p = sys.argv[1], sys.argv[2]
+    thr = float(sys.argv[sys.argv.index("--threshold") + 1]) \
+        if "--threshold" in sys.argv else 1.3
+    old, new = json.load(open(old_p)), json.load(open(new_p))
+    ot, nt = old.get("queries", {}), new.get("queries", {})
+    os_, ns = old.get("shuffle_bytes", {}), new.get("shuffle_bytes", {})
+    keys = sorted(set(nt) & set(ot))
+    added = sorted(set(nt) - set(ot))
+    removed = sorted(set(ot) - set(nt))
+    grew = []
+    for k in keys:
+        t0, t1 = ot.get(k), nt.get(k)
+        if t0 and t1 and (t1 / t0 > thr or t0 / t1 > thr):
+            print(f"time  {k}: {t0:.3f}s -> {t1:.3f}s ({t1 / t0:.2f}x)")
+        s0, s1 = os_.get(k), ns.get(k)
+        if s0 is not None and s1 is not None and s0 != s1:
+            tag = "GREW" if s1 > s0 else "shrank"
+            print(f"shuf  {k}: {s0} -> {s1} bytes ({tag})")
+            if s1 > s0:
+                grew.append(k)
+    if added:
+        print(f"added keys: {', '.join(added)}")
+    if removed:
+        print(f"removed keys: {', '.join(removed)}")
+    print(f"compared {len(keys)} keys; shuffle regressions: {len(grew)}")
+    return 1 if grew else 0
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -40,14 +40,17 @@ VERBATIM = ["region", "nation", "documents", "embeddings"]
 def main():
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
-    # offset bases: the max of each key space in the source
+    # offset bases: max+1 of each key space — with 0-based ids an offset
+    # of plain max collides copy c's id 0 with copy c-1's id max (the
+    # engine's upsert duplicate-key precondition caught exactly this on
+    # the first cut of this tool)
     base = {
-        "custkey": con.execute(f"SELECT max(c_custkey) FROM '{SRC}/customer.parquet'").fetchone()[0],
-        "suppkey": con.execute(f"SELECT max(s_suppkey) FROM '{SRC}/supplier.parquet'").fetchone()[0],
-        "partkey": con.execute(f"SELECT max(p_partkey) FROM '{SRC}/part.parquet'").fetchone()[0],
-        "orderkey": con.execute(f"SELECT max(o_orderkey) FROM '{SRC}/orders.parquet'").fetchone()[0],
-        "eventid": con.execute(f"SELECT max(event_id) FROM '{SRC}/events.parquet'").fetchone()[0],
-        "userid": con.execute(f"SELECT max(user_id) FROM '{SRC}/events.parquet'").fetchone()[0],
+        "custkey": con.execute(f"SELECT max(c_custkey) + 1 FROM '{SRC}/customer.parquet'").fetchone()[0],
+        "suppkey": con.execute(f"SELECT max(s_suppkey) + 1 FROM '{SRC}/supplier.parquet'").fetchone()[0],
+        "partkey": con.execute(f"SELECT max(p_partkey) + 1 FROM '{SRC}/part.parquet'").fetchone()[0],
+        "orderkey": con.execute(f"SELECT max(o_orderkey) + 1 FROM '{SRC}/orders.parquet'").fetchone()[0],
+        "eventid": con.execute(f"SELECT max(event_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0],
+        "userid": con.execute(f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0],
     }
     for t in VERBATIM:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
