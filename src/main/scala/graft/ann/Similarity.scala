@@ -232,6 +232,15 @@ object Similarity {
       pqTopK(t(s, dir, "embeddings"), queryIds = NumQueries, k = K)
         .orderBy(col("query_id"), col("rank"))),
 
+    // IVF-PQ / ADC over centroid residuals — ann_ivf's pruning and
+    // ann_pq's compression composed into the production FAISS IVFADC
+    // shape, gated by the same q20-style recall contract (see
+    // ivfpqTopK; output is the exact top-k + per-query ivfpq_ok).
+    "ann_ivfpq" -> ((s, dir) =>
+      ivfpqTopK(t(s, dir, "embeddings"), queryIds = NumQueries,
+        nCentroids = IvfCentroids, nProbe = IvfProbe, k = K)
+        .orderBy(col("query_id"), col("rank"))),
+
     // Corpus k-NN GRAPH via LSH buckets — the all-vectors variant of
     // ann_lsh (every vector is a query), the builder behind semantic
     // dedup graphs and cluster seeding. No broadcast side at all: both
@@ -861,13 +870,20 @@ object Similarity {
     * cosine into a dot product that decomposes exactly across subspaces
     * — the algebra ADC relies on. */
   private def subvectors(e: DataFrame, idCol: String): DataFrame =
-    e.withColumn("nrm",
+    sliceSub(e.withColumn("nrm",
         expr("sqrt(aggregate(emb, 0D, (a, x) -> a + x * x))"))
       .withColumn("nemb",
-        expr("transform(emb, x -> x / greatest(nrm, 1e-30D))"))
-      .select(col(idCol), explode(expr(
+        expr("transform(emb, x -> x / greatest(nrm, 1e-30D))")),
+      idCol, "nemb")
+
+  /** Raw PqM × PqDsub subspace slices of an arbitrary array column —
+    * no normalization (residual vectors must slice AS-IS: normalizing
+    * a residual would destroy the q̂·x̂ = q̂·c + q̂·(x̂−c) algebra
+    * ivfpqTopK relies on). */
+  private def sliceSub(e: DataFrame, idCol: String, vecCol: String): DataFrame =
+    e.select(col(idCol), explode(expr(
         s"transform(sequence(0, ${PqM - 1}), " +
-          s"m -> struct(m AS m, slice(nemb, m * $PqDsub + 1, $PqDsub) AS semb))")).as("s"))
+          s"m -> struct(m AS m, slice($vecCol, m * $PqDsub + 1, $PqDsub) AS semb))")).as("s"))
       .select(col(idCol), col("s.m").as("m"), col("s.semb").as("semb"))
 
   /** All PqM codebooks trained TOGETHER in one long-format k-means loop
@@ -888,17 +904,24 @@ object Similarity {
     * exact top-k + the in-query pq_ok recall floor, which certifies the
     * shortlist the codebook produces. */
   private[graft] def trainCodebooksLocal(e: DataFrame): DataFrame = {
-    val spark = e.sparkSession
     // deterministic residue-class sample sized from the corpus count:
     // mod 1 (everything) below 2·PqTrainTarget vectors, ~PqTrainTarget
     // to 2×PqTrainTarget vectors above it
     val mod = math.max(1L, e.count() / PqTrainTarget)
-    val sample = subvectors(
+    localKmeansCodebooks(e.sparkSession, subvectors(
         e.filter(pmod(col("vec_id"), lit(mod)) === 0), "vec_id")
       .select(col("vec_id"), col("m"), col("semb"))
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .sortBy(t => (t._2, t._1))
+      .sortBy(t => (t._2, t._1)))
+  }
+
+  /** The driver-local PqM-way k-means loop shared by [[trainCodebooksLocal]]
+    * (normalized-vector slices) and [[ivfpqTopK]] (centroid-residual
+    * slices) — the caller owns the bounded sample collect. */
+  private def localKmeansCodebooks(
+      spark: SparkSession,
+      sample: Array[(Long, Int, Array[Double])]): DataFrame = {
     def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     def q12(x: Double) = math.floor(x * 1e12 + 0.5) / 1e12
     val seedCode = sample.map(_._1).distinct.sorted.take(PqK).zipWithIndex.toMap
@@ -1033,6 +1056,139 @@ object Similarity {
         col("pq_ok"))
   }
 
+  /** IVF-PQ with ADC (Jégou et al. 2011 — the FAISS IVFADC index, and
+    * THE production shape for web-scale vector search): IVF centroid
+    * pruning bounds every query's scan to its nProbe inverted lists,
+    * while PQ codes over CENTROID RESIDUALS compress the resident tier
+    * to 8 bytes/vector — the two approximations the repo already
+    * carries separately (ann_ivf, ann_pq), composed the way production
+    * serves them. Residual encoding is what makes the shared codebook
+    * tight: within a list, r = x̂ − c has only the within-cluster
+    * spread to cover, and the score decomposes EXACTLY as q̂·x̂ =
+    * q̂·c + q̂·r, so ADC adds the per-list constant q̂·c (computed once
+    * per probe) to the LUT fold over the residual codes. Scale shape:
+    * the corpus is assigned + encoded ONCE (narrow passes, the encode
+    * table is the 8-byte resident tier); per query only nProbe lists'
+    * codes are scanned (a broadcast-probe equi-join on centroid_id —
+    * at 100 TB nCentroids grows ~√n and the scanned fraction is
+    * nProbe/nCentroids); the exact re-rank touches k′ raw vectors per
+    * query. Training follows the FAISS split: spherical k-means on the
+    * deterministic TrainMod residue sample (distributed, oracle-free
+    * here), residual codebooks driver-local on the bounded
+    * PqTrainTarget sample. Gated the q20 way: OUTPUT is the exact
+    * brute-force top-k plus an AGGREGATE ivfpq_ok recall boolean (one
+    * broadcast scalar riding every row) — aggregate, not ann_pq's
+    * per-query floor, because under IVF pruning a single query whose
+    * true neighbors are spread across unprobed lists legitimately gets
+    * low recall (the measured per-nprobe spread ann_ivf_probe exists
+    * to show), while the corpus-level recall of the composed index is
+    * the stable contract production actually sizes nprobe against. A
+    * regression in either tier (bad centroids, bad codebook, broken
+    * ADC algebra) still drops aggregate recall below the floor and
+    * fails the driver's hash compare. */
+  def ivfpqTopK(emb: DataFrame, queryIds: Int, nCentroids: Int,
+                nProbe: Int, k: Int): DataFrame = {
+    // unit-normalize ONCE: cosine becomes dot on the sphere, spherical
+    // k-means means stay near their clusters, and the residual algebra
+    // below is exact
+    val en = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", expr("sqrt(aggregate(emb, 0D, (a, x) -> a + x * x))"))
+      .select(col("vec_id"),
+        expr("transform(emb, x -> x / greatest(nrm, 1e-30D))").as("embedding"))
+    val cents = trainCentroids(en, nCentroids)
+    val eUnit = en.select(col("vec_id"), col("embedding").as("emb"))
+    // one full-corpus assignment + residual derivation; eager diamond
+    // cache — the bounded training collect and the encode pass both
+    // read it, and the k-row centroid join broadcasts
+    val resid = assignNearest(eUnit, cents)
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        expr("zip_with(emb, c_emb, (x, c) -> x - c)").as("remb"))
+      .cache()
+    val n = resid.count()
+    // residual codebook, driver-local on the deterministic residue
+    // sample (see trainCodebooksLocal for the modulus sizing)
+    val mod = math.max(1L, n / PqTrainTarget)
+    val cbook = localKmeansCodebooks(emb.sparkSession, sliceSub(
+        resid.filter(pmod(col("vec_id"), lit(mod)) === 0), "vec_id", "remb")
+      .select(col("vec_id"), col("m"), col("semb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._2, t._1)))
+    // encode: 8 residual codes per vector, inverted-list id rides along
+    val codes = assignCodes(sliceSub(resid, "vec_id", "remb"), cbook)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+        .as("codes"))
+      .join(resid.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    // query side: nProbe nearest lists per query, each with its exact
+    // q̂·c constant (the coarse term of the ADC decomposition)
+    val q = eUnit.filter(col("vec_id") < queryIds)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_cos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("q_cos", cosQ(GraftFunctions.cosineSim(col("q_emb"), col("c_emb"))))
+      .withColumn("p_rank", row_number().over(wProbe))
+      .filter(col("p_rank") <= nProbe)
+      .select(col("query_id"), col("centroid_id"),
+        expr("aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y), 0D, (a, v) -> a + v)")
+          .as("qc_dot"))
+    // per-query 128-entry residual LUT (shared codebook → one LUT per
+    // query, not per list), a MAP for the empty-code-hole reason pqTopK
+    // documents
+    val luts = sliceSub(q.select(col("query_id"), col("q_emb").as("qe")),
+        "query_id", "qe")
+      .join(broadcast(cbook), Seq("m"))
+      .select(col("query_id"), (col("m") * PqK + col("code")).as("idx"),
+        expr("aggregate(zip_with(semb, c_emb, (x, y) -> x * y), 0D, (a, v) -> a + v)")
+          .as("dot"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("dot")))).as("lut"))
+    // ADC shortlist over the probed lists only: approx = q̂·c + Σ lut[code]
+    val wPq = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val shortlist = codes
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(luts), Seq("query_id"))
+      .withColumn("approx", col("qc_dot") + expr(
+        s"aggregate(sequence(0, ${PqM - 1}), 0D, (a, m) -> a + lut[m * $PqK + codes[m]])"))
+      .withColumn("pq_rank", row_number().over(wPq))
+      .filter(col("pq_rank") <= k * PqShortlist)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the shortlist's raw vectors (point lookups at
+    // scale), then the exact leg + per-query recall contract — the
+    // pqTopK tail verbatim with the composed index's boolean
+    val wRr = Window.partitionBy(col("query_id"))
+      .orderBy(col("rcos").desc, col("vec_id"))
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val pqTop = shortlist
+      .join(e.select(col("vec_id"), col("emb")), Seq("vec_id"))
+      .join(broadcast(e.filter(col("vec_id") < queryIds)
+        .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))), Seq("query_id"))
+      .withColumn("rcos", GraftFunctions.cosineSim(col("q_emb"), col("emb")))
+      .withColumn("rr", row_number().over(wRr))
+      .filter(col("rr") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), lit(1).as("pq_hit"))
+    val qRaw = emb.filter(col("vec_id") < queryIds)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wEx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    val exact = emb.crossJoin(broadcast(qRaw))
+      .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos_full"), 6).as("cosine"))
+    val joined = exact.join(pqTop, Seq("query_id", "neighbor_id"), "left")
+    val tot = joined.agg(
+      (sum(coalesce(col("pq_hit"), lit(0))) >=
+        lit(PqRecallMin * k * queryIds)).as("ivfpq_ok"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"),
+        col("ivfpq_ok"))
+  }
+
   /** DuckDB replay of [[trainCentroids]]: cent0 = seed vectors, then
     * `iters` unrolled (assign_i, cent_i) CTE pairs — same nearest-cosine
     * assignment, same per-dimension mean, same floor-based 1e-6
@@ -1097,6 +1253,23 @@ object Similarity {
     "ann_pq" ->
       s"""SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine,
          |  TRUE AS pq_ok
+         |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                               CAST(c.embedding AS DOUBLE[])) AS cos_full,
+         |        row_number() OVER (PARTITION BY q.vec_id
+         |          ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                     CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank
+         |      FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q
+         |      CROSS JOIN embeddings c)
+         |WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Same q20 contract as ann_pq: the composed IVF+PQ ranking is
+    // engine-specific (two trained quantizers + ADC), so the gate is
+    // the exact top-k + a constant-true recall boolean.
+    "ann_ivfpq" ->
+      s"""SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine,
+         |  TRUE AS ivfpq_ok
          |FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |        list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
          |                               CAST(c.embedding AS DOUBLE[])) AS cos_full,

@@ -210,6 +210,67 @@ object Graph {
     ranks.crossJoin(broadcast(resid))
   }
 
+  /** Personalized PageRank (Haveliwala 2002): teleport mass returns to
+    * the SEED set (uniform over |S|) instead of the whole universe —
+    * the seed-relative affinity ranking ("which nodes matter to THIS
+    * cohort") that global PageRank's single stationary vector can't
+    * give, and the standard graph-side recommender / related-entity
+    * primitive. Same engine discipline as [[pagerank]]: per-edge mass
+    * contributions micro-quantize to the 1e-15 long grid before the
+    * grouped sum (order-free exact addition), the rank join is
+    * shuffle-hash against the cached pre-partitioned weighted edges,
+    * sweeps truncate lineage with LAZY localCheckpoints (single
+    * consumer), and the final sweep surfaces the L∞ residual as the
+    * convergence certificate. The teleport vector is a node-keyed
+    * column (co-partitioned join, never a broadcast — seed sets are
+    * corpus-sized in the general case); nodes the walk hasn't reached
+    * hold exactly rank 0. */
+  private[graft] def ppr(nodes: DataFrame, seeds: DataFrame,
+                         edges: DataFrame, sweeps: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val weighted = edges.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+      .persist()
+    // teleport base: 1/|S| on seeds, 0 elsewhere — built once, read by
+    // every sweep's damping join off the same node partitioning
+    val seedTbl = seeds.select(col("node")).distinct()
+      .withColumn("is_seed", lit(1.0))
+    val nSeed = seedTbl.agg(count(lit(1)).cast("double").as("ns"))
+    val tele = nodes.join(seedTbl, Seq("node"), "left")
+      .crossJoin(broadcast(nSeed))
+      .select(col("node"),
+        (coalesce(col("is_seed"), lit(0.0)) / col("ns")).as("tele"))
+      .repartition(col("node")).persist()
+    var ranks = tele.select(col("node"), col("tele").as("rank"))
+      .localCheckpoint(eager = false)
+    var prev = ranks
+    for (_ <- 1 to sweeps) {
+      prev = ranks
+      val mass = weighted.join(ranks.hint("shuffle_hash"),
+          weighted("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(round(col("rank") * col("w") * lit(1e15)).cast("long"))
+          .as("cmass"))
+      ranks = tele
+        .join(mass, tele("node") === mass("dst"), "left")
+        // lit(0.15), NOT lit(1.0 - Damping): the top-100 cutoff below
+        // compares UNROUNDED ranks across engines, and 1.0 − 0.85 in
+        // IEEE is 2 ulps off the parsed 0.15 the oracle uses — with
+        // the shared literal the teleport term (and hence every rank)
+        // is bit-identical, the pagerank discipline tightened one
+        // notch for the cutoff's sake.
+        .select(tele("node"),
+          (lit(0.15) * col("tele") +
+            lit(Damping) * (coalesce(col("cmass"), lit(0L)).cast("double")
+              / lit(1e15))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    val resid = ranks
+      .join(prev.select(col("node"), col("rank").as("prev_rank")), Seq("node"))
+      .agg(round(max(abs(col("rank") - col("prev_rank"))), 9).as("residual"))
+    ranks.crossJoin(broadcast(resid))
+  }
+
   /** Multi-source BFS: min-hop distance from a seed set, `hops` sweeps.
     * Frontier discipline: each sweep is ONE co-partitioned equi-join of
     * the edge list with the CURRENT frontier (not the visited set) plus
@@ -790,6 +851,29 @@ object Graph {
         .orderBy(col("node"))
     }),
 
+    // Personalized PageRank from the nation-3 customer cohort (the
+    // same seed set as graph_bfs/graph_sssp — the cohort-affinity leg
+    // of that family): the 100 nodes the cohort's random surfer
+    // concentrates on, with the L∞ residual certificate riding along.
+    // The top-100 cutoff is decided on the UNROUNDED rank — bit-
+    // identical in both engines under the 1e-15 integer-mass
+    // discipline — with the node-id tie-break (the jaccard cutoff
+    // rule); the display rank rounds afterwards.
+    "graph_ppr" -> ((s, dir) => {
+      val nodes = t(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node"))
+        .union(t(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_nationkey") === 3)
+        .select((col("c_custkey") * 2).as("node"))
+      ppr(nodes, seeds, tradeEdges(s, dir), Sweeps)
+        .orderBy(col("rank").desc, col("node")).limit(100)
+        .select(decodeNode(col("node")).as("node"),
+          round(col("rank"), 6).as("rank"), col("residual"))
+        .orderBy(col("rank").desc, col("node"))
+    }),
+
     // Weighted shortest paths (bounded Bellman-Ford) — the cost-aware
     // sibling of graph_bfs: min TOTAL edge cost within 3 relaxations
     // from the same nation-3 customer seeds, where an edge costs its
@@ -1027,6 +1111,56 @@ object Graph {
        |FROM r$sweeps CROSS JOIN res ORDER BY node""".stripMargin
   }
 
+  /** [[ppr]]'s replay: the pagerankSql chain with the teleport vector
+    * restricted to the seed cohort (1/|S| on seeds, 0 elsewhere) and
+    * the top-100 cutoff decided on the unrounded rank with the NUMERIC
+    * node-id tie-break (string node order would diverge from the
+    * engine's long-keyed cutoff on exact rank ties — and the rank-0
+    * tail is one giant tie class by construction). */
+  private def pprSql(sweeps: Int): String = {
+    val stages = (1 to sweeps).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT tb.node, tb.nid,
+         |    0.15::DOUBLE * tb.tele + 0.85::DOUBLE *
+         |      (CAST(coalesce(m.cmass, 0) AS DOUBLE) / 1e15) AS rank
+         |  FROM tb
+         |  LEFT JOIN (
+         |    SELECT w.dst AS node,
+         |      sum(CAST(round(r.rank * w.w * 1e15) AS BIGINT)) AS cmass
+         |    FROM w JOIN r${i - 1} r ON w.src = r.node
+         |    GROUP BY w.dst) m ON m.node = tb.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eb AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT a AS src, b AS dst FROM eb
+       |      UNION ALL SELECT b, a FROM eb),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |w AS (SELECT e.src, e.dst, 1.0::DOUBLE / d.deg AS w
+       |      FROM e JOIN d USING (src)),
+       |nodes AS (SELECT 'c' || c_custkey AS node, c_custkey * 2 AS nid
+       |          FROM customer
+       |          UNION ALL
+       |          SELECT 's' || s_suppkey, s_suppkey * 2 + 1 FROM supplier),
+       |seeds AS (SELECT 'c' || c_custkey AS node FROM customer
+       |          WHERE c_nationkey = 3),
+       |ns AS (SELECT count(*)::DOUBLE AS ns FROM seeds),
+       |tb AS MATERIALIZED (
+       |  SELECT nodes.node, nodes.nid,
+       |    CASE WHEN s.node IS NULL THEN 0.0::DOUBLE
+       |         ELSE 1.0::DOUBLE / ns.ns END AS tele
+       |  FROM nodes CROSS JOIN ns LEFT JOIN seeds s ON s.node = nodes.node),
+       |r0 AS (SELECT node, nid, tele AS rank FROM tb),
+       |$stages,
+       |res AS (
+       |  SELECT round(max(abs(a.rank - b.rank)), 9) AS residual
+       |  FROM r$sweeps a JOIN r${sweeps - 1} b ON a.node = b.node),
+       |top AS (SELECT node, rank FROM r$sweeps
+       |        ORDER BY rank DESC, nid LIMIT 100)
+       |SELECT node, round(rank, 6) AS rank, residual
+       |FROM top CROSS JOIN res ORDER BY rank DESC, node""".stripMargin
+  }
+
   /** Same integer power iteration (unit seeds → HUGEINT sums stay
     * exact through every sweep), same single end normalization — one
     * exact-int/exact-int division per node. */
@@ -1121,6 +1255,7 @@ object Graph {
         |SELECT node, hop, converged FROM v3 CROSS JOIN c ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(Sweeps),
+    "graph_ppr" -> pprSql(Sweeps),
     "graph_labelprop" -> labelPropSql(4),
     "graph_modularity" -> modularitySql(4),
     "graph_kcore" -> kcoreSql(KcoreK, KcoreSweeps),

@@ -308,6 +308,44 @@ object Quality {
         .orderBy(col("prio"), col("status"))
     }),
 
+    // Mutual information over the same categorical pair (the
+    // information-theoretic companion to profile_chisq: chi-square
+    // answers "is there association", MI answers "how many nats does
+    // knowing priority tell you about status" — the feature-selection
+    // number). Same O(cells) shape: ONE scan builds the k×m cell
+    // counts; marginals, per-cell pointwise MI, and the total all run
+    // on the cell table via broadcast joins. Arithmetic is the
+    // quantized-ln integer discipline (text_bm25 / profile_psi /
+    // text_char_entropy): pmi_q = lq(n) + lq(n_ij) − lq(r_i) − lq(c_j)
+    // is an exact long on the 1e-6 ln grid, the MI numerator
+    // Σ n_ij·pmi_q is an exact integer sum (order-free), and both
+    // surfaced doubles are single fixed divisions of identical
+    // integers — bit-identical cross-engine, no float accumulation.
+    "profile_mutual_info" -> ((s, dir) => {
+      val lq = (c: org.apache.spark.sql.Column) =>
+        round(log(c.cast("double")) * 1e6).cast("long")
+      val cells = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("obs"))
+      val rt = cells.groupBy(col("prio")).agg(sum(col("obs")).as("rt"))
+      val ct = cells.groupBy(col("status")).agg(sum(col("obs")).as("ct"))
+      val n = cells.agg(sum(col("obs")).as("n"))
+      val j = cells.join(broadcast(rt), Seq("prio"))
+        .join(broadcast(ct), Seq("status"))
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_q",
+          lq(col("n")) + lq(col("obs")) - lq(col("rt")) - lq(col("ct")))
+      val tot = j.agg(sum(col("obs") * col("pmi_q")).as("mi_q"),
+        first(col("n")).as("tn"))
+      j.crossJoin(broadcast(tot))
+        .select(col("prio"), col("status"), col("obs"),
+          (col("pmi_q").cast("double") / lit(1e6)).as("pmi"),
+          (col("mi_q").cast("double") /
+            (col("tn") * lit(1000000L)).cast("double")).as("mi_nats"))
+        .orderBy(col("prio"), col("status"))
+    }),
+
     // Per-segment revenue trend by closed-form least squares — the
     // statistical-modeling leg of the profile family (is this segment
     // growing?). Two tiny-keyed aggregates: monthly revenue per segment
@@ -362,6 +400,42 @@ object Quality {
     // threshold uses the unrounded values.
     "dq_outliers" -> ((s, dir) =>
       outlierReport(t(s, dir, "orders"), "o_orderpriority", "o_totalprice")),
+
+    // Source-to-target reconciliation (the migration/ingest audit every
+    // warehouse runs: "does the header total equal the sum of its
+    // lines?"): per order, o_totalprice against the exact-cents sum of
+    // its lineitems' extendedprice, rolled up per order status. ONE
+    // co-partitioned fact-fact join on the natural key (the lineitem
+    // side pre-aggregates to one row per order BEFORE the join — the
+    // shuffle carries order-grained partials, never lineitems), counts
+    // and diffs in exact integer cents end to end (no float compare
+    // can waffle), headerless/lineless orders surfaced as their own
+    // class instead of silently passing. At 100 TB both sides bucket
+    // on the order key and the join is exchange-free.
+    "dq_reconcile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("hdr_cents"))
+      val l = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("line_cents"), count(lit(1)).as("n_lines"))
+      o.join(l, Seq("o_orderkey"), "left")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("line_cents").isNull, 1L).otherwise(0L))
+            .as("n_no_lines"),
+          sum(when(col("line_cents") === col("hdr_cents"), 1L).otherwise(0L))
+            .as("n_matched"),
+          sum(when(col("line_cents").isNotNull &&
+            col("line_cents") =!= col("hdr_cents"), 1L).otherwise(0L))
+            .as("n_mismatched"),
+          max(abs(col("line_cents") - col("hdr_cents")))
+            .as("max_abs_diff_cents"),
+          sum(coalesce(col("line_cents") - col("hdr_cents"), lit(0L)))
+            .as("net_diff_cents"))
+        .orderBy(col("o_orderstatus"))
+    }),
 
     // Distribution-drift profile (population stability index — the
     // train/serve drift check a feature pipeline runs before trusting a
@@ -538,6 +612,72 @@ object Quality {
               .as("containment"),
             round(col("n_common").cast("double") /
               (col("nd_fk") + col("nd_pk") - col("n_common")), 6).as("jaccard"))
+      }.reduce(_ unionByName _).orderBy(col("fk_col"), col("pk_col"))
+    }),
+
+    // The 100 TB path profile_joinability names in its own contract:
+    // per-column Datasketches HLL sketches (lgK 14 → rsd ≈ 0.8%) built
+    // in ONE aggregate pass per table — wide-schema all-pairs
+    // discovery scans each table ONCE no matter how many candidate
+    // pairs it feeds, where the exact form pays a distinct + key join
+    // per pair. The overlap needs no key rescan at all: |A∩B| =
+    // est(A) + est(B) − est(A∪B), with the union a SCALAR hll_union
+    // of the two one-row sketch blobs (the profile_hll_union merge
+    // algebra applied across tables). Gated the q20 way: sketch
+    // estimates are engine-specific, so the OUTPUT is the exact
+    // profile (the same values profile_joinability carries) plus
+    // per-pair contract booleans — each cardinality estimate within
+    // 3% of exact (≈3.7σ at lgK 14), the inclusion-exclusion overlap
+    // within 5% of the exact UNION size (the union is the natural
+    // error scale of the subtraction; sketches are deterministic for
+    // fixed data, so the booleans are stable) — and the oracle
+    // expects exact values + all-true.
+    "profile_joinability_sketch" -> ((s, dir) => {
+      val cands = Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events", "user_id", "customer", "c_custkey"))
+      // one sketch pass per table covering every candidate column it
+      // contributes — the one-scan property the sketch path exists for
+      val tableCols = (cands.map(c => (c._1, c._2)) ++ cands.map(c => (c._3, c._4)))
+        .distinct.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      val sketches = tableCols.map { case (tb, cs) =>
+        tb -> t(s, dir, tb).agg(
+          expr(s"hll_sketch_agg(CAST(${cs.head} AS BIGINT), 14)")
+            .as(s"sk_${cs.head}"),
+          cs.tail.map(c =>
+            expr(s"hll_sketch_agg(CAST($c AS BIGINT), 14)").as(s"sk_$c")): _*)
+      }
+      cands.map { case (ft, fc, pt, pc) =>
+        // exact legs (the gate values — identical to profile_joinability)
+        val a = t(s, dir, ft).select(col(fc).cast("long").as("k")).distinct()
+        val b = t(s, dir, pt).select(col(pc).cast("long").as("k")).distinct()
+        val common = a.join(b, Seq("k")).agg(count(lit(1)).as("n_common"))
+        val est = sketches(ft).select(col(s"sk_$fc").as("sk_fk"))
+          .crossJoin(sketches(pt).select(col(s"sk_$pc").as("sk_pk")))
+          .select(
+            expr("hll_sketch_estimate(sk_fk)").cast("double").as("est_fk"),
+            expr("hll_sketch_estimate(sk_pk)").cast("double").as("est_pk"),
+            expr("hll_sketch_estimate(hll_union(sk_fk, sk_pk))")
+              .cast("double").as("est_union"))
+        a.agg(count(lit(1)).as("nd_fk"))
+          .crossJoin(broadcast(b.agg(count(lit(1)).as("nd_pk"))))
+          .crossJoin(broadcast(common))
+          .crossJoin(broadcast(est))
+          .select(lit(s"$ft.$fc").as("fk_col"), lit(s"$pt.$pc").as("pk_col"),
+            col("nd_fk"), col("nd_pk"), col("n_common"),
+            round(col("n_common").cast("double") / col("nd_fk"), 6)
+              .as("containment"),
+            (abs(col("est_fk") - col("nd_fk")) <= col("nd_fk") * 0.03)
+              .as("fk_ok"),
+            (abs(col("est_pk") - col("nd_pk")) <= col("nd_pk") * 0.03)
+              .as("pk_ok"),
+            (abs((col("est_fk") + col("est_pk") - col("est_union")) -
+              col("n_common")) <=
+              (col("nd_fk") + col("nd_pk") - col("n_common")) * 0.05)
+              .as("common_ok"))
       }.reduce(_ unionByName _).orderBy(col("fk_col"), col("pk_col"))
     }),
 
@@ -1130,6 +1270,60 @@ object Quality {
         |FROM c JOIN r USING (prio) JOIN k USING (status) CROSS JOIN t
         |ORDER BY prio, status""".stripMargin,
 
+    // Same cell table; quantized-ln longs (CAST(round(ln·1e6) AS
+    // BIGINT), the bm25/psi spelling) make pmi_q and the MI numerator
+    // exact integers, and both surfaced doubles are single fixed
+    // divisions of identical integers — unrounded, bit-identical.
+    "profile_mutual_info" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+        |    count(*) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT prio, CAST(sum(obs) AS BIGINT) AS rt FROM c GROUP BY 1),
+        |k AS (SELECT status, CAST(sum(obs) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM c),
+        |j AS (
+        |  SELECT c.prio, c.status, CAST(c.obs AS BIGINT) AS obs, t.n,
+        |    CAST(round(ln(t.n) * 1e6) AS BIGINT)
+        |      + CAST(round(ln(c.obs) * 1e6) AS BIGINT)
+        |      - CAST(round(ln(r.rt) * 1e6) AS BIGINT)
+        |      - CAST(round(ln(k.ct) * 1e6) AS BIGINT) AS pmi_q
+        |  FROM c JOIN r USING (prio) JOIN k USING (status) CROSS JOIN t),
+        |tot AS (SELECT CAST(sum(obs * pmi_q) AS BIGINT) AS mi_q FROM j)
+        |SELECT prio, status, obs,
+        |  CAST(pmi_q AS DOUBLE) / 1e6 AS pmi,
+        |  CAST(mi_q AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mi_nats
+        |FROM j CROSS JOIN tot ORDER BY prio, status""".stripMargin,
+
+    // Same pre-aggregated line cents, same left join, same exact-
+    // integer counters — every surfaced value is a long.
+    "dq_reconcile" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS line_cents,
+        |    count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_cents
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN l.line_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_no_lines,
+        |  CAST(sum(CASE WHEN l.line_cents = o.hdr_cents THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN l.line_cents IS NOT NULL
+        |                 AND l.line_cents <> o.hdr_cents
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+        |  CAST(max(abs(l.line_cents - o.hdr_cents)) AS BIGINT)
+        |    AS max_abs_diff_cents,
+        |  CAST(sum(coalesce(l.line_cents - o.hdr_cents, 0)) AS BIGINT)
+        |    AS net_diff_cents
+        |FROM o LEFT JOIN l USING (o_orderkey)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     // Slope from the same exact-integer moments — HUGEINT is DuckDB's
     // decimal(38) stand-in; identical integers cast to the identical
     // double, so the division is unrounded on both sides.
@@ -1314,6 +1508,35 @@ object Quality {
          |  round(CAST(n_common AS DOUBLE) / nd_fk, 6) AS containment,
          |  round(CAST(n_common AS DOUBLE) / (nd_fk + nd_pk - n_common), 6)
          |    AS jaccard
+         |FROM p ORDER BY fk_col, pk_col""".stripMargin
+    },
+
+    // The sketch estimates are engine-specific (Datasketches HLL), so
+    // the gate is the q20 contract: exact profile + all-true booleans —
+    // a sketch regression (or a broken union) flips a boolean and
+    // fails the driver's hash compare.
+    "profile_joinability_sketch" -> {
+      val cands = Seq(
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events", "user_id", "customer", "c_custkey"))
+      val branches = cands.map { case (ft, fc, pt, pc) =>
+        s"""SELECT '$ft.$fc' AS fk_col, '$pt.$pc' AS pk_col,
+           |  (SELECT count(DISTINCT $fc) FROM $ft) AS nd_fk,
+           |  (SELECT count(DISTINCT $pc) FROM $pt) AS nd_pk,
+           |  (SELECT count(*) FROM
+           |    (SELECT DISTINCT $fc AS k FROM $ft) a
+           |    JOIN (SELECT DISTINCT $pc AS k FROM $pt) b USING (k))
+           |    AS n_common""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS ($branches)
+         |SELECT fk_col, pk_col,
+         |  CAST(nd_fk AS BIGINT) AS nd_fk, CAST(nd_pk AS BIGINT) AS nd_pk,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  round(CAST(n_common AS DOUBLE) / nd_fk, 6) AS containment,
+         |  TRUE AS fk_ok, TRUE AS pk_ok, TRUE AS common_ok
          |FROM p ORDER BY fk_col, pk_col""".stripMargin
     },
 

@@ -110,6 +110,24 @@ class AnnSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == exact)
   }
 
+  test("ivfpq composes both tiers and holds the aggregate recall contract") {
+    // both gate corpora: the per-query-floor variant of this contract
+    // failed at sf0.01 (a query whose neighbors sit in unprobed lists
+    // legitimately starves — see ivfpqTopK's Scaladoc), so the spec
+    // pins the AGGREGATE contract at both sizes
+    for (sf <- Seq(TestSpark.Sf, TestSpark.SfMedium)) {
+      val rows = Similarity.queries("ann_ivfpq")(spark, sf).collect()
+      assert(rows.length == 100, s"$sf: ${rows.length}")
+      assert(rows.forall(_.getAs[Boolean]("ivfpq_ok")),
+        s"$sf: aggregate recall floor broken")
+      // the exact leg must literally be the brute-force result
+      val exact = Similarity.queries("ann_bruteforce")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        == exact, s"$sf: exact leg drifted")
+    }
+  }
+
   test("knn join builds a sane graph and agrees with brute force on queries") {
     val rows = Similarity.queries("ann_knn_join")(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)

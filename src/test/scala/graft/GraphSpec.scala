@@ -32,6 +32,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got("a") > got("b") && got("a") > got("c"))
   }
 
+  test("ppr concentrates on the seed cohort and leaves unreachables at exact zero") {
+    import spark.implicits._
+    // triangle a-b-c (seed a) plus a disconnected pair d-e: teleport
+    // mass returns only to a, so the walk never reaches d/e — their
+    // rank must be EXACTLY 0.0 (the sparse-vector contract), b and c
+    // are symmetric so their ranks must be bit-equal, and the seed
+    // outranks both.
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("node")
+    val und = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("d", "e"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = Graph.ppr(nodes, seeds, edges, Graph.Sweeps)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("d") == 0.0 && got("e") == 0.0, s"unreachable leaked: $got")
+    assert(got("b") == got("c"), "symmetric neighbors must tie exactly")
+    assert(got("a") > got("b"), "seed must outrank its neighbors")
+    // scalar reference replay (teleport 1 on a, damping 0.85)
+    var a = 1.0; var b = 0.0; var c = 0.0
+    for (_ <- 1 to Graph.Sweeps) {
+      val (ma, mb, mc) = (b / 2 + c / 2, a / 2 + c / 2, a / 2 + b / 2)
+      a = 0.15 + 0.85 * ma; b = 0.85 * mb; c = 0.85 * mc
+    }
+    assert(math.abs(got("a") - a) < 1e-9, s"seed: got ${got("a")}, want $a")
+    assert(math.abs(got("b") - b) < 1e-9)
+  }
+
   test("bfs assigns min-hop on a path graph and stops at the horizon") {
     import spark.implicits._
     // path a-b-c-d-e plus a shortcut a-c: c must land at hop 1 via the

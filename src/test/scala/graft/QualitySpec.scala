@@ -234,6 +234,63 @@ class QualitySpec extends AnyFunSuite {
     assert(math.abs(direct - 10000L) <= 500, s"estimate $direct vs 10000")
   }
 
+  test("joinability sketch path holds its contracts and matches the exact profile") {
+    val rows = Quality.queries("profile_joinability_sketch")(spark, TestSpark.Sf)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("fk_ok") && r.getAs[Boolean]("pk_ok") &&
+        r.getAs[Boolean]("common_ok"), s"contract broken: $r")
+    }
+    // the exact columns must be identical to the exact-path profile —
+    // the sketch path is a report-contract drop-in, not a new report
+    val exact = Quality.queries("profile_joinability")(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.foreach { r =>
+      assert(exact((r.getString(0), r.getString(1))) ==
+        (r.getLong(2), r.getLong(3), r.getLong(4)), s"exact leg drifted: $r")
+    }
+  }
+
+  test("mutual information reconciles with its own cells and marginals") {
+    val rows = Quality.queries("profile_mutual_info")(spark, TestSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // rebuild the quantized-ln arithmetic independently from the
+    // surfaced cells: marginals from the cell table, pmi_q per cell,
+    // MI as the exact integer rollup — every surfaced double must
+    // match the recomputation bit-for-bit
+    val cells = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val n = cells.map(_._3).sum
+    def lq(x: Long) = math.round(math.log(x.toDouble) * 1e6)
+    var miQ = 0L
+    rows.foreach { r =>
+      val (p, st, obs) = (r.getString(0), r.getString(1), r.getLong(2))
+      val pmiQ = lq(n) + lq(obs) - lq(rt(p)) - lq(ct(st))
+      assert(r.getDouble(3) == pmiQ.toDouble / 1e6, s"pmi drifted: $r")
+      miQ += obs * pmiQ
+    }
+    val mi = miQ.toDouble / (n * 1000000L).toDouble
+    rows.foreach(r => assert(r.getDouble(4) == mi, s"mi_nats drifted: $r"))
+  }
+
+  test("reconciliation counters partition the order population") {
+    val rows = Quality.queries("dq_reconcile")(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, noL, m, mm) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(n == noL + m + mm, s"counters don't partition: $r")
+      // a clean match class means a zero max diff (and vice versa for
+      // an all-matched group)
+      if (mm == 0 && m > 0) assert(r.getLong(5) == 0L, s"diff leaked: $r")
+    }
+  }
+
   test("bitmap_distinct equals countDistinct across partial/merge paths") {
     import TestSpark.spark.implicits._
     import graft.functions.expressions.GraftFunctions
