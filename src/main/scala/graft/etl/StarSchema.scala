@@ -190,6 +190,39 @@ object StarSchema {
         .orderBy(col("event_date"), col("event_type"))
     }),
 
+    // Partition-scheme evolution end-to-end (Iceberg partition
+    // evolution — see Lake.writeLayoutEpoch): the event lake starts
+    // date-partitioned, then evolves to (event_type, event_date) when
+    // type-selective queries become the dominant pattern — WITHOUT
+    // rewriting the date-partitioned history. The gate lands the two
+    // halves of the feed in their respective layouts, reads across
+    // both epochs, and filters on event_type + date: the new epoch
+    // prunes event_type directories at LISTING time, the old epoch
+    // date-prunes and row-group-filters the type — both halves of the
+    // answer must still agree with the plain table. Exact cents keep
+    // the aggregate engine-portable.
+    "etl_partition_evolution" -> ((s, dir) => {
+      val path = scratch("etl_partition_evolution")
+      // epochs accumulate by design — rebuild from empty for idempotence
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts"))).drop("ts")
+      Lake.writeLayoutEpoch(s,
+        ev.filter(col("event_date") <= lit("2024-01-15")),
+        path, Seq("event_date"))
+      Lake.writeLayoutEpoch(s,
+        ev.filter(col("event_date") > lit("2024-01-15")),
+        path, Seq("event_type", "event_date"))
+      Lake.readEvolvedLayouts(s, path)
+        .filter(col("event_type") === "purchase" &&
+          col("event_date") >= lit("2024-01-10"))
+        .groupBy(col("event_date").cast("date").as("event_date"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("event_date"))
+    }),
+
     // Semi-structured props parsing: the JSON column every event lake has
     // (reference's raw log payloads) — schema-on-read with from_json into
     // typed fields, aggregated. No UDF: from_json is codegen'd.
@@ -1118,6 +1151,16 @@ object StarSchema {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+
+    // A lossless cross-layout round trip must reproduce the plain
+    // table's aggregate — losing (or double-reading) either epoch
+    // breaks the count.
+    "etl_partition_evolution" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE event_type = 'purchase' AND CAST(ts AS DATE) >= DATE '2024-01-10'
+        |GROUP BY 1 ORDER BY event_date""".stripMargin,
 
     "etl_partitioned_write" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,

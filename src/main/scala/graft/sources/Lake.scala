@@ -464,6 +464,59 @@ object Lake {
     spark.read.parquet(s"$base/v=$v")
   }
 
+  /** Partition-scheme EVOLUTION (Iceberg's partition evolution — the
+    * spec-change a long-lived table inevitably needs): the table
+    * migrates its partition layout WITHOUT rewriting history. Each
+    * layout epoch is an immutable `layout=N` directory written with its
+    * own partitionBy columns plus a `_layout` sidecar naming them (the
+    * underscore prefix keeps it invisible to parquet scans, like
+    * _SUCCESS); old epochs keep serving reads in their old layout, new
+    * data lands in the new one. At 100 TB this is the only affordable
+    * migration — re-partitioning history is a full table rewrite, and
+    * the epoch boundary is exactly Iceberg's spec-id. Same staged-
+    * rename commit as writeVersion. */
+  def writeLayoutEpoch(spark: SparkSession, df: DataFrame, base: String,
+                       partitionCols: Seq[String]): Int = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val next = listLayoutEpochs(spark, base).lastOption.getOrElse(0) + 1
+    val stage = new org.apache.hadoop.fs.Path(base, s".staging-layout$next")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(stage.toString)
+    val sc = fs.create(new org.apache.hadoop.fs.Path(stage, "_layout"), true)
+    sc.write(partitionCols.mkString(",").getBytes("UTF-8")); sc.close()
+    val dest = new org.apache.hadoop.fs.Path(base, s"layout=$next")
+    require(fs.rename(stage, dest),
+      s"writeLayoutEpoch: publish rename of $stage to $dest failed")
+    next
+  }
+
+  /** Layout epochs under `base`, ascending — one directory LIST. */
+  def listLayoutEpochs(spark: SparkSession, base: String): Seq[Int] = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(basePath)) Seq.empty
+    else fs.listStatus(basePath).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("layout=") => n.drop(7).toInt }
+      .sorted
+  }
+
+  /** Cross-epoch read: ONE scan per epoch, unioned BY NAME — each
+    * epoch's partition columns materialize back from its own directory
+    * structure, so a predicate on a newly-added partition column
+    * directory-prunes the new epochs at listing time while the old
+    * epochs fall back to row-group stats on the same column. Column
+    * order differs per layout (partition columns trail); unionByName
+    * reconciles it. */
+  def readEvolvedLayouts(spark: SparkSession, base: String): DataFrame = {
+    val epochs = listLayoutEpochs(spark, base)
+    require(epochs.nonEmpty, s"readEvolvedLayouts: no epochs under $base")
+    epochs.map(n => spark.read.parquet(s"$base/layout=$n"))
+      .reduce(_ unionByName _)
+  }
+
   /** Roll a versioned table back to `version` by PUBLISHING that
     * snapshot again as the NEWEST version — never by deleting newer
     * versions: readers pinned to them stay undisturbed, the bad

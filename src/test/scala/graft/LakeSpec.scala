@@ -177,6 +177,41 @@ class LakeSpec extends AnyFunSuite {
       s"expected a partition filter on the scan:\n$scan")
   }
 
+  test("layout epochs evolve the partition spec without rewriting history") {
+    import spark.implicits._
+    val base = TestSpark.scratch("layout_evolution")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    val rows = Seq(
+      (1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"),
+      (3L, "a", "2024-01-20"), (4L, "b", "2024-01-21"))
+      .toDF("id", "typ", "d").withColumn("d", to_date(col("d")))
+    Lake.writeLayoutEpoch(spark, rows.filter(col("d") <= lit("2024-01-10")),
+      base, Seq("d"))
+    Lake.writeLayoutEpoch(spark, rows.filter(col("d") > lit("2024-01-10")),
+      base, Seq("typ", "d"))
+    // epoch dirs carry their OWN layouts (and document them)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base,
+      "layout=1/d=2024-01-01")), "epoch 1 must be date-partitioned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base,
+      "layout=2/typ=a/d=2024-01-20")), "epoch 2 must be (typ, d)-partitioned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(base, "layout=2/_layout")))
+    // the cross-epoch read is lossless
+    val back = Lake.readEvolvedLayouts(spark, base)
+      .select(col("id"), col("typ"), col("d")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toString)).toSet
+    assert(back == Set((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02"),
+      (3L, "a", "2024-01-20"), (4L, "b", "2024-01-21")))
+    // a predicate on the NEW partition column reaches the new epoch's
+    // scan as a partition filter (listing-time pruning)
+    val filtered = spark.read.parquet(s"$base/layout=2")
+      .filter(col("typ") === "a")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("typ"),
+      s"expected a typ partition filter on the epoch-2 scan:\n$plan")
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     val orders = sources.Lake.table(spark, TestSpark.Sf, "orders")
     val li = sources.Lake.table(spark, TestSpark.Sf, "lineitem")
