@@ -945,6 +945,27 @@ object StarSchema {
 
     // SQL surface (ETL_from_Notebook.py:255-278): temp views + spark.sql,
     // the reference's songplay query shape end-to-end in SQL.
+    // The SQL surface of graft's CUSTOM Catalyst expressions
+    // (GraftExtensions.injectFunction): the same codegen'd cosine/dot
+    // kernels the Column API uses, called from PURE SQL through a temp
+    // view — what a JDBC/thrift client of this engine runs. sql_surface
+    // proves built-in SQL works; this proves the injected functions are
+    // first-class in it (parser → analyzer → codegen, no Column API
+    // anywhere). Top-5 cutoff on the UNROUNDED cosine (the
+    // ann_bruteforce sequential-fold bit-parity pairing), vec_id
+    // tie-break; display values rounded with the +0.0 negative-zero
+    // guard since cosines/dots can be negative.
+    "sql_functions" -> ((s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("emb_fn")
+      s.sql(
+        """SELECT e.vec_id,
+          |       round(cosine_sim(q.embedding, e.embedding), 6) + 0.0 AS cos,
+          |       round(dot_product(q.embedding, e.embedding), 6) + 0.0 AS dot
+          |FROM emb_fn q JOIN emb_fn e ON q.vec_id = 0 AND e.vec_id <> 0
+          |ORDER BY cosine_sim(q.embedding, e.embedding) DESC, e.vec_id
+          |LIMIT 5""".stripMargin)
+    }),
+
     "sql_surface" -> ((s, dir) => {
       t(s, dir, "events").createOrReplaceTempView("ev")
       t(s, dir, "customer").createOrReplaceTempView("cust")
@@ -1322,6 +1343,25 @@ object StarSchema {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    // DuckDB's native list kernels replay the injected functions: the
+    // cosine/dot folds are sequential-order bit-identical (the
+    // ann_bruteforce / ann_mips pairings), so the unrounded cutoff and
+    // the 6dp display values agree exactly.
+    "sql_functions" ->
+      """SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                               CAST(e.embedding AS DOUBLE[])), 6) + 0.0
+        |    AS cos,
+        |  round(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[])), 6) + 0.0
+        |    AS dot
+        |FROM embeddings q JOIN embeddings e
+        |  ON q.vec_id = 0 AND e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) DESC,
+        |  e.vec_id
+        |LIMIT 5""".stripMargin,
 
     "sql_surface" ->
       """SELECT c.c_mktsegment AS segment,
