@@ -29,6 +29,24 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
 
+  /** Exact-grid sum for DATA-SCALE groups (the r11 sfx10 sweep lesson:
+    * q1_agg's 4dp disc-price sum flipped its last bits at 10× data —
+    * float accumulation error grows with group size while the rounding
+    * grid doesn't, so "round at the grid" stops saving table-sized
+    * sums at some scale factor). The per-row product of gridded
+    * decimals is quantized to its exact grid (the scaled value sits
+    * within ~1e-7 of an integer — round-to-integer is engine-identical,
+    * never near a half boundary) and summed in decimal(38,0) EXACT
+    * integer arithmetic (overflow-proof past sf1000, the profile_trend
+    * precedent); the one division back is identical-integers-to-
+    * identical-double in both engines. Bounded groups (per-order,
+    * per-part) keep the plain float sum — their error cannot grow. */
+  private def gridSum(x: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val f = math.pow(10, scale)
+    sum(round(x * f).cast(dec)).cast("double") / f
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Pricing-summary shape: full-scan grouped agg; partial aggregation
     // (map-side combine) means the shuffle carries ~6 rows per task at any
@@ -38,10 +56,13 @@ object Relational {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
+          // quantities are integer-valued doubles — their float sum is
+          // exact to 2^53; the price sums ride the gridSum discipline
+          // (table-scale groups, see gridSum)
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(gridSum(col("l_extendedprice"), 2), 2).as("sum_base_price"),
+          round(gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 4).as("sum_disc_price"),
+          round(gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6), 2).as("sum_charge"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           round(avg(col("l_extendedprice")), 2).as("avg_price"),
           round(avg(col("l_discount")), 2).as("avg_disc"),
@@ -101,7 +122,8 @@ object Relational {
         .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        // nation groups are table-scale — gridSum, not a float sum
+        .agg(round(gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -114,7 +136,8 @@ object Relational {
                 col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
                 col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
                 col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+        // one global group — the definitional data-scale sum
+        .agg(round(gridSum(col("l_extendedprice") * col("l_discount"), 4), 4).as("revenue"))
     }),
 
     // Window functions: one shuffle on the partition key serves all three
@@ -141,7 +164,9 @@ object Relational {
     "q8_rollup" -> ((s, dir) => {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("order_count"), round(sum(col("o_totalprice")), 2).as("total_price"))
+        // the grand-total rollup row is a table-scale sum — gridSum
+        .agg(count(lit(1)).as("order_count"),
+          round(gridSum(col("o_totalprice"), 2), 2).as("total_price"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
@@ -161,7 +186,8 @@ object Relational {
         .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(nation), sup("s_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("profit"))
+        // nation×year groups are table-scale — gridSum
+        .agg(round(gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 4).as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
@@ -2201,12 +2227,20 @@ object Relational {
         |             ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
+    // Price sums replay gridSum: per-row grid quantization to HUGEINT
+    // (DuckDB's decimal(38) stand-in), exact integer sums, one
+    // identical division back — the float-accumulation class the sfx10
+    // sweep caught on sum_disc_price cannot drift by construction.
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+        |        AS DOUBLE) / 100, 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |        AS HUGEINT)) AS DOUBLE) / 10000, 4) AS sum_disc_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) *
+        |        (1.0 + l_tax) * 1000000) AS HUGEINT)) AS DOUBLE) / 1000000, 2)
+        |    AS sum_charge,
         |  round(avg(l_quantity), 2) AS avg_qty,
         |  round(avg(l_extendedprice), 2) AS avg_price,
         |  round(avg(l_discount), 2) AS avg_disc,
@@ -2240,7 +2274,8 @@ object Relational {
 
     "q5_multijoin" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |        AS HUGEINT)) AS DOUBLE) / 10000, 4) AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -2252,7 +2287,8 @@ object Relational {
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q6_filter_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+        |        AS HUGEINT)) AS DOUBLE) / 10000, 4) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2272,14 +2308,16 @@ object Relational {
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
         |  count(*) AS order_count,
-        |  round(sum(o_totalprice), 2) AS total_price
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT))
+        |        AS DOUBLE) / 100, 2) AS total_price
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q9_profit" ->
       """SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS profit
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+        |        AS HUGEINT)) AS DOUBLE) / 10000, 4) AS profit
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey

@@ -224,12 +224,13 @@ class ScaleSpec extends AnyFunSuite {
     lakeQueries.foreach { k =>
       val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
         .queryExecution.optimizedPlan.toString
-      // ann_pq is the one sanctioned LocalRelation: its codebook trains
-      // driver-side on a bounded sample (FAISS train/assign split —
-      // see Similarity.trainCodebooksLocal) and re-enters the plan as a
-      // ≤128-row table. The corpus legs must still be distributed lake
-      // scans, which the Relation assertion below enforces.
-      if (k != "ann_pq")
+      // ann_pq and ann_ivfpq are the sanctioned LocalRelations: their
+      // codebooks train driver-side on a bounded sample (FAISS
+      // train/assign split — see Similarity.trainCodebooksLocal /
+      // localKmeansCodebooks) and re-enter the plan as ≤128-row
+      // tables. The corpus legs must still be distributed lake scans,
+      // which the Relation assertion below enforces.
+      if (k != "ann_pq" && k != "ann_ivfpq")
         assert(!plan.contains("LocalRelation"), s"$k materializes on the driver")
       // dedup_clusters' label table, graph_pagerank's rank table,
       // graph_bfs's visited table, and graph_labelprop's label table
@@ -238,7 +239,7 @@ class ScaleSpec extends AnyFunSuite {
       // roots are LogicalRDDs over DISTRIBUTED executor partitions, not
       // driver data, so they are the plans allowed to lack a lake
       // relation
-      if (Set("dedup_clusters", "graph_pagerank", "graph_bfs",
+      if (Set("dedup_clusters", "graph_pagerank", "graph_ppr", "graph_bfs",
           "graph_components", "graph_labelprop", "mm_cluster",
           "graph_sssp", "graph_kcore", "graph_hits")(k))
         assert(plan.contains("LogicalRDD"), k)
