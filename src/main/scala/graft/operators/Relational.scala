@@ -42,9 +42,17 @@ object Relational {
     * identical-double in both engines. Bounded groups (per-order,
     * per-part) keep the plain float sum — their error cannot grow. */
   private def gridSum(x: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val f = math.pow(10, scale)
-    sum(round(x * f).cast(dec)).cast("double") / f
+    // LONG sums for the 2dp/4dp grids: per-row ≤1e9 × sf1000's ~1.5e9
+    // rows/group ≈ 1.5e18 stays inside long range, and codegen'd long
+    // addition costs what the old double sum did. The 6dp charge grid
+    // (per-row ≤1e11) would overflow a long near sf100 — it pays the
+    // decimal(38,0) aggregate (the profile_trend overflow-proof path).
+    if (scale <= 4) sum(round(x * f).cast("long")).cast("double") / f
+    else {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      sum(round(x * f).cast(dec)).cast("double") / f
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
