@@ -203,6 +203,36 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer-fertility profile per language (r11 — the BPE-eval
+    // metric tokenizer reports quote: subword tokens per word and chars
+    // per token, by language; a tokenizer trained on one language
+    // over-fragments the others, and fertility is the report that
+    // shows by how much — it directly prices training compute per
+    // language). One scan with map-side partials reduces the corpus to
+    // k language rows of EXACT integer sums (per-doc token/word/char
+    // counts are integers); each surfaced ratio is one UNROUNDED
+    // division of identical integers — bit-identical cross-engine (the
+    // q32 lesson, no rounding grid needed).
+    "text_fertility" -> ((s, dir) => {
+      val ws = tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(ws).cast("long").as("words"),
+          expr(s"regexp_count(text, '$BpeishPattern')").cast("long").as("toks"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("n_words"),
+          sum(col("toks")).as("n_tokens"),
+          sum(col("chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+        .orderBy(col("lang"))
+    }),
+
     // Quality scoring: stopword / punctuation / uniqueness ratios blended
     // into one score — the usual cheap pre-filter before expensive dedup.
     "text_quality" -> ((s, dir) => {
@@ -1264,6 +1294,22 @@ object TextAnalysis {
          |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
          |        / len(string_split(text, ' ')), 4) AS avg_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same integer sums, same single unrounded divisions.
+    "text_fertility" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    len(string_split(text, ' ')) AS words,
+         |    len(regexp_extract_all(text, '$BpeishPattern')) AS toks,
+         |    length(text) AS chars
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(words) AS BIGINT) AS n_words,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(toks) AS DOUBLE) / CAST(sum(words) AS DOUBLE) AS fertility,
+         |  CAST(sum(chars) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+         |    AS chars_per_token
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_quality" ->
       s"""WITH d AS (

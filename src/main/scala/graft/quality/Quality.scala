@@ -401,6 +401,45 @@ object Quality {
     "dq_outliers" -> ((s, dir) =>
       outlierReport(t(s, dir, "orders"), "o_orderpriority", "o_totalprice")),
 
+    // GDPR Article-15 subject-access inventory (the READ sibling of
+    // etl_delete's erasure: before a controller can delete or export a
+    // cohort's data, it must know how many rows each table holds about
+    // them and their financial footprint). One aggregate per table
+    // against the BROADCAST subject-key set — the lineitem leg rides
+    // the co-partitioned orderkey star join the lake already keys; at
+    // 100 TB the cohort filter is exactly the bloom/DPP runtime-filter
+    // shape etl_bloom_join pins, so no table scans more than once and
+    // nothing row-sized shuffles. Exact cents everywhere (the cohort's
+    // rows grow with the corpus — the gridSum discipline, inline).
+    "dq_subject_report" -> ((s, dir) => {
+      val subjects = t(s, dir, "customer").filter(col("c_nationkey") === 3)
+        .select(col("c_custkey").as("k"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(subjects), col("c_custkey") === col("k"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
+        .select(lit("customer").as("tbl"), col("n_rows"), col("cents"))
+      val ord = t(s, dir, "orders")
+        .join(broadcast(subjects), col("o_custkey") === col("k"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .select(lit("orders").as("tbl"), col("n_rows"), col("cents"))
+      val ev = t(s, dir, "events")
+        .join(broadcast(subjects), col("user_id") === col("k"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(lit("events").as("tbl"), col("n_rows"), col("cents"))
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(subjects), col("o_custkey") === col("k"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .select(lit("lineitem").as("tbl"), col("n_rows"), col("cents"))
+      cust.unionByName(ord).unionByName(ev).unionByName(li)
+        .orderBy(col("tbl"))
+    }),
+
     // Source-to-target reconciliation (the migration/ingest audit every
     // warehouse runs: "does the header total equal the sum of its
     // lines?"): per order, o_totalprice against the exact-cents sum of
@@ -1294,6 +1333,28 @@ object Quality {
         |  CAST(pmi_q AS DOUBLE) / 1e6 AS pmi,
         |  CAST(mi_q AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mi_nats
         |FROM j CROSS JOIN tot ORDER BY prio, status""".stripMargin,
+
+    // Same per-table cohort joins, same exact-cents longs.
+    "dq_subject_report" ->
+      """WITH s AS (SELECT c_custkey AS k FROM customer
+        |           WHERE c_nationkey = 3)
+        |SELECT 'customer' AS tbl, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM customer JOIN s ON c_custkey = k
+        |UNION ALL
+        |SELECT 'events', count(*),
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |FROM events JOIN s ON user_id = k
+        |UNION ALL
+        |SELECT 'lineitem', count(*),
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN s ON o_custkey = k
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders JOIN s ON o_custkey = k
+        |ORDER BY tbl""".stripMargin,
 
     // Same pre-aggregated line cents, same left join, same exact-
     // integer counters — every surfaced value is a long.

@@ -278,6 +278,20 @@ class QualitySpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(4) == mi, s"mi_nats drifted: $r"))
   }
 
+  test("subject report row counts match direct cohort filters") {
+    import org.apache.spark.sql.functions._
+    val rows = Quality.queries("dq_subject_report")(spark, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set("customer", "orders", "events", "lineitem"))
+    val subjects = graft.sources.Lake.table(spark, TestSpark.Sf, "customer")
+      .filter(col("c_nationkey") === 3).select(col("c_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    val directOrders = graft.sources.Lake.table(spark, TestSpark.Sf, "orders")
+      .select("o_custkey").collect().count(r => subjects(r.getLong(0)))
+    assert(rows("customer") == subjects.size.toLong, rows.toString)
+    assert(rows("orders") == directOrders.toLong, rows.toString)
+  }
+
   test("reconciliation counters partition the order population") {
     val rows = Quality.queries("dq_reconcile")(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)

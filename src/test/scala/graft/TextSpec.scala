@@ -58,6 +58,28 @@ class TextSpec extends AnyFunSuite {
     assert(plan.contains("bkt"), s"expected bucketed window partitioning in:\n$plan")
   }
 
+  test("fertility reconciles with per-document stats rolled up by language") {
+    import graft.functions.TextAnalysis
+    val stats = TextAnalysis.queries("text_stats")(spark, TestSpark.Sf)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens").toLong, r.getAs[Int]("n_bpeish").toLong)).toMap
+    val langs = graft.sources.Lake.table(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis.queries("text_fertility")(spark, TestSpark.Sf)
+      .collect()
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      // .toSeq first: collect-of-pairs on a Map would rebuild a Map and
+      // silently dedup docs that share a token count
+      val docs = langs.toSeq.collect { case (d, l) if l == lang => stats(d) }
+      val (w, tk) = (docs.map(_._1).sum, docs.map(_._2).sum)
+      assert(r.getLong(2) == w && r.getLong(3) == tk, s"sums drifted: $r")
+      assert(r.getDouble(4) == tk.toDouble / w.toDouble, s"fertility drifted: $r")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("text_boilerplate flags repeated content and passes varied content") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
