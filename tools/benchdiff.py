@@ -3,13 +3,18 @@
 
     python3 tools/benchdiff.py old.json new.json [--threshold 1.3]
 
-Reports per-key time ratios beyond the threshold and ANY shuffle-bytes
-change: wall time at small SFs is noisy, but shuffle bytes are
-deterministic for a fixed plan + data, so a byte delta is a plan change
-(new exchange, changed partitioning, different pre-aggregation), not
-noise. Exits nonzero if shuffle bytes regressed (grew) on any key.
+Reports per-key time ratios beyond the threshold and shuffle-bytes
+changes: wall time at small SFs is noisy, but shuffle ROW VOLUME is
+deterministic for a fixed plan + data — the BYTE count wobbles a few
+dozen bytes run-to-run (compression context depends on partition
+arrival order), so growth below max(2%, 4 KB) is treated as codec
+noise, and anything above it is a plan change (new exchange, changed
+partitioning, lost pre-aggregation). Exits nonzero if shuffle bytes
+regressed (grew past the noise floor) on any key.
 """
 import json, sys
+
+NOISE_FRAC, NOISE_ABS = 0.02, 4096
 
 def main():
     old_p, new_p = sys.argv[1], sys.argv[2]
@@ -17,7 +22,15 @@ def main():
         if "--threshold" in sys.argv else 1.3
     old, new = json.load(open(old_p)), json.load(open(new_p))
     ot, nt = old.get("queries", {}), new.get("queries", {})
-    os_, ns = old.get("shuffle_bytes", {}), new.get("shuffle_bytes", {})
+    # prefer shuffle RECORDS when both dumps carry them: exact for a
+    # fixed plan + data (zero tolerance), where the byte count wobbles
+    # with compression context
+    if old.get("shuffle_records") and new.get("shuffle_records"):
+        os_, ns = old["shuffle_records"], new["shuffle_records"]
+        noise_frac, noise_abs = 0.0, 0
+    else:
+        os_, ns = old.get("shuffle_bytes", {}), new.get("shuffle_bytes", {})
+        noise_frac, noise_abs = NOISE_FRAC, NOISE_ABS
     keys = sorted(set(nt) & set(ot))
     added = sorted(set(nt) - set(ot))
     removed = sorted(set(ot) - set(nt))
@@ -28,9 +41,11 @@ def main():
             print(f"time  {k}: {t0:.3f}s -> {t1:.3f}s ({t1 / t0:.2f}x)")
         s0, s1 = os_.get(k), ns.get(k)
         if s0 is not None and s1 is not None and s0 != s1:
-            tag = "GREW" if s1 > s0 else "shrank"
-            print(f"shuf  {k}: {s0} -> {s1} bytes ({tag})")
-            if s1 > s0:
+            regressed = s1 > s0 + max(noise_abs, noise_frac * s0)
+            if regressed or s1 < s0 - max(noise_abs, noise_frac * s0):
+                tag = "GREW" if regressed else "shrank"
+                print(f"shuf  {k}: {s0} -> {s1} bytes ({tag})")
+            if regressed:
                 grew.append(k)
     if added:
         print(f"added keys: {', '.join(added)}")
