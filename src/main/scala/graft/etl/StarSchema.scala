@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Lake
+import graft.operators.Relational.gridSum
 
 /** Reference ETL surface (SURVEY.md §A): the data-lake star-schema pipeline
   * of the reference (etl.py / ETL_from_Notebook.py) re-expressed Spark-first
@@ -55,14 +56,14 @@ object StarSchema {
   /** Oracle twin of [[ingestSummary]] — one definition for every ingest
     * round-trip format, so a summary change can't skew the copies. */
   private val IngestSummarySql =
-    """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+    """SELECT event_type, count(*) AS cnt, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value,
       |  min(ts) AS min_ts, max(ts) AS max_ts
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private def ingestSummary(ev: DataFrame): DataFrame =
     ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"),
-           round(sum(col("value")), 2).as("sum_value"),
+           round(gridSum(col("value"), 2), 2).as("sum_value"),
            min(col("ts")).as("min_ts"),
            max(col("ts")).as("max_ts"))
       .orderBy(col("event_type"))
@@ -186,7 +187,7 @@ object StarSchema {
         .filter(col("event_date") >= lit("2024-01-10") &&
                 col("event_date") <= lit("2024-01-12"))
         .groupBy(col("event_date").cast("date").as("event_date"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), round(gridSum(col("value"), 2), 2).as("sum_value"))
         .orderBy(col("event_date"), col("event_type"))
     }),
 
@@ -291,7 +292,7 @@ object StarSchema {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+             round(gridSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -428,7 +429,7 @@ object StarSchema {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("user_id")).as("n_users"),
-          round(sum(col("value")), 2).as("sum_value"))
+          round(gridSum(col("value"), 2), 2).as("sum_value"))
         .orderBy(col("event_type"))
     }),
 
@@ -675,7 +676,7 @@ object StarSchema {
       graft.operators.Skew.saltedJoin(orders, cust, "o_custkey", "c_custkey", salt = 8)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-             round(sum(col("o_totalprice")), 2).as("revenue"))
+             round(gridSum(col("o_totalprice"), 2), 2).as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -698,7 +699,7 @@ object StarSchema {
         .filter(col("o_custkey").between(100, 500) &&
                 col("o_orderkey").between(1000, 50000))
         .agg(count(lit(1)).as("n_orders"),
-             round(sum(col("o_totalprice")), 2).as("revenue"),
+             round(gridSum(col("o_totalprice"), 2), 2).as("revenue"),
              min(col("o_orderkey")).as("min_okey"),
              max(col("o_orderkey")).as("max_okey"))
     }),
@@ -717,7 +718,7 @@ object StarSchema {
         path, Seq("event_date"))
       Lake.readSince(s, path, "event_date", java.sql.Date.valueOf("2024-01-15"))
         .groupBy(col("event_date").cast("date").as("event_date"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), round(gridSum(col("value"), 2), 2).as("sum_value"))
         .orderBy(col("event_date"), col("event_type"))
     }),
 
@@ -734,7 +735,7 @@ object StarSchema {
       Lake.compactInPlace(s, path, targetMB = 128)
       s.read.parquet(path)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), round(gridSum(col("value"), 2), 2).as("sum_value"))
         .orderBy(col("event_type"))
     }),
 
@@ -755,15 +756,18 @@ object StarSchema {
       Lake.writeParquet(
         ev.filter(col("event_date") <= cutoff)
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value")),
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("value") * 100).cast("long")).as("cents")),
         path)
       val delta = ev.filter(col("event_date") > cutoff)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
       s.read.parquet(path).unionByName(delta)
         .groupBy(col("event_type"))
+        // partials are exact cents longs, so the combine is exact too
         .agg(sum(col("cnt")).as("cnt"),
-          round(sum(col("sum_value")), 2).as("sum_value"))
+          round(sum(col("cents")).cast("double") / 100, 2).as("sum_value"))
         .orderBy(col("event_type"))
     }),
 
@@ -798,7 +802,7 @@ object StarSchema {
         .groupBy(when(col("_corrupt").isNotNull, lit("_corrupt"))
           .otherwise(col("event_type")).as("bucket"))
         .agg(count(lit(1)).as("cnt"),
-             round(sum(col("value")), 2).as("sum_value"))
+             round(gridSum(col("value"), 2), 2).as("sum_value"))
         .orderBy(col("bucket"))
     }),
 
@@ -823,7 +827,7 @@ object StarSchema {
       Lake.writeStatsIndex(s, path, "o_totalprice")
       Lake.readSkippingBetween(s, path, "o_totalprice", 50000.0, 100000.0)
         .agg(count(lit(1)).as("n_orders"),
-             round(sum(col("o_totalprice")), 2).as("revenue"),
+             round(gridSum(col("o_totalprice"), 2), 2).as("revenue"),
              round(min(col("o_totalprice")), 2).as("min_tp"),
              round(max(col("o_totalprice")), 2).as("max_tp"))
     }),
@@ -851,7 +855,7 @@ object StarSchema {
       fact.join(broadcast(dim), fact("event_date") === dim("d"))
         .groupBy(col("event_date"))
         .agg(count(lit(1)).as("cnt"),
-             round(sum(col("value")), 2).as("sum_value"))
+             round(gridSum(col("value"), 2), 2).as("sum_value"))
         .orderBy(col("event_date"))
     }),
 
@@ -939,7 +943,7 @@ object StarSchema {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(month(col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_orders"),
-             round(sum(col("o_totalprice")), 2).as("revenue"))
+             round(gridSum(col("o_totalprice"), 2), 2).as("revenue"))
         .orderBy(col("month"))
     }),
 
@@ -973,7 +977,7 @@ object StarSchema {
         """SELECT c.c_mktsegment AS segment,
           |       month(e.ts) AS month,
           |       count(*) AS n_purchases,
-          |       round(sum(e.value), 2) AS revenue,
+          |       round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
           |       count(DISTINCT e.user_id) AS n_users
           |FROM ev e JOIN cust c ON e.user_id = c.c_custkey
           |WHERE e.event_type = 'purchase'
@@ -1086,15 +1090,16 @@ object StarSchema {
       """SELECT CASE WHEN event_id % 97 = 0 THEN '_corrupt'
         |            ELSE event_type END AS bucket,
         |  count(*) AS cnt,
-        |  round(sum(CASE WHEN event_id % 97 = 0 THEN NULL
-        |                 ELSE value END), 2) AS sum_value
+        |  round(CAST(sum(CASE WHEN event_id % 97 = 0 THEN NULL
+        |                 ELSE CAST(round(value * 100) AS BIGINT) END)
+        |        AS DOUBLE) / 100, 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // The file-skipping read must be result-invariant: same band
     // aggregate over the raw table.
     "etl_stats_prune" ->
       """SELECT count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
         |  round(min(o_totalprice), 2) AS min_tp,
         |  round(max(o_totalprice), 2) AS max_tp
         |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
@@ -1120,7 +1125,7 @@ object StarSchema {
     // never appears.
     "etl_bloom_join" ->
       """SELECT month(o_orderdate) AS month, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1 ORDER BY month""".stripMargin,
@@ -1129,7 +1134,7 @@ object StarSchema {
     // etl_time_dim oracle corrects.
     "etl_dpp_join" ->
       """SELECT CAST(ts AS DATE) AS event_date, count(*) AS cnt,
-        |  round(sum(value), 2) AS sum_value
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |FROM events
         |WHERE dayofweek(CAST(ts AS DATE)) IN (0, 6)
         |GROUP BY 1 ORDER BY event_date""".stripMargin,
@@ -1185,7 +1190,7 @@ object StarSchema {
 
     "etl_partitioned_write" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  count(*) AS cnt, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |FROM events
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
         |  AND CAST(ts AS DATE) <= DATE '2024-01-12'
@@ -1203,7 +1208,7 @@ object StarSchema {
 
     "etl_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -1283,27 +1288,27 @@ object StarSchema {
         |FROM p CROSS JOIN t ORDER BY event_date""".stripMargin,
 
     "etl_zorder_read" ->
-      """SELECT count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT count(*) AS n_orders, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
         |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 500
         |  AND o_orderkey BETWEEN 1000 AND 50000""".stripMargin,
 
     "etl_compact_read" ->
-      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS cnt, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
     "etl_incremental_agg" ->
-      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS cnt, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 
     "etl_incremental_read" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  count(*) AS cnt, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |FROM events
         |WHERE CAST(ts AS DATE) > DATE '2024-01-15'
         |GROUP BY 1, 2
@@ -1314,7 +1319,7 @@ object StarSchema {
     "etl_delete" ->
       """SELECT event_type, count(*) AS cnt,
         |  count(DISTINCT user_id) AS n_users,
-        |  round(sum(value), 2) AS sum_value
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |FROM events
         |WHERE user_id NOT IN
         |  (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
@@ -1339,7 +1344,7 @@ object StarSchema {
 
     "etl_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS revenue
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
@@ -1367,7 +1372,7 @@ object StarSchema {
       """SELECT c.c_mktsegment AS segment,
         |  month(e.ts) AS month,
         |  count(*) AS n_purchases,
-        |  round(sum(e.value), 2) AS revenue,
+        |  round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
         |  count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_type = 'purchase'

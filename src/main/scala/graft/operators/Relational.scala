@@ -41,7 +41,7 @@ object Relational {
     * precedent); the one division back is identical-integers-to-
     * identical-double in both engines. Bounded groups (per-order,
     * per-part) keep the plain float sum — their error cannot grow. */
-  private def gridSum(x: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+  private[graft] def gridSum(x: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
     val f = math.pow(10, scale)
     // LONG sums for the 2dp/4dp grids: per-row ≤1e9 × sf1000's ~1.5e9
     // rows/group ≈ 1.5e18 stays inside long range, and codegen'd long
@@ -224,7 +224,7 @@ object Relational {
       cust.join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("cust_count"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+        .agg(count(lit(1)).as("cust_count"), round(gridSum(col("c_acctbal"), 2), 2).as("acctbal_sum"))
         .orderBy(col("n_name"))
     }),
 
@@ -298,7 +298,7 @@ object Relational {
       t(s, dir, "events")
         .groupBy(to_date(col("ts")).as("event_date"))
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(round(sum(col("value")), 2))
+        .agg(round(gridSum(col("value"), 2), 2))
         .orderBy(col("event_date"))
     }),
 
@@ -357,7 +357,7 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("total_revenue"))
+        .agg(round(gridSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4), 4).as("total_revenue"))
       val sup = t(s, dir, "supplier")
       val maxRev = rev.agg(max(col("total_revenue")).as("mr"))
       rev.crossJoin(broadcast(maxRev))
@@ -390,7 +390,7 @@ object Relational {
         .filter(col("c_acctbal") > col("ab"))
         .join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"), round(gridSum(col("c_acctbal"), 2), 2).as("totacctbal"))
         .orderBy(col("c_nationkey"))
     }),
 
@@ -400,7 +400,7 @@ object Relational {
       t(s, dir, "events")
         .withColumn("weekday", dayofweek(col("ts")))
         .cube(col("event_type"), col("weekday"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), round(gridSum(col("value"), 2), 2).as("sum_value"))
         .select(
           coalesce(col("event_type"), lit("ALL")).as("event_type"),
           coalesce(col("weekday"), lit(-1)).as("weekday"),
@@ -628,7 +628,9 @@ object Relational {
           "measure", "val")
         .groupBy(col("measure"))
         .agg(count(lit(1)).as("cnt"),
-             round(sum(col("val")), 2).as("total"),
+             // all four measures sit on the 2dp grid (quantity is
+             // integral) — table-scale groups take the gridSum path
+             round(gridSum(col("val"), 2), 2).as("total"),
              round(avg(col("val")), 4).as("mean"))
         .orderBy(col("measure"))),
 
@@ -735,7 +737,7 @@ object Relational {
         .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
       val types = ev.select(col("event_type")).distinct()
       val actual = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"), round(gridSum(col("value"), 2), 2).as("sum_value"))
       spine.crossJoin(broadcast(types))
         .join(broadcast(actual), Seq("day", "event_type"), "left")
         .select(col("day").cast("string").as("day"), col("event_type"),
@@ -2205,7 +2207,7 @@ object Relational {
         |          FROM b),
         |types AS (SELECT DISTINCT event_type FROM events),
         |actual AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt,
-        |             round(sum(value), 2) AS sum_value
+        |             round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |           FROM events GROUP BY 1, 2)
         |SELECT CAST(s.day AS VARCHAR) AS day, t.event_type,
         |  coalesce(a.cnt, 0) AS cnt, coalesce(a.sum_value, 0.0) AS sum_value
@@ -2347,7 +2349,7 @@ object Relational {
 
     "q10_antijoin" ->
       """SELECT n_name, count(*) AS cust_count,
-        |  round(sum(c_acctbal), 2) AS acctbal_sum
+        |  round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS acctbal_sum
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
@@ -2394,11 +2396,11 @@ object Relational {
 
     "q19_pivot" ->
       """SELECT CAST(ts AS DATE) AS event_date,
-        |  round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click,
-        |  round(sum(value) FILTER (WHERE event_type = 'error'), 2) AS error,
-        |  round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase,
-        |  round(sum(value) FILTER (WHERE event_type = 'signup'), 2) AS signup,
-        |  round(sum(value) FILTER (WHERE event_type = 'view'), 2) AS view
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'click') AS DOUBLE) / 100, 2) AS click,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'error') AS DOUBLE) / 100, 2) AS error,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'purchase') AS DOUBLE) / 100, 2) AS purchase,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'signup') AS DOUBLE) / 100, 2) AS signup,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) FILTER (WHERE event_type = 'view') AS DOUBLE) / 100, 2) AS view
         |FROM events
         |GROUP BY 1
         |ORDER BY event_date""".stripMargin,
@@ -2442,7 +2444,7 @@ object Relational {
     "q15_maxrev" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+        |    round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / 10000, 4) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -2460,7 +2462,7 @@ object Relational {
 
     "q22_notin" ->
       """SELECT c_nationkey, count(*) AS numcust,
-        |  round(sum(c_acctbal), 2) AS totacctbal
+        |  round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
@@ -2470,7 +2472,7 @@ object Relational {
     "q24_cube" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(dayofweek(ts) + 1, -1) AS weekday,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  count(*) AS cnt, round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |FROM events
         |GROUP BY CUBE (event_type, dayofweek(ts) + 1)
         |ORDER BY event_type, weekday""".stripMargin,
@@ -2572,7 +2574,8 @@ object Relational {
 
     "q28_unpivot" ->
       """SELECT measure, count(*) AS cnt,
-        |  round(sum(val), 2) AS total, round(avg(val), 4) AS mean
+        |  round(CAST(sum(CAST(round(val * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |    AS total, round(avg(val), 4) AS mean
         |FROM (
         |  SELECT 'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS val FROM lineitem
         |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
