@@ -448,9 +448,14 @@ object Quality {
     // side pre-aggregates to one row per order BEFORE the join — the
     // shuffle carries order-grained partials, never lineitems), counts
     // and diffs in exact integer cents end to end (no float compare
-    // can waffle), headerless/lineless orders surfaced as their own
-    // class instead of silently passing. At 100 TB both sides bucket
-    // on the order key and the join is exchange-free.
+    // can waffle). BOTH orphan classes surface: lineless orders get a
+    // per-status n_no_lines counter, and headerless lines (lineitems
+    // whose order key matches no header — impossible in this star
+    // schema, so the counter is load-bearing zero against ingest
+    // regressions) ride the FULL-outer join into their own '<orphan>'
+    // status class instead of being silently dropped (r11 ADVICE). At
+    // 100 TB both sides bucket on the order key and the join is
+    // exchange-free.
     "dq_reconcile" -> ((s, dir) => {
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"),
@@ -459,11 +464,15 @@ object Quality {
         .groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .as("line_cents"), count(lit(1)).as("n_lines"))
-      o.join(l, Seq("o_orderkey"), "left")
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(when(col("line_cents").isNull, 1L).otherwise(0L))
-            .as("n_no_lines"),
+      o.join(l, Seq("o_orderkey"), "full")
+        .groupBy(coalesce(col("o_orderstatus"), lit("<orphan>"))
+          .as("o_orderstatus"))
+        .agg(sum(when(col("hdr_cents").isNotNull, 1L).otherwise(0L))
+            .as("n_orders"),
+          sum(when(col("hdr_cents").isNull, 1L).otherwise(0L))
+            .as("n_orphan_lines"),
+          sum(when(col("hdr_cents").isNotNull && col("line_cents").isNull,
+            1L).otherwise(0L)).as("n_no_lines"),
           sum(when(col("line_cents") === col("hdr_cents"), 1L).otherwise(0L))
             .as("n_matched"),
           sum(when(col("line_cents").isNotNull &&
@@ -1356,8 +1365,9 @@ object Quality {
         |FROM orders JOIN s ON o_custkey = k
         |ORDER BY tbl""".stripMargin,
 
-    // Same pre-aggregated line cents, same left join, same exact-
-    // integer counters — every surfaced value is a long.
+    // Same pre-aggregated line cents, same FULL-outer join, same exact-
+    // integer counters — every surfaced value is a long; headerless
+    // lines class under '<orphan>' on both sides.
     "dq_reconcile" ->
       """WITH l AS (
         |  SELECT l_orderkey AS o_orderkey,
@@ -1369,10 +1379,13 @@ object Quality {
         |  SELECT o_orderkey, o_orderstatus,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS hdr_cents
         |  FROM orders)
-        |SELECT o_orderstatus,
-        |  count(*) AS n_orders,
-        |  CAST(sum(CASE WHEN l.line_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_no_lines,
+        |SELECT coalesce(o_orderstatus, '<orphan>') AS o_orderstatus,
+        |  CAST(sum(CASE WHEN o.hdr_cents IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN o.hdr_cents IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_orphan_lines,
+        |  CAST(sum(CASE WHEN o.hdr_cents IS NOT NULL AND l.line_cents IS NULL
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
         |  CAST(sum(CASE WHEN l.line_cents = o.hdr_cents THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_matched,
         |  CAST(sum(CASE WHEN l.line_cents IS NOT NULL
@@ -1382,8 +1395,8 @@ object Quality {
         |    AS max_abs_diff_cents,
         |  CAST(sum(coalesce(l.line_cents - o.hdr_cents, 0)) AS BIGINT)
         |    AS net_diff_cents
-        |FROM o LEFT JOIN l USING (o_orderkey)
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        |FROM o FULL OUTER JOIN l USING (o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Slope from the same exact-integer moments — HUGEINT is DuckDB's
     // decimal(38) stand-in; identical integers cast to the identical

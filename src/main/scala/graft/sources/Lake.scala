@@ -509,12 +509,15 @@ object Lake {
     * directory-prunes the new epochs at listing time while the old
     * epochs fall back to row-group stats on the same column. Column
     * order differs per layout (partition columns trail); unionByName
-    * reconciles it. */
+    * reconciles it, and allowMissingColumns null-backfills epochs
+    * that also added or dropped a DATA column (the combined
+    * schema+partition evolution Iceberg supports — r11 ADVICE; the
+    * strict variant threw on exactly that common case). */
   def readEvolvedLayouts(spark: SparkSession, base: String): DataFrame = {
     val epochs = listLayoutEpochs(spark, base)
     require(epochs.nonEmpty, s"readEvolvedLayouts: no epochs under $base")
     epochs.map(n => spark.read.parquet(s"$base/layout=$n"))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Roll a versioned table back to `version` by PUBLISHING that

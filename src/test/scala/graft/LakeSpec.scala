@@ -210,6 +210,20 @@ class LakeSpec extends AnyFunSuite {
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("typ"),
       s"expected a typ partition filter on the epoch-2 scan:\n$plan")
+    // combined schema+partition evolution (the Iceberg-supported case):
+    // a third epoch ADDS a data column; the cross-epoch read must
+    // null-backfill the older epochs, not throw
+    Lake.writeLayoutEpoch(spark,
+      Seq((5L, "c", "2024-02-01", 9.5)).toDF("id", "typ", "d", "score")
+        .withColumn("d", to_date(col("d"))),
+      base, Seq("typ", "d"))
+    val evolved = Lake.readEvolvedLayouts(spark, base)
+    assert(evolved.columns.contains("score"), "new data column must surface")
+    val byId = evolved.select(col("id"), col("score")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(byId(5L).contains(9.5) && byId(1L).isEmpty,
+      s"old epochs must null-backfill the added column: $byId")
   }
 
   test("bucketed tables join without an exchange on the bucket key") {

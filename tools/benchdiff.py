@@ -27,10 +27,10 @@ def main():
     # with compression context
     if old.get("shuffle_records") and new.get("shuffle_records"):
         os_, ns = old["shuffle_records"], new["shuffle_records"]
-        noise_frac, noise_abs = 0.0, 0
+        noise_frac, noise_abs, unit = 0.0, 0, "records"
     else:
         os_, ns = old.get("shuffle_bytes", {}), new.get("shuffle_bytes", {})
-        noise_frac, noise_abs = NOISE_FRAC, NOISE_ABS
+        noise_frac, noise_abs, unit = NOISE_FRAC, NOISE_ABS, "bytes"
     keys = sorted(set(nt) & set(ot))
     added = sorted(set(nt) - set(ot))
     removed = sorted(set(ot) - set(nt))
@@ -44,7 +44,7 @@ def main():
             regressed = s1 > s0 + max(noise_abs, noise_frac * s0)
             if regressed or s1 < s0 - max(noise_abs, noise_frac * s0):
                 tag = "GREW" if regressed else "shrank"
-                print(f"shuf  {k}: {s0} -> {s1} bytes ({tag})")
+                print(f"shuf  {k}: {s0} -> {s1} {unit} ({tag})")
             if regressed:
                 grew.append(k)
     if added:
