@@ -1,24 +1,69 @@
 package graft
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.SparkSession
 
-/** Plan audit: dump the formatted physical plan of every SparkEntry query
-  * (non-materializing ones) to target/explain/<name>.txt for review. */
+/** Plan audit: dump the formatted physical plan of EVERY SparkEntry
+  * query to target/explain/<name>.txt for review.
+  *
+  * Side-effectful keys (lake round-trips, streaming materializations)
+  * RUN here — their scratch lives under /root/repo/target/graft-scratch
+  * and every write is overwrite-idempotent (Verify runs them each round
+  * already), so the audit dumps their final-read plan instead of
+  * skipping them (r11 VERDICT #2 closed the 33-dump gap). Streaming
+  * keys additionally carry the last micro-batch EXECUTED plan captured
+  * by Streams.materialize — the stateful shape the final-read batch
+  * plan can't show. stream_session is deliberately micro-batch-free:
+  * it is the BATCH path of the shared sessionize fold (the streaming
+  * path is asserted equal in StreamsSpec), so its dump is the batch
+  * plan alone.
+  *
+  * Cache-consuming chains (executedDumpKeys) get a second file,
+  * <name>.executed.txt: the cache-truncated EXECUTED plan + its true
+  * shuffle-exchange count via PlanAudit, because their formatted dumps
+  * re-print InMemoryRelation fill provenance per consumer (1,128
+  * printed Exchanges for ann_ivfpq against a bounded actual run —
+  * SURVEY §5) and an audit must read reality, not lineage. */
 object Explain {
+
+  /** Keys whose 100 TB claim rests on bounded execution behind an eager
+    * cache — each gets a cache-truncated executed dump. */
+  val executedDumpKeys: Set[String] =
+    Set("ann_ivf", "ann_ivfpq", "ann_pq", "ann_sq8", "ann_cascade",
+      "dedup_semantic")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = GraftSession.local(4)
+    spark.sparkContext.setLogLevel("WARN")
     val out = Paths.get("/root/repo/target/explain")
     Files.createDirectories(out)
-    val skip = SparkEntry.materializingQueries
+    var failed = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!skip(name)) {
+      // per-key cache reset, same discipline as Verify: keeps the
+      // 226-key run's memory bounded without hand-unpersisting the
+      // deliberate intra-key sketch caches
+      spark.sharedState.cacheManager.clearCache()
+      try {
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        Files.writeString(out.resolve(s"$name.txt"), txt)
+        val micro = streaming.Streams.microBatchPlans.get(s"graft_$name")
+          .map(p => s"\n== Micro-batch EXECUTED plan (last batch) ==\n$p")
+          .getOrElse("")
+        Files.writeString(out.resolve(s"$name.txt"), txt + micro)
+        if (executedDumpKeys(name)) {
+          df.collect() // drive to completion: AQE finalizes, caches fill
+          val root = df.queryExecution.executedPlan
+          Files.writeString(out.resolve(s"$name.executed.txt"),
+            s"executed shuffle exchanges (cache-truncated): " +
+              s"${plans.PlanAudit.executedExchangeCount(root)}\n" +
+              plans.PlanAudit.render(root))
+        }
+      } catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[explain] $name failed: ${e.getMessage}")
       }
     }
+    System.err.println(s"[explain] done, failed=$failed")
     spark.stop()
   }
 }

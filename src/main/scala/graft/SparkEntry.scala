@@ -18,10 +18,11 @@ object SparkEntry {
       graph.Graph.queries
 
   /** Queries whose lambda performs HEAVY work beyond building a plan —
-    * lake round-trip writes and streaming materializations. Shared by
-    * the plan-audit tool (which must not execute them) and the
-    * no-driver-materialization spec (whose LocalRelation check doesn't
-    * apply to them), so a new side-effecting query is registered once.
+    * lake round-trip writes and streaming materializations. Consumed by
+    * the no-driver-materialization spec (whose LocalRelation check
+    * doesn't apply to them); the plan-audit tool (graft.Explain) runs
+    * them anyway since r12 — their scratch is overwrite-idempotent
+    * under target/ — and dumps their final-read plans.
     * (The dedup builders and ann_ivf are not listed: the dedup builders
     * eagerly materialize their small shared sketch caches, and ann_ivf
     * eagerly runs its fixed-sweep k-means training (one bounded corpus

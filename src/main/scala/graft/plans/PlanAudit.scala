@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Executed-plan audit helpers (r11 VERDICT #1).
+  *
+  * The formatted (lazy) explain of a query that consumes an eager cache
+  * re-prints the cached relation's FULL provenance lineage once per
+  * consumer — ann_ivfpq's dump showed 1,128 printed Exchange nodes for a
+  * run whose executed shape is a handful of bounded stages. These
+  * helpers walk the plan that actually RAN: adaptive wrappers expand to
+  * their final physical plan, query stages to the stage that executed,
+  * and traversal STOPS at InMemoryTableScan — the cache boundary, where
+  * the printed lineage is fill-time provenance, not per-consumer work.
+  * The cache itself fills exactly once (eager `.cache(); .count()` at
+  * the build site), so the consumer-side node list plus one bounded
+  * fill IS the executed cost the 100 TB claim rests on.
+  */
+object PlanAudit {
+
+  /** Physical nodes of the executed plan, cache-truncated (see above).
+    * Call only after the query has run to completion — before that, an
+    * adaptive root expands to its initial plan, not the final one. */
+  def executedNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: executedNodes(a.executedPlan)
+    case q: QueryStageExec        => q +: executedNodes(q.plan)
+    case i: InMemoryTableScanExec => Seq(i)
+    case other => other +: other.children.flatMap(executedNodes)
+  }
+
+  /** Shuffle exchanges the consumer side actually executed. Reused
+    * exchanges are not re-counted (ReusedExchangeExec is not a
+    * ShuffleExchangeLike), matching what the cluster physically runs. */
+  def executedExchangeCount(p: SparkPlan): Int =
+    executedNodes(p).count(_.isInstanceOf[ShuffleExchangeLike])
+
+  /** One-line-per-node indented rendering of the executed plan, same
+    * traversal (and therefore the same truncation) as executedNodes. */
+  def render(p: SparkPlan, depth: Int = 0): String = {
+    val sb = new StringBuilder
+    def walk(n: SparkPlan, d: Int): Unit = {
+      sb.append("  " * d).append(n.simpleString(120)).append('\n')
+      n match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, d + 1)
+        case q: QueryStageExec        => walk(q.plan, d + 1)
+        case _: InMemoryTableScanExec =>
+          sb.append("  " * (d + 1)).append("(cached relation — fill-time lineage truncated)\n")
+        case other => other.children.foreach(walk(_, d + 1))
+      }
+    }
+    walk(p, depth)
+    sb.toString
+  }
+}

@@ -69,10 +69,30 @@ object Streams {
     spark.conf.set(key, "8")
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        captureMicroBatchPlan(name, q)
+      } finally q.stop()
     } finally spark.conf.set(key, prev)
     spark.table(name)
   }
+
+  /** Last micro-batch EXECUTED plan per streaming query name, captured
+    * after the feed drains so the plan audit (graft.Explain) can dump
+    * the stateful micro-batch shape that actually ran — the returned
+    * batch DataFrame only shows the final-read plan. Audit-only
+    * channel: a capture failure never fails the query. */
+  val microBatchPlans = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[streaming] def captureMicroBatchPlan(
+      name: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        q.explain()
+      }
+      microBatchPlans(name) = buf.toString("UTF-8")
+    } catch { case _: Throwable => () }
 
   /** Idempotently stage every landing directory for `sfDir` — exposed so
     * Bench can pay the one-time staging writes before the timed pass
@@ -552,7 +572,10 @@ object Streams {
         .foreachBatch((batch: Dataset[Row], _: Long) =>
           upsertBatch(s, statePath, batch.toDF()))
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        captureMicroBatchPlan("graft_stream_upsert", q)
+      } finally q.stop()
       s.read.parquet(statePath)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_event_type"), col("value").as("last_value"))
@@ -587,7 +610,10 @@ object Streams {
           if (!batch.isEmpty)
             graft.sources.Lake.writeDeleteVector(s, base, batch.distinct()))
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        captureMicroBatchPlan("graft_stream_delete", q)
+      } finally q.stop()
       graft.sources.Lake.readMergeOnRead(s, base, "o_custkey")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows"),

@@ -294,4 +294,55 @@ class ScaleSpec extends AnyFunSuite {
     assert(pMax <= 8L * ((pNd + 255) / 256),
       s"q58_pareto class hot-spot: max=$pMax distinct=$pNd")
   }
+
+  test("cached ANN/dedup chains execute a bounded exchange count (not their printed lineage)") {
+    // r11 watch item: ann_ivfpq's FORMATTED dump prints 1,128 Exchange
+    // nodes — InMemoryRelation fill provenance re-printed per cache
+    // consumer — while the run behind the eager cache is a handful of
+    // bounded stages. Pin the EXECUTED reality so a regression that
+    // breaks the cache discipline (e.g. a dropped .cache() making every
+    // consumer re-derive the corpus chain) fails loudly instead of
+    // hiding in an unreadable dump. Ceilings are ~2× the r12 measured
+    // counts (ivfpq 12, pq 9, cascade 6, sq8 5, ivf 4, semantic 2) —
+    // slack for AQE coalescing variance, far below the lineage counts.
+    val ceilings = Seq(
+      "ann_ivfpq" -> 24, "ann_pq" -> 18, "ann_cascade" -> 12,
+      "ann_sq8" -> 10, "ann_ivf" -> 8, "dedup_semantic" -> 6)
+    ceilings.foreach { case (k, cap) =>
+      spark.sharedState.cacheManager.clearCache()
+      val df = SparkEntry.queries(k)(spark, TestSpark.Sf)
+      df.collect() // drive to completion: AQE finalizes, caches fill
+      val n = plans.PlanAudit.executedExchangeCount(
+        df.queryExecution.executedPlan)
+      assert(n <= cap,
+        s"$k executed $n shuffle exchanges (cap $cap) — cache discipline broken?")
+    }
+  }
+
+  test("ann_ivfpq shuffle volume is corpus-linear (records through the shuffle, measured)") {
+    // The plan-shape cap above can't see row blowup inside a stage;
+    // the task-metrics channel can. Everything ann_ivfpq shuffles is
+    // per-vector bounded — assignments, codes, probe candidates — so
+    // total shuffled records must stay within a small multiple of the
+    // corpus, never O(n²) all-pairs or O(n·k) re-expansion.
+    val rec = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) rec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val corpus = sources.Lake.table(spark, TestSpark.Sf, "embeddings").count()
+      rec.set(0L)
+      SparkEntry.queries("ann_ivfpq")(spark, TestSpark.Sf).collect()
+      Thread.sleep(200) // let straggling stage-completed events land
+      val n = rec.get()
+      assert(n <= 20L * corpus + 10000L,
+        s"ann_ivfpq shuffled $n records for a $corpus-vector corpus — super-linear blowup")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
