@@ -662,6 +662,81 @@ object Streams {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Checkpoint recovery — the exactly-once restart contract (r11
+    // VERDICT #4), run end to end INSIDE the key so the driver gates
+    // it: the event feed arrives in two legs against the SAME
+    // checkpoint + file sink. Leg 1 drains the first half of event
+    // time and stops (offsets and dedup state committed); leg 2 is a
+    // NEW query on the same checkpoint whose feed carries the second
+    // half PLUS an at-least-once redelivery of leg 1's final hour —
+    // the crash-replay shape a real source produces. Exactly-once
+    // output then REQUIRES recovery to work end to end: the restarted
+    // query must resume from committed offsets (or it reprocesses leg
+    // 1's files), reload the dedup state store (or the redelivered
+    // hour double-emits), and the file sink's manifest must fence
+    // half-committed batches (the batch read below goes through
+    // _spark_metadata). The oracle is the plain batch aggregate over
+    // the events table — any duplicated or lost row flips the hash.
+    // State stays bounded: dedup keys evict at the 3 h watermark, and
+    // the redelivery horizon (1 h) sits inside it by contract, so a
+    // redelivered event is either matched in state or dropped as
+    // late — emitted twice never.
+    "stream_recovery" -> ((s, dir) => {
+      val key = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val base = s"/root/repo/target/graft-scratch/stream_recovery-$key"
+      // fresh dirs per run: recovery is the thing under test — a stale
+      // COMPLETE checkpoint would no-op leg 2 into vacuous green
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = graft.sources.Lake.table(s, dir, "events")
+      // data-derived split point at the middle of event time (one-row
+      // aggregate broadcast into the staging filters — no collect)
+      val splitRow = ev.agg(timestamp_micros(
+        ((unix_micros(min(col("ts"))) + unix_micros(max(col("ts")))) / 2)
+          .cast("long")).as("split"))
+      val tagged = ev.crossJoin(broadcast(splitRow))
+      val landing = s"$base/landing"
+      tagged.filter(col("ts") <= col("split")).drop("split")
+        .write.mode("overwrite").parquet(landing)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def leg(capture: Boolean): Unit = {
+        val q = s.readStream.schema(schema).parquet(landing)
+          .withWatermark("ts", "3 hours")
+          .dropDuplicates("event_id")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode(OutputMode.Append())
+          .start()
+        try {
+          q.processAllAvailable()
+          if (capture) captureMicroBatchPlan("graft_stream_recovery", q)
+        } finally q.stop()
+      }
+      val confKey = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(confKey)
+      s.conf.set(confKey, "8")
+      try {
+        leg(capture = false)
+        // restart feed: everything after the split, plus the
+        // redelivered final hour before it (new part files appended —
+        // the file source's checkpointed seen-set ignores leg 1's)
+        tagged.filter(col("ts") > col("split") - expr("INTERVAL 1 HOUR"))
+          .drop("split")
+          .write.mode("append").parquet(landing)
+        leg(capture = true)
+      } finally s.conf.set(confKey, prev)
+      s.read.parquet(s"$base/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gap sessionization (batch path of the shared fold; the streaming
     // flatMapGroupsWithState path is asserted equal in the spec).
     "stream_session" -> ((s, dir) => {
@@ -676,6 +751,14 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    // The whole recovery choreography (stop, redeliver, restart) must
+    // collapse to the plain batch aggregate — each event exactly once.
+    "stream_recovery" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
         |FROM events p JOIN events c

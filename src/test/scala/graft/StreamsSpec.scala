@@ -229,4 +229,60 @@ class StreamsSpec extends AnyFunSuite {
     assert(res.length > matched, "no unmatched purchase — outer semantic vacuous")
     assert(!res.exists(_.getLong(0) < 0), "clock sentinel leaked into the result")
   }
+
+  test("checkpoint restart is exactly-once: redelivery-only leg leaves the sink unchanged") {
+    // Harsher than the stream_recovery key's end-to-end gate: the
+    // restarted leg carries NOTHING but redelivered rows, so any
+    // recovery defect — offsets not resumed, dedup state not reloaded,
+    // sink manifest not fenced — changes the sink, and each leg's
+    // content is asserted, not just the final aggregate.
+    import spark.implicits._
+    val base = TestSpark.scratch("stream_recovery_spec")
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val t0 = 1704067200000L // 2024-01-01T00:00:00Z, millis
+    def ev(id: Long, offMin: Long) =
+      (id, new java.sql.Timestamp(t0 + offMin * 60000L), id % 3, id * 1.5)
+    val chunk1 = Seq(ev(1, 0), ev(2, 10), ev(3, 20), ev(4, 30))
+    val chunk2Fresh = Seq(ev(5, 40), ev(6, 50))
+    val redelivered = Seq(ev(3, 20), ev(4, 30))
+    def stage(rows: Seq[(Long, java.sql.Timestamp, Long, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "value")
+        .write.mode("append").parquet(s"$base/landing")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def leg(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$base/landing")
+        .withWatermark("ts", "3 hours")
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def sinkIds(): Seq[Long] =
+      spark.read.parquet(s"$base/out").select("event_id")
+        .as[Long].collect().toSeq.sorted
+    stage(chunk1)
+    leg()
+    assert(sinkIds() == Seq(1L, 2L, 3L, 4L), "leg 1 must commit chunk 1")
+    // restart with ONLY redelivered rows: exactly-once ⇒ sink unchanged
+    stage(redelivered)
+    leg()
+    assert(sinkIds() == Seq(1L, 2L, 3L, 4L),
+      s"redelivery-only restart changed the sink: ${sinkIds()}")
+    // third leg mixes fresh + redelivered: fresh lands once, dupes never
+    stage(chunk2Fresh ++ redelivered)
+    leg()
+    assert(sinkIds() == Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      s"mixed restart not exactly-once: ${sinkIds()}")
+  }
 }
