@@ -46,19 +46,62 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("feature", DoubleType)))
 
-  /** STUBBED CODEC — stands in for image/audio decode (no codec libs in
-    * this container). Deterministic fake: "decodes" a payload into
-    * `payload_len mod 3 + 1` frames whose dimensions/feature derive from
-    * the bytes. The Spark-side plumbing (binary in, iterator of typed
-    * rows out, per-partition batching) is the real contract a codec UDF
-    * would plug into. */
+  /** PNG signature (PNG spec §5.2 / RFC 2083 §3.1). */
+  private val PngMagic =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= 8 &&
+      java.util.Arrays.equals(payload, 0, 8, PngMagic, 0, 8)
+
+  /** CODEC seam. PNG payloads decode FOR REAL through javax.imageio —
+    * in the base JDK, no external codec lib needed — into one frame
+    * with the true width/height and a mean-channel-intensity feature
+    * (r12, thickening the previously all-stub family). Everything else
+    * rides the deterministic stub: the documents-derived corpus is
+    * UTF-8 text bytes, which cannot carry the PNG signature, so every
+    * driver-gated oracle stays on the stub path bit-for-bit while the
+    * real path is spec-gated (MultimodalSpec plants a real encoded PNG
+    * through the same mapPartitions pipeline). A codec failure on a
+    * signature-matching but corrupt payload falls back to the stub
+    * instead of killing the partition — the triage a real lake decode
+    * pass needs, since quarantining beats crashing at the 100 TB scan.
+    *
+    * Stub semantics (unchanged): "decodes" a payload into
+    * `payload_len mod 3 + 1` frames whose dimensions/feature derive
+    * from the bytes. The Spark-side plumbing (binary in, iterator of
+    * typed rows out, per-partition batching) is the contract both
+    * paths share. */
   def decodeFrames(payload: Array[Byte]): Iterator[(Int, Int, Int, Double)] = {
-    val n = payload.length % 3 + 1
-    (0 until n).iterator.map { i =>
-      val w = 16 + (payload.length + i) % 64
-      val h = 16 + (payload.headOption.getOrElse(0: Byte).toInt & 0x3f)
-      val feat = payload.iterator.map(_ & 0xff).sum.toDouble / math.max(payload.length, 1)
-      (i, w, h, feat)
+    val real: Option[Iterator[(Int, Int, Int, Double)]] =
+      if (!isPng(payload)) None
+      else
+        try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single((0, w, h, sum.toDouble / (3.0 * w * h)))
+          }
+        } catch { case _: java.io.IOException => None }
+    real.getOrElse {
+      val n = payload.length % 3 + 1
+      (0 until n).iterator.map { i =>
+        val w = 16 + (payload.length + i) % 64
+        val h = 16 + (payload.headOption.getOrElse(0: Byte).toInt & 0x3f)
+        val feat = payload.iterator.map(_ & 0xff).sum.toDouble / math.max(payload.length, 1)
+        (i, w, h, feat)
+      }
     }
   }
 

@@ -72,4 +72,50 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[String]("checksum").length == 32)  // md5 hex
     }
   }
+
+  test("real PNG payloads decode through javax.imageio in the same pipeline") {
+    // r11 VERDICT #6: a REAL encoded PNG, planted beside stub-path text
+    // payloads, must flow through the unchanged mapPartitions decode
+    // pipeline and come back with its true dimensions and mean pixel
+    // intensity — while the text payloads keep the stub semantics the
+    // driver oracles are pinned to.
+    import spark.implicits._
+    val (w, h) = (40, 25)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13) % 256 // deterministic gradient
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf), "JDK PNG writer missing")
+    val png = buf.toByteArray
+    assert(Multimodal.isPng(png), "encoder did not produce a PNG signature")
+    val expectedFeat = (for (y <- 0 until h; x <- 0 until w)
+      yield ((x * 7 + y * 13) % 256).toLong).sum.toDouble / (w * h)
+
+    val rows = Seq((1L, png), (2L, "plain text payload".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    // decodePipeline derives payload from text; drive the same codec +
+    // partition shape directly over the binary column it plugs into
+    val frames = rows.as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        Multimodal.decodeFrames(p).map { case (i, fw, fh, f) => (id, i, fw, fh, f) }
+      }).toDF("doc_id", "frame_idx", "width", "height", "feature")
+      .collect().groupBy(_.getLong(0))
+    val pngFrames = frames(1L)
+    assert(pngFrames.length == 1, "a PNG decodes to exactly one frame")
+    assert(pngFrames.head.getInt(2) == w && pngFrames.head.getInt(3) == h,
+      s"true dimensions expected, got ${pngFrames.head}")
+    assert(math.abs(pngFrames.head.getDouble(4) - expectedFeat) < 1e-9,
+      s"mean intensity ${pngFrames.head.getDouble(4)} != $expectedFeat")
+    // the text payload still rides the stub (len%3+1 frames, stub dims)
+    val stubFrames = frames(2L)
+    val len = "plain text payload".getBytes("UTF-8").length
+    assert(stubFrames.length == len % 3 + 1, "stub frame count changed")
+    assert(stubFrames.head.getInt(2) == 16 + len % 64, "stub width changed")
+    // a corrupt signature-matching payload falls back to the stub, not a crash
+    val corrupt = png.take(12)
+    assert(Multimodal.decodeFrames(corrupt).nonEmpty)
+  }
 }
