@@ -86,8 +86,8 @@ object StarSchema {
     // JSON-ish `props` column).
     "etl_ingest_csv" -> ((s, dir) => {
       val path = scratch("etl_ingest_csv")
-      t(s, dir, "events").write.mode("overwrite")
-        .option("header", "true").option("timestampFormat", TsFmt).csv(path)
+      Lake.writeCsv(t(s, dir, "events"), path, header = true,
+        timestampFormat = TsFmt)
       val ev = Lake.readCsv(s, eventsSchema, header = true, s"$path/part-*.csv")
         .withColumn("ts", to_timestamp(col("ts"), TsFmt))
       ingestSummary(ev)

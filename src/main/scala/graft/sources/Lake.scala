@@ -79,6 +79,19 @@ object Lake {
   def readCsv(spark: SparkSession, schema: StructType, header: Boolean, paths: String*): DataFrame =
     spark.read.schema(schema).option("header", header).csv(paths: _*)
 
+  /** CSV write, the read's round-trip twin (reference
+    * ETL_from_Notebook.py:120-121 carries the CSV writer as
+    * commented-out code — cosmetic parity closed in r12). Quoting is
+    * Spark's default (fields containing the delimiter/quote are
+    * quoted), so JSON-ish string columns survive the trip; timestamps
+    * take an explicit format because CSV has no native type to
+    * round-trip through. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean,
+               timestampFormat: String = "yyyy-MM-dd HH:mm:ss.SSSSSS",
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header)
+      .option("timestampFormat", timestampFormat).csv(path)
+
   /** Parquet write with mode (reference uses overwrite throughout). */
   def writeParquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)

@@ -539,4 +539,31 @@ class LakeSpec extends AnyFunSuite {
       .select(unix_micros(col("ts"))).head.getLong(0)
     assert(micros == 1500000000123456L, micros.toString)
   }
+
+  test("csv round-trip: header, quoted delimiters, nulls, micro timestamps") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("ts", TimestampType)))
+    // the name column carries the delimiter, quotes, and a JSON-ish
+    // payload — the quoting cases that break naive CSV writers
+    val src = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 'a,b "quoted"', 1.5D, timestamp_micros(1500000000123456)),
+        |  (2L, CAST(NULL AS STRING), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS TIMESTAMP)),
+        |  (3L, '{"k": [1, 2]}', -0.25D, timestamp_micros(915148800000001))
+        |  AS t(id, name, score, ts)""".stripMargin)
+    val path = TestSpark.scratch("lake_csv_rt")
+    Lake.writeCsv(src, path, header = true)
+    val back = Lake.readCsv(spark, schema, header = true, s"$path/part-*.csv")
+      .withColumn("ts", to_timestamp(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    assert(back.schema == schema, back.schema.treeString)
+    assert(back.orderBy("id").collect().toSeq ==
+      src.orderBy("id").collect().toSeq)
+    val micros = back.filter(col("id") === 1L)
+      .select(unix_micros(col("ts"))).head.getLong(0)
+    assert(micros == 1500000000123456L, micros.toString)
+  }
 }
