@@ -358,9 +358,13 @@ object Relational {
     // broadcast, not a shuffle barrier on the group side.
     "q11_havingshare" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // per-supplier groups are bounded, but the share THRESHOLD sums
+      // the whole table — both legs ride the exact grid (2dp price ×
+      // integer qty stays a 2dp grid) so a threshold-straddling
+      // supplier can't flip between engines (r12 sfx100 sweep class)
       val grouped = li.groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * col("l_quantity")), 2).as("supplier_value"))
-      val total = li.agg(sum(col("l_extendedprice") * col("l_quantity")).as("t"))
+        .agg(round(gridSum(col("l_extendedprice") * col("l_quantity"), 2), 2).as("supplier_value"))
+      val total = li.agg(gridSum(col("l_extendedprice") * col("l_quantity"), 2).as("t"))
       grouped.crossJoin(broadcast(total))
         .filter(col("supplier_value") > col("t") * 0.0012)
         .select(col("l_suppkey"), col("supplier_value"))
@@ -393,7 +397,9 @@ object Relational {
         .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
       li.join(avgQty, li("l_partkey") === col("a_partkey"))
         .filter(col("l_quantity") < col("half_avg_qty"))
-        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+        // one GLOBAL group over the filtered table → exact-grid sum
+        // (r12 sfx100 sweep, q31's class)
+        .agg(round(gridSum(col("l_extendedprice"), 2) / lit(7.0), 2).as("avg_yearly"))
     }),
 
     // NOT IN + scalar-avg filter (q22 shape): above-average-balance
@@ -439,7 +445,10 @@ object Relational {
         .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
              grouping(col("l_linestatus")).cast("int").as("g_status"),
              count(lit(1)).as("n_items"),
-             round(sum(col("l_extendedprice")), 2).as("revenue"))
+             // the grand-total set aggregates the WHOLE table in one
+             // group — the r12 sfx100 sweep caught this site's float
+             // sum flipping last-cent bits at 6e7-row groups
+             round(gridSum(col("l_extendedprice"), 2), 2).as("revenue"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
                 coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
                 col("g_flag"), col("g_status"), col("n_items"), col("revenue"))
@@ -1042,14 +1051,18 @@ object Relational {
     // integers in both engines; revenue rides the 2dp grid.
     "q46_time_range" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // per-day groups GROW with data volume (2,400 calendar days,
+      // orders scale) — the daily sum rides exact long cents and the
+      // 7-day window sums those exact integers (r12 sfx100 sweep class)
       val daily = t(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(col("o_totalprice")).as("rev"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
         .withColumn("day_num", unix_date(col("day")))
       val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
       daily
-        .select(col("day"), round(col("rev"), 2).as("daily_rev"),
-          round(sum(col("rev")).over(w), 2).as("rev_7d"),
+        .select(col("day"),
+          round(col("rev_cents").cast("double") / 100, 2).as("daily_rev"),
+          round(sum(col("rev_cents")).over(w).cast("double") / 100, 2).as("rev_7d"),
           count(lit(1)).over(w).as("days_present_7d"))
         .orderBy(col("day"))
     }),
@@ -1974,12 +1987,12 @@ object Relational {
     "q46_time_range" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    sum(o_totalprice) AS rev,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
         |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
         |  FROM orders GROUP BY 1, 3)
-        |SELECT day, round(rev, 2) AS daily_rev,
-        |  round(sum(rev) OVER (ORDER BY day_num
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d,
+        |SELECT day, round(CAST(rev_cents AS DOUBLE) / 100, 2) AS daily_rev,
+        |  round(CAST(sum(rev_cents) OVER (ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100, 2) AS rev_7d,
         |  count(*) OVER (ORDER BY day_num
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_present_7d
         |FROM d ORDER BY day""".stripMargin,
@@ -2451,11 +2464,11 @@ object Relational {
 
     "q11_havingshare" ->
       """SELECT l_suppkey,
-        |  round(sum(l_extendedprice * l_quantity), 2) AS supplier_value
+        |  round(CAST(sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS supplier_value
         |FROM lineitem
         |GROUP BY l_suppkey
-        |HAVING round(sum(l_extendedprice * l_quantity), 2) >
-        |  (SELECT sum(l_extendedprice * l_quantity) * 0.0012 FROM lineitem)
+        |HAVING round(CAST(sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100, 2) >
+        |  (SELECT CAST(sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 * 0.0012 FROM lineitem)
         |ORDER BY supplier_value DESC, l_suppkey""".stripMargin,
 
     "q15_maxrev" ->
@@ -2472,7 +2485,7 @@ object Relational {
         |ORDER BY s_suppkey""".stripMargin,
 
     "q17_avg_subquery" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100 / 7.0, 2) AS avg_yearly
         |FROM lineitem l
         |WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem i
         |                    WHERE i.l_partkey = l.l_partkey)""".stripMargin,
@@ -2499,7 +2512,8 @@ object Relational {
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
-        |  count(*) AS n_items, round(sum(l_extendedprice), 2) AS revenue
+        |  count(*) AS n_items,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,

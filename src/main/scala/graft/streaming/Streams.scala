@@ -394,13 +394,20 @@ object Streams {
     }),
 
     "stream_window" -> ((s, dir) => {
+      // (window, type) group sizes grow with stream volume — the value
+      // sum accumulates EXACT long cents in the state store (also the
+      // better state representation: merge order across micro-batches
+      // can't drift it), divided back once at presentation (r12 sfx100
+      // sweep class)
       val agg = readEventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("sv_cents"))
       val res = materialize(s, agg, "graft_stream_window", OutputMode.Complete())
       res.select(col("w.start").as("window_start"), col("event_type"),
-          col("cnt"), round(col("sv"), 2).as("sum_value"))
+          col("cnt"),
+          round(col("sv_cents").cast("double") / 100, 2).as("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
     }),
 
@@ -420,7 +427,9 @@ object Streams {
         .dropDuplicates("event_id", "ts")
       val res = materialize(s, deduped, "graft_stream_dedup", OutputMode.Append())
       res.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(round(col("value") * 100).cast("long")).cast("double") / 100,
+            2).as("sum_value"))
         .orderBy(col("event_type"))
     }),
 
@@ -784,7 +793,8 @@ object Streams {
         |ORDER BY purchase_id""".stripMargin,
 
     "stream_dedup" ->
-      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS cnt,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -867,7 +877,8 @@ object Streams {
 
     "stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-        |  count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  count(*) AS cnt,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,

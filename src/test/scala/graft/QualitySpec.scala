@@ -296,12 +296,21 @@ class QualitySpec extends AnyFunSuite {
     val rows = Quality.queries("dq_reconcile")(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (n, noL, m, mm) = (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4))
+      val n = r.getAs[Long]("n_orders")
+      val orphan = r.getAs[Long]("n_orphan_lines")
+      val noL = r.getAs[Long]("n_no_lines")
+      val m = r.getAs[Long]("n_matched")
+      val mm = r.getAs[Long]("n_mismatched")
       assert(n == noL + m + mm, s"counters don't partition: $r")
+      // this star schema cannot produce headerless lines — the orphan
+      // class is a load-bearing zero (and would carry its own
+      // '<orphan>' status row if it ever fired)
+      assert(orphan == 0L, s"orphan lines in a closed star schema: $r")
+      assert(r.getAs[String]("o_orderstatus") != "<orphan>", r.toString)
       // a clean match class means a zero max diff (and vice versa for
       // an all-matched group)
-      if (mm == 0 && m > 0) assert(r.getLong(5) == 0L, s"diff leaked: $r")
+      if (mm == 0 && m > 0)
+        assert(r.getAs[Long]("max_abs_diff_cents") == 0L, s"diff leaked: $r")
     }
   }
 
