@@ -48,7 +48,8 @@ object SparkEntry {
     "stream_window", "stream_session", "stream_session_native",
     "stream_dedup", "stream_join", "stream_delete",
     "stream_join_outer", "stream_content_dedup", "stream_trending",
-    "stream_upsert", "stream_quality", "stream_recovery")
+    "stream_upsert", "stream_quality", "stream_recovery", "stream_sliding",
+    "stream_late_data")
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */

@@ -53,6 +53,11 @@ object StarSchema {
   // lake round-trip is lossless (default formats drop sub-millis).
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Compaction-job capacity (rows) for etl_compaction_plan — sized so
+    * every driver SF yields multiple multi-partition jobs (sf0.01's
+    * ~100k events → ~7 jobs) while partitions stay date-adjacent. */
+  private val CompactionTargetRows = 15000L
+
   /** Oracle twin of [[ingestSummary]] — one definition for every ingest
     * round-trip format, so a summary change can't skew the copies. */
   private val IngestSummarySql =
@@ -404,6 +409,40 @@ object StarSchema {
             .as("share"),
           (col("n_rows") * col("np") > lit(2L) * col("t")).as("is_hot"))
         .orderBy(col("event_date"))
+    }),
+
+    // OPTIMIZE planner (r12) — the metadata pass a lakehouse table
+    // service runs before compaction (Delta OPTIMIZE / Iceberg
+    // rewrite_data_files): pack date partitions IN ORDER into jobs of
+    // ~CompactionTargetRows rows via the capacity-oblivious sequential
+    // fill job_id = prior-cumsum div target. Pure window arithmetic
+    // over the calendar-bounded partition table (the q35/q41 spine
+    // contract): planning a 100 TB table costs one map-side-combined
+    // count aggregate plus a ~2,400-row window — row-level data is
+    // never touched. Greedy reset-packing would need a sequential
+    // fold; the div rule is the standard declarative approximation
+    // (each job overshoots by less than one partition) and every
+    // quantity is an integer, so the plan is bit-identical
+    // cross-engine. Date-adjacent packing is deliberate: compacted
+    // files keep partition-pruning locality, where size-sorted
+    // bin-packing would destroy it.
+    "etl_compaction_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parts
+        .withColumn("cum", sum(col("n_rows")).over(w))
+        .withColumn("job_id",
+          expr(s"(cum - n_rows) div $CompactionTargetRows"))
+        .groupBy(col("job_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("n_rows")).as("job_rows"),
+          min(col("event_date")).cast("string").as("first_day"),
+          max(col("event_date")).cast("string").as("last_day"))
+        .orderBy(col("job_id"))
     }),
 
     // Targeted key erasure end-to-end (the GDPR/right-to-be-forgotten
@@ -1286,6 +1325,27 @@ object StarSchema {
         |  round(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
         |  n_rows * np > 2 * t AS is_hot
         |FROM p CROSS JOIN t ORDER BY event_date""".stripMargin,
+
+    // Same partition spine, same sequential-fill integer arithmetic
+    // (// is DuckDB's integer division, div Spark's).
+    "etl_compaction_plan" ->
+      s"""WITH ev AS (
+         |  SELECT make_timestamp(epoch_us(ts)) AS ts FROM events),
+         |p AS (
+         |  SELECT CAST(ts AS DATE) AS event_date,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM ev GROUP BY 1),
+         |c AS (
+         |  SELECT event_date, n_rows,
+         |    CAST(sum(n_rows) OVER (ORDER BY event_date
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM p)
+         |SELECT CAST((cum - n_rows) // $CompactionTargetRows AS BIGINT) AS job_id,
+         |  count(*) AS n_parts,
+         |  CAST(sum(n_rows) AS BIGINT) AS job_rows,
+         |  CAST(min(event_date) AS VARCHAR) AS first_day,
+         |  CAST(max(event_date) AS VARCHAR) AS last_day
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "etl_zorder_read" ->
       """SELECT count(*) AS n_orders, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,

@@ -411,6 +411,34 @@ object Streams {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // SLIDING (overlapping) windows — the rate/trend shape tumbling
+    // can't express (r12): every event contributes to FOUR 1 h windows
+    // sliding by 15 min, so a spike surfaces within one slide interval
+    // instead of waiting out the hour. Append mode behind the 1 h
+    // watermark: each window finalizes exactly once when the watermark
+    // passes its end, and state holds only the ≤4 open windows per
+    // (window, type) key — the overlap multiplies state by
+    // window/slide, NOT by the stream's lifetime, which is what keeps
+    // a 100 TB/day feed affordable. Value sums ride exact cents in the
+    // state store (the r12 stream discipline). The oracle replays the
+    // overlap by unrolling each event into its four slide offsets
+    // (both engines align window starts to the epoch 15-min grid) and
+    // keeps only finalized windows (start + window + watermark ≤
+    // max ts — the stream_quality eviction rule).
+    "stream_sliding" -> ((s, dir) => {
+      val agg = readEventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+      val res = materialize(s, agg, "graft_stream_sliding", OutputMode.Append())
+      res.select(col("w.start").as("window_start"), col("event_type"),
+          col("cnt"),
+          round(col("sv_cents").cast("double") / 100, 2).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // Exactly-once streaming ingestion: the landing stream carries every
     // event twice (staged duplicated); watermarked dropDuplicates on the
     // event key emits each exactly once — state is bounded by the
@@ -671,6 +699,73 @@ object Streams {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // Late-data drop semantics (r12) — the watermark CONTRACT, pinned
+    // end to end: leg 1 feeds everything except a deterministic late
+    // cohort (event_id % 17 = 3) plus a data-derived clock sentinel at
+    // max(ts) + 2 h, so the watermark passes every real window and they
+    // all finalize through the Append-mode file sink. Leg 2 restarts
+    // from the checkpoint and delivers ONLY the late cohort — now
+    // strictly below the persisted watermark — which the stateful
+    // aggregate must drop row-for-row: emit them and the per-window
+    // counts overshoot the oracle; re-open a finalized window and a
+    // duplicate window row flips the hash; lose the persisted watermark
+    // on restart and the cohort lands as on-time. The oracle is the
+    // batch replay over the on-time cohort only. This is the other
+    // half of stream_recovery's contract: recovery must keep exactly
+    // the rows the watermark admits, and drop exactly the rows it
+    // doesn't.
+    "stream_late_data" -> ((s, dir) => {
+      val key = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val base = s"/root/repo/target/graft-scratch/stream_late_data-$key"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = graft.sources.Lake.table(s, dir, "events")
+      val landing = s"$base/landing"
+      ev.filter(col("event_id") % 17 =!= 3)
+        .unionByName(ev.agg(max(col("ts")).as("mx")).select(
+          lit(-1L).as("event_id"),
+          (col("mx") + expr("INTERVAL 2 HOURS")).as("ts"),
+          lit(-1L).as("user_id"), lit("clock").as("event_type"),
+          lit(null).cast(DoubleType).as("value"),
+          lit(null).cast(StringType).as("props")))
+        .write.mode("overwrite").parquet(landing)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def leg(capture: Boolean): Unit = {
+        val q = s.readStream.schema(schema).parquet(landing)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode(OutputMode.Append())
+          .start()
+        try {
+          q.processAllAvailable()
+          if (capture) captureMicroBatchPlan("graft_stream_late_data", q)
+        } finally q.stop()
+      }
+      val confKey = "spark.sql.shuffle.partitions"
+      val prev = s.conf.get(confKey)
+      s.conf.set(confKey, "8")
+      try {
+        leg(capture = false)
+        ev.filter(col("event_id") % 17 === 3)
+          .write.mode("append").parquet(landing)
+        leg(capture = true)
+      } finally s.conf.set(confKey, prev)
+      s.read.parquet(s"$base/out")
+        .filter(col("event_type") =!= "clock")
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("cnt"),
+          round(col("sv_cents").cast("double") / 100, 2).as("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // Checkpoint recovery — the exactly-once restart contract (r11
     // VERDICT #4), run end to end INSIDE the key so the driver gates
     // it: the event feed arrives in two legs against the SAME
@@ -760,6 +855,18 @@ object Streams {
   )
 
   val oracles: Map[String, String] = Map(
+    // On-time cohort only: every real window finalizes (the sentinel
+    // clears the watermark past them all), and the late cohort must
+    // vanish row-for-row.
+    "stream_late_data" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, count(*) AS cnt,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
+        |FROM events
+        |WHERE event_id % 17 <> 3
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+
     // The whole recovery choreography (stop, redeliver, restart) must
     // collapse to the plain batch aggregate — each event exactly once.
     "stream_recovery" ->
@@ -874,6 +981,26 @@ object Streams {
         |FROM w CROSS JOIN mx
         |WHERE w.window_start + INTERVAL 2 HOURS <= mx.mts
         |ORDER BY w.window_start""".stripMargin,
+
+    // Each event unrolls into its four overlapping windows (epoch-
+    // aligned 15-min grid on both engines); finalized-window filter is
+    // the stream_quality eviction rule.
+    "stream_sliding" ->
+      """WITH mx AS (SELECT max(ts) AS mts FROM events),
+        |u AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |           - k * INTERVAL '15 minutes' AS window_start,
+        |    event_type, value
+        |  FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(k)),
+        |w AS (
+        |  SELECT window_start, event_type, count(*) AS cnt,
+        |    round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |      AS sum_value
+        |  FROM u GROUP BY 1, 2)
+        |SELECT w.window_start, w.event_type, w.cnt, w.sum_value
+        |FROM w CROSS JOIN mx
+        |WHERE w.window_start + INTERVAL 2 HOURS <= mx.mts
+        |ORDER BY w.window_start, w.event_type""".stripMargin,
 
     "stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
