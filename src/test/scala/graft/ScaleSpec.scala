@@ -295,6 +295,20 @@ class ScaleSpec extends AnyFunSuite {
       s"q58_pareto class hot-spot: max=$pMax distinct=$pNd")
   }
 
+  test("driver contract: every query key carries an oracle, and no oracle is orphaned") {
+    // the driver's correctness gate only bites where BOTH maps have the
+    // key — a key that ships without oracle SQL silently downgrades to
+    // a rows-only check, and a stale oracle for a removed key is dead
+    // weight that can mask a rename. Pin exact equality.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"keys without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"orphaned oracles: ${(o -- q).toSeq.sorted}")
+    // and every materializing key must be a real key (set drift guard)
+    assert((SparkEntry.materializingQueries -- q).isEmpty,
+      s"materializing entries without a query: ${(SparkEntry.materializingQueries -- q).toSeq.sorted}")
+  }
+
   test("cached ANN/dedup chains execute a bounded exchange count (not their printed lineage)") {
     // r11 watch item: ann_ivfpq's FORMATTED dump prints 1,128 Exchange
     // nodes — InMemoryRelation fill provenance re-printed per cache
