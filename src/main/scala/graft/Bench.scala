@@ -189,7 +189,8 @@ object Bench {
       "text_bpe", "text_winnowing", "text_zipf", "text_pii",
       "text_decontaminate", "mm_decode", "mm_phash", "stream_window",
       "stream_dedup", "stream_join", "stream_trending", "stream_session",
-      "stream_upsert", "profile_stats", "profile_corr", "profile_psi",
+      "stream_upsert", "stream_recovery", "stream_sliding",
+      "etl_compaction_plan", "profile_stats", "profile_corr", "profile_psi",
       "graph_pagerank", "graph_components", "graph_triangles")
     val byName = results.map { case (k, v, o, _, _) => k -> (v, o) }.toMap
     def fmt3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -52,7 +52,21 @@ def main():
         "eventid": con.execute(f"SELECT max(event_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0],
         "userid": con.execute(f"SELECT max(user_id) + 1 FROM '{SRC}/events.parquet'").fetchone()[0],
     }
-    for t in VERBATIM:
+    # --with-docs (r12): scale the documents corpus too, for sweeping the
+    # LINEAR text keys at a 10x corpus (doc_id offsets keep ids disjoint;
+    # the text itself is carried verbatim per copy — term/doc frequencies
+    # scale uniformly, which every linear oracle replays exactly).
+    # Quadratic-oracle keys (LSH pair families) and embeddings stay out:
+    # their pair counts would grow x(copies^2) and they are verified at
+    # sf0.1. Default OFF so the relational sweep dirs keep their
+    # documented verbatim corpora.
+    with_docs = "--with-docs" in sys.argv
+    verbatim = [t for t in VERBATIM if not (with_docs and t == "documents")]
+    if with_docs:
+        base["docid"] = con.execute(
+            f"SELECT max(doc_id) + 1 FROM '{SRC}/documents.parquet'").fetchone()[0]
+        OFFSETS["documents"] = [("doc_id", "docid")]
+    for t in verbatim:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
         print(f"{t}: copied verbatim")
     for t, keys in OFFSETS.items():
