@@ -61,11 +61,24 @@ def main():
     # sf0.1. Default OFF so the relational sweep dirs keep their
     # documented verbatim corpora.
     with_docs = "--with-docs" in sys.argv
-    verbatim = [t for t in VERBATIM if not (with_docs and t == "documents")]
+    # --with-embeddings (r12): scale the ANN corpus the same way (vec_id
+    # offsets, vectors verbatim per copy). Duplicated vectors make exact
+    # similarity TIES ubiquitous — which doubles as a determinism probe
+    # of every top-k tie-break — while query sets (vec_id < N) stay the
+    # first copy's. Quadratic oracles get 10x slower per query, so sweep
+    # selectively.
+    with_embs = "--with-embeddings" in sys.argv
+    verbatim = [t for t in VERBATIM
+                if not (with_docs and t == "documents")
+                and not (with_embs and t == "embeddings")]
     if with_docs:
         base["docid"] = con.execute(
             f"SELECT max(doc_id) + 1 FROM '{SRC}/documents.parquet'").fetchone()[0]
         OFFSETS["documents"] = [("doc_id", "docid")]
+    if with_embs:
+        base["vecid"] = con.execute(
+            f"SELECT max(vec_id) + 1 FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+        OFFSETS["embeddings"] = [("vec_id", "vecid")]
     for t in verbatim:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
         print(f"{t}: copied verbatim")
