@@ -1,0 +1,38 @@
+#!/usr/bin/env bash
+# Round-close gate sequence (r12): run every verification surface in the
+# order the round's final commits need them, failing fast. Usage:
+#
+#     bash tools/roundclose.sh <round-number>
+#
+# Leaves: target/verify_final (+ strict result on stdout), refreshed
+# target/explain dumps, target/bench_full.json + BENCHLOCAL_r<N>.json,
+# test results, and a fresh LEAKCHECK.json — commit the artifacts after
+# reviewing. Bench runs LAST so nothing competes with it for cores.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND="${1:?round number required}"
+
+echo "== sbt test"
+sbt -batch test 2>&1 | grep -E "Tests:|All tests|FAILED" | tail -3
+
+echo "== Verify + strictcheck (full surface, sf0.01)"
+rm -rf target/verify_final
+SPARK_GRAFT_CPUS=16 sbt -batch \
+  "runMain graft.Verify /root/testdata/sf0.01 target/verify_final" 2>&1 |
+  grep -E "\[verify\].*failed" || true
+python3 tools/strictcheck.py target/verify_final /root/testdata/sf0.01
+
+echo "== Explain (all keys, sf0.001)"
+rm -rf target/explain
+bash tools/run_graft.sh graft.Explain /root/testdata/sf0.001 2>&1 |
+  grep -E "\[explain\] done"
+
+echo "== Bench (full, sf0.1) — keep the machine otherwise idle"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep -F '{"metric"' | tail -1
+cp target/bench_full.json "BENCHLOCAL_r${ROUND}.json"
+
+echo "== Leak scan"
+python3 tools/leakcheck.py "$ROUND"
+
+echo "round-close gates complete — review and commit the artifacts"
