@@ -24,6 +24,10 @@ names = [os.path.basename(p) for p in sorted(glob.glob(f"{outdir}/*"))
 for name in names:
     if only and name not in only:
         continue
+    # progress to stderr, unbuffered: a slow oracle replay (minutes at
+    # derived scales) otherwise looks like a hang — stdout stays the
+    # parseable per-key verdict stream
+    print(f"[strictcheck] {name} ...", file=sys.stderr, flush=True)
     spark_df = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
     if name not in oracle:
         rows_only += 1
