@@ -1609,6 +1609,38 @@ object Relational {
     // anywhere. Shape: two half-year grouped aggregates off one scan
     // predicate-pruned to 1997, one co-partitioned join on partkey,
     // two part-sized rank windows.
+    // Recursive hierarchy rollup (r12) — the BOM / org-chart shape a
+    // recursive CTE serves in a warehouse, the one relational family
+    // the inventory lacked (graph_bfs walks FRONTIERS outward;
+    // this walks EVERY row to its root and aggregates the tree). The
+    // hierarchy is synthetic but data-derived: parent(p) = p div 7
+    // over part keys, roots at p ≤ 6 — a 7-ary forest whose depth
+    // grows only logarithmically with the corpus. Spark side resolves
+    // roots by POINTER DOUBLING (r ← r∘r, the dedup_clusters
+    // discipline): 6 co-partitioned self-joins on the part key cover
+    // depth 2^6 = 64 ≈ sf10^50 — a fixed sweep count at any scale,
+    // where naive parent-at-a-time chasing would need depth sweeps and
+    // a recursive CTE doesn't exist in Spark at all. Rollup is exact
+    // long cents per root (data-scale subtrees). The DuckDB oracle
+    // walks the same forest with WITH RECURSIVE and must land on
+    // identical trees, counts, and cents.
+    "q62_hierarchy" -> ((s, dir) => {
+      val part = t(s, dir, "part").select(col("p_partkey").as("pk"),
+        round(col("p_retailprice") * 100).cast("long").as("cents"))
+      var r = part.select(col("pk"),
+        when(col("pk") <= 6, col("pk")).otherwise(expr("pk div 7")).as("root"))
+      for (_ <- 1 to 6) {
+        val j = r.select(col("pk").as("j_pk"), col("root").as("j_root"))
+        r = r.join(j, r("root") === j("j_pk"))
+          .select(col("pk"), col("j_root").as("root"))
+      }
+      part.join(r, Seq("pk"))
+        .groupBy(col("root").as("root_part"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("cents")).as("subtree_cents"))
+        .orderBy(col("root_part"))
+    }),
+
     "q61_movers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem")
@@ -1884,6 +1916,20 @@ object Relational {
 
     // Same half-year cents ranks over (cents DESC, pk), same exact
     // integer |delta| cutoff with the pk tie-break.
+    // WITH RECURSIVE walks every part to its root over the identical
+    // 7-ary forest; terminal rows (cur ≤ 6) aggregate the subtree.
+    "q62_hierarchy" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey AS pk, p_partkey AS cur,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+        |  FROM part
+        |  UNION ALL
+        |  SELECT pk, cur // 7, cents FROM walk WHERE cur > 6)
+        |SELECT cur AS root_part, count(*) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS subtree_cents
+        |FROM walk WHERE cur <= 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q61_movers" ->
       """WITH li AS (
         |  SELECT l_partkey AS pk,
