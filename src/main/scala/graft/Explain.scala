@@ -65,5 +65,8 @@ object Explain {
     }
     System.err.println(s"[explain] done, failed=$failed")
     spark.stop()
+    // a key that can't dump its plan must fail the round-close gate, not
+    // close it green behind a swallowed Throwable (ADVICE r12)
+    if (failed > 0) sys.exit(1)
   }
 }

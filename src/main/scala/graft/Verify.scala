@@ -15,9 +15,10 @@ object Verify {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    var failed = 0
+    selected.foreach { case (name, fn) =>
       // per-key cache reset: builder-side .cache() calls (q57_basket,
       // ann_sq8, dedup_semantic, the text tfTable, …) deliberately have
       // no unpersist — the harness owns cache lifetime, and dropping
@@ -27,6 +28,7 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -45,6 +47,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the EXPECTED key manifest for this run: strictcheck compares the
+    // output dirs against it so a key that crashed (or never ran) fails
+    // the gate as MISSING instead of being silently skipped — without
+    // this, a partial Verify run looks complete to a dir-glob.
+    Files.writeString(Paths.get(s"$outDir/keys.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // stdout contract for tools/roundclose.sh: the gate greps this exact
+    // line for failed=0 (a crashed key must not close a round green).
+    println(s"[verify] done, failed=$failed")
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

@@ -93,7 +93,13 @@ object Multimodal {
             }
             Iterator.single((0, w, h, sum.toDouble / (3.0 * w * h)))
           }
-        } catch { case _: java.io.IOException => None }
+        } catch {
+          // NonFatal, not just IOException: ImageIO on a corrupt
+          // signature-matching payload can throw unchecked errors too
+          // (NegativeArraySize, IndexOutOfBounds from malformed headers)
+          // and the quarantine contract is "never kill the task"
+          case scala.util.control.NonFatal(_) => None
+        }
     real.getOrElse {
       val n = payload.length % 3 + 1
       (0 until n).iterator.map { i =>

@@ -1631,8 +1631,20 @@ object Relational {
         when(col("pk") <= 6, col("pk")).otherwise(expr("pk div 7")).as("root"))
       for (_ <- 1 to 6) {
         val j = r.select(col("pk").as("j_pk"), col("root").as("j_root"))
-        r = r.join(j, r("root") === j("j_pk"))
-          .select(col("pk"), col("j_root").as("root"))
+        // LEFT join + raise_error, not inner: the forest contract needs
+        // part keys contiguous from 1 (the DuckDB oracle walks pk div 7
+        // purely arithmetically). Under an inner join a gapped corpus
+        // would silently DROP every row whose pointer lands in the gap
+        // and diverge from the oracle row-by-row (ADVICE r12); here an
+        // unresolved pointer kills the job with the offending key named,
+        // so a violated precondition surfaces as an error, never as a
+        // quietly wrong rollup.
+        r = r.join(j, r("root") === j("j_pk"), "left")
+          .select(col("pk"),
+            when(col("j_root").isNull, raise_error(concat(
+              lit("q62_hierarchy: parent pointer "), col("root").cast("string"),
+              lit(" missing from part — key gap violates the contiguous-from-1 forest contract"))))
+              .otherwise(col("j_root")).as("root"))
       }
       part.join(r, Seq("pk"))
         .groupBy(col("root").as("root_part"))

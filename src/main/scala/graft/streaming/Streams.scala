@@ -781,10 +781,14 @@ object Streams {
     // half-committed batches (the batch read below goes through
     // _spark_metadata). The oracle is the plain batch aggregate over
     // the events table — any duplicated or lost row flips the hash.
-    // State stays bounded: dedup keys evict at the 3 h watermark, and
-    // the redelivery horizon (1 h) sits inside it by contract, so a
-    // redelivered event is either matched in state or dropped as
-    // late — emitted twice never.
+    // State stays bounded: dropDuplicatesWithinWatermark evicts a
+    // dedup key once the watermark passes its event time + delay —
+    // plain dropDuplicates(event_id) would keep every key forever,
+    // because without the event-time column in the dedup key Spark
+    // never ages that state (ADVICE r12). The redelivery horizon (1 h)
+    // sits inside the 3 h watermark delay by contract, so a
+    // redelivered event is either matched in still-live state or
+    // dropped as late — emitted twice never.
     "stream_recovery" -> ((s, dir) => {
       val key = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       val base = s"/root/repo/target/graft-scratch/stream_recovery-$key"
@@ -809,7 +813,7 @@ object Streams {
       def leg(capture: Boolean): Unit = {
         val q = s.readStream.schema(schema).parquet(landing)
           .withWatermark("ts", "3 hours")
-          .dropDuplicates("event_id")
+          .dropDuplicatesWithinWatermark("event_id")
           .writeStream.format("parquet")
           .option("path", s"$base/out")
           .option("checkpointLocation", s"$base/ckpt")

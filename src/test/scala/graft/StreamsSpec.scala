@@ -259,9 +259,12 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("value",
         org.apache.spark.sql.types.DoubleType)))
     def leg(): Unit = {
+      // dropDuplicatesWithinWatermark, matching the stream_recovery key:
+      // dedup state evicts at the watermark (bounded), and every
+      // redelivery here sits well inside the 3 h delay
       val q = spark.readStream.schema(schema).parquet(s"$base/landing")
         .withWatermark("ts", "3 hours")
-        .dropDuplicates("event_id")
+        .dropDuplicatesWithinWatermark("event_id")
         .writeStream.format("parquet")
         .option("path", s"$base/out")
         .option("checkpointLocation", s"$base/ckpt")

@@ -21,6 +21,22 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails, checked, rows_only = 0, 0, 0
 names = [os.path.basename(p) for p in sorted(glob.glob(f"{outdir}/*"))
          if os.path.isdir(p)]
+# Completeness gate: compare the dirs that EXIST against the manifest of
+# keys Verify was asked to run (keys.json, written by graft.Verify). A key
+# that crashed mid-run leaves no dir and would otherwise be silently
+# skipped — the exact hole ADVICE r12 flagged in the round-close gate.
+keys_path = f"{outdir}/keys.json"
+if os.path.exists(keys_path):
+    expected = set(json.load(open(keys_path)))
+    if only:
+        expected &= only
+    missing = sorted(expected - set(names))
+    for name in missing:
+        print(f"{name}: MISSING OUTPUT (key in manifest, no result dir)")
+        fails += 1
+else:
+    print("WARNING: no keys.json manifest — completeness not checked",
+          file=sys.stderr)
 for name in names:
     if only and name not in only:
         continue
