@@ -15,7 +15,7 @@ object SparkEntry {
       functions.TextAnalysis.queries ++ dedup.Dedup.queries ++
       ann.Similarity.queries ++ multimodal.Multimodal.queries ++
       streaming.Streams.queries ++ quality.Quality.queries ++
-      graph.Graph.queries
+      graph.Graph.queries ++ ml.Features.queries
 
   /** Queries whose lambda performs HEAVY work beyond building a plan —
     * lake round-trip writes and streaming materializations. Consumed by
@@ -58,5 +58,5 @@ object SparkEntry {
       functions.TextAnalysis.oracles ++ dedup.Dedup.oracles ++
       ann.Similarity.oracles ++ multimodal.Multimodal.oracles ++
       streaming.Streams.oracles ++ quality.Quality.oracles ++
-      graph.Graph.oracles
+      graph.Graph.oracles ++ ml.Features.oracles
 }

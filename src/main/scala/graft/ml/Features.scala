@@ -1,0 +1,307 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Lake
+
+/** Feature-engineering operators (SURVEY.md §2.K) — the featurization
+  * pass a training-data pipeline runs between the lake and the trainer:
+  * categorical indexing (StringIndexer semantics), the hashing trick,
+  * deterministic k-fold assignment, scaler fitting, target encoding, and
+  * weight-of-evidence scoring. The reference's PySpark ETL stops at
+  * cleaned tables; these are the standard next step (Spark MLlib's
+  * feature stage), re-expressed as plain aggregates so they ride the
+  * same one-scan / broadcast-scalar scale discipline as the profiling
+  * family.
+  *
+  * Scale design: every fit here reduces to ONE aggregate over the fact
+  * (map-side partials, no Expand) producing a vocab/param table that is
+  * O(categories), O(buckets), or O(folds) — the apply side is then a
+  * broadcast join or pure projection, never a shuffle of the corpus.
+  * Windows only ever run over those tiny fitted tables.
+  *
+  * Arithmetic: the profile_corr discipline throughout — quantize to an
+  * integer grid, accumulate exact decimal(38,0) moments, evaluate fixed
+  * double expressions over identical integers on both engines, round +
+  * `+ 0.0` at presentation.
+  */
+object Features {
+
+  private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
+
+  private val dec = DecimalType(38, 0)
+
+  /** Cross-engine bucket hash: top byte of md5("<salt>:<key>") — the
+    * dedup_split_leakage spelling, replayed in DuckDB by nibble
+    * unpacking. Uniform over [0,256); callers mod it down. */
+  private def md5Byte(salt: String, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 2),
+      16, 10).cast("int")
+
+  private def md5ByteSql(salt: String, keyExpr: String) =
+    s"""((strpos('0123456789abcdef', substr(md5('$salt:' || $keyExpr), 1, 1)) - 1) * 16
+       | + (strpos('0123456789abcdef', substr(md5('$salt:' || $keyExpr), 2, 1)) - 1))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // StringIndexer fit (frequencyDesc order, value tie-break — MLlib's
+    // default): the label vocabulary for every indexed categorical
+    // column in ONE scan. explode(map(...)) melts k columns into
+    // (col_name, value) pairs so a single groupBy counts all vocabs
+    // together — k× the scan rows but still one pass and one shuffle of
+    // O(k · cardinality) distinct pairs, vs k separate scans. The
+    // row_number window runs over the fitted vocab table (≤ tens of
+    // rows), never table data. The apply side is a broadcast join of
+    // this table back onto the fact — the index column is dense,
+    // stable, and reproducible from the data alone.
+    "feat_index" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(explode(map(
+          lit("o_orderpriority"), col("o_orderpriority"),
+          lit("o_orderstatus"), col("o_orderstatus")))
+          .as(Seq("col_name", "value")))
+        .groupBy(col("col_name"), col("value"))
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("idx",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("col_name"))
+              .orderBy(col("freq").desc, col("value"))) - 1)
+        .select(col("col_name"), col("value"), col("freq"), col("idx"))
+        .orderBy(col("col_name"), col("idx"))),
+
+    // The hashing trick (feature hashing into a fixed 64-slot space,
+    // the vocabulary-free encoder for unbounded categorical domains):
+    // feature = "col=value" string, slot = md5-top-byte mod 64 — a
+    // cross-engine-replayable stand-in for murmur3 (same uniformity
+    // contract, same collision behavior). The fit-side audit this key
+    // materializes is the collision report a pipeline checks before
+    // trusting hashed features: per occupied slot, how many DISTINCT
+    // features landed there (collisions conflate their weights) and the
+    // total row mass. One scan, one O(slots)-row output; the apply side
+    // is a pure projection of the same hash expression.
+    "feat_hash" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(explode(array(
+          concat(lit("o_orderpriority="), col("o_orderpriority")),
+          concat(lit("o_orderstatus="), col("o_orderstatus")))).as("feature"))
+        .groupBy((md5Byte("feat", col("feature")) % 64).as("slot"))
+        .agg(countDistinct(col("feature")).as("n_features"),
+          count(lit(1)).as("n_rows"),
+          (countDistinct(col("feature")) > 1).as("collided"))
+        .orderBy(col("slot"))),
+
+    // Deterministic k-fold assignment (k = 5) + the split audit a
+    // cross-validation run needs: folds are hash-of-key based — salted
+    // md5 top byte mod k, NOT row position — so the assignment is
+    // reproducible across runs, cluster layouts, and re-partitioning
+    // (position-based randomSplit silently reshuffles folds when the
+    // input's partitioning changes). The audit per fold: row count and
+    // the label balance (share of finished orders), the invariant a
+    // stratification bug breaks first. One scan, 5-row output; exact
+    // integer counts, the one share division identical-ints-to-double.
+    "feat_kfold" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy((md5Byte("fold", col("o_orderkey")) % 5).as("fold"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          (round(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 4) + lit(0.0))
+            .as("share_f"))
+        .orderBy(col("fold"))),
+
+    // Scaler fit (StandardScaler + MinMaxScaler params in one pass),
+    // per customer segment over account balance: n, mean, sample std,
+    // min, max. The fit IS the distributed op — applying is a pure
+    // projection against this broadcast 5-row table. Balances ride the
+    // 2dp cents grid; mean and std evaluate over exact decimal(38,0)
+    // moments (n·sxx − sx² never cancels through float error), one
+    // division + sqrt per group at the end. The r11 sfx10 lesson
+    // pre-applied: no float accumulations anywhere on the data path.
+    "feat_scale" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("cents").cast(dec)).as("sx"),
+          sum(col("cents").cast(dec) * col("cents").cast(dec)).as("sxx"),
+          min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+        .select(col("segment"), col("n").cast("long").as("n_rows"),
+          (round(col("sx").cast("double") / col("n").cast("double") / 100.0, 4)
+            + lit(0.0)).as("mean_bal"),
+          (round(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("n") * (col("n") - lit(1))).cast("double")) / 100.0, 4)
+            + lit(0.0)).as("std_bal"),
+          (col("mn").cast("double") / 100.0).as("min_bal"),
+          (col("mx").cast("double") / 100.0).as("max_bal"))
+        .orderBy(col("segment"))),
+
+    // Smoothed target encoding (m-estimate, m = 20): segment →
+    // shrunk mean order value, the leakage-prone encoder done the safe
+    // way — category stats pulled toward the global mean so rare
+    // categories don't memorize their few targets. enc = (s + m·ĝ) /
+    // (n + m) with ĝ = gs/gn, evaluated as the exact rational
+    // (s·gn + m·gs) / ((n + m)·gn) over decimal(38,0) — identical
+    // integers into ONE double division on both engines. Shape: fact
+    // joins the broadcast dim into ONE grouped aggregate — the global
+    // moments are the segment moments re-summed by a window over the
+    // 5-row param table (a second corpus scan for the global row would
+    // double the 100 TB read for numbers the first scan already holds).
+    "feat_target_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy()
+      val oc = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      oc.groupBy(col("segment"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("cents").cast(dec)).as("sx"))
+        .withColumn("gs", sum(col("sx")).over(wAll))
+        .withColumn("gn", sum(col("n")).over(wAll))
+        .select(col("segment"), col("n").cast("long").as("n_orders"),
+          (round(col("sx").cast("double") / col("n").cast("double") / 100.0, 4)
+            + lit(0.0)).as("mean_price"),
+          (round((col("sx") * col("gn") + lit(20) * col("gs")).cast("double") /
+            ((col("n") + lit(20)) * col("gn")).cast("double") / 100.0, 4)
+            + lit(0.0)).as("enc_price"))
+        .orderBy(col("segment"))
+    }),
+
+    // Weight of evidence + information value (the credit-scoring
+    // encoder: per-category log-odds against a binary label, here
+    // order finished = 'F'): woe = ln(good_share / bad_share) with the
+    // profile_psi Laplace smoothing (a = 2g+1 … doubling clears the
+    // 0.5), evaluated as ln(a·B) − ln(b·A) with each transcendental
+    // micro-quantized onto the 1e-6 long grid BEFORE the difference
+    // (the text_zipf / psiFromCounts discipline — libm ulp divergence
+    // can't flip the presentation round). iv_term = (a/A − b/B)·woe
+    // rides the same exact rational (a·B − b·A)/(A·B). One scan into a
+    // 5-row conditional aggregate; the total windows run over that.
+    "feat_woe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy()
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("category"))
+        .agg(sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_bad"))
+        .withColumn("a", (lit(2L) * col("n_good") + lit(1L)).cast(dec))
+        .withColumn("b", (lit(2L) * col("n_bad") + lit(1L)).cast(dec))
+        .withColumn("ta", (lit(2L) * sum(col("n_good")).over(wAll) + lit(5L)).cast(dec))
+        .withColumn("tb", (lit(2L) * sum(col("n_bad")).over(wAll) + lit(5L)).cast(dec))
+        .withColumn("lq",
+          round(log((col("a") * col("tb")).cast("double")) * 1e6).cast("long") -
+          round(log((col("b") * col("ta")).cast("double")) * 1e6).cast("long"))
+        .select(col("category"), col("n_good"), col("n_bad"),
+          (round(col("lq").cast("double") / 1e6, 6) + lit(0.0)).as("woe"),
+          (round((col("a") * col("tb") - col("b") * col("ta")).cast("double") /
+            (col("ta") * col("tb")).cast("double") *
+            (col("lq").cast("double") / lit(1e6)), 6) + lit(0.0)).as("iv_term"))
+        .orderBy(col("category"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "feat_index" ->
+      """WITH v AS (
+        |  SELECT col_name, value, count(*) AS freq FROM (
+        |    SELECT 'o_orderpriority' AS col_name, o_orderpriority AS value FROM orders
+        |    UNION ALL
+        |    SELECT 'o_orderstatus', o_orderstatus FROM orders) u
+        |  GROUP BY 1, 2)
+        |SELECT col_name, value, freq,
+        |  CAST(row_number() OVER (PARTITION BY col_name
+        |    ORDER BY freq DESC, value) - 1 AS INTEGER) AS idx
+        |FROM v ORDER BY col_name, idx""".stripMargin,
+
+    "feat_hash" -> {
+      val slot = md5ByteSql("feat", "feature")
+      s"""WITH f AS (
+         |  SELECT 'o_orderpriority=' || o_orderpriority AS feature FROM orders
+         |  UNION ALL
+         |  SELECT 'o_orderstatus=' || o_orderstatus FROM orders)
+         |SELECT $slot % 64 AS slot,
+         |  count(DISTINCT feature) AS n_features,
+         |  count(*) AS n_rows,
+         |  count(DISTINCT feature) > 1 AS collided
+         |FROM f GROUP BY 1 ORDER BY slot""".stripMargin
+    },
+
+    "feat_kfold" -> {
+      val fold = md5ByteSql("fold", "CAST(o_orderkey AS VARCHAR)")
+      s"""SELECT $fold % 5 AS fold,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         |  round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 4) + 0.0 AS share_f
+         |FROM orders GROUP BY 1 ORDER BY fold""".stripMargin
+    },
+
+    "feat_scale" ->
+      """WITH q AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |m AS (
+        |  SELECT segment, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(cents AS HUGEINT)) AS sx,
+        |    sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
+        |    min(cents) AS mn, max(cents) AS mx
+        |  FROM q GROUP BY segment)
+        |SELECT segment, CAST(n AS BIGINT) AS n_rows,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) + 0.0 AS mean_bal,
+        |  round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE)) / 100.0, 4) + 0.0 AS std_bal,
+        |  CAST(mn AS DOUBLE) / 100.0 AS min_bal,
+        |  CAST(mx AS DOUBLE) / 100.0 AS max_bal
+        |FROM m ORDER BY segment""".stripMargin,
+
+    "feat_target_encode" ->
+      """WITH oc AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (
+        |  SELECT sum(CAST(cents AS HUGEINT)) AS gs,
+        |    CAST(count(*) AS HUGEINT) AS gn FROM oc),
+        |m AS (
+        |  SELECT segment, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(cents AS HUGEINT)) AS sx
+        |  FROM oc GROUP BY segment)
+        |SELECT segment, CAST(n AS BIGINT) AS n_orders,
+        |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4) + 0.0 AS mean_price,
+        |  round(CAST(sx * gn + 20 * gs AS DOUBLE)
+        |    / CAST((n + 20) * gn AS DOUBLE) / 100.0, 4) + 0.0 AS enc_price
+        |FROM m, g ORDER BY segment""".stripMargin,
+
+    "feat_woe" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS category,
+        |    CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT category, n_good, n_bad,
+        |    CAST(2 * n_good + 1 AS HUGEINT) AS a,
+        |    CAST(2 * n_bad + 1 AS HUGEINT) AS b,
+        |    CAST(2 * (SELECT sum(n_good) FROM c) + 5 AS HUGEINT) AS ta,
+        |    CAST(2 * (SELECT sum(n_bad) FROM c) + 5 AS HUGEINT) AS tb
+        |  FROM c),
+        |l AS (
+        |  SELECT *,
+        |    CAST(round(ln(CAST(a * tb AS DOUBLE)) * 1e6) AS BIGINT) -
+        |    CAST(round(ln(CAST(b * ta AS DOUBLE)) * 1e6) AS BIGINT) AS lq
+        |  FROM s)
+        |SELECT category, n_good, n_bad,
+        |  round(CAST(lq AS DOUBLE) / 1e6, 6) + 0.0 AS woe,
+        |  round(CAST(a * tb - b * ta AS DOUBLE) / CAST(ta * tb AS DOUBLE)
+        |    * (CAST(lq AS DOUBLE) / 1e6), 6) + 0.0 AS iv_term
+        |FROM l ORDER BY category""".stripMargin
+  )
+}

@@ -1653,6 +1653,74 @@ object Relational {
         .orderBy(col("root_part"))
     }),
 
+    // Classical seasonal decomposition (r13 — the additive
+    // trend/seasonal/residual split every demand-forecasting pipeline
+    // runs before modeling): monthly revenue decomposes as revenue =
+    // trend + seasonal + resid, with trend the centered 12-month moving
+    // average (half-weight end months — the textbook even-period form)
+    // and seasonal the per-calendar-month mean of the detrended series.
+    // Scale shape: ONE corpus aggregate to the calendar-bounded monthly
+    // spine (~80 rows at any SF — the q35/q41 window contract), then
+    // every window and group runs over THAT table only. Arithmetic: the
+    // half weights clear by working at 24× — trend24 = cents[t−6] +
+    // 2·Σcents[t−5..t+5] + cents[t+6] and detr24 = 24·cents − trend24
+    // are EXACT decimal(38,0) integers, and the presented values are
+    // half-up-rounded to CENTS in exact integer arithmetic — floor(x+½)
+    // = (2A + B) div (2B) over positive operands (a large C·B shift
+    // absorbs negative numerators first, so trunc == floor on both
+    // engines) — because these are small-denominator rationals
+    // (trend24/2400, S/(2400·n)) that land EXACTLY on half-cent
+    // boundaries, where a double round() diverges cross-engine (Spark
+    // rounds the shortest decimal repr, DuckDB the binary double — this
+    // key's first draft flipped 4486025.725 at sf0.001). The only double
+    // op left is the final cents/100.0 presentation division, identical
+    // integers in on both engines. Edge months without the full 13-row
+    // window are excluded (count-over-frame gate), as classical
+    // decomposition leaves them undefined.
+    "q63_seasonal" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(38, 0)
+      val monthly = t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM-dd").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long").cast(dec))
+          .as("cents"))
+      val w = Window.orderBy(col("month"))
+      val withTrend = monthly
+        .withColumn("n_win", count(lit(1)).over(w.rowsBetween(-6, 6)))
+        .withColumn("trend24",
+          lag(col("cents"), 6).over(w) + lead(col("cents"), 6).over(w) +
+            lit(2) * sum(col("cents")).over(w.rowsBetween(-5, 5)))
+        .filter(col("n_win") === 13)
+        .withColumn("detr24", lit(24) * col("cents") - col("trend24"))
+        .withColumn("moy", substring(col("month"), 6, 2))
+      val seasonal = withTrend.groupBy(col("moy"))
+        .agg(sum(col("detr24")).as("snum"), count(lit(1)).as("nm"))
+      withTrend.join(broadcast(seasonal), Seq("moy"))
+        // half-up cents over exact integers: trend24/24 is positive so
+        // (2A+24) div 48 is floor(x+1/2) directly; the seasonal mean
+        // S/(24n) and residual (n*detr24 − S)/(24n) can be negative, so
+        // a C = 1e18 shift (decimal-cast BEFORE multiplying — the
+        // literal product overflows BIGINT) keeps the div operands
+        // positive where trunc and floor agree cross-engine
+        .withColumn("t_cents", expr("(2 * trend24 + 24) div 48"))
+        .withColumn("s_cents", expr(
+          """((2 * snum + 24 * nm
+            |  + CAST(1000000000000000000 AS DECIMAL(38,0)) * 48 * nm)
+            | div (48 * nm)) - 1000000000000000000""".stripMargin))
+        .withColumn("r_cents", expr(
+          """((2 * (nm * detr24 - snum) + 24 * nm
+            |  + CAST(1000000000000000000 AS DECIMAL(38,0)) * 48 * nm)
+            | div (48 * nm)) - 1000000000000000000""".stripMargin))
+        .select(col("month"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("t_cents").cast("double") / 100.0).as("trend"),
+          (col("s_cents").cast("double") / 100.0).as("seasonal"),
+          (col("r_cents").cast("double") / 100.0).as("resid"))
+        .orderBy(col("month"))
+    }),
+
     "q61_movers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem")
@@ -1941,6 +2009,44 @@ object Relational {
         |  CAST(sum(cents) AS BIGINT) AS subtree_cents
         |FROM walk WHERE cur <= 6
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q63_seasonal" ->
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT month, cents,
+        |    count(*) OVER (ORDER BY month
+        |      ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS n_win,
+        |    lag(cents, 6) OVER (ORDER BY month)
+        |      + lead(cents, 6) OVER (ORDER BY month)
+        |      + 2 * sum(cents) OVER (ORDER BY month
+        |          ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS trend24
+        |  FROM m),
+        |d AS (
+        |  SELECT month, cents, trend24, 24 * cents - trend24 AS detr24,
+        |    substr(month, 6, 2) AS moy
+        |  FROM t WHERE n_win = 13),
+        |se AS (
+        |  SELECT moy, sum(detr24) AS snum, CAST(count(*) AS HUGEINT) AS nm
+        |  FROM d GROUP BY moy),
+        |r AS (
+        |  SELECT month, cents, detr24, snum, nm,
+        |    (2 * trend24 + 24) // 48 AS t_cents,
+        |    ((2 * snum + 24 * nm
+        |      + CAST(1000000000000000000 AS HUGEINT) * 48 * nm)
+        |     // (48 * nm)) - 1000000000000000000 AS s_cents,
+        |    ((2 * (nm * detr24 - snum) + 24 * nm
+        |      + CAST(1000000000000000000 AS HUGEINT) * 48 * nm)
+        |     // (48 * nm)) - 1000000000000000000 AS r_cents
+        |  FROM d JOIN se USING (moy))
+        |SELECT month,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(t_cents AS DOUBLE) / 100.0 AS trend,
+        |  CAST(s_cents AS DOUBLE) / 100.0 AS seasonal,
+        |  CAST(r_cents AS DOUBLE) / 100.0 AS resid
+        |FROM r ORDER BY month""".stripMargin,
 
     "q61_movers" ->
       """WITH li AS (

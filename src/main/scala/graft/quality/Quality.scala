@@ -440,6 +440,52 @@ object Quality {
         .orderBy(col("tbl"))
     }),
 
+    // k-anonymity audit (the re-identification screen a governance pass
+    // runs before releasing a table: how many subjects share each
+    // quasi-identifier combination?): QI = (nation, segment, 1000-wide
+    // balance bucket), class = one distinct QI tuple. The output is the
+    // class-SIZE HISTOGRAM — for each observed class size, how many
+    // classes and rows sit there and whether that size violates k = 5 —
+    // because the histogram is what the privacy decision reads
+    // (suppression rate = the violating rows), and it is O(distinct
+    // sizes) no matter the corpus. Shape: one QI-grouped count (the only
+    // corpus shuffle) then a histogram aggregate over the class table.
+    // Exact integers end to end; the bucket floor is engine-identical
+    // (double divide by 1000, floor, both IEEE).
+    "dq_kanonymity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000).cast("int").as("bal_bucket"))
+        .agg(count(lit(1)).as("class_size"))
+        .groupBy(col("class_size"))
+        .agg(count(lit(1)).as("n_classes"))
+        .select(col("class_size"), col("n_classes"),
+          (col("class_size") * col("n_classes")).as("n_rows"),
+          (col("class_size") < 5).as("violates_k5"))
+        .orderBy(col("class_size"))),
+
+    // l-diversity audit (k-anonymity's blind spot: a class can be large
+    // yet reveal everyone's sensitive value if the class is
+    // homogeneous): QI = (nation, balance bucket), sensitive attribute
+    // = market segment, l = distinct sensitive values within the class.
+    // Output is the l-histogram with the l < 3 violation flag — same
+    // O(distinct l) report contract as dq_kanonymity. The per-class
+    // distinct is ONE countDistinct (single Expand-free path — one
+    // distinct column plans as a two-phase aggregate, no Expand), then
+    // the histogram over the class table.
+    "dq_ldiversity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"),
+          floor(col("c_acctbal") / 1000).cast("int").as("bal_bucket"))
+        .agg(countDistinct(col("c_mktsegment")).as("l"),
+          count(lit(1)).as("cls_rows"))
+        .groupBy(col("l"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("cls_rows")).as("n_rows"))
+        .select(col("l"), col("n_classes"), col("n_rows"),
+          (col("l") < 3).as("violates_l3"))
+        .orderBy(col("l"))),
+
     // Source-to-target reconciliation (the migration/ingest audit every
     // warehouse runs: "does the header total equal the sum of its
     // lines?"): per order, o_totalprice against the exact-cents sum of
@@ -1364,6 +1410,31 @@ object Quality {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders JOIN s ON o_custkey = k
         |ORDER BY tbl""".stripMargin,
+
+    "dq_kanonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket,
+        |    count(*) AS class_size
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT class_size, count(*) AS n_classes,
+        |  class_size * count(*) AS n_rows,
+        |  class_size < 5 AS violates_k5
+        |FROM cls GROUP BY class_size
+        |ORDER BY class_size""".stripMargin,
+
+    "dq_ldiversity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor(c_acctbal / 1000) AS INTEGER) AS bal_bucket,
+        |    count(DISTINCT c_mktsegment) AS l,
+        |    count(*) AS cls_rows
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT l, count(*) AS n_classes,
+        |  CAST(sum(cls_rows) AS BIGINT) AS n_rows,
+        |  l < 3 AS violates_l3
+        |FROM cls GROUP BY l
+        |ORDER BY l""".stripMargin,
 
     // Same pre-aggregated line cents, same FULL-outer join, same exact-
     // integer counters — every surfaced value is a long; headerless

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Features
+
+/** Invariants of the feature-engineering family the DuckDB oracle can't
+  * express directly: density/ordering of fitted vocabularies, partition
+  * completeness of hashed assignments, the shrinkage property of the
+  * target encoder, and WoE's zero point. */
+class FeaturesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("feat_index fits dense MLlib-ordered vocabularies per column") {
+    val rows = Features.queries("feat_index")(spark, TestSpark.Sf).collect()
+    val byCol = rows.groupBy(_.getAs[String]("col_name"))
+    assert(byCol.keySet == Set("o_orderpriority", "o_orderstatus"))
+    byCol.foreach { case (_, vs) =>
+      // indices are dense 0..k-1 and frequency-ordered: idx 0 is the
+      // most frequent value, ties broken by value (MLlib frequencyDesc)
+      val sorted = vs.sortBy(_.getAs[Int]("idx"))
+      assert(sorted.map(_.getAs[Int]("idx")).toSeq == vs.indices)
+      val freqs = sorted.map(_.getAs[Long]("freq")).toSeq
+      assert(freqs == freqs.sorted.reverse)
+    }
+  }
+
+  test("feat_hash slots cover every feature row exactly once") {
+    val rows = Features.queries("feat_hash")(spark, TestSpark.Sf).collect()
+    val nOrders = graft.sources.Lake.table(spark, TestSpark.Sf, "orders").count()
+    // two features per order, each lands in exactly one slot
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 2 * nOrders)
+    assert(rows.forall(r => (0 until 64).contains(r.getAs[Int]("slot"))))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("collided") == (r.getAs[Long]("n_features") > 1L))
+    }
+    // every distinct feature lands in exactly one slot, so the per-slot
+    // distinct counts sum to the true feature-domain size
+    val o = graft.sources.Lake.table(spark, TestSpark.Sf, "orders")
+    val domain = o.select(col("o_orderpriority")).distinct().count() +
+      o.select(col("o_orderstatus")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_features")).sum == domain)
+  }
+
+  test("feat_kfold partitions the table deterministically") {
+    val q = Features.queries("feat_kfold")
+    val a = q(spark, TestSpark.Sf).collect()
+    val b = q(spark, TestSpark.Sf).collect()
+    // hash-of-key assignment: identical across runs (randomSplit isn't)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val nOrders = graft.sources.Lake.table(spark, TestSpark.Sf, "orders").count()
+    assert(a.map(_.getAs[Long]("n_rows")).sum == nOrders)
+    assert(a.map(_.getAs[Int]("fold")).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("feat_scale reproduces the textbook sample std on a planted frame") {
+    val planted = Seq(("A", 1.00), ("A", 2.00), ("A", 3.00), ("A", 4.00))
+      .toDF("c_mktsegment", "c_acctbal")
+    val dir = TestSpark.scratch("feat_scale_planted")
+    planted.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = Features.queries("feat_scale")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Double]("mean_bal") == 2.5)
+    // sample std of {1,2,3,4} = sqrt(5/3) = 1.29099...
+    assert(math.abs(r.getAs[Double]("std_bal") - 1.291) < 5e-4)
+    assert(r.getAs[Double]("min_bal") == 1.0 && r.getAs[Double]("max_bal") == 4.0)
+  }
+
+  test("feat_target_encode shrinks every segment toward the global mean") {
+    val rows = Features.queries("feat_target_encode")(spark, TestSpark.Sf)
+      .collect()
+    val n = rows.map(_.getAs[Long]("n_orders")).map(BigDecimal(_)).sum
+    val gmean = rows.map(r => BigDecimal(r.getAs[Long]("n_orders")) *
+      BigDecimal(r.getAs[Double]("mean_price"))).sum / n
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("mean_price")
+      val enc = r.getAs[Double]("enc_price")
+      // enc sits strictly between the segment mean and the global mean
+      // (within the 4dp presentation grid)
+      val lo = math.min(raw, gmean.toDouble) - 1e-4
+      val hi = math.max(raw, gmean.toDouble) + 1e-4
+      assert(enc >= lo && enc <= hi, s"$r gmean=$gmean")
+    }
+  }
+
+  test("feat_woe matches the closed-form smoothed log-odds on a planted frame") {
+    // planted: three categories with IDENTICAL counts (100 rows, 20 bad
+    // each) → every row carries the same woe, equal to the Laplace-
+    // smoothed closed form ln(a·B / (b·A)) with a = 2·80+1, b = 2·20+1,
+    // A = 2·240+5, B = 2·60+5 (equal raw odds land slightly off zero —
+    // the +1 smoothing shifts small classes toward 50:50 by design)
+    val planted = (1 to 300).map { i =>
+      (i.toLong, i % 3 match { case 0 => "1-A"; case 1 => "2-B"; case _ => "3-C" },
+        if (i % 5 == 0) "F" else "O")
+    }.toDF("o_orderkey", "o_orderpriority", "o_orderstatus")
+    val dir = TestSpark.scratch("feat_woe_planted")
+    planted.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = Features.queries("feat_woe")(spark, dir).collect()
+    assert(rows.length == 3)
+    val expected = math.log(161.0 * 125.0) - math.log(41.0 * 485.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_good") == 80L && r.getAs[Long]("n_bad") == 20L)
+      assert(math.abs(r.getAs[Double]("woe") - expected) < 2e-6, r.toString)
+    }
+    // symmetric classes: every woe and iv_term identical across rows
+    assert(rows.map(_.getAs[Double]("woe")).distinct.length == 1)
+    assert(rows.map(_.getAs[Double]("iv_term")).distinct.length == 1)
+  }
+}
