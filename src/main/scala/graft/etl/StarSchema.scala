@@ -624,6 +624,45 @@ object StarSchema {
     // oracle recomputes the backfill with a CASE on the same key split.
     // At 100 TB mergeSchema is a per-file metadata cost — turn it on
     // only for tables that actually evolve (Lake.readParquetMerged doc).
+    // Column RENAME via name mapping (r13 — the Iceberg column-mapping
+    // semantics etl_evolve_read's add-column case doesn't cover): epoch
+    // 1 files carry `amount`; the table then renames it to `amount_usd`
+    // as a METADATA operation — zero files rewritten, the contract that
+    // makes renames affordable on a 100 TB table — and epoch 2 writes
+    // the new name. A per-epoch name-mapping (epoch → old → current)
+    // projects historical files to the CURRENT schema at scan time;
+    // a plain read-by-name would silently NULL the renamed column for
+    // every pre-rename file (exactly the corruption mode the mapping
+    // exists to prevent — the oracle's nonzero epoch-1 cents prove the
+    // old-name data actually flows through the rename). unionByName
+    // keeps the per-epoch scans parallel-independent; each is pruned
+    // and pushed down separately.
+    "etl_column_rename" -> ((s, dir) => {
+      val path = scratch("etl_column_rename")
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("amount"))
+        .write.mode("overwrite").parquet(s"$path/epoch=1")
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("amount_usd"))
+        .write.mode("overwrite").parquet(s"$path/epoch=2")
+      // the name-mapping a catalog would persist: field renamed after
+      // epoch 1, identity for current-epoch files
+      val mapping = Seq(1 -> Map("amount" -> "amount_usd"),
+        2 -> Map.empty[String, String])
+      mapping.map { case (ep, m) =>
+        m.foldLeft(
+          s.read.parquet(s"$path/epoch=$ep").withColumn("epoch", lit(ep))) {
+          case (df, (from, to)) => df.withColumnRenamed(from, to)
+        }
+      }.reduce(_.unionByName(_))
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("amount_usd")).as("cents"))
+        .orderBy(col("epoch"))
+    }),
+
     "etl_evolve_read" -> ((s, dir) => {
       val path = scratch("etl_evolve_read")
       val orders = t(s, dir, "orders")
@@ -1095,6 +1134,16 @@ object StarSchema {
         |    AS o_orderpriority,
         |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Nonzero cents in BOTH epochs prove the renamed column's
+    // historical data flows through the mapping (a by-name read would
+    // null epoch 1 wholesale).
+    "etl_column_rename" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS epoch,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY 1 ORDER BY epoch""".stripMargin,
 
     // The three planted change sets, recomputed from the source: a
     // removed key reports removed even if it was also bumped (the

@@ -486,6 +486,40 @@ object Quality {
           (col("l") < 3).as("violates_l3"))
         .orderBy(col("l"))),
 
+    // Differentially private release counts (the Laplace mechanism,
+    // ε = 1, sensitivity 1 — the third leg of the privacy family:
+    // k-anonymity/l-diversity audit the raw table, this is the
+    // protected AGGREGATE a controller actually publishes): per-nation
+    // customer counts plus Laplace(1/ε) noise drawn by inverse CDF,
+    // noise = −sgn(u−½)·ln(1−2|u−½|). The draw is SEEDED AND
+    // DETERMINISTIC here (u from the md5-top-60-bits of the salted
+    // group key — the gate needs replayability; a production release
+    // swaps in true randomness, the mechanism's shape is what's under
+    // test). Exact-arithmetic discipline: u = (k0+½)/2^60 makes
+    // 1−2|u−½| the exact rational k1/2^60 with k1 an odd INTEGER, so
+    // the noise is ln(k1) − ln(2^60) — two micro-quantized-ln longs
+    // (psiFromCounts discipline) and noise_micro stays an exact
+    // integer; the published count adds noise_micro/1e6 in one double
+    // op. One grouped count; the noise is a per-group projection.
+    "dq_dp_count" -> ((s, dir) => {
+      val two60 = 1L << 60
+      val k0 = conv(substring(md5(concat(lit("dp:"),
+        col("nation").cast("string"))), 1, 15), 16, 10).cast("long")
+      val t2 = lit(2L) * k0 + lit(1L) - lit(two60)
+      val k1 = lit(two60) - abs(t2)
+      val lq = round(log(k1.cast("double")) * 1e6).cast("long") -
+        round(log(lit(two60.toDouble)) * 1e6).cast("long")
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("noise_micro",
+          when(t2 > 0, lit(-1L) * lq).otherwise(lq))
+        .select(col("nation"), col("n_true"), col("noise_micro"),
+          (col("n_true").cast("double") +
+            col("noise_micro").cast("double") / 1e6).as("n_noisy"))
+        .orderBy(col("nation"))
+    }),
+
     // Source-to-target reconciliation (the migration/ingest audit every
     // warehouse runs: "does the header total equal the sum of its
     // lines?"): per order, o_totalprice against the exact-cents sum of
@@ -1422,6 +1456,38 @@ object Quality {
         |  class_size < 5 AS violates_k5
         |FROM cls GROUP BY class_size
         |ORDER BY class_size""".stripMargin,
+
+    "dq_dp_count" -> {
+      // k0 = first 15 md5 nibbles as a 60-bit integer (positional sum —
+      // the dedup_split_leakage unpack, widened)
+      val k0 = (1 to 15).map { i =>
+        val w = BigInt(16).pow(15 - i)
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $w"
+      }.mkString("\n        + ")
+      s"""WITH c AS (
+         |  SELECT c_nationkey AS nation, count(*) AS n_true
+         |  FROM customer GROUP BY 1),
+         |k AS (
+         |  SELECT nation, n_true,
+         |    $k0 AS k0
+         |  FROM (SELECT nation, n_true,
+         |          md5('dp:' || CAST(nation AS VARCHAR)) AS h FROM c)),
+         |n AS (
+         |  SELECT nation, n_true,
+         |    2 * k0 + 1 - 1152921504606846976 AS t2,
+         |    1152921504606846976 - abs(2 * k0 + 1 - 1152921504606846976) AS k1
+         |  FROM k),
+         |l AS (
+         |  SELECT nation, n_true, t2,
+         |    CAST(round(ln(CAST(k1 AS DOUBLE)) * 1e6) AS BIGINT)
+         |      - CAST(round(ln(CAST(1152921504606846976 AS DOUBLE)) * 1e6) AS BIGINT) AS lq
+         |  FROM n)
+         |SELECT nation, n_true,
+         |  CASE WHEN t2 > 0 THEN -lq ELSE lq END AS noise_micro,
+         |  CAST(n_true AS DOUBLE)
+         |    + CAST(CASE WHEN t2 > 0 THEN -lq ELSE lq END AS DOUBLE) / 1e6 AS n_noisy
+         |FROM l ORDER BY nation""".stripMargin
+    },
 
     "dq_ldiversity" ->
       """WITH cls AS (

@@ -384,4 +384,28 @@ class QualitySpec extends AnyFunSuite {
       assert(j >= 0.0 && j <= 1.0 && j <= r.getAs[Double]("containment"))
     }
   }
+
+  test("dq_dp_count draws bounded, deterministic, two-sided Laplace noise") {
+    val q = quality.Quality.queries("dq_dp_count")
+    val a = q(TestSpark.spark, TestSpark.Sf).collect()
+    val b = q(TestSpark.spark, TestSpark.Sf).collect()
+    // seeded mechanism: bit-identical across runs
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val noises = a.map(_.getAs[Long]("noise_micro"))
+    // |noise| ≤ b·ln(2^60) ≈ 41.59 at ε=1 (the 60-bit draw's tail cap)
+    assert(noises.forall(n => math.abs(n) <= 41590000L))
+    // a one-sided md5 would be a broken inverse CDF: both signs appear
+    assert(noises.exists(_ > 0) && noises.exists(_ < 0))
+    a.foreach { r =>
+      // published = true + noise, reconstructed exactly
+      val expected = r.getAs[Long]("n_true").toDouble +
+        r.getAs[Long]("noise_micro").toDouble / 1e6
+      assert(r.getAs[Double]("n_noisy") == expected)
+    }
+    // ε=1 Laplace has mean |noise| = 1; 25 draws land within a loose
+    // an-order-of-magnitude sanity band (catches a scale-factor bug,
+    // not distribution shape)
+    val meanAbs = noises.map(n => math.abs(n) / 1e6).sum / noises.length
+    assert(meanAbs > 0.05 && meanAbs < 10.0, s"meanAbs=$meanAbs")
+  }
 }
