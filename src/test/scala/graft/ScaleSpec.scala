@@ -295,6 +295,27 @@ class ScaleSpec extends AnyFunSuite {
       s"q58_pareto class hot-spot: max=$pMax distinct=$pNd")
   }
 
+  test("feat fits honor the one-corpus-scan contract") {
+    // the family's scale claim (SURVEY §2.K): every fit is ONE pass over
+    // the fact — a second scan doubles the 100 TB read for parameters
+    // the first pass already holds (caught live: feat_target_encode's
+    // first draft scanned the fact twice for its global moments)
+    def scans(k: String): Int = {
+      val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
+        .queryExecution.executedPlan.toString
+      "Scan parquet".r.findAllIn(plan).length
+    }
+    Seq("feat_index", "feat_hash", "feat_kfold", "feat_scale", "feat_woe")
+      .foreach { k => assert(scans(k) == 1, s"$k must scan the fact once") }
+    // target encoding joins the broadcast dim: exactly fact + dim
+    assert(scans("feat_target_encode") == 2,
+      "feat_target_encode must scan exactly fact + dim")
+    val te = SparkEntry.queries("feat_target_encode")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(te.contains("BroadcastHashJoin"),
+      "the dim join must broadcast, never shuffle the fact")
+  }
+
   test("driver contract: every query key carries an oracle, and no oracle is orphaned") {
     // the driver's correctness gate only bites where BOTH maps have the
     // key — a key that ships without oracle SQL silently downgrades to
