@@ -173,6 +173,76 @@ object Features {
         .orderBy(col("segment"))
     }),
 
+    // Feature-store point-in-time join (the leakage-safe feature
+    // attachment every training-set build needs: each label event gets
+    // the entity's feature values AS OF strictly BEFORE its timestamp —
+    // a feature computed from a same-instant transaction would leak the
+    // label, so ties sort probe-first, unlike q26_asof's at-or-before
+    // attach of a last VALUE; this one accumulates RUNNING features
+    // from a different table entirely). Each event receives the user's
+    // cumulative order count and exact order cents so far. Shape: union
+    // the probe stream with the feature-update stream, ONE shuffle on
+    // the entity key, a running-sum window per entity — no join at all
+    // (the naive per-event correlated lookup is O(events·orders)); at
+    // 100 TB both legs co-partition on user_id and the window state is
+    // two longs. Tied probes can't disturb each other (their update
+    // contribution is zero), so the intra-tie order is irrelevant —
+    // the output is deterministic without a full tie-break.
+    "feat_point_in_time" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val probes = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0L).as("o_cnt"), lit(0L).as("o_cents"), lit(0).as("is_feat"))
+      val updates = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("ts"),
+          lit(null).cast("long").as("event_id"), lit(1L).as("o_cnt"),
+          round(col("o_totalprice") * 100).cast("long").as("o_cents"),
+          lit(1).as("is_feat"))
+      // probe sorts BEFORE the update at equal ts: strictly-before
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_feat").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probes.unionByName(updates)
+        .withColumn("n_orders_asof", sum(col("o_cnt")).over(w))
+        .withColumn("cents_asof", sum(col("o_cents")).over(w))
+        .filter(col("is_feat") === 0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("n_orders_asof"), col("cents_asof"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Deterministic negative sampling (the recommender-training
+    // counterpart of the positives the lake already holds: for each
+    // user, k candidate items they did NOT interact with). Candidates
+    // come from k = 8 salted hash probes per user into the contiguous
+    // item-key space — O(k·|users|) rows by pure projection, where
+    // "sample the non-interaction cross product" is |U|·|I| and
+    // unmaterializable at 100 TB — then ONE left-anti join against the
+    // distinct interaction pairs removes accidental positives
+    // (co-partitioned on the pair key; the interaction side
+    // pre-distincts to pair grain before the shuffle). Probes are
+    // salted-md5 derived, so the sample is reproducible across runs
+    // and engines; collisions dedup to distinct (user, item).
+    "feat_negative_sample" -> ((s, dir) => {
+      val pmax = t(s, dir, "part")
+        .agg(max(col("p_partkey")).as("n_items"))
+      val cands = t(s, dir, "customer").select(col("c_custkey"))
+        .crossJoin(broadcast(pmax))
+        .select(col("c_custkey").as("user_id"), explode(array(
+          (0 until 8).map(i => (conv(substring(md5(concat(lit("neg:"),
+            col("c_custkey").cast("string"), lit(s":$i"))), 1, 15),
+            16, 10).cast("long") % col("n_items") + 1L).as(s"p$i")): _*))
+          .as("item"))
+        .distinct()
+      val interactions = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
+        .distinct()
+      cands.join(interactions, Seq("user_id", "item"), "left_anti")
+        .orderBy(col("user_id"), col("item"))
+    }),
+
     // Weight of evidence + information value (the credit-scoring
     // encoder: per-category log-odds against a binary label, here
     // order finished = 'F'): woe = ln(good_share / bad_share) with the
@@ -279,6 +349,50 @@ object Features {
         |  round(CAST(sx * gn + 20 * gs AS DOUBLE)
         |    / CAST((n + 20) * gn AS DOUBLE) / 100.0, 4) + 0.0 AS enc_price
         |FROM m, g ORDER BY segment""".stripMargin,
+
+    "feat_point_in_time" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, CAST(0 AS BIGINT) AS o_cnt,
+        |    CAST(0 AS BIGINT) AS o_cents, 0 AS is_feat
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, o_orderdate, NULL, 1,
+        |    CAST(round(o_totalprice * 100) AS BIGINT), 1
+        |  FROM orders),
+        |w AS (
+        |  SELECT event_id, user_id, ts, is_feat,
+        |    CAST(sum(o_cnt) OVER win AS BIGINT) AS n_orders_asof,
+        |    CAST(sum(o_cents) OVER win AS BIGINT) AS cents_asof
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, is_feat
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts, n_orders_asof, cents_asof
+        |FROM w WHERE is_feat = 0 ORDER BY event_id""".stripMargin,
+
+    "feat_negative_sample" -> {
+      val k0 = (1 to 15).map { i =>
+        val w = BigInt(16).pow(15 - i)
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $w"
+      }.mkString("\n        + ")
+      val probes = (0 to 7).map(i => s"SELECT $i AS i").mkString(" UNION ALL ")
+      s"""WITH pm AS (SELECT max(p_partkey) AS n_items FROM part),
+         |probes AS ($probes),
+         |hashed AS (
+         |  SELECT c_custkey AS user_id, n_items,
+         |    md5('neg:' || CAST(c_custkey AS VARCHAR) || ':'
+         |      || CAST(i AS VARCHAR)) AS h
+         |  FROM customer, pm, probes),
+         |cand AS (
+         |  SELECT DISTINCT user_id,
+         |    ($k0) % n_items + 1 AS item
+         |  FROM hashed),
+         |inter AS (
+         |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+         |SELECT user_id, item FROM cand
+         |ANTI JOIN inter USING (user_id, item)
+         |ORDER BY user_id, item""".stripMargin
+    },
 
     "feat_woe" ->
       """WITH c AS (

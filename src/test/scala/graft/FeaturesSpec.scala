@@ -84,6 +84,52 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("feat_point_in_time attaches strictly-before features (no label leakage)") {
+    import java.sql.Timestamp
+    val t0 = 1704067200000L
+    def ts(m: Long) = new Timestamp(t0 + m * 60000L)
+    val dir = TestSpark.scratch("feat_pit_planted")
+    // user 7: orders at minute 10 (1000.00) and minute 30 (500.00);
+    // events at minutes 5, 10, 20, 30, 40 — the minute-10 event shares
+    // the first order's instant and must NOT see it (strictly before)
+    Seq((7L, ts(10), 1000.00), (7L, ts(30), 500.00))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, ts(5), 7L), (2L, ts(10), 7L), (3L, ts(20), 7L),
+      (4L, ts(30), 7L), (5L, ts(40), 7L))
+      .toDF("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Features.queries("feat_point_in_time")(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_orders_asof"), r.getAs[Long]("cents_asof"))).toMap
+    assert(rows(1L) == (0L, 0L))       // before anything
+    assert(rows(2L) == (0L, 0L))       // same instant as order 1: excluded
+    assert(rows(3L) == (1L, 100000L))  // after order 1
+    assert(rows(4L) == (1L, 100000L))  // same instant as order 2: excluded
+    assert(rows(5L) == (2L, 150000L))  // after both
+  }
+
+  test("feat_negative_sample emits only true negatives, bounded per user") {
+    val rows = Features.queries("feat_negative_sample")(spark, TestSpark.Sf)
+    val interactions = graft.sources.Lake.table(spark, TestSpark.Sf, "orders")
+      .join(graft.sources.Lake.table(spark, TestSpark.Sf, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
+      .distinct()
+    // anti-join correctness: not one sampled pair is a real interaction
+    assert(rows.join(interactions, Seq("user_id", "item")).count() == 0L)
+    // ≤ 8 probes per user, items inside the key domain
+    val agg = rows.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("k"), max(col("item")).as("mx"),
+        min(col("item")).as("mn")).collect()
+    val pmax = graft.sources.Lake.table(spark, TestSpark.Sf, "part")
+      .agg(max(col("p_partkey"))).collect().head.getLong(0)
+    agg.foreach { r =>
+      assert(r.getAs[Long]("k") <= 8L)
+      assert(r.getAs[Long]("mn") >= 1L && r.getAs[Long]("mx") <= pmax)
+    }
+  }
+
   test("feat_woe matches the closed-form smoothed log-odds on a planted frame") {
     // planted: three categories with IDENTICAL counts (100 rows, 20 bad
     // each) → every row carries the same woe, equal to the Laplace-
