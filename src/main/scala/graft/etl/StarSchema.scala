@@ -624,6 +624,60 @@ object StarSchema {
     // oracle recomputes the backfill with a CASE on the same key split.
     // At 100 TB mergeSchema is a per-file metadata cost — turn it on
     // only for tables that actually evolve (Lake.readParquetMerged doc).
+    // Late-arriving dimension (r13 — the classic warehouse load
+    // problem etl_scd2/etl_merge_upsert don't cover: FACTS arrive
+    // before their dimension row): the fact load must not drop or park
+    // the early facts, so it creates INFERRED members (placeholder dim
+    // rows keyed but attribute-less — Kimball's standard move), and the
+    // late dim batch later backfills them in place (SCD1 overwrite on
+    // the key). Staged end to end: dim v1 ships without the %7 cohort;
+    // the fact load LEFT-ANTI-joins the distinct fact keys against the
+    // dim (key-grained, never row-grained) and appends inferred
+    // members; the late batch upserts the true attributes. The audit
+    // output proves all three contracts at once — every fact joins the
+    // final dim (counts partition exactly), the backfilled cohort
+    // carries real attributes, and the 'inferred_remaining' row is a
+    // LOAD-BEARING ZERO (any member still '<inferred>' flips the hash,
+    // the dq_reconcile orphan-counter discipline).
+    "etl_late_arriving_dim" -> ((s, dir) => {
+      val path = scratch("etl_late_arriving_dim")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val cust = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      cust.filter(col("c_custkey") % 7 =!= 0)
+        .write.mode("overwrite").parquet(s"$path/dim")
+      // fact load: inferred members for facts whose dim hasn't arrived
+      val dimV1 = s.read.parquet(s"$path/dim")
+      orders.select(col("o_custkey").as("c_custkey")).distinct()
+        .join(dimV1, Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("<inferred>").as("c_name"),
+          lit(-1).cast("int").as("c_nationkey"),
+          lit(0.0).as("c_acctbal"), lit("<inferred>").as("c_mktsegment"))
+        .write.mode("append").parquet(s"$path/dim")
+      // late batch arrives: SCD1 backfill over the key
+      val backfilled = Lake.upsert(s.read.parquet(s"$path/dim"),
+        cust.filter(col("c_custkey") % 7 === 0), Seq("c_custkey"))
+      backfilled.write.mode("overwrite").parquet(s"$path/dim_final")
+      val dim = s.read.parquet(s"$path/dim_final")
+      val joined = orders.join(dim, col("o_custkey") === col("c_custkey"))
+      val classes = joined
+        .groupBy(when(col("c_custkey") % 7 === 0, "backfilled")
+          .otherwise("on_time").as("class"))
+        .agg(countDistinct(col("c_custkey")).as("n_members"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val inferredLeft = joined.filter(col("c_name") === "<inferred>")
+        .agg(coalesce(countDistinct(col("c_custkey")), lit(0L)).as("n_members"),
+          count(lit(1)).as("n_orders"),
+          coalesce(sum(round(col("o_totalprice") * 100).cast("long")),
+            lit(0L)).as("cents"))
+        .select(lit("inferred_remaining").as("class"), col("n_members"),
+          col("n_orders"), col("cents"))
+      classes.unionByName(inferredLeft).orderBy(col("class"))
+    }),
+
     // Column RENAME via name mapping (r13 — the Iceberg column-mapping
     // semantics etl_evolve_read's add-column case doesn't cover): epoch
     // 1 files carry `amount`; the table then renames it to `amount_usd`
@@ -1134,6 +1188,21 @@ object StarSchema {
         |    AS o_orderpriority,
         |  CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // Classes derive from the %7 staging split; the inferred_remaining
+    // zeros are hardcoded EXPECTATIONS — a backfill bug leaves real
+    // counts there and flips the hash.
+    "etl_late_arriving_dim" ->
+      """SELECT CASE WHEN o_custkey % 7 = 0 THEN 'backfilled'
+        |    ELSE 'on_time' END AS class,
+        |  count(DISTINCT o_custkey) AS n_members,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 'inferred_remaining', 0, 0, 0
+        |ORDER BY class""".stripMargin,
 
     // Nonzero cents in BOTH epochs prove the renamed column's
     // historical data flows through the mapping (a by-name read would
