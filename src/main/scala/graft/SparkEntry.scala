@@ -50,7 +50,7 @@ object SparkEntry {
     "stream_dedup", "stream_join", "stream_delete",
     "stream_join_outer", "stream_content_dedup", "stream_trending",
     "stream_upsert", "stream_quality", "stream_recovery", "stream_sliding",
-    "stream_late_data")
+    "stream_late_data", "stream_enrich")
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */

@@ -411,6 +411,38 @@ object Streams {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // Stream-STATIC dimension enrichment (r13 — the most common
+    // production streaming shape, and the one join class the family
+    // lacked: stream_join/stream_join_outer are stream-stream): each
+    // micro-batch joins the event stream against the static customer
+    // dim. The dim BROADCASTS per batch — the stream side never
+    // shuffles for the join, and unlike stream-stream there is NO join
+    // state at all (the dim is re-read/re-planned each batch, which is
+    // also what picks up slowly-changing dim refreshes between
+    // batches). LEFT join + '<unknown>' bucket: an event whose user has
+    // no dim row must still count (dropping it is the silent-orphan
+    // mode dq_orphans audits in batch). Watermark declared on the
+    // stream BEFORE the join so event-time metadata survives into the
+    // windowed aggregate; exact cents in the state store (r12 stream
+    // discipline).
+    "stream_enrich" -> ((s, dir) => {
+      val dim = graft.sources.Lake.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val agg = readEventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+        .select(col("ts"), col("value"),
+          coalesce(col("c_mktsegment"), lit("<unknown>")).as("segment"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+      val res = materialize(s, agg, "graft_stream_enrich", OutputMode.Complete())
+      res.select(col("w.start").as("window_start"), col("segment"),
+          col("cnt"),
+          round(col("sv_cents").cast("double") / 100, 2).as("sum_value"))
+        .orderBy(col("window_start"), col("segment"))
+    }),
+
     // SLIDING (overlapping) windows — the rate/trend shape tumbling
     // can't express (r12): every event contributes to FOUR 1 h windows
     // sliding by 15 min, so a spike surfaces within one slide interval
@@ -1005,6 +1037,16 @@ object Streams {
         |FROM w CROSS JOIN mx
         |WHERE w.window_start + INTERVAL 2 HOURS <= mx.mts
         |ORDER BY w.window_start, w.event_type""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+        |  coalesce(c.c_mktsegment, '<unknown>') AS segment,
+        |  count(*) AS cnt,
+        |  round(CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+        |    AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY window_start, segment""".stripMargin,
 
     "stream_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -230,6 +230,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(!res.exists(_.getLong(0) < 0), "clock sentinel leaked into the result")
   }
 
+  test("stream_enrich broadcasts the static dim and keeps no join state") {
+    // the stream-static contract: the dim join must be a per-batch
+    // broadcast (the stream never shuffles for it) with ZERO join
+    // state — a stream-stream symmetric hash join here would mean the
+    // static side was accidentally streamified and state grows forever
+    val res = Streams.queries("stream_enrich")(spark, TestSpark.Sf).collect()
+    assert(res.nonEmpty)
+    val plan = Streams.microBatchPlans("graft_stream_enrich")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim join must broadcast:\n$plan")
+    assert(!plan.contains("StreamingSymmetricHashJoin"),
+      "the static side must not carry stream-stream join state")
+    // every event lands in a segment bucket: totals match the raw feed
+    val n = res.map(_.getAs[Long]("cnt")).sum
+    assert(n == sources.Lake.table(spark, TestSpark.Sf, "events").count())
+  }
+
   test("checkpoint restart is exactly-once: redelivery-only leg leaves the sink unchanged") {
     // Harsher than the stream_recovery key's end-to-end gate: the
     // restarted leg carries NOTHING but redelivered rows, so any
