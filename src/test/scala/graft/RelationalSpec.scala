@@ -17,6 +17,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("q62_hierarchy raises a named error on a gapped key domain") {
+    // the forest contract needs part keys contiguous from 1 (the oracle
+    // walks pk div 7 arithmetically); a gap must surface as an ERROR
+    // with the offending pointer named, never as silently dropped
+    // subtree rows (ADVICE r12 — the old inner join dropped them)
+    import spark.implicits._
+    val dir = TestSpark.scratch("q62_gapped")
+    // keys 1..30 minus 3: key 21..27 point at parent 3, which is absent
+    (1 to 30).filter(_ != 3).map(k => (k.toLong, k * 1.0))
+      .toDF("p_partkey", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val e = intercept[Exception] {
+      Relational.queries("q62_hierarchy")(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("q62_hierarchy: parent pointer")),
+      s"expected the named precondition error, got: ${messages(e)}")
+    // and the contiguous domain still resolves clean
+    val ok = (1 to 30).map(k => (k.toLong, k * 1.0))
+      .toDF("p_partkey", "p_retailprice")
+    ok.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val roots = Relational.queries("q62_hierarchy")(spark, dir).collect()
+    assert(roots.map(_.getAs[Long]("n_parts")).sum == 30L)
+  }
+
   test("q20 approx_count_distinct stays within the 5% HLL contract") {
     import org.apache.spark.sql.functions._
     // independent re-derivation of the sketch (the query itself now emits
