@@ -57,9 +57,14 @@ object Features {
     // stable, and reproducible from the data alone.
     "feat_index" -> ((s, dir) =>
       t(s, dir, "orders")
+        // nulls become an explicit vocab entry BEFORE ranking: a null
+        // riding into the (freq DESC, value) tie-break would rank
+        // nulls-first in Spark but nulls-last in DuckDB — the sentinel
+        // removes the divergence and gives the encoder a real index for
+        // missing values (MLlib's handleInvalid="keep" semantics)
         .select(explode(map(
-          lit("o_orderpriority"), col("o_orderpriority"),
-          lit("o_orderstatus"), col("o_orderstatus")))
+          lit("o_orderpriority"), coalesce(col("o_orderpriority"), lit("<null>")),
+          lit("o_orderstatus"), coalesce(col("o_orderstatus"), lit("<null>"))))
           .as(Seq("col_name", "value")))
         .groupBy(col("col_name"), col("value"))
         .agg(count(lit(1)).as("freq"))
@@ -281,9 +286,10 @@ object Features {
     "feat_index" ->
       """WITH v AS (
         |  SELECT col_name, value, count(*) AS freq FROM (
-        |    SELECT 'o_orderpriority' AS col_name, o_orderpriority AS value FROM orders
+        |    SELECT 'o_orderpriority' AS col_name,
+        |      coalesce(o_orderpriority, '<null>') AS value FROM orders
         |    UNION ALL
-        |    SELECT 'o_orderstatus', o_orderstatus FROM orders) u
+        |    SELECT 'o_orderstatus', coalesce(o_orderstatus, '<null>') FROM orders) u
         |  GROUP BY 1, 2)
         |SELECT col_name, value, freq,
         |  CAST(row_number() OVER (PARTITION BY col_name
