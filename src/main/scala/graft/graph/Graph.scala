@@ -752,6 +752,57 @@ object Graph {
     "graph_adamic_adar" -> ((s, dir) =>
       adamicAdarLinks(coSupplyEdges(s, dir), topK = 25)),
 
+    // Deterministic random walks (r13 — the node2vec/DeepWalk corpus
+    // generator: graph-embedding training needs walk sequences, and at
+    // 100 TB they must be REPRODUCIBLE across runs, retries, and
+    // engines, so the "random" next-hop is a salted md5 draw over the
+    // rank-indexed adjacency — hash(start, walk, step, cur) mod
+    // deg(cur), the feat_kfold determinism discipline applied to graph
+    // sampling): 2 walks per node, 3 steps each, over the month-sliced
+    // co-supply graph. Shape: the adjacency gets a per-source neighbor
+    // index from ONE degree-bounded window (partitioned by src — no
+    // global sort), then each step is two co-partitioned joins (degree
+    // lookup to size the draw, indexed-adjacency lookup to take it) on
+    // the current node — O(walks) rows stepped L times, never a
+    // frontier explosion, and the walk table is 2|V| rows at any
+    // corpus. The draw includes the CURRENT node so revisits re-draw
+    // instead of looping deterministically.
+    "graph_random_walk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = coSupplyEdges(s, dir)
+      val und = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+      val adj = und.withColumn("idx",
+        row_number().over(Window.partitionBy(col("src"))
+          .orderBy(col("dst"))) - 1)
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      def draw(t: Int) = conv(substring(md5(concat(
+        lit("walk:"), col("start").cast("string"), lit(":"),
+        col("w").cast("string"), lit(s":$t:"),
+        col("cur").cast("string"))), 1, 15), 16, 10).cast("long")
+      var walks = deg.select(col("src").as("start"))
+        .select(col("start"), explode(array(lit(0), lit(1))).as("w"))
+        .withColumn("cur", col("start"))
+      for (t <- 0 until 3) {
+        // per-step aliased copies: deg/adj join into every step, and
+        // re-aliasing gives each step fresh attribute ids (the Spark
+        // ambiguous-self-join rule rejects the raw re-join)
+        val d = deg.select(col("src").as(s"ds$t"), col("deg").as(s"dd$t"))
+        val a = adj.select(col("src").as(s"as$t"), col("dst").as(s"ad$t"),
+          col("idx").as(s"ai$t"))
+        walks = walks
+          .join(d, col("cur") === col(s"ds$t"))
+          .withColumn("pick", draw(t) % col(s"dd$t"))
+          .join(a, col("cur") === col(s"as$t") && col("pick") === col(s"ai$t"))
+          .select((Seq(col("start"), col("w")) ++
+            Seq.range(1, t + 1).map(i => col(s"n$i")) :+
+            col(s"ad$t").as(s"n${t + 1}")): _*)
+          .withColumn("cur", col(s"n${t + 1}"))
+      }
+      walks.select(col("start"), col("w"), col("n1"), col("n2"), col("n3"))
+        .orderBy(col("start"), col("w"))
+    }),
+
     // Connected components of the REPEATED co-supply graph (edges only
     // where two suppliers co-supplied ≥ 2 orders in the month — the
     // relationship graph, sparser than incidental one-off pairings, so
@@ -1191,6 +1242,50 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "graph_random_walk" -> {
+      // 60-bit md5 draw, the dq_dp_count nibble unpack over the salted
+      // walk-state string. Single-line fragments only: the outer
+      // stripMargin would eat a line-leading || operator.
+      def k0(t: Int) = {
+        val arg = "md5('walk:' || CAST(start AS VARCHAR) || ':' || " +
+          s"CAST(w AS VARCHAR) || ':$t:' || CAST(cur AS VARCHAR))"
+        (1 to 15).map { i =>
+          val w = BigInt(16).pow(15 - i)
+          s"(strpos('0123456789abcdef', substr($arg, $i, 1)) - 1) * $w"
+        }.mkString("\n    + ")
+      }
+      def step(t: Int, prev: String, cols: String) =
+        s"""s${t + 1} AS (
+           |  SELECT start, w, $cols a.dst AS n${t + 1}, a.dst AS cur
+           |  FROM $prev p JOIN deg d ON d.src = p.cur
+           |  JOIN adj a ON a.src = p.cur AND a.idx = (
+           |    ${k0(t)}) % d.deg)""".stripMargin
+      s"""WITH mo AS (
+         |  SELECT o_orderkey FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+         |    AND o_orderdate < TIMESTAMP '1997-04-01'),
+         |sup AS (
+         |  SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk
+         |  FROM mo JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (
+         |  SELECT DISTINCT x.sk AS u, y.sk AS v
+         |  FROM sup x JOIN sup y ON x.ok = y.ok AND x.sk < y.sk),
+         |und AS (SELECT u AS src, v AS dst FROM e
+         |        UNION ALL SELECT v, u FROM e),
+         |adj AS (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+         |        FROM und),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+         |s0 AS (SELECT d.src AS start, ww.w, d.src AS cur
+         |       FROM deg d, (SELECT 0 AS w UNION ALL SELECT 1) ww),
+         |${step(0, "s0", "")},
+         |${step(1, "s1", "n1,")},
+         |${step(2, "s2", "n1, n2,")}
+         |SELECT start, w, n1, n2, n3 FROM s3
+         |ORDER BY start, w""".stripMargin
+    },
+
     // Orientation-free triangle corners (each a<b<c triangle unnests to
     // its three nodes), same degree table, same 6dp coefficient.
     "graph_clustcoef" ->

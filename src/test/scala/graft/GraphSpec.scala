@@ -361,4 +361,34 @@ class GraphSpec extends AnyFunSuite {
     assert(aaOpen.exists(r =>
       r.getAs[Long]("u") == 5L && r.getAs[Long]("v") == 6L))
   }
+
+  test("graph_random_walk emits valid, deterministic, complete walks") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val q = graph.Graph.queries("graph_random_walk")
+    val a = q(spark, TestSpark.Sf).collect()
+    val b = q(spark, TestSpark.Sf).collect()
+    // the whole point of the hash draw: identical corpora → identical walks
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // 2 walks per node, every node walks
+    val e = graph.Graph.coSupplyEdges(spark, TestSpark.Sf)
+    val edges = e.select(col("u"), col("v")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val nodes = edges.map(_._1)
+    assert(a.length == 2 * nodes.size)
+    // every consecutive hop is a real edge of the graph
+    a.foreach { r =>
+      val path = Seq(r.getAs[Long]("start"), r.getAs[Long]("n1"),
+        r.getAs[Long]("n2"), r.getAs[Long]("n3"))
+      path.sliding(2).foreach { case Seq(x, y) =>
+        assert(edges.contains((x, y)), s"hop $x->$y not an edge in $r")
+      }
+    }
+    // the two walks from one node usually diverge (the draw is salted
+    // by walk id — identical twins everywhere would mean a dead salt)
+    val byStart = a.groupBy(_.getAs[Long]("start"))
+    assert(byStart.values.exists(ws =>
+      ws.map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"))).distinct.length > 1))
+  }
 }
