@@ -17,6 +17,11 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // manifest + oracle dump BEFORE the query loop: a hard JVM death
+    // mid-run (OOM kill) must still leave the expected-key list behind,
+    // or strictcheck's completeness gate degrades to a warning on
+    // exactly the partial runs it exists to catch (r13 review finding)
+    writeSidecars(outDir, selected.keys.toSeq.sorted)
     var failed = 0
     selected.foreach { case (name, fn) =>
       // per-key cache reset: builder-side .cache() calls (q57_basket,
@@ -32,6 +37,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // stdout contract for tools/roundclose.sh: the gate greps this exact
+    // line for failed=0 (a crashed key must not close a round green).
+    println(s"[verify] done, failed=$failed")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+
+  /** oracle_sql.json + the keys.json EXPECTED-key manifest: strictcheck
+    * compares the output dirs against the manifest so a key that
+    * crashed (or never ran) fails the gate as MISSING instead of being
+    * silently skipped. */
+  private def writeSidecars(outDir: String, keys: Seq[String]): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,16 +64,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // the EXPECTED key manifest for this run: strictcheck compares the
-    // output dirs against it so a key that crashed (or never ran) fails
-    // the gate as MISSING instead of being silently skipped — without
-    // this, a partial Verify run looks complete to a dir-glob.
     Files.writeString(Paths.get(s"$outDir/keys.json"),
-      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
-    // stdout contract for tools/roundclose.sh: the gate greps this exact
-    // line for failed=0 (a crashed key must not close a round green).
-    println(s"[verify] done, failed=$failed")
-    spark.stop()
-    if (failed > 0) sys.exit(1)
+      keys.map(q).mkString("[", ",", "]"))
   }
 }

@@ -772,10 +772,16 @@ object Graph {
       val e = coSupplyEdges(s, dir)
       val und = e.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+        .cache()
+      // eager edge-sized caches (the graph family's diamond discipline,
+      // triangleStats/jaccardLinks precedent): adj and deg each feed
+      // every one of the 3 steps — uncached, the orders×lineitem
+      // co-supply derivation would re-execute ~14× in one job
       val adj = und.withColumn("idx",
         row_number().over(Window.partitionBy(col("src"))
-          .orderBy(col("dst"))) - 1)
-      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .orderBy(col("dst"))) - 1).cache()
+      val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+      adj.count(); deg.count()
       def draw(t: Int) = conv(substring(md5(concat(
         lit("walk:"), col("start").cast("string"), lit(":"),
         col("w").cast("string"), lit(s":$t:"),

@@ -267,8 +267,15 @@ object Features {
           sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_bad"))
         .withColumn("a", (lit(2L) * col("n_good") + lit(1L)).cast(dec))
         .withColumn("b", (lit(2L) * col("n_bad") + lit(1L)).cast(dec))
-        .withColumn("ta", (lit(2L) * sum(col("n_good")).over(wAll) + lit(5L)).cast(dec))
-        .withColumn("tb", (lit(2L) * sum(col("n_bad")).over(wAll) + lit(5L)).cast(dec))
+        // totals derive the category count k from the table itself
+        // (2G + k — a hardcoded k silently breaks Laplace normalization
+        // the moment the dimension's cardinality shifts; with the true
+        // k, equal-odds classes get EXACTLY woe 0, which FeaturesSpec
+        // pins)
+        .withColumn("ta", (lit(2L) * sum(col("n_good")).over(wAll) +
+          count(lit(1)).over(wAll)).cast(dec))
+        .withColumn("tb", (lit(2L) * sum(col("n_bad")).over(wAll) +
+          count(lit(1)).over(wAll)).cast(dec))
         .withColumn("lq",
           round(log((col("a") * col("tb")).cast("double")) * 1e6).cast("long") -
           round(log((col("b") * col("ta")).cast("double")) * 1e6).cast("long"))
@@ -410,8 +417,10 @@ object Features {
         |  SELECT category, n_good, n_bad,
         |    CAST(2 * n_good + 1 AS HUGEINT) AS a,
         |    CAST(2 * n_bad + 1 AS HUGEINT) AS b,
-        |    CAST(2 * (SELECT sum(n_good) FROM c) + 5 AS HUGEINT) AS ta,
-        |    CAST(2 * (SELECT sum(n_bad) FROM c) + 5 AS HUGEINT) AS tb
+        |    CAST(2 * (SELECT sum(n_good) FROM c)
+        |      + (SELECT count(*) FROM c) AS HUGEINT) AS ta,
+        |    CAST(2 * (SELECT sum(n_bad) FROM c)
+        |      + (SELECT count(*) FROM c) AS HUGEINT) AS tb
         |  FROM c),
         |l AS (
         |  SELECT *,

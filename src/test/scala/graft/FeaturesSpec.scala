@@ -130,12 +130,14 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
-  test("feat_woe matches the closed-form smoothed log-odds on a planted frame") {
+  test("feat_woe is exactly zero for equal-odds classes (true Laplace k)") {
     // planted: three categories with IDENTICAL counts (100 rows, 20 bad
-    // each) → every row carries the same woe, equal to the Laplace-
-    // smoothed closed form ln(a·B / (b·A)) with a = 2·80+1, b = 2·20+1,
-    // A = 2·240+5, B = 2·60+5 (equal raw odds land slightly off zero —
-    // the +1 smoothing shifts small classes toward 50:50 by design)
+    // each). With the category count k DERIVED from the table (A = 2G+k,
+    // B = 2B'+k), equal-odds classes satisfy a·B = b·A exactly —
+    // a=161, b=41, A=483, B=123 → 161·123 = 41·483 = 19803 — so the
+    // quantized-ln difference is the difference of IDENTICAL integers:
+    // woe = 0.0 and iv = 0.0 bit-exactly. (A hardcoded k=5 broke this
+    // normalization — the code-review finding this test pins.)
     val planted = (1 to 300).map { i =>
       (i.toLong, i % 3 match { case 0 => "1-A"; case 1 => "2-B"; case _ => "3-C" },
         if (i % 5 == 0) "F" else "O")
@@ -144,13 +146,10 @@ class FeaturesSpec extends AnyFunSuite {
     planted.write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val rows = Features.queries("feat_woe")(spark, dir).collect()
     assert(rows.length == 3)
-    val expected = math.log(161.0 * 125.0) - math.log(41.0 * 485.0)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_good") == 80L && r.getAs[Long]("n_bad") == 20L)
-      assert(math.abs(r.getAs[Double]("woe") - expected) < 2e-6, r.toString)
+      assert(r.getAs[Double]("woe") == 0.0, r.toString)
+      assert(r.getAs[Double]("iv_term") == 0.0, r.toString)
     }
-    // symmetric classes: every woe and iv_term identical across rows
-    assert(rows.map(_.getAs[Double]("woe")).distinct.length == 1)
-    assert(rows.map(_.getAs[Double]("iv_term")).distinct.length == 1)
   }
 }

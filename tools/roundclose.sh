@@ -17,21 +17,24 @@ sbt -batch test 2>&1 | grep -E "Tests:|All tests|FAILED" | tail -3
 
 echo "== Verify + strictcheck (full surface, sf0.01)"
 rm -rf target/verify_final
-# no `|| true` here: a crashed/partial Verify must fail the gate. The
-# grep itself gates on the done line — Verify prints `failed=N` and
-# exits nonzero when N>0, and strictcheck separately fails any key in
-# the keys.json manifest that has no output dir (ADVICE r12).
+# no `|| true` here: a crashed/partial Verify must fail the gate (Verify
+# exits nonzero when any key fails, and strictcheck separately fails any
+# manifest key with no output dir — ADVICE r12). The first grep keeps
+# the per-key '<name> failed:' diagnostics VISIBLE (a bare done-line
+# grep would abort the gate with zero output about which key broke);
+# the second gates on failed=0 exactly (`done` alone also matches
+# `done, failed=3`).
 SPARK_GRAFT_CPUS=16 sbt -batch \
   "runMain graft.Verify /root/testdata/sf0.01 target/verify_final" 2>&1 |
-  grep -E "\[verify\] done, failed=0"
+  grep -E "\[verify\]" | tee target/verify_final.log
+grep -qE "\[verify\] done, failed=0" target/verify_final.log
 python3 tools/strictcheck.py target/verify_final /root/testdata/sf0.01
 
 echo "== Explain (all keys, sf0.001)"
 rm -rf target/explain
-# failed=0 exactly: `done` alone also matches `done, failed=3` (ADVICE
-# r12); Explain additionally exits nonzero on any per-key failure.
 bash tools/run_graft.sh graft.Explain /root/testdata/sf0.001 2>&1 |
-  grep -E "\[explain\] done, failed=0"
+  grep -E "\[explain\]" | tee target/explain.log
+grep -qE "\[explain\] done, failed=0" target/explain.log
 
 echo "== Bench (full, sf0.1) — keep the machine otherwise idle"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
