@@ -248,6 +248,53 @@ object Features {
         .orderBy(col("user_id"), col("item"))
     }),
 
+    // Chunk→document embedding pooling (the retrieval-pipeline shape:
+    // documents are embedded in chunks, and doc-level search needs the
+    // elementwise MEAN of the chunk vectors plus its L2 norm — here 5
+    // chunks per doc via vec_id div 5). Exact-arithmetic discipline for
+    // float aggregation: each component micro-quantizes to a 1e-6 long
+    // (floor(c·1e6 + ½) — identical float bits in, identical IEEE ops,
+    // identical long out), per-(doc, dim) sums are exact longs, the
+    // squared-norm moment Σ sq² is an exact decimal(38,0), and every
+    // presented value is an exact integer divided once — round() never
+    // touches a computed double (Spark rounds the shortest decimal
+    // string, DuckDB the binary value, and they disagree on
+    // half-boundaries; floor(x+½) on identical doubles cannot).
+    // Shape: ONE posexplode → (doc, dim) aggregate is the only corpus
+    // shuffle (map-side combined, 64 rows per vector in, one per
+    // (doc, dim) out); everything after runs on doc-sized tables.
+    "feat_pool_embeddings" -> ((s, dir) => {
+      val dims = t(s, dir, "embeddings")
+        .select(expr("vec_id div 5").as("doc_id"),
+          posexplode(col("embedding")).as(Seq("dim", "c")))
+        .select(col("doc_id"), col("dim"),
+          floor(col("c").cast("double") * 1e6 + 0.5).cast("long").as("qc"))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("qc")).as("sq"), count(lit(1)).as("n"))
+      val pooled = dims
+        .withColumn("pm", floor(col("sq").cast("double") /
+          col("n").cast("double") + 0.5).cast("long"))
+      val heads = pooled.filter(col("dim") < 4)
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("dim") === 0, col("pm"))).as("p0"),
+          max(when(col("dim") === 1, col("pm"))).as("p1"),
+          max(when(col("dim") === 2, col("pm"))).as("p2"),
+          max(when(col("dim") === 3, col("pm"))).as("p3"))
+      dims.groupBy(col("doc_id"))
+        .agg(sum(col("sq").cast(dec) * col("sq").cast(dec)).as("ss"),
+          max(col("n")).as("n_vecs"))
+        .join(heads, Seq("doc_id"))
+        .select(col("doc_id"), col("n_vecs"),
+          (floor(sqrt(col("ss").cast("double")) /
+            col("n_vecs").cast("double") + 0.5).cast("long")
+            .cast("double") / 1e6).as("norm"),
+          (col("p0").cast("double") / 1e6).as("c0"),
+          (col("p1").cast("double") / 1e6).as("c1"),
+          (col("p2").cast("double") / 1e6).as("c2"),
+          (col("p3").cast("double") / 1e6).as("c3"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weight of evidence + information value (the credit-scoring
     // encoder: per-category log-odds against a binary label, here
     // order finished = 'F'): woe = ln(good_share / bad_share) with the
@@ -406,6 +453,42 @@ object Features {
          |ANTI JOIN inter USING (user_id, item)
          |ORDER BY user_id, item""".stripMargin
     },
+
+    "feat_pool_embeddings" ->
+      """WITH q AS (
+        |  SELECT vec_id // 5 AS doc_id, i - 1 AS dim,
+        |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS qc
+        |  FROM embeddings, range(1, 65) t(i)),
+        |dims AS (
+        |  SELECT doc_id, dim, CAST(sum(qc) AS BIGINT) AS sq, count(*) AS n
+        |  FROM q GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT doc_id, dim,
+        |    CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+        |      AS BIGINT) AS pm
+        |  FROM dims),
+        |heads AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN dim = 0 THEN pm END) AS p0,
+        |    max(CASE WHEN dim = 1 THEN pm END) AS p1,
+        |    max(CASE WHEN dim = 2 THEN pm END) AS p2,
+        |    max(CASE WHEN dim = 3 THEN pm END) AS p3
+        |  FROM pm GROUP BY 1),
+        |ns AS (
+        |  SELECT doc_id,
+        |    sum(CAST(sq AS HUGEINT) * CAST(sq AS HUGEINT)) AS ss,
+        |    max(n) AS n_vecs
+        |  FROM dims GROUP BY 1)
+        |SELECT doc_id, n_vecs,
+        |  CAST(CAST(floor(sqrt(CAST(ss AS DOUBLE)) / CAST(n_vecs AS DOUBLE)
+        |    + 0.5) AS BIGINT) AS DOUBLE) / 1000000 AS norm,
+        |  CAST(p0 AS DOUBLE) / 1000000 AS c0,
+        |  CAST(p1 AS DOUBLE) / 1000000 AS c1,
+        |  CAST(p2 AS DOUBLE) / 1000000 AS c2,
+        |  CAST(p3 AS DOUBLE) / 1000000 AS c3
+        |FROM ns JOIN heads USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "feat_woe" ->
       """WITH c AS (

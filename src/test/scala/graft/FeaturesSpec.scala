@@ -130,6 +130,24 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("feat_pool_embeddings reproduces the hand-computed mean and norm") {
+    val dir = TestSpark.scratch("feat_pool_planted")
+    // doc 0 = vec_ids 0..4: dim0 components 1,2,3,4,5 → mean 3.0;
+    // all other dims zero → norm = 3.0 exactly
+    val rows = (0 until 5).map { i =>
+      (i.toLong, Array.tabulate(64)(d => if (d == 0) (i + 1).toFloat else 0f), 0)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Features.queries("feat_pool_embeddings")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_vecs") == 5L)
+    assert(row.getAs[Double]("c0") == 3.0)
+    assert(row.getAs[Double]("c1") == 0.0 && row.getAs[Double]("c3") == 0.0)
+    assert(row.getAs[Double]("norm") == 3.0)
+  }
+
   test("feat_woe is exactly zero for equal-odds classes (true Laplace k)") {
     // planted: three categories with IDENTICAL counts (100 rows, 20 bad
     // each). With the category count k DERIVED from the table (A = 2G+k,
