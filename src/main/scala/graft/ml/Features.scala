@@ -271,19 +271,21 @@ object Features {
           floor(col("c").cast("double") * 1e6 + 0.5).cast("long").as("qc"))
         .groupBy(col("doc_id"), col("dim"))
         .agg(sum(col("qc")).as("sq"), count(lit(1)).as("n"))
-      val pooled = dims
+      // pooled components and the norm moment fold into ONE doc-level
+      // aggregate — a heads/norm diamond over `dims` would re-execute
+      // the corpus-sized (doc, dim) aggregate once per branch (the
+      // graph_random_walk review-finding class, solved here by plan
+      // shape instead of a corpus-sized cache)
+      dims
         .withColumn("pm", floor(col("sq").cast("double") /
           col("n").cast("double") + 0.5).cast("long"))
-      val heads = pooled.filter(col("dim") < 4)
         .groupBy(col("doc_id"))
-        .agg(max(when(col("dim") === 0, col("pm"))).as("p0"),
+        .agg(sum(col("sq").cast(dec) * col("sq").cast(dec)).as("ss"),
+          max(col("n")).as("n_vecs"),
+          max(when(col("dim") === 0, col("pm"))).as("p0"),
           max(when(col("dim") === 1, col("pm"))).as("p1"),
           max(when(col("dim") === 2, col("pm"))).as("p2"),
           max(when(col("dim") === 3, col("pm"))).as("p3"))
-      dims.groupBy(col("doc_id"))
-        .agg(sum(col("sq").cast(dec) * col("sq").cast(dec)).as("ss"),
-          max(col("n")).as("n_vecs"))
-        .join(heads, Seq("doc_id"))
         .select(col("doc_id"), col("n_vecs"),
           (floor(sqrt(col("ss").cast("double")) /
             col("n_vecs").cast("double") + 0.5).cast("long")
