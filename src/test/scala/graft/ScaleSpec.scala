@@ -342,7 +342,10 @@ class ScaleSpec extends AnyFunSuite {
     // slack for AQE coalescing variance, far below the lineage counts.
     val ceilings = Seq(
       "ann_ivfpq" -> 24, "ann_pq" -> 18, "ann_cascade" -> 12,
-      "ann_sq8" -> 10, "ann_ivf" -> 8, "dedup_semantic" -> 6)
+      "ann_sq8" -> 10, "ann_ivf" -> 8, "dedup_semantic" -> 6,
+      // r13: the walk's lazy dump prints ~100 joins of cached-adjacency
+      // fill provenance; the bounded run is the seed + 3 steps
+      "graph_random_walk" -> 16)
     ceilings.foreach { case (k, cap) =>
       spark.sharedState.cacheManager.clearCache()
       val df = SparkEntry.queries(k)(spark, TestSpark.Sf)
