@@ -563,6 +563,36 @@ object Similarity {
         .orderBy(col("centroid_id"))
     }),
 
+    // Similarity-threshold calibration (what a dedup/retrieval rollout
+    // reads before picking its cosine cutoff: "at threshold t, how many
+    // pairs survive?"): the pair-cosine distribution over a
+    // DETERMINISTIC linear sample — vectors paired at a fixed prime id
+    // stride, n−97 pairs via one co-partitioned equi-join on the
+    // shifted id (O(n), reproducible across runs/engines; random
+    // sampling is neither, and all-pairs is quadratic). Cosines round
+    // to the 6dp grid BEFORE bucketing (floor of the same double on
+    // both engines), then a ≤41-row histogram in 0.05 steps with the
+    // survivor count accumulated from the high-similarity end — the
+    // cumulative column IS the calibration curve. Windows touch only
+    // the histogram.
+    "ann_calibrate" -> ((s, dir) => {
+      val stride = 97
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val a = e.select(col("vec_id").as("pid"), col("embedding").as("emb_a"))
+      val b = e.select((col("vec_id") - stride).as("pid"),
+        col("embedding").as("emb_b"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      a.join(b, Seq("pid"))
+        .select(floor(round(GraftFunctions.cosineSim(col("emb_a"),
+          col("emb_b")), 6) * 20).cast("int").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+        .select((col("bucket").cast("double") / 20.0).as("sim_lo"),
+          col("n_pairs"), col("cum_pairs"))
+        .orderBy(col("sim_lo").desc)
+    }),
+
     // Cluster-quality scorecard for the shared k-means (the
     // graph_modularity counterpart for the ANN index: "are the IVF
     // lists real structure or noise"): per-cluster mean SIMPLIFIED
@@ -1672,6 +1702,23 @@ object Similarity {
       s"""SELECT query_id, neighbor_id, rank, dot, TRUE AS cascade_ok
          |FROM (${baseOracles("ann_mips")})
          |ORDER BY query_id, rank""".stripMargin) +
+    // Same stride pairing, same round-to-6dp-then-floor bucketing over
+    // identical doubles, same high-end cumulative.
+    ("ann_calibrate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |p AS (
+        |  SELECT list_cosine_similarity(a.emb, b.emb) AS cos
+        |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 97),
+        |g AS (
+        |  SELECT CAST(floor(round(cos, 6) * 20) AS INTEGER) AS bucket,
+        |    count(*) AS n_pairs
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(bucket AS DOUBLE) / 20.0 AS sim_lo, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_pairs
+        |FROM g ORDER BY sim_lo DESC""".stripMargin) +
     // Same k-means chain, same top-2 quantized cosines per vector
     // (identical (cos DESC, id) order), same (c1−c2)/(1−c2) micro-
     // quantized per-vector silhouette, same exact-integer cluster mean.

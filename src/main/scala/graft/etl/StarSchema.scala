@@ -717,6 +717,30 @@ object StarSchema {
         .orderBy(col("epoch"))
     }),
 
+    // Deterministic pseudonymization (the GDPR-pipeline sibling of
+    // dq_subject_report: replace direct identifiers with salted-hash
+    // tokens BEFORE the lake fans out downstream, keyed on the VALUE so
+    // equal names tokenize identically and joins/dedup still work) +
+    // the audit that makes tokenization trustworthy: per segment, rows,
+    // distinct names vs distinct tokens — their difference counts
+    // token COLLISIONS, which silently conflate two data subjects (at
+    // 16 hex chars the expected count is ~0 until ~10⁹ names; the
+    // column is the canary, load-bearing zero). One scan, one grouped
+    // multi-distinct over the dimension table; facts never rehash —
+    // they join the tokenized dim like any SCD.
+    "etl_pseudonymize" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_mktsegment").as("segment"), col("c_name"),
+          substring(md5(concat(lit("pii:"), col("c_name"))), 1, 16)
+            .as("token"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("c_name")).as("n_names"),
+          countDistinct(col("token")).as("n_tokens"),
+          (countDistinct(col("c_name")) - countDistinct(col("token")))
+            .as("n_collisions"))
+        .orderBy(col("segment"))),
+
     "etl_evolve_read" -> ((s, dir) => {
       val path = scratch("etl_evolve_read")
       val orders = t(s, dir, "orders")
@@ -1213,6 +1237,16 @@ object StarSchema {
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS cents
         |FROM orders GROUP BY 1 ORDER BY epoch""".stripMargin,
+
+    // Same salted-md5 token prefix; DuckDB md5 emits the identical hex.
+    "etl_pseudonymize" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_rows,
+        |  count(DISTINCT c_name) AS n_names,
+        |  count(DISTINCT substr(md5('pii:' || c_name), 1, 16)) AS n_tokens,
+        |  count(DISTINCT c_name)
+        |    - count(DISTINCT substr(md5('pii:' || c_name), 1, 16))
+        |    AS n_collisions
+        |FROM customer GROUP BY 1 ORDER BY segment""".stripMargin,
 
     // The three planted change sets, recomputed from the source: a
     // removed key reports removed even if it was also bumped (the

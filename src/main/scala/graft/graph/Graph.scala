@@ -897,6 +897,45 @@ object Graph {
         .orderBy(col("node"))
     }),
 
+    // Landmark harmonic centrality (the scale path for closeness — the
+    // exact version is all-pairs BFS, O(V·E), unrunnable at 100 TB;
+    // k fixed landmarks bound it to k labeled BFS waves run TOGETHER):
+    // from the 8 lowest-key customers (keys 0-7), every node's truncated harmonic
+    // score Σ 1/d over landmarks within the 3-hop horizon, plus how
+    // many landmarks reach it. One frontier-pruned multi-source BFS
+    // with (landmark, node) composite state — per-sweep joins shuffle
+    // on the same composite key, state ≤ k·reachable, lineage truncated
+    // per hop like [[bfs]]. The 3-hop truncation is the operator's
+    // contract (harmonic-3), not an approximation to certify. 1/d stays
+    // exact: d ∈ {1,2,3} all divide 6, so score6 = Σ 6 div d is an
+    // exact long and the one division to present is score6/6.
+    "graph_closeness" -> ((s, dir) => {
+      val edges = tradeEdges(s, dir)
+      val lms = t(s, dir, "customer").filter(col("c_custkey") < 8)
+        .select((col("c_custkey") * 2).as("lm"))
+      var visited = lms
+        .select(col("lm"), col("lm").as("node"), lit(0).as("hop"))
+        .localCheckpoint(eager = true)
+      var frontier = visited.select("lm", "node")
+      for (h <- 1 to 3) {
+        val next = edges.join(frontier, edges("src") === frontier("node"))
+          .select(col("lm"), col("dst").as("node")).distinct()
+          .join(visited.select("lm", "node"), Seq("lm", "node"), "left_anti")
+          .withColumn("hop", lit(h))
+          .localCheckpoint(eager = true)
+        visited = visited.unionByName(next).localCheckpoint(eager = true)
+        frontier = next.select("lm", "node")
+      }
+      visited.filter(col("hop") > 0)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("6 div hop")).as("score6"))
+        .select(decodeNode(col("node")).as("node"), col("n_reached"),
+          (round(col("score6").cast("double") / 6.0, 6) + lit(0.0))
+            .as("harmonic"))
+        .orderBy(col("node"))
+    }),
+
     "graph_pagerank" -> ((s, dir) => {
       val nodes = t(s, dir, "customer")
         .select((col("c_custkey") * 2).as("node"))
@@ -1354,6 +1393,40 @@ object Graph {
         |       WHERE e.dst NOT IN (SELECT node FROM v3)),
         |c AS (SELECT (SELECT count(*) FROM f4) = 0 AS converged)
         |SELECT node, hop, converged FROM v3 CROSS JOIN c ORDER BY node""".stripMargin,
+
+    // Same three labeled frontier expansions unrolled per landmark;
+    // 6 div d over identical integers, one division at presentation.
+    "graph_closeness" ->
+      """WITH eb AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM eb
+        |      UNION ALL SELECT b, a FROM eb),
+        |f0 AS MATERIALIZED (SELECT 'c' || c_custkey AS lm,
+        |       'c' || c_custkey AS node FROM customer WHERE c_custkey < 8),
+        |v0 AS MATERIALIZED (SELECT lm, node, 0 AS hop FROM f0),
+        |f1 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS node
+        |       FROM e JOIN f0 f ON e.src = f.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM v0 v
+        |         WHERE v.lm = f.lm AND v.node = e.dst)),
+        |v1 AS MATERIALIZED (SELECT * FROM v0
+        |      UNION ALL SELECT lm, node, 1 FROM f1),
+        |f2 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS node
+        |       FROM e JOIN f1 f ON e.src = f.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM v1 v
+        |         WHERE v.lm = f.lm AND v.node = e.dst)),
+        |v2 AS MATERIALIZED (SELECT * FROM v1
+        |      UNION ALL SELECT lm, node, 2 FROM f2),
+        |f3 AS MATERIALIZED (SELECT DISTINCT f.lm, e.dst AS node
+        |       FROM e JOIN f2 f ON e.src = f.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM v2 v
+        |         WHERE v.lm = f.lm AND v.node = e.dst)),
+        |v3 AS MATERIALIZED (SELECT * FROM v2
+        |      UNION ALL SELECT lm, node, 3 FROM f3)
+        |SELECT node, count(*) AS n_reached,
+        |  round(CAST(sum(6 // hop) AS DOUBLE) / 6.0, 6) + 0.0 AS harmonic
+        |FROM v3 WHERE hop > 0
+        |GROUP BY node ORDER BY node""".stripMargin,
 
     "graph_pagerank" -> pagerankSql(Sweeps),
     "graph_ppr" -> pprSql(Sweeps),

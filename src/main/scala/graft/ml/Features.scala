@@ -334,6 +334,53 @@ object Features {
             (col("ta") * col("tb")).cast("double") *
             (col("lq").cast("double") / lit(1e6)), 6) + lit(0.0)).as("iv_term"))
         .orderBy(col("category"))
+    }),
+
+    // Imputer fit (MLlib Imputer's full strategy surface — mean, median
+    // and mode — in one pass), per customer segment over account
+    // balance, with sentinel semantics: negative balances are treated
+    // as missing (the -999-style not-a-value convention), so the fit
+    // computes fill values from the VALID subset and reports how many
+    // rows each strategy would fill. Shape: ONE scan into a
+    // (segment, validity, cents)-grouped count — O(distinct values)
+    // rows — then median (lower median via the q51 cumulative-count
+    // discipline), mode (max (freq, −value) struct — smallest value on
+    // frequency ties, engine-exact) and mean (exact long moments, one
+    // division) all derive from that weight table; every window runs
+    // over the value-grouped table, never customer rows.
+    "feat_impute" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val vw = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"),
+          (col("c_acctbal") >= 0).as("valid"),
+          round(col("c_acctbal") * 100).cast("long").as("cents"))
+        .agg(count(lit(1)).as("w"))
+      val miss = vw.filter(!col("valid"))
+        .groupBy(col("segment")).agg(sum(col("w")).as("n_missing"))
+      val valid = vw.filter(col("valid"))
+      val cum = Window.partitionBy(col("segment")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = Window.partitionBy(col("segment"))
+      val med = valid
+        .withColumn("cw", sum(col("w")).over(cum))
+        .withColumn("tw", sum(col("w")).over(tot))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("segment")).agg(min(col("cents")).as("med_cents"))
+      valid
+        .groupBy(col("segment"))
+        .agg(sum(col("w")).as("n_valid"),
+          sum(col("w").cast(dec) * col("cents").cast(dec)).as("sx"),
+          max(struct(col("w"), (-col("cents")).as("neg"))).as("mo"))
+        .join(med, Seq("segment"))
+        .join(miss, Seq("segment"), "left")
+        .select(col("segment"), col("n_valid"),
+          coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+          (round(col("sx").cast("double") / col("n_valid").cast("double")
+            / 100.0, 4) + lit(0.0)).as("mean_bal"),
+          (col("med_cents").cast("double") / 100.0).as("median_bal"),
+          ((-col("mo.neg")).cast("double") / 100.0).as("mode_bal"),
+          col("mo.w").as("mode_n"))
+        .orderBy(col("segment"))
     })
   )
 
@@ -516,6 +563,48 @@ object Features {
         |  round(CAST(lq AS DOUBLE) / 1e6, 6) + 0.0 AS woe,
         |  round(CAST(a * tb - b * ta AS DOUBLE) / CAST(ta * tb AS DOUBLE)
         |    * (CAST(lq AS DOUBLE) / 1e6), 6) + 0.0 AS iv_term
-        |FROM l ORDER BY category""".stripMargin
+        |FROM l ORDER BY category""".stripMargin,
+
+    // Same (segment, validity, cents) weight table; lower median via
+    // the identical cumulative-count predicate, mode via the identical
+    // (freq DESC, value) order, mean over exact HUGEINT moments.
+    "feat_impute" ->
+      """WITH vw AS (
+        |  SELECT c_mktsegment AS segment, c_acctbal >= 0 AS valid,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents, count(*) AS w
+        |  FROM customer GROUP BY 1, 2, 3),
+        |miss AS (
+        |  SELECT segment, CAST(sum(w) AS BIGINT) AS n_missing
+        |  FROM vw WHERE NOT valid GROUP BY 1),
+        |v AS (SELECT * FROM vw WHERE valid),
+        |c AS (
+        |  SELECT segment, cents, w,
+        |    CAST(sum(w) OVER (PARTITION BY segment ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY segment) AS BIGINT) AS tw
+        |  FROM v),
+        |med AS (
+        |  SELECT segment, min(cents) AS med_cents
+        |  FROM c WHERE cw * 2 >= tw GROUP BY 1),
+        |mo AS (
+        |  SELECT segment, cents AS mode_cents, w AS mode_n,
+        |    row_number() OVER (PARTITION BY segment
+        |      ORDER BY w DESC, cents) AS rn
+        |  FROM v),
+        |ag AS (
+        |  SELECT segment, CAST(sum(w) AS BIGINT) AS n_valid,
+        |    sum(CAST(w AS HUGEINT) * CAST(cents AS HUGEINT)) AS sx
+        |  FROM v GROUP BY 1)
+        |SELECT ag.segment, n_valid,
+        |  coalesce(n_missing, CAST(0 AS BIGINT)) AS n_missing,
+        |  round(CAST(sx AS DOUBLE) / CAST(n_valid AS DOUBLE) / 100.0, 4)
+        |    + 0.0 AS mean_bal,
+        |  CAST(med_cents AS DOUBLE) / 100.0 AS median_bal,
+        |  CAST(mode_cents AS DOUBLE) / 100.0 AS mode_bal,
+        |  mode_n
+        |FROM ag JOIN med ON ag.segment = med.segment
+        |  JOIN (SELECT * FROM mo WHERE rn = 1) m ON ag.segment = m.segment
+        |  LEFT JOIN miss ON ag.segment = miss.segment
+        |ORDER BY ag.segment""".stripMargin
   )
 }

@@ -1721,6 +1721,58 @@ object Relational {
         .orderBy(col("month"))
     }),
 
+    // RFM segmentation (the CRM / lifecycle-marketing staple): every
+    // customer scored 1-5 on Recency (days since last order, vs the
+    // corpus max date — no wall clock, so the key is deterministic),
+    // Frequency (order count) and Monetary (exact cents), quintile
+    // bounds from ONE percentile(array) aggregate per metric over the
+    // customer-level table (the q48 bounds-then-bin discipline — never
+    // a global ntile window over customers). The heavy work is the one
+    // orders scan into the custkey-keyed aggregate; bounds are a
+    // broadcast one-row table and the output is the ≤125-cell score
+    // cube with a lifecycle label. Recency bins invert (recent = high
+    // score); counts and cents stay exact integers end to end.
+    "q64_rfm" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      val cust = o
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"),
+          datediff(col("mxd"), col("last_d")).as("rec_days"),
+          col("freq"), col("cents"))
+      val qs = array((1 to 4).map(i => lit(i / 5.0)): _*)
+      val bounds = cust.agg(
+          percentile(col("rec_days"), qs).as("rb"),
+          percentile(col("freq"), qs).as("fb"),
+          percentile(col("cents"), qs).as("mb"))
+        .select((1 to 4).map(i => element_at(col("rb"), i).as(s"rb$i")) ++
+          (1 to 4).map(i => element_at(col("fb"), i).as(s"fb$i")) ++
+          (1 to 4).map(i => element_at(col("mb"), i).as(s"mb$i")): _*)
+      def bin(c: String, b: String) =
+        (1 to 4).foldLeft(when(lit(false), 0)) { (acc, i) =>
+          acc.when(col(c) <= col(s"$b$i"), i)
+        }.otherwise(5)
+      cust.crossJoin(broadcast(bounds))
+        .select((lit(6) - bin("rec_days", "rb")).as("r_score"),
+          bin("freq", "fb").as("f_score"),
+          bin("cents", "mb").as("m_score"), col("cents"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("rev_cents"))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+            .when(col("r_score") >= 4, "recent")
+            .when(col("f_score") >= 4, "loyal_lapsing")
+            .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+            .otherwise("regular"))
+        .select(col("r_score"), col("f_score"), col("m_score"),
+          col("segment"), col("n_customers"), col("rev_cents"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    }),
+
     "q61_movers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem")
@@ -2009,6 +2061,45 @@ object Relational {
         |  CAST(sum(cents) AS BIGINT) AS subtree_cents
         |FROM walk WHERE cur <= 6
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same customer-level aggregate, same quantile_cont bounds and CASE
+    // bins (recency inverted), same exact integer counts/cents.
+    "q64_rfm" -> {
+      def cases(m: String, b: String) = (1 to 4).map(i =>
+        s"WHEN $m <= $b$i THEN $i").mkString(" ")
+      s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders),
+         |cust AS (
+         |  SELECT o_custkey,
+         |    date_diff('day', max(CAST(o_orderdate AS DATE)),
+         |      (SELECT mxd FROM mx)) AS rec_days,
+         |    count(*) AS freq,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM orders GROUP BY 1),
+         |b AS (SELECT
+         |  ${(1 to 4).map(i => s"quantile_cont(rec_days, 0.${2 * i}) AS rb$i").mkString(", ")},
+         |  ${(1 to 4).map(i => s"quantile_cont(freq, 0.${2 * i}) AS fb$i").mkString(", ")},
+         |  ${(1 to 4).map(i => s"quantile_cont(cents, 0.${2 * i}) AS mb$i").mkString(", ")}
+         |  FROM cust),
+         |sc AS (
+         |  SELECT 6 - (CASE ${cases("rec_days", "rb")} ELSE 5 END) AS r_score,
+         |    CASE ${cases("freq", "fb")} ELSE 5 END AS f_score,
+         |    CASE ${cases("cents", "mb")} ELSE 5 END AS m_score,
+         |    cents
+         |  FROM cust CROSS JOIN b),
+         |g AS (
+         |  SELECT r_score, f_score, m_score,
+         |    count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS rev_cents
+         |  FROM sc GROUP BY 1, 2, 3)
+         |SELECT r_score, f_score, m_score,
+         |  CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+         |       WHEN r_score >= 4 THEN 'recent'
+         |       WHEN f_score >= 4 THEN 'loyal_lapsing'
+         |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+         |       ELSE 'regular' END AS segment,
+         |  n_customers, rev_cents
+         |FROM g ORDER BY r_score, f_score, m_score""".stripMargin
+    },
 
     "q63_seasonal" ->
       """WITH m AS (

@@ -501,6 +501,39 @@ object Quality {
     // (psiFromCounts discipline) and noise_micro stays an exact
     // integer; the published count adds noise_micro/1e6 in one double
     // op. One grouped count; the noise is a per-group projection.
+    // Missingness-pattern profile (the null-combination audit Deequ/
+    // profiler suites run before schema hardening: WHICH columns go
+    // null TOGETHER — a per-column null count can't distinguish
+    // structural missingness from random holes). The nullable view is
+    // schema-on-read extraction from events: `amount` exists only for
+    // monetized event types, the sparse json attribute `k_hi` only when
+    // the payload's k ≥ 50, and `user_ref` drops on the planted 1-in-7
+    // key class (the base tables carry no physical nulls, so the view
+    // IS where real missingness enters this lake). Pattern = a 3-bit
+    // presence string; ONE scan into an ≤8-row aggregate, the share
+    // denominator a window over that tiny table — O(2^cols) output no
+    // matter the corpus.
+    "dq_null_pattern" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = t(s, dir, "events").select(
+        when(col("event_type").isin("purchase", "click"), col("value"))
+          .as("amount"),
+        when(get_json_object(col("props"), "$.k").cast("long") >= 50,
+          get_json_object(col("props"), "$.k").cast("long")).as("k_hi"),
+        when(pmod(col("user_id"), lit(7)) =!= 0, col("user_id"))
+          .as("user_ref"))
+      def bit(c: String) = when(col(c).isNull, "0").otherwise("1")
+      val wAll = Window.partitionBy()
+      v.select(concat(bit("amount"), bit("k_hi"), bit("user_ref"))
+          .as("pattern"))
+        .groupBy(col("pattern"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("share",
+          round(col("n_rows").cast("double") /
+            sum(col("n_rows")).over(wAll).cast("double"), 6) + lit(0.0))
+        .orderBy(col("pattern"))
+    }),
+
     "dq_dp_count" -> ((s, dir) => {
       val two60 = 1L << 60
       val k0 = conv(substring(md5(concat(lit("dp:"),
@@ -1456,6 +1489,27 @@ object Quality {
         |  class_size < 5 AS violates_k5
         |FROM cls GROUP BY class_size
         |ORDER BY class_size""".stripMargin,
+
+    // Same nullable extraction view, same 3-bit presence string.
+    "dq_null_pattern" ->
+      """WITH v AS (
+        |  SELECT
+        |    CASE WHEN event_type IN ('purchase', 'click') THEN value END
+        |      AS amount,
+        |    CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+        |      THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k_hi,
+        |    CASE WHEN user_id % 7 <> 0 THEN user_id END AS user_ref
+        |  FROM events),
+        |p AS (
+        |  SELECT (CASE WHEN amount IS NULL THEN '0' ELSE '1' END)
+        |    || (CASE WHEN k_hi IS NULL THEN '0' ELSE '1' END)
+        |    || (CASE WHEN user_ref IS NULL THEN '0' ELSE '1' END) AS pattern
+        |  FROM v),
+        |g AS (SELECT pattern, count(*) AS n_rows FROM p GROUP BY 1)
+        |SELECT pattern, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) /
+        |    CAST(sum(n_rows) OVER () AS DOUBLE), 6) + 0.0 AS share
+        |FROM g ORDER BY pattern""".stripMargin,
 
     "dq_dp_count" -> {
       // k0 = first 15 md5 nibbles as a 60-bit integer (positional sum —

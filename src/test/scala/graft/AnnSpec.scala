@@ -289,4 +289,23 @@ class AnnSpec extends AnyFunSuite {
     val nQ = rows.head.getAs[Long]("n_expected") / 10 // K = 10
     assert(scans.last == corpus * nQ, s"${scans.last} != $corpus * $nQ")
   }
+
+  test("ann_calibrate: linear pair sample, survivor curve monotone from the top") {
+    val rows = ann.Similarity.queries("ann_calibrate")(spark, TestSpark.Sf)
+      .collect()
+    // rows arrive high-similarity first; the cumulative is the running
+    // survivor count, so it must be nondecreasing and end at the total
+    val cums = rows.map(_.getAs[Long]("cum_pairs")).toSeq
+    assert(cums == cums.sorted, cums.toString)
+    assert(cums.last == rows.map(_.getAs[Long]("n_pairs")).sum)
+    // the stride sample is LINEAR in the corpus: n − 97 pairs on the
+    // contiguous id space, never quadratic
+    val corpus = sources.Lake.table(spark, TestSpark.Sf, "embeddings").count()
+    assert(cums.last == corpus - 97, s"${cums.last} != $corpus - 97")
+    // cosine buckets stay in [-1, 1]
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("sim_lo")
+      assert(lo >= -1.0 && lo <= 1.0 - 1.0 / 20 + 1e-9, r.toString)
+    }
+  }
 }

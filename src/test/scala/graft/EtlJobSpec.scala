@@ -32,4 +32,20 @@ class EtlJobSpec extends AnyFunSuite {
     val ids2 = rerun.fact.select("purchase_id").collect().map(_.getString(0)).toSet
     assert(ids1 == ids2, "content-hash surrogate keys must be idempotent")
   }
+
+  test("etl_pseudonymize: value-keyed tokens are collision-free and deterministic") {
+    val q = graft.etl.StarSchema.queries("etl_pseudonymize")
+    val a = q(spark, TestSpark.Sf).collect()
+    // tokenization is a pure function of the value: identical across runs
+    assert(a.map(_.toString).toSeq == q(spark, TestSpark.Sf).collect()
+      .map(_.toString).toSeq)
+    a.foreach { r =>
+      // the collision canary: distinct tokens == distinct names (a 64-bit
+      // token space can't collide at test scale; nonzero means the
+      // tokenizer conflated two data subjects)
+      assert(r.getAs[Long]("n_collisions") == 0L, r.toString)
+      assert(r.getAs[Long]("n_tokens") == r.getAs[Long]("n_names"))
+      assert(r.getAs[Long]("n_names") <= r.getAs[Long]("n_rows"))
+    }
+  }
 }

@@ -170,4 +170,28 @@ class FeaturesSpec extends AnyFunSuite {
       assert(r.getAs[Double]("iv_term") == 0.0, r.toString)
     }
   }
+
+  test("feat_impute: textbook mean/median/mode on a planted frame, sentinels counted") {
+    val planted = Seq(("A", 1.00), ("A", 2.00), ("A", 2.00), ("A", 5.00),
+      ("A", -3.00), ("B", 7.00))
+      .toDF("c_mktsegment", "c_acctbal")
+    val dir = TestSpark.scratch("feat_impute_planted")
+    planted.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val rows = Features.queries("feat_impute")(spark, dir).collect()
+    val a = rows.find(_.getAs[String]("segment") == "A").get
+    // the -3.00 sentinel is missing, not a value: it must not drag any
+    // fill statistic, only the n_missing counter
+    assert(a.getAs[Long]("n_valid") == 4L && a.getAs[Long]("n_missing") == 1L)
+    assert(a.getAs[Double]("mean_bal") == 2.5)
+    // lower median of {1,2,2,5}: cumulative weight first reaches half
+    // the total at 2
+    assert(a.getAs[Double]("median_bal") == 2.0)
+    assert(a.getAs[Double]("mode_bal") == 2.0 && a.getAs[Long]("mode_n") == 2L)
+    val b = rows.find(_.getAs[String]("segment") == "B").get
+    // single-value segment: all three strategies agree, zero missing
+    assert(b.getAs[Long]("n_missing") == 0L)
+    assert(b.getAs[Double]("mean_bal") == 7.0 &&
+      b.getAs[Double]("median_bal") == 7.0 &&
+      b.getAs[Double]("mode_bal") == 7.0)
+  }
 }

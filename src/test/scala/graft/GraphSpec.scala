@@ -391,4 +391,22 @@ class GraphSpec extends AnyFunSuite {
     assert(byStart.values.exists(ws =>
       ws.map(r => (r.getAs[Long]("n1"), r.getAs[Long]("n2"))).distinct.length > 1))
   }
+
+  test("graph_closeness: harmonic-3 scores bounded by landmark reach") {
+    val rows = graph.Graph.queries("graph_closeness")(spark, TestSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_reached")
+      val h = r.getAs[Double]("harmonic")
+      // 8 landmarks, hops 1..3: each reached landmark contributes
+      // 1/d ∈ [1/3, 1], so n/3 ≤ harmonic ≤ n (grid slack 1e-6)
+      assert(n >= 1 && n <= 8, r.toString)
+      assert(h >= n / 3.0 - 1e-6 && h <= n + 1e-6, r.toString)
+    }
+    // landmarks sit 2 hops from each other in the bipartite trade graph
+    // (customer→supplier→customer), never 1 — so no landmark scores a
+    // full 1.0 from another landmark; suppliers at hop 1 can
+    assert(rows.exists(_.getAs[String]("node").startsWith("s")))
+  }
 }

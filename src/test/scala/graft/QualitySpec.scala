@@ -408,4 +408,21 @@ class QualitySpec extends AnyFunSuite {
     val meanAbs = noises.map(n => math.abs(n) / 1e6).sum / noises.length
     assert(meanAbs > 0.05 && meanAbs < 10.0, s"meanAbs=$meanAbs")
   }
+
+  test("dq_null_pattern partitions every row into one presence pattern") {
+    val rows = quality.Quality.queries("dq_null_pattern")(spark, TestSpark.Sf)
+      .collect()
+    rows.foreach(r =>
+      assert(r.getAs[String]("pattern").matches("[01]{3}"), r.toString))
+    // patterns partition the table: counts sum to the row count, shares
+    // to 1 (within the 6dp presentation grid × pattern count)
+    val total = sources.Lake.table(spark, TestSpark.Sf, "events").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < rows.length * 1e-6, s"$shareSum")
+    // the planted structural missingness exists: at least one pattern
+    // with amount absent and one with it present
+    val pats = rows.map(_.getAs[String]("pattern")).toSet
+    assert(pats.exists(_.startsWith("0")) && pats.exists(_.startsWith("1")))
+  }
 }

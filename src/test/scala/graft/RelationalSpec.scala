@@ -350,4 +350,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getAs[Double]("confidence") == 1.0)
     assert(r.getAs[Double]("lift") == 1.0)
   }
+
+  test("q64_rfm: quintile scores partition customers, labels follow scores") {
+    val rows = operators.Relational.queries("q64_rfm")(spark, TestSpark.Sf)
+      .collect()
+    val custs = sources.Lake.table(spark, TestSpark.Sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == custs)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+        r.getAs[Int]("m_score"))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      val seg = r.getAs[String]("segment")
+      val expected =
+        if (rs >= 4 && fs >= 4) "champion"
+        else if (rs >= 4) "recent"
+        else if (fs >= 4) "loyal_lapsing"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "regular"
+      assert(seg == expected, r.toString)
+    }
+    // quintile bounds actually spread scores: more than one cell exists
+    // on every axis
+    assert(rows.map(_.getAs[Int]("r_score")).distinct.length > 1)
+    assert(rows.map(_.getAs[Int]("m_score")).distinct.length > 1)
+  }
 }
