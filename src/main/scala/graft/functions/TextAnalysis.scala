@@ -486,6 +486,36 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Class-based keyword extraction (c-TF-IDF, the BERTopic move: the
+    // terms that CHARACTERIZE a source, not a document — what a corpus
+    // triage reads to label its slices): per (source, term) counts in
+    // ONE scan-and-explode, idf over the ~handful of sources (df = how
+    // many sources contain the term, derived from the same grouped
+    // table — no second corpus scan), score = cnt · ln((S+1)/(df+1)),
+    // top-5 per source by (score DESC, term). The rank window runs over
+    // the vocab-sized (source, term) table with rn ≤ 5, so Spark plans
+    // WindowGroupLimit (per-task 5-row heaps — the text_sample_topk
+    // contract); the corpus never sees a window.
+    "text_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      val ns = st.agg(countDistinct(col("source")).cast("double").as("ns"))
+      val df = st.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score_full").desc, col("term"))
+      st.join(df, Seq("term"))
+        .crossJoin(broadcast(ns))
+        .withColumn("score_full",
+          col("cnt") * log((col("ns") + 1.0) / (col("df") + lit(1.0))))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("source"), col("term").as("keyword"), col("cnt"),
+          (round(col("score_full"), 4) + lit(0.0)).as("ctfidf"), col("rank"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
     // BM25 ranked retrieval (Robertson/Spärck Jones — the lexical
     // search half of a hybrid retrieval stack, beside ann_* / ann_rrf):
     // score every document against a fixed 3-term query, return the
@@ -1362,6 +1392,27 @@ object TextAnalysis {
         |SELECT doc_id, term AS top_term, round(score_full, 4) AS tfidf
         |FROM scored WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Same (source, term) counts, same ln over identical integers,
+    // same (score DESC, term) rank order.
+    "text_keywords" ->
+      """WITH st AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |g AS (SELECT source, term, count(*) AS cnt FROM st GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns FROM g),
+        |df AS (SELECT term, count(*) AS df FROM g GROUP BY 1),
+        |scored AS (
+        |  SELECT g.source, g.term, g.cnt,
+        |    g.cnt * ln((ns + 1.0) / (df + 1.0)) AS score_full,
+        |    row_number() OVER (PARTITION BY g.source
+        |      ORDER BY g.cnt * ln((ns + 1.0) / (df + 1.0)) DESC, g.term)
+        |      AS rank
+        |  FROM g JOIN df USING (term) CROSS JOIN n)
+        |SELECT source, term AS keyword, cnt,
+        |  round(score_full, 4) + 0.0 AS ctfidf, CAST(rank AS INTEGER) AS rank
+        |FROM scored WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     "text_mix" ->
       """WITH d AS (

@@ -336,6 +336,49 @@ object Features {
         .orderBy(col("category"))
     }),
 
+    // Out-of-fold target encoding (the leakage-safe variant of
+    // feat_target_encode a cross-validated trainer actually needs: rows
+    // in fold f get an encoding fitted WITHOUT fold f, or the encoder
+    // memorizes each row's own target and CV scores lie): folds are the
+    // feat_kfold hash assignment, moments aggregate ONCE per
+    // (segment, fold) — one corpus scan into a 25-row decimal(38,0)
+    // moment table — and every exclusion (segment-minus-fold,
+    // global-minus-fold) is a window over that tiny table, never a
+    // second scan. enc_f = (S_seg−S_seg,f + m·ĝ_−f)/(N_seg−N_seg,f + m)
+    // with the prior ĝ_−f ALSO fold-excluded, evaluated as one exact
+    // rational over decimals → ONE double division (the
+    // feat_target_encode discipline).
+    "feat_target_encode_oof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = lit(20)
+      val oc = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          (md5Byte("fold", col("o_orderkey")) % 5).as("fold"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val fm = oc.groupBy(col("segment"), col("fold"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("cents").cast(dec)).as("sx"))
+      val wSeg = Window.partitionBy(col("segment"))
+      val wFold = Window.partitionBy(col("fold"))
+      val wAll = Window.partitionBy()
+      fm.withColumn("sn", sum(col("n")).over(wSeg))
+        .withColumn("ssx", sum(col("sx")).over(wSeg))
+        .withColumn("fn", sum(col("n")).over(wFold))
+        .withColumn("fsx", sum(col("sx")).over(wFold))
+        .withColumn("gn", sum(col("n")).over(wAll))
+        .withColumn("gsx", sum(col("sx")).over(wAll))
+        .select(col("fold"), col("segment"),
+          (col("sn") - col("n")).cast("long").as("n_oof"),
+          (round(((col("ssx") - col("sx")) * (col("gn") - col("fn")) +
+            m * (col("gsx") - col("fsx"))).cast("double") /
+            ((col("sn") - col("n") + m) * (col("gn") - col("fn")))
+              .cast("double") / 100.0, 4) + lit(0.0)).as("enc_price"))
+        .orderBy(col("fold"), col("segment"))
+    }),
+
     // Imputer fit (MLlib Imputer's full strategy surface — mean, median
     // and mode — in one pass), per customer segment over account
     // balance, with sentinel semantics: negative balances are treated
@@ -564,6 +607,34 @@ object Features {
         |  round(CAST(a * tb - b * ta AS DOUBLE) / CAST(ta * tb AS DOUBLE)
         |    * (CAST(lq AS DOUBLE) / 1e6), 6) + 0.0 AS iv_term
         |FROM l ORDER BY category""".stripMargin,
+
+    // Same (segment, fold) HUGEINT moments, same window exclusions,
+    // same single-division exact rational.
+    "feat_target_encode_oof" -> {
+      val fold = md5ByteSql("fold", "CAST(o_orderkey AS VARCHAR)")
+      s"""WITH oc AS (
+         |  SELECT c_mktsegment AS segment, $fold % 5 AS fold,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey),
+         |fm AS (
+         |  SELECT segment, fold, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(cents AS HUGEINT)) AS sx
+         |  FROM oc GROUP BY 1, 2),
+         |w AS (
+         |  SELECT fold, segment, n, sx,
+         |    sum(n) OVER (PARTITION BY segment) AS sn,
+         |    sum(sx) OVER (PARTITION BY segment) AS ssx,
+         |    sum(n) OVER (PARTITION BY fold) AS fn,
+         |    sum(sx) OVER (PARTITION BY fold) AS fsx,
+         |    sum(n) OVER () AS gn,
+         |    sum(sx) OVER () AS gsx
+         |  FROM fm)
+         |SELECT fold, segment, CAST(sn - n AS BIGINT) AS n_oof,
+         |  round(CAST((ssx - sx) * (gn - fn) + 20 * (gsx - fsx) AS DOUBLE)
+         |    / CAST((sn - n + 20) * (gn - fn) AS DOUBLE) / 100.0, 4)
+         |    + 0.0 AS enc_price
+         |FROM w ORDER BY fold, segment""".stripMargin
+    },
 
     // Same (segment, validity, cents) weight table; lower median via
     // the identical cumulative-count predicate, mode via the identical

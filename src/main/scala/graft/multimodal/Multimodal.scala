@@ -208,6 +208,50 @@ object Multimodal {
     // threshold contract, and the exact-integer mean square per doc.
     "mm_audio" -> ((s, dir) =>
       audioFrameStats(Lake.fanOut(withPayload(t(s, dir, "documents"))))),
+
+    // Scene/segment-boundary detection over the frame-energy sequence
+    // (the shot-segmentation pass a video/audio pipeline runs before
+    // per-scene sampling; stub energies stand in for decoded frame
+    // features, the boundary machinery is the deliverable): a boundary
+    // between adjacent frames iff the energy jump exceeds the 3:1
+    // relative band — |sq_j − sq_{j−1}|·2 > sq_j + sq_{j−1}, an EXACT
+    // integer compare (a float ratio threshold could waffle at the
+    // boundary). The whole frame sequence stays inside one array per
+    // row (the audioFrameStats shape): deltas are an in-array adjacent
+    // fold, so the operator is a pure per-row projection — zero
+    // shuffle, O(len) per media, no per-frame explode ever reaches a
+    // window. Single-frame media report zero boundaries (guarded —
+    // Spark's sequence(1,0) would DESCEND, not empty out).
+    "mm_scene" -> ((s, dir) => {
+      val frameLen = 64
+      val byteAt = "CAST(conv(substring(hx, CAST(i AS INT) * 2 + 1, 2), 16, 10) AS BIGINT)"
+      Lake.fanOut(withPayload(t(s, dir, "documents")))
+        .filter(octet_length(col("payload")) > 0)
+        .select(col("doc_id"), hex(col("payload")).as("hx"),
+          octet_length(col("payload")).cast("long").as("len"))
+        .select(col("doc_id"), expr(
+          s"""transform(sequence(0L, (len - 1) DIV $frameLen), f ->
+             |  aggregate(
+             |    transform(
+             |      sequence(f * $frameLen, least(len, (f + 1) * $frameLen) - 1),
+             |      i -> $byteAt - 128L),
+             |    named_struct('sq', 0L, 'c', 0L),
+             |    (a, d) -> named_struct('sq', a.sq + d * d, 'c', a.c + 1L)).sq)"""
+            .stripMargin).as("sq"))
+        .select(col("doc_id"), size(col("sq")).as("n_frames"),
+          expr("""IF(size(sq) < 2, 0L,
+                 |  aggregate(sequence(2, size(sq)),
+                 |    0L, (a, j) -> a + IF(
+                 |      abs(element_at(sq, j) - element_at(sq, j - 1)) * 2 >
+                 |        element_at(sq, j) + element_at(sq, j - 1), 1L, 0L)))"""
+            .stripMargin).as("n_boundaries"),
+          expr("""IF(size(sq) < 2, 0L,
+                 |  aggregate(sequence(2, size(sq)),
+                 |    0L, (a, j) -> greatest(a,
+                 |      abs(element_at(sq, j) - element_at(sq, j - 1)))))"""
+            .stripMargin).as("max_jump"))
+        .orderBy(col("doc_id"))
+    }),
     // Opaque-payload metadata extraction — size/magic/checksum typed
     // columns from the binary payload, no decode.
     "mm_meta" -> ((s, dir) =>
@@ -315,6 +359,35 @@ object Multimodal {
         |  CAST(sum(CASE WHEN sq < 900 * c THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
         |  round(CAST(sum(sq) AS DOUBLE) / max(len), 4) AS avg_energy
         |FROM fe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same per-frame exact integer energies collected into an ordered
+    // list per doc; adjacent deltas replay the identical integer
+    // compare (empty comprehension on single-frame media → coalesce 0).
+    "mm_scene" ->
+      """WITH d AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS len
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |fr AS (
+        |  SELECT doc_id, len, hx, unnest(range((len - 1) // 64 + 1)) AS f
+        |  FROM d),
+        |fe AS (
+        |  SELECT doc_id, f,
+        |    CAST(list_aggregate(
+        |      [(CAST(concat('0x', substring(hx, CAST(i AS INT) * 2 + 1, 2)) AS BIGINT) - 128)
+        |       * (CAST(concat('0x', substring(hx, CAST(i AS INT) * 2 + 1, 2)) AS BIGINT) - 128)
+        |       for i in range(f * 64, least(len, (f + 1) * 64))], 'sum') AS BIGINT) AS sq
+        |  FROM fr),
+        |fl AS (SELECT doc_id, list(sq ORDER BY f) AS l FROM fe GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(l) AS INTEGER) AS n_frames,
+        |  CAST(coalesce(list_aggregate(
+        |    [CASE WHEN abs(l[j + 1] - l[j]) * 2 > l[j + 1] + l[j]
+        |          THEN 1 ELSE 0 END for j in range(1, len(l))], 'sum'), 0)
+        |    AS BIGINT) AS n_boundaries,
+        |  CAST(coalesce(list_aggregate(
+        |    [abs(l[j + 1] - l[j]) for j in range(1, len(l))], 'max'), 0)
+        |    AS BIGINT) AS max_jump
+        |FROM fl ORDER BY doc_id""".stripMargin,
 
     // The payload is the text's UTF-8 bytes, so the oracle can reproduce
     // size (octet_length of the encoded blob), magic (hex of the first 4

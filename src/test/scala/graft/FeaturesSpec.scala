@@ -171,6 +171,28 @@ class FeaturesSpec extends AnyFunSuite {
     }
   }
 
+  test("feat_target_encode_oof: each row sits in exactly 4 out-of-fold sets") {
+    val rows = Features.queries("feat_target_encode_oof")(spark, TestSpark.Sf)
+      .collect()
+    // full 5 folds × segments grid
+    val segs = rows.map(_.getAs[String]("segment")).distinct
+    assert(rows.length == 5 * segs.length, rows.length.toString)
+    // Σ_folds n_oof(seg) = 4 · n(seg): every order is excluded from its
+    // own fold only, so it appears in the other four training sets
+    val oc = sources.Lake.table(spark, TestSpark.Sf, "orders")
+      .join(sources.Lake.table(spark, TestSpark.Sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("segment")).foreach { case (seg, vs) =>
+      assert(vs.map(_.getAs[Long]("n_oof")).sum == 4 * oc(seg), seg)
+    }
+    // fold exclusion is live: at least one segment encodes differently
+    // across folds (identical everywhere would mean the exclusion is dead)
+    assert(rows.groupBy(_.getAs[String]("segment")).values.exists(vs =>
+      vs.map(_.getAs[Double]("enc_price")).distinct.length > 1))
+  }
+
   test("feat_impute: textbook mean/median/mode on a planted frame, sentinels counted") {
     val planted = Seq(("A", 1.00), ("A", 2.00), ("A", 2.00), ("A", 5.00),
       ("A", -3.00), ("B", 7.00))

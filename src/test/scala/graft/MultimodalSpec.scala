@@ -118,4 +118,35 @@ class MultimodalSpec extends AnyFunSuite {
     val corrupt = png.take(12)
     assert(Multimodal.decodeFrames(corrupt).nonEmpty)
   }
+
+  test("scene boundaries: exact integer replay from raw bytes, 1-frame guard") {
+    val rows = Multimodal.queries("mm_scene")(spark, TestSpark.Sf).collect()
+    val texts = sources.Lake.table(spark, TestSpark.Sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty && rows.length == texts.count(_._2.nonEmpty))
+    // recompute the whole chain — 64-byte frames, (b-128)^2 energies,
+    // the 3:1 relative-band integer compare — independently in Scala
+    def replay(text: String): (Int, Long, Long) = {
+      val sq = text.getBytes("UTF-8").grouped(64)
+        .map(_.map(b => { val d = (b & 0xff) - 128L; d * d }).sum).toArray
+      val deltas = sq.zip(sq.drop(1))
+      (sq.length,
+        deltas.count { case (a, b) => math.abs(b - a) * 2 > a + b },
+        if (deltas.isEmpty) 0L else deltas.map { case (a, b) => math.abs(b - a) }.max)
+    }
+    var oneFrame = 0
+    rows.foreach { r =>
+      val (nf, nb, mj) = replay(texts(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Int]("n_frames") == nf, s"doc ${r.get(0)} frames")
+      assert(r.getAs[Long]("n_boundaries") == nb, s"doc ${r.get(0)} boundaries")
+      assert(r.getAs[Long]("max_jump") == mj, s"doc ${r.get(0)} jump")
+      if (nf == 1) {
+        oneFrame += 1
+        assert(nb == 0 && mj == 0L)
+      }
+    }
+    // the guard path (sequence(2, 1) would descend, not empty) is exercised
+    assert(oneFrame > 0, "corpus has no single-frame doc; guard untested")
+  }
 }

@@ -438,4 +438,22 @@ class TextSpec extends AnyFunSuite {
     val t2 = two.collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
     assert(g == t2, s"global=$g two-level=$t2")
   }
+
+  test("text_keywords: five ranked distinctive terms per source") {
+    val rows = TextAnalysis.queries("text_keywords")(spark, TestSpark.Sf)
+      .collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, vs) =>
+      // contiguous ranks 1..k, scores nonincreasing in rank order,
+      // keywords distinct within the source
+      val sorted = vs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length).toSeq, src)
+      assert(sorted.length <= 5)
+      val scores = sorted.map(_.getAs[Double]("ctfidf")).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b - 1e-4 })
+      assert(vs.map(_.getAs[String]("keyword")).distinct.length == vs.length)
+    }
+  }
 }
