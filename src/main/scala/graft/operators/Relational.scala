@@ -1773,6 +1773,60 @@ object Relational {
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
     }),
 
+    // MATCH_RECOGNIZE-style sequential pattern matching (SQL:2016 row
+    // pattern recognition — Spark has no native operator): find V-shape
+    // spend trajectories per customer, the row-regex DOWN{2,} UP{2,}
+    // over the monthly series. The regex COMPILES to run-length algebra
+    // instead of a per-row NFA: month-over-month direction (+1/-1/0,
+    // exact integer compares on cents — flat months break runs) →
+    // gaps-and-islands run ids (rn − per-direction rn) → one aggregate
+    // per run → the pattern is an EQUI-JOIN on run adjacency
+    // (down.max_rn + 1 = up.min_rn, both len ≥ 2). Scale shape: the one
+    // corpus scan lands on the (custkey, month) aggregate; every window
+    // is custkey-partitioned over a CALENDAR-BOUNDED series (≤ ~84
+    // months — the q41 contract), and runs/joins live on the run table
+    // (≪ the month table), so no state machine ever crosses rows and
+    // nothing global is sorted. Depth/recovery stay exact cents: the
+    // run carries its boundary values via min_by/max_by on the unique
+    // rn, so peak − trough is integer arithmetic, never a float.
+    "q65_pattern" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cm = t(s, dir, "orders")
+        .groupBy(col("o_custkey"),
+          date_format(date_trunc("month", col("o_orderdate")),
+            "yyyy-MM-dd").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wSeq = Window.partitionBy(col("o_custkey")).orderBy(col("month"))
+      val diffs = cm
+        .withColumn("rn", row_number().over(wSeq))
+        .withColumn("prev", lag(col("cents"), 1).over(wSeq))
+        .filter(col("prev").isNotNull)
+        .withColumn("dir", when(col("cents") > col("prev"), 1)
+          .when(col("cents") < col("prev"), -1).otherwise(0))
+      val wRun = Window.partitionBy(col("o_custkey"), col("dir"))
+        .orderBy(col("month"))
+      val runs = diffs
+        .withColumn("grp", col("rn") - row_number().over(wRun))
+        .groupBy(col("o_custkey"), col("dir"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("rn")).as("min_rn"),
+          max(col("rn")).as("max_rn"),
+          min_by(col("prev"), col("rn")).as("peak"),
+          max_by(col("cents"), col("rn")).as("valley"))
+      val down = runs.filter(col("dir") === -1 && col("len") >= 2)
+        .select(col("o_custkey"), col("max_rn"), col("len").as("down_len"),
+          col("peak"), col("valley").as("trough"))
+      val up = runs.filter(col("dir") === 1 && col("len") >= 2)
+        .select(col("o_custkey").as("ck2"), col("min_rn"),
+          col("len").as("up_len"), col("valley").as("recov"))
+      down.join(up, col("o_custkey") === col("ck2") &&
+          col("max_rn") + 1 === col("min_rn"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_vshapes"),
+          max(col("peak") - col("trough")).as("max_depth_cents"),
+          max(col("down_len") + col("up_len") + 1).as("max_span_months"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q61_movers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem")
@@ -2100,6 +2154,41 @@ object Relational {
          |  n_customers, rev_cents
          |FROM g ORDER BY r_score, f_score, m_score""".stripMargin
     },
+
+    // Same (custkey, month) cents, same direction/run-id algebra, same
+    // adjacency join — the regex replay over identical integers.
+    "q65_pattern" ->
+      """WITH cm AS (
+        |  SELECT o_custkey,
+        |    strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT o_custkey, month, cents,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY month) AS rn,
+        |    lag(cents) OVER (PARTITION BY o_custkey ORDER BY month) AS prev
+        |  FROM cm),
+        |dd AS (
+        |  SELECT *, CASE WHEN cents > prev THEN 1
+        |                 WHEN cents < prev THEN -1 ELSE 0 END AS dir
+        |  FROM sq WHERE prev IS NOT NULL),
+        |rr AS (
+        |  SELECT *, rn - row_number()
+        |    OVER (PARTITION BY o_custkey, dir ORDER BY month) AS grp
+        |  FROM dd),
+        |runs AS (
+        |  SELECT o_custkey, dir, grp, count(*) AS len,
+        |    min(rn) AS min_rn, max(rn) AS max_rn,
+        |    min_by(prev, rn) AS peak, max_by(cents, rn) AS valley
+        |  FROM rr GROUP BY 1, 2, 3)
+        |SELECT dn.o_custkey, CAST(count(*) AS BIGINT) AS n_vshapes,
+        |  CAST(max(dn.peak - dn.valley) AS BIGINT) AS max_depth_cents,
+        |  CAST(max(dn.len + up.len + 1) AS BIGINT) AS max_span_months
+        |FROM runs dn JOIN runs up
+        |  ON dn.o_custkey = up.o_custkey AND dn.max_rn + 1 = up.min_rn
+        |WHERE dn.dir = -1 AND dn.len >= 2 AND up.dir = 1 AND up.len >= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q63_seasonal" ->
       """WITH m AS (

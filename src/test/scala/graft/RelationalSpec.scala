@@ -375,4 +375,43 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("r_score")).distinct.length > 1)
     assert(rows.map(_.getAs[Int]("m_score")).distinct.length > 1)
   }
+
+  test("q65_pattern: run-length join equals a literal row-regex replay") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.queries("q65_pattern")(spark, TestSpark.Sf).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[Long]("n_vshapes"), r.getAs[Long]("max_depth_cents"),
+          r.getAs[Long]("max_span_months"))).toMap
+    // independent replay: per customer, the monthly cents series as an
+    // array, directions as a scan, DOWN{2,}UP{2,} matched on MAXIMAL
+    // adjacent runs — the MATCH_RECOGNIZE semantics the join compiles
+    val series = sources.Lake.table(spark, TestSpark.Sf, "orders")
+      .groupBy(col("o_custkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+          .as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (ck, rs) => ck -> rs.sortBy(_.getString(1)).map(_.getLong(2)) }
+    val want = series.flatMap { case (ck, cents) =>
+      val dir = cents.sliding(2).map { case Array(a, b) =>
+        if (b > a) 1 else if (b < a) -1 else 0 }.toArray
+      // maximal runs as (dir, startIdx, len) — idx into the dir array
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      var i = 0
+      while (i < dir.length) {
+        var j = i
+        while (j < dir.length && dir(j) == dir(i)) j += 1
+        runs += ((dir(i), i, j - i)); i = j
+      }
+      val vs = runs.toSeq.zip(runs.toSeq.drop(1)).collect {
+        case ((-1, p, dl), (1, q, ul)) if dl >= 2 && ul >= 2 =>
+          // peak = month before the down run's first diff, trough = its last
+          (cents(p) - cents(q), dl.toLong + ul + 1)
+      }
+      if (vs.isEmpty) None
+      else Some(ck -> (vs.length.toLong, vs.map(_._1).max, vs.map(_._2).max))
+    }
+    assert(got == want, s"got ${got.size} customers, want ${want.size}")
+    assert(got.nonEmpty, "corpus produced no V-shapes; pattern untested")
+  }
 }
