@@ -167,6 +167,82 @@ object Quality {
       grpRows.unionByName(allRow).orderBy(col("grp"))
     }),
 
+    // Theta/KMV sketch set algebra (the Apache DataSketches capability
+    // HLL cannot provide: INTERSECTION cardinality of distinct sets —
+    // HLL unions losslessly but has no intersection; inclusion-exclusion
+    // over three HLL estimates compounds error unboundedly as the
+    // overlap shrinks): bounded k-minimum-values sketches over two
+    // order-predicate customer slices, est |A∩B| from the combined
+    // sketch. The sketch is DETERMINISTIC (md5-top-15-hex element hash,
+    // the engine-portable Kernels discipline), so unlike the HLL key —
+    // whose oracle can only trust the in-query contract boolean — the
+    // DuckDB oracle rebuilds the exact same sketches and replays every
+    // ESTIMATE bit-for-bit. Scale shape: per-slice distinct is a
+    // corpus-keyed shuffle; the k smallest hashes come from a
+    // WindowGroupLimit rn ≤ k (per-task k-row heaps — the
+    // text_sample_topk contract — then a k·tasks merge, never a global
+    // sort); everything downstream lives on ≤2k-row sketch tables.
+    // Exclusive-θ semantics throughout: θ = k-th smallest when the
+    // sketch is full (so k−1 values sit strictly below it; estimator
+    // (k−1)·R/θ is the unbiased KMV form), else the full hash range R
+    // (sketch == set, estimate exact — the small-slice regime at tiny
+    // SFs degrades to exact counting instead of garbage). The exact
+    // counts ride along as the contract baseline (the ann_recall
+    // pattern); the in-query booleans gate realized relative error.
+    "profile_theta_intersect" -> ((s, dir) => {
+      val k = 1024
+      val rangeL = lit(1152921504606846976L) // R = 2^60: 15 md5 hex chars
+      val rangeD = expr("CAST(1152921504606846976 AS DOUBLE)")
+      import org.apache.spark.sql.expressions.Window
+      def members(name: String, yr: Int) =
+        t(s, dir, "orders").filter(year(col("o_orderdate")) === yr)
+          .select(col("o_custkey").as("ck")).distinct()
+          .select(lit(name).as("slice"), col("ck"),
+            expr("""CAST(conv(substring(
+                   |  md5(concat('theta:', CAST(ck AS STRING))), 1, 15),
+                   |  16, 10) AS BIGINT)""".stripMargin).as("h"))
+      val ma = members("a", 1996)
+      val mb = members("b", 1997)
+      val w = Window.partitionBy(col("slice")).orderBy(col("h"))
+      val sk = ma.unionByName(mb)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      val th = sk.groupBy(col("slice"))
+        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+        .select(col("slice"), col("n_kept"),
+          when(col("n_kept") === k, col("kth")).otherwise(rangeL).as("theta"))
+      val one = th.filter(col("slice") === "a")
+        .select(col("n_kept").as("na"), col("theta").as("tha"))
+        .crossJoin(broadcast(th.filter(col("slice") === "b")
+          .select(col("n_kept").as("nb"), col("theta").as("thb"))))
+        .withColumn("thi", least(col("tha"), col("thb")))
+      val cI = sk.filter(col("slice") === "a").select(col("h"))
+        .join(sk.filter(col("slice") === "b").select(col("h")), Seq("h"))
+        .crossJoin(broadcast(one.select(col("thi").as("thi0"))))
+        .filter(col("h") < col("thi0")).agg(count(lit(1)).as("c_i"))
+      val exA = ma.agg(count(lit(1)).as("exact_a"))
+      val exB = mb.agg(count(lit(1)).as("exact_b"))
+      val exI = ma.select(col("ck")).join(mb.select(col("ck")), Seq("ck"))
+        .agg(count(lit(1)).as("exact_i"))
+      def est(n: String, thC: String) =
+        when(col(n) < k, col(n).cast("double"))
+          .otherwise(lit(1023.0) * rangeD / col(thC).cast("double"))
+      val estI = col("c_i").cast("double") * rangeD / col("thi").cast("double")
+      def err(e: org.apache.spark.sql.Column, x: String) =
+        abs(e - col(x).cast("double")) / col(x).cast("double")
+      one.crossJoin(broadcast(cI)).crossJoin(broadcast(exA))
+        .crossJoin(broadcast(exB)).crossJoin(broadcast(exI))
+        .select(
+          (round(est("na", "tha"), 2) + lit(0.0)).as("est_a"), col("exact_a"),
+          (round(est("nb", "thb"), 2) + lit(0.0)).as("est_b"), col("exact_b"),
+          (round(estI, 2) + lit(0.0)).as("est_i"), col("exact_i"),
+          (round(err(est("na", "tha"), "exact_a"), 4) + lit(0.0)).as("err_a"),
+          (round(err(est("nb", "thb"), "exact_b"), 4) + lit(0.0)).as("err_b"),
+          (round(err(estI, "exact_i"), 4) + lit(0.0)).as("err_i"),
+          (err(est("na", "tha"), "exact_a") <= 0.2 &&
+            err(est("nb", "thb"), "exact_b") <= 0.2).as("sets_ok"),
+          (err(estI, "exact_i") <= 0.3).as("intersect_ok"))
+    }),
+
     // Constraint report: every check is expressed as a VIOLATION COUNT
     // (passed ⇔ 0), so completeness, uniqueness, range, accepted-values
     // fuse into the same one-scan wide aggregate, and referential
@@ -1362,6 +1438,73 @@ object Quality {
         |UNION ALL
         |SELECT 'ALL', CAST(count(DISTINCT ck) AS BIGINT), TRUE FROM p
         |ORDER BY grp""".stripMargin,
+
+    // Same md5-KMV sketches rebuilt from scratch: identical element
+    // hashes, identical k-smallest retention, identical exclusive-θ
+    // estimator arithmetic — every estimate replays bit-for-bit.
+    "profile_theta_intersect" ->
+      """WITH ma AS (
+        |  SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE year(o_orderdate) = 1996),
+        |mb AS (
+        |  SELECT DISTINCT o_custkey AS ck FROM orders
+        |  WHERE year(o_orderdate) = 1997),
+        |ha AS (
+        |  SELECT ck, CAST(concat('0x', substring(
+        |    md5(concat('theta:', CAST(ck AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM ma),
+        |hb AS (
+        |  SELECT ck, CAST(concat('0x', substring(
+        |    md5(concat('theta:', CAST(ck AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        |  FROM mb),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 1024),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 1024),
+        |ta AS (
+        |  SELECT count(*) AS na,
+        |    CASE WHEN count(*) = 1024 THEN max(h)
+        |         ELSE 1152921504606846976 END AS tha
+        |  FROM ska),
+        |tb AS (
+        |  SELECT count(*) AS nb,
+        |    CASE WHEN count(*) = 1024 THEN max(h)
+        |         ELSE 1152921504606846976 END AS thb
+        |  FROM skb),
+        |one AS (
+        |  SELECT na, tha, nb, thb, least(tha, thb) AS thi FROM ta, tb),
+        |ci AS (
+        |  SELECT count(*) AS c_i
+        |  FROM ska JOIN skb USING (h), one WHERE h < thi),
+        |exa AS (SELECT count(*) AS exact_a FROM ma),
+        |exb AS (SELECT count(*) AS exact_b FROM mb),
+        |exi AS (SELECT count(*) AS exact_i FROM ma JOIN mb USING (ck)),
+        |est AS (
+        |  SELECT
+        |    CASE WHEN na < 1024 THEN CAST(na AS DOUBLE)
+        |         ELSE 1023.0 * CAST(1152921504606846976 AS DOUBLE)
+        |              / CAST(tha AS DOUBLE) END AS ea,
+        |    CASE WHEN nb < 1024 THEN CAST(nb AS DOUBLE)
+        |         ELSE 1023.0 * CAST(1152921504606846976 AS DOUBLE)
+        |              / CAST(thb AS DOUBLE) END AS eb,
+        |    CAST(c_i AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |      / CAST(thi AS DOUBLE) AS ei,
+        |    exact_a, exact_b, exact_i
+        |  FROM one, ci, exa, exb, exi)
+        |SELECT
+        |  round(ea, 2) + 0.0 AS est_a, CAST(exact_a AS BIGINT) AS exact_a,
+        |  round(eb, 2) + 0.0 AS est_b, CAST(exact_b AS BIGINT) AS exact_b,
+        |  round(ei, 2) + 0.0 AS est_i, CAST(exact_i AS BIGINT) AS exact_i,
+        |  round(abs(ea - CAST(exact_a AS DOUBLE)) / CAST(exact_a AS DOUBLE), 4)
+        |    + 0.0 AS err_a,
+        |  round(abs(eb - CAST(exact_b AS DOUBLE)) / CAST(exact_b AS DOUBLE), 4)
+        |    + 0.0 AS err_b,
+        |  round(abs(ei - CAST(exact_i AS DOUBLE)) / CAST(exact_i AS DOUBLE), 4)
+        |    + 0.0 AS err_i,
+        |  abs(ea - CAST(exact_a AS DOUBLE)) / CAST(exact_a AS DOUBLE) <= 0.2
+        |    AND abs(eb - CAST(exact_b AS DOUBLE)) / CAST(exact_b AS DOUBLE)
+        |      <= 0.2 AS sets_ok,
+        |  abs(ei - CAST(exact_i AS DOUBLE)) / CAST(exact_i AS DOUBLE) <= 0.3
+        |    AS intersect_ok
+        |FROM est""".stripMargin,
 
     // Same micro-quantized grid, same exact HUGEINT co-moments (the
     // text_zipf stand-in for decimal(38)), same fixed corr/covar_samp

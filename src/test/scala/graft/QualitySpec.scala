@@ -425,4 +425,27 @@ class QualitySpec extends AnyFunSuite {
     val pats = rows.map(_.getAs[String]("pattern")).toSet
     assert(pats.exists(_.startsWith("0")) && pats.exists(_.startsWith("1")))
   }
+
+  test("theta intersect: small-slice regime is exact, gates hold, containment") {
+    // sf0.001 slices are far below k=1024, so the sketch IS the set and
+    // every estimate must equal its exact count bit-for-bit (the
+    // degenerate regime the exclusive-θ formula is built to hit)
+    val r = Quality.queries("profile_theta_intersect")(spark, TestSpark.Sf)
+      .collect().head
+    assert(r.getAs[Long]("exact_a") < 1024 && r.getAs[Long]("exact_i") > 0)
+    assert(r.getAs[Double]("est_a") == r.getAs[Long]("exact_a").toDouble)
+    assert(r.getAs[Double]("est_b") == r.getAs[Long]("exact_b").toDouble)
+    assert(r.getAs[Double]("est_i") == r.getAs[Long]("exact_i").toDouble)
+    assert(r.getAs[Boolean]("sets_ok") && r.getAs[Boolean]("intersect_ok"))
+    // set algebra sanity: the intersection cannot exceed either side
+    assert(r.getAs[Long]("exact_i") <=
+      math.min(r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b")))
+    // the sketch regime engages at the medium SF: estimates leave the
+    // exact grid but stay inside the contract gates
+    val m = Quality.queries("profile_theta_intersect")(spark, TestSpark.SfMedium)
+      .collect().head
+    assert(m.getAs[Long]("exact_a") > 1024)
+    assert(m.getAs[Double]("err_i") > 0.0 && m.getAs[Boolean]("intersect_ok"))
+    assert(m.getAs[Boolean]("sets_ok"))
+  }
 }
