@@ -322,6 +322,76 @@ object Similarity {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // Maximal marginal relevance re-ranking (Carbonell & Goldstein 1998
+    // — the diversification pass between retrieval and the context
+    // window: near-duplicate passages burn prompt tokens, so the final
+    // slots trade relevance against redundancy): candidates = cosine
+    // top-20 per query (self excluded, the ann_bruteforce shape — the
+    // ONE corpus-touching pass, eagerly cached at queries×20 rows per
+    // the builder-cache discipline), then M=5 greedy selections
+    // maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s), λ=0.7. The
+    // greedy recurrence is a FIXED-DEPTH unrolled dataflow, not a
+    // driver loop and not a per-row NFA: each post-seed step is
+    // (remaining × selected-so-far) pairwise sims → per-candidate max
+    // → per-query argmax, all equi-joins on query_id over ≤20×5 rows
+    // per query — bounded algebra that scales with query count, never
+    // corpus². Each step's selection set is eagerly cached (≤queries·M
+    // rows) so the unrolled plan stays linear, not 3^M lineage copies.
+    // Argmaxes break ties by vec_id over bit-identical doubles, so the
+    // whole greedy trajectory replays exactly in the oracle.
+    "ann_mmr" -> ((s, dir) => {
+      val C = 20
+      val M = 5
+      val lam = lit(0.7)
+      val om = lit(0.3)
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val wRel = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("vec_id"))
+      val cand = emb.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rel",
+          GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
+        .withColumn("crn", row_number().over(wRel))
+        .filter(col("crn") <= C)
+        .select(col("query_id"), col("vec_id"), col("embedding"), col("rel"))
+        .cache()
+      cand.count()
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("vec_id"))
+      var sel = cand
+        .withColumn("mmr", lam * col("rel"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("embedding"),
+          col("mmr"), lit(1).as("step"))
+        .cache()
+      sel.count()
+      for (k <- 2 to M) {
+        val remaining = cand.join(
+          sel.select(col("query_id").as("qx"), col("vec_id").as("vx")),
+          col("query_id") === col("qx") && col("vec_id") === col("vx"),
+          "left_anti")
+        val msim = remaining
+          .join(sel.select(col("query_id"), col("embedding").as("s_emb")),
+            Seq("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(max(GraftFunctions.cosineSim(col("embedding"), col("s_emb")))
+            .as("msim"))
+        val pick = remaining.join(msim, Seq("query_id", "vec_id"))
+          .withColumn("mmr", lam * col("rel") - om * col("msim"))
+          .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+          .select(col("query_id"), col("vec_id"), col("embedding"),
+            col("mmr"), lit(k).as("step"))
+        sel = sel.unionByName(pick).cache()
+        sel.count()
+      }
+      sel.select(col("query_id"), col("step"),
+          col("vec_id").as("neighbor_id"),
+          (round(col("mmr"), 6) + lit(0.0)).as("mmr_score"))
+        .orderBy(col("query_id"), col("step"))
+    }),
+
     // SemDeDup (Abbas et al. 2023) — semantic dedup, registered beside
     // the dedup family in SURVEY §C: k-means clusters bound the
     // quadratic, then WITHIN each cluster any vector with a lower-id
@@ -1550,6 +1620,56 @@ object Similarity {
          |SELECT query_id, rk, neighbor_id, round(score, 6) AS rrf
          |FROM r WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin) +
+    // Same cosine candidates, same λ·rel − (1−λ)·max-sim objective in
+    // the same spelled order, same (mmr DESC, vec_id) argmax — the
+    // greedy trajectory unrolled as one CTE block per step.
+    ("ann_mmr" -> {
+      val steps = (2 to 5).map { k =>
+        val p = k - 1
+        s"""r$k AS (SELECT c.* FROM cand c ANTI JOIN sel$p s
+           |  ON c.query_id = s.query_id AND c.vec_id = s.vec_id),
+           |m$k AS (
+           |  SELECT r.query_id, r.vec_id,
+           |    max(list_cosine_similarity(CAST(r.embedding AS DOUBLE[]),
+           |      CAST(s.embedding AS DOUBLE[]))) AS msim
+           |  FROM r$k r JOIN sel$p s USING (query_id) GROUP BY 1, 2),
+           |s$k AS (
+           |  SELECT query_id, vec_id, embedding, mmr, $k AS step FROM (
+           |    SELECT r.query_id, r.vec_id, r.embedding,
+           |      0.7 * r.rel - 0.3 * m.msim AS mmr,
+           |      row_number() OVER (PARTITION BY r.query_id
+           |        ORDER BY (0.7 * r.rel - 0.3 * m.msim) DESC, r.vec_id) AS rn
+           |    FROM r$k r JOIN m$k m
+           |      ON r.query_id = m.query_id AND r.vec_id = m.vec_id)
+           |  WHERE rn = 1),
+           |sel$k AS (SELECT * FROM sel$p UNION ALL SELECT * FROM s$k),"""
+          .stripMargin
+      }.mkString("\n")
+      s"""WITH cand AS (
+         |  SELECT query_id, vec_id, embedding, rel FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id, c.embedding,
+         |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |        CAST(c.embedding AS DOUBLE[])) AS rel,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS crn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q
+         |    CROSS JOIN embeddings c
+         |    WHERE c.vec_id <> q.vec_id)
+         |  WHERE crn <= 20),
+         |s1 AS (
+         |  SELECT query_id, vec_id, embedding, 0.7 * rel AS mmr, 1 AS step
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, vec_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |sel1 AS (SELECT * FROM s1),
+         |$steps
+         |final AS (SELECT * FROM sel5)
+         |SELECT query_id, CAST(step AS INTEGER) AS step,
+         |  vec_id AS neighbor_id, round(mmr, 6) + 0.0 AS mmr_score
+         |FROM final ORDER BY query_id, step""".stripMargin
+    }) +
     // Same global symmetric scale (one max|x| scalar), same int codes
     // (identical doubles → identical round → identical integers), same
     // exact long dot fold, same integer-deterministic ranking;

@@ -308,4 +308,46 @@ class AnnSpec extends AnyFunSuite {
       assert(lo >= -1.0 && lo <= 1.0 - 1.0 / 20 + 1e-9, r.toString)
     }
   }
+
+  test("MMR: greedy trajectory replays exactly, diversification is live") {
+    val got = Similarity.queries("ann_mmr")(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("step")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("mmr_score"))).toMap
+    // independent replay with the kernel's exact accumulation order
+    val vecs = sources.Lake.table(spark, TestSpark.Sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var diversified = false
+    (0L until 10L).foreach { qid =>
+      val cand = vecs.keys.filter(_ != qid).toSeq
+        .map(v => (v, cos(vecs(qid), vecs(v))))
+        .sortBy { case (v, rel) => (-rel, v) }.take(20)
+      val byRel = cand.take(5).map(_._1)
+      var selected = List.empty[Long]
+      (1 to 5).foreach { step =>
+        val remaining = cand.filterNot { case (v, _) => selected.contains(v) }
+        val scored = remaining.map { case (v, rel) =>
+          val msim = if (selected.isEmpty) 0.0
+            else selected.map(sv => cos(vecs(v), vecs(sv))).max
+          (v, 0.7 * rel - 0.3 * msim)
+        }
+        val (pick, score) = scored.minBy { case (v, m) => (-m, v) }
+        val (gotV, gotS) = got((qid, step))
+        assert(gotV == pick, s"q$qid step$step: got $gotV want $pick")
+        assert(math.abs(gotS - (math.floor(score * 1e6 + 0.5) / 1e6)) < 2e-6,
+          s"q$qid step$step score")
+        selected = selected :+ pick
+      }
+      if (selected != byRel.toList) diversified = true
+    }
+    assert(diversified, "MMR never deviated from pure relevance ranking")
+  }
 }
