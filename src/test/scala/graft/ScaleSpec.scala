@@ -241,7 +241,7 @@ class ScaleSpec extends AnyFunSuite {
       // relation
       if (Set("dedup_clusters", "graph_pagerank", "graph_ppr", "graph_bfs",
           "graph_components", "graph_labelprop", "mm_cluster",
-          "graph_sssp", "graph_kcore", "graph_hits")(k))
+          "graph_sssp", "graph_kcore", "graph_hits", "graph_closeness")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
