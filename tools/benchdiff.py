@@ -22,12 +22,17 @@ def main():
         if "--threshold" in sys.argv else 1.3
     old, new = json.load(open(old_p)), json.load(open(new_p))
     ot, nt = old.get("queries", {}), new.get("queries", {})
-    # prefer shuffle RECORDS when both dumps carry them: exact for a
-    # fixed plan + data (zero tolerance), where the byte count wobbles
-    # with compression context
+    # prefer shuffle RECORDS when both dumps carry them: near-exact for
+    # a fixed plan + data, where the byte count wobbles with compression
+    # context. NOT quite zero-tolerance: a map-side PARTIAL aggregate
+    # under memory pressure can flush a hash-map group early and emit it
+    # twice, so multi-distinct Expand keys (profile_fd measured 539413..
+    # 539416 across identical reruns) jitter by O(1) records with task
+    # timing. 16 absolute records absorbs that; a real plan change (new
+    # exchange, lost pre-aggregation) moves records by orders more.
     if old.get("shuffle_records") and new.get("shuffle_records"):
         os_, ns = old["shuffle_records"], new["shuffle_records"]
-        noise_frac, noise_abs, unit = 0.0, 0, "records"
+        noise_frac, noise_abs, unit = 0.0, 16, "records"
     else:
         os_, ns = old.get("shuffle_bytes", {}), new.get("shuffle_bytes", {})
         noise_frac, noise_abs, unit = NOISE_FRAC, NOISE_ABS, "bytes"
