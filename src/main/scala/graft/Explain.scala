@@ -28,7 +28,7 @@ object Explain {
     * cache — each gets a cache-truncated executed dump. */
   val executedDumpKeys: Set[String] =
     Set("ann_ivf", "ann_ivfpq", "ann_pq", "ann_sq8", "ann_cascade",
-      "dedup_semantic", "graph_random_walk")
+      "dedup_semantic", "graph_random_walk", "ann_mmr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -345,7 +345,11 @@ class ScaleSpec extends AnyFunSuite {
       "ann_sq8" -> 10, "ann_ivf" -> 8, "dedup_semantic" -> 6,
       // r13: the walk's lazy dump prints ~100 joins of cached-adjacency
       // fill provenance; the bounded run is the seed + 3 steps
-      "graph_random_walk" -> 16)
+      "graph_random_walk" -> 16,
+      // r13: ann_mmr's lazy dump prints ~31k exchanges (the 3^M greedy
+      // lineage × cache fill provenance); the run behind the per-step
+      // eager caches is the final sort over the cached selection table
+      "ann_mmr" -> 6)
     ceilings.foreach { case (k, cap) =>
       spark.sharedState.cacheManager.clearCache()
       val df = SparkEntry.queries(k)(spark, TestSpark.Sf)
