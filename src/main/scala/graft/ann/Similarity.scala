@@ -335,8 +335,11 @@ object Similarity {
     // (remaining × selected-so-far) pairwise sims → per-candidate max
     // → per-query argmax, all equi-joins on query_id over ≤20×5 rows
     // per query — bounded algebra that scales with query count, never
-    // corpus². Each step's selection set is eagerly cached (≤queries·M
-    // rows) so the unrolled plan stays linear, not 3^M lineage copies.
+    // corpus². Each step's selection set is localCheckpoint'd eagerly
+    // (≤queries·M rows — the pagerank per-sweep lineage-truncation
+    // discipline), so BOTH the executed work and the logical plan stay
+    // linear in M; a plain cache() would bound execution but leave a
+    // 3^M-node lazy lineage (measured: a ~380k-line formatted dump).
     // Argmaxes break ties by vec_id over bit-identical doubles, so the
     // whole greedy trajectory replays exactly in the oracle.
     "ann_mmr" -> ((s, dir) => {
@@ -365,8 +368,7 @@ object Similarity {
         .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
         .select(col("query_id"), col("vec_id"), col("embedding"),
           col("mmr"), lit(1).as("step"))
-        .cache()
-      sel.count()
+        .localCheckpoint(eager = true)
       for (k <- 2 to M) {
         val remaining = cand.join(
           sel.select(col("query_id").as("qx"), col("vec_id").as("vx")),
@@ -383,8 +385,7 @@ object Similarity {
           .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
           .select(col("query_id"), col("vec_id"), col("embedding"),
             col("mmr"), lit(k).as("step"))
-        sel = sel.unionByName(pick).cache()
-        sel.count()
+        sel = sel.unionByName(pick).localCheckpoint(eager = true)
       }
       sel.select(col("query_id"), col("step"),
           col("vec_id").as("neighbor_id"),
@@ -1661,7 +1662,7 @@ object Similarity {
          |  SELECT query_id, vec_id, embedding, 0.7 * rel AS mmr, 1 AS step
          |  FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY rel DESC, vec_id) AS rn FROM cand)
+         |      ORDER BY (0.7 * rel) DESC, vec_id) AS rn FROM cand)
          |  WHERE rn = 1),
          |sel1 AS (SELECT * FROM s1),
          |$steps

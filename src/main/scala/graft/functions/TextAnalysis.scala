@@ -495,24 +495,34 @@ object TextAnalysis {
     // top-5 per source by (score DESC, term). The rank window runs over
     // the vocab-sized (source, term) table with rn ≤ 5, so Spark plans
     // WindowGroupLimit (per-task 5-row heaps — the text_sample_topk
-    // contract); the corpus never sees a window.
+    // contract); the corpus never sees a window. The score rides the
+    // bm25/psiFromCounts quantized-ln discipline: each ln over an exact
+    // integer arg micro-quantizes to the 1e-6 long grid, so cnt·lq is
+    // EXACT integer arithmetic and the rank order cannot flip on a
+    // libm ulp between engines (the class Features.scala's woe note
+    // documents as caught live).
     "text_keywords" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val st = t(s, dir, "documents")
         .select(col("source"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
-      val ns = st.agg(countDistinct(col("source")).cast("double").as("ns"))
+      val ns = st.agg(countDistinct(col("source")).as("ns"))
       val df = st.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = Window.partitionBy(col("source"))
-        .orderBy(col("score_full").desc, col("term"))
+        .orderBy(col("score_q").desc, col("term"))
       st.join(df, Seq("term"))
         .crossJoin(broadcast(ns))
-        .withColumn("score_full",
-          col("cnt") * log((col("ns") + 1.0) / (col("df") + lit(1.0))))
+        .withColumn("lq",
+          round(log((col("ns") + lit(1L)).cast("double")) * 1e6)
+            .cast("long") -
+          round(log((col("df") + lit(1L)).cast("double")) * 1e6)
+            .cast("long"))
+        .withColumn("score_q", col("cnt") * col("lq"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("source"), col("term").as("keyword"), col("cnt"),
-          (round(col("score_full"), 4) + lit(0.0)).as("ctfidf"), col("rank"))
+          (round(col("score_q").cast("double") / 1e6, 4) + lit(0.0))
+            .as("ctfidf"), col("rank"))
         .orderBy(col("source"), col("rank"))
     }),
 
@@ -1393,24 +1403,33 @@ object TextAnalysis {
         |FROM scored WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
-    // Same (source, term) counts, same ln over identical integers,
-    // same (score DESC, term) rank order.
+    // Same (source, term) counts, same micro-quantized integer-arg lns,
+    // same exact-integer cnt·lq score, same (score DESC, term) rank.
     "text_keywords" ->
       """WITH st AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS term
         |  FROM documents),
-        |g AS (SELECT source, term, count(*) AS cnt FROM st GROUP BY 1, 2),
-        |n AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns FROM g),
-        |df AS (SELECT term, count(*) AS df FROM g GROUP BY 1),
+        |g AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM st GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS ns FROM g),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |       FROM g GROUP BY 1),
         |scored AS (
         |  SELECT g.source, g.term, g.cnt,
-        |    g.cnt * ln((ns + 1.0) / (df + 1.0)) AS score_full,
+        |    g.cnt * (CAST(round(ln(CAST(ns + 1 AS DOUBLE)) * 1000000.0)
+        |               AS BIGINT)
+        |           - CAST(round(ln(CAST(df + 1 AS DOUBLE)) * 1000000.0)
+        |               AS BIGINT)) AS score_q,
         |    row_number() OVER (PARTITION BY g.source
-        |      ORDER BY g.cnt * ln((ns + 1.0) / (df + 1.0)) DESC, g.term)
-        |      AS rank
+        |      ORDER BY g.cnt *
+        |        (CAST(round(ln(CAST(ns + 1 AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT)
+        |       - CAST(round(ln(CAST(df + 1 AS DOUBLE)) * 1000000.0)
+        |           AS BIGINT)) DESC, g.term) AS rank
         |  FROM g JOIN df USING (term) CROSS JOIN n)
         |SELECT source, term AS keyword, cnt,
-        |  round(score_full, 4) + 0.0 AS ctfidf, CAST(rank AS INTEGER) AS rank
+        |  round(CAST(score_q AS DOUBLE) / 1000000.0, 4) + 0.0 AS ctfidf,
+        |  CAST(rank AS INTEGER) AS rank
         |FROM scored WHERE rank <= 5
         |ORDER BY source, rank""".stripMargin,
 

@@ -235,8 +235,7 @@ object Multimodal {
              |    transform(
              |      sequence(f * $frameLen, least(len, (f + 1) * $frameLen) - 1),
              |      i -> $byteAt - 128L),
-             |    named_struct('sq', 0L, 'c', 0L),
-             |    (a, d) -> named_struct('sq', a.sq + d * d, 'c', a.c + 1L)).sq)"""
+             |    0L, (a, d) -> a + d * d))"""
             .stripMargin).as("sq"))
         .select(col("doc_id"), size(col("sq")).as("n_frames"),
           expr("""IF(size(sq) < 2, 0L,

@@ -1817,7 +1817,7 @@ object Relational {
           col("peak"), col("valley").as("trough"))
       val up = runs.filter(col("dir") === 1 && col("len") >= 2)
         .select(col("o_custkey").as("ck2"), col("min_rn"),
-          col("len").as("up_len"), col("valley").as("recov"))
+          col("len").as("up_len"))
       down.join(up, col("o_custkey") === col("ck2") &&
           col("max_rn") + 1 === col("min_rn"))
         .groupBy(col("o_custkey"))

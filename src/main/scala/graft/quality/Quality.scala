@@ -23,6 +23,11 @@ object Quality {
 
   private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
 
+  /** KMV sketch size for profile_theta_intersect — shared by the builder
+    * and its oracle SQL so the (k−1)/θ estimator can never drift from
+    * the retention bound (r13 review finding). */
+  private val ThetaK = 1024
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Per-column profile of orders: non-null count, exact distinct
@@ -190,7 +195,7 @@ object Quality {
     // counts ride along as the contract baseline (the ann_recall
     // pattern); the in-query booleans gate realized relative error.
     "profile_theta_intersect" -> ((s, dir) => {
-      val k = 1024
+      val k = ThetaK
       val rangeL = lit(1152921504606846976L) // R = 2^60: 15 md5 hex chars
       val rangeD = expr("CAST(1152921504606846976 AS DOUBLE)")
       import org.apache.spark.sql.expressions.Window
@@ -201,19 +206,28 @@ object Quality {
             expr("""CAST(conv(substring(
                    |  md5(concat('theta:', CAST(ck AS STRING))), 1, 15),
                    |  16, 10) AS BIGINT)""".stripMargin).as("h"))
-      val ma = members("a", 1996)
-      val mb = members("b", 1997)
+      // eager diamond caches (the SURVEY §5 convention): ma/mb each feed
+      // three consumers (sketch, exact count, exact intersection) and sk
+      // two — without them the corpus-touching distinct subtree re-plans
+      // per consumer. Sizes are dimension-scale (distinct customers per
+      // slice) and sketch-scale (≤2k rows) respectively.
+      val ma = members("a", 1996).cache()
+      val mb = members("b", 1997).cache()
       val w = Window.partitionBy(col("slice")).orderBy(col("h"))
       val sk = ma.unionByName(mb)
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      val th = sk.groupBy(col("slice"))
-        .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
-        .select(col("slice"), col("n_kept"),
-          when(col("n_kept") === k, col("kth")).otherwise(rangeL).as("theta"))
-      val one = th.filter(col("slice") === "a")
-        .select(col("n_kept").as("na"), col("theta").as("tha"))
-        .crossJoin(broadcast(th.filter(col("slice") === "b")
-          .select(col("n_kept").as("nb"), col("theta").as("thb"))))
+        .cache()
+      // ungrouped per-slice aggregates, not groupBy(slice): an EMPTY
+      // slice must still yield its one-row (n=0, θ=R) aggregate so the
+      // output row count matches the oracle's scalar CTEs on degenerate
+      // corpora instead of silently vanishing (r13 review finding)
+      def thOf(name: String, nC: String, thC: String) =
+        sk.filter(col("slice") === name)
+          .agg(count(lit(1)).as(nC), max(col("h")).as("kth"))
+          .select(col(nC),
+            when(col(nC) === k, col("kth")).otherwise(rangeL).as(thC))
+      val one = thOf("a", "na", "tha")
+        .crossJoin(broadcast(thOf("b", "nb", "thb")))
         .withColumn("thi", least(col("tha"), col("thb")))
       val cI = sk.filter(col("slice") === "a").select(col("h"))
         .join(sk.filter(col("slice") === "b").select(col("h")), Seq("h"))
@@ -225,7 +239,8 @@ object Quality {
         .agg(count(lit(1)).as("exact_i"))
       def est(n: String, thC: String) =
         when(col(n) < k, col(n).cast("double"))
-          .otherwise(lit(1023.0) * rangeD / col(thC).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * rangeD /
+            col(thC).cast("double"))
       val estI = col("c_i").cast("double") * rangeD / col("thi").cast("double")
       def err(e: org.apache.spark.sql.Column, x: String) =
         abs(e - col(x).cast("double")) / col(x).cast("double")
@@ -1443,7 +1458,7 @@ object Quality {
     // hashes, identical k-smallest retention, identical exclusive-θ
     // estimator arithmetic — every estimate replays bit-for-bit.
     "profile_theta_intersect" ->
-      """WITH ma AS (
+      s"""WITH ma AS (
         |  SELECT DISTINCT o_custkey AS ck FROM orders
         |  WHERE year(o_orderdate) = 1996),
         |mb AS (
@@ -1457,16 +1472,16 @@ object Quality {
         |  SELECT ck, CAST(concat('0x', substring(
         |    md5(concat('theta:', CAST(ck AS VARCHAR))), 1, 15)) AS BIGINT) AS h
         |  FROM mb),
-        |ska AS (SELECT h FROM ha ORDER BY h LIMIT 1024),
-        |skb AS (SELECT h FROM hb ORDER BY h LIMIT 1024),
+        |ska AS (SELECT h FROM ha ORDER BY h LIMIT $ThetaK),
+        |skb AS (SELECT h FROM hb ORDER BY h LIMIT $ThetaK),
         |ta AS (
         |  SELECT count(*) AS na,
-        |    CASE WHEN count(*) = 1024 THEN max(h)
+        |    CASE WHEN count(*) = $ThetaK THEN max(h)
         |         ELSE 1152921504606846976 END AS tha
         |  FROM ska),
         |tb AS (
         |  SELECT count(*) AS nb,
-        |    CASE WHEN count(*) = 1024 THEN max(h)
+        |    CASE WHEN count(*) = $ThetaK THEN max(h)
         |         ELSE 1152921504606846976 END AS thb
         |  FROM skb),
         |one AS (
@@ -1479,11 +1494,11 @@ object Quality {
         |exi AS (SELECT count(*) AS exact_i FROM ma JOIN mb USING (ck)),
         |est AS (
         |  SELECT
-        |    CASE WHEN na < 1024 THEN CAST(na AS DOUBLE)
-        |         ELSE 1023.0 * CAST(1152921504606846976 AS DOUBLE)
+        |    CASE WHEN na < $ThetaK THEN CAST(na AS DOUBLE)
+        |         ELSE ${ThetaK - 1}.0 * CAST(1152921504606846976 AS DOUBLE)
         |              / CAST(tha AS DOUBLE) END AS ea,
-        |    CASE WHEN nb < 1024 THEN CAST(nb AS DOUBLE)
-        |         ELSE 1023.0 * CAST(1152921504606846976 AS DOUBLE)
+        |    CASE WHEN nb < $ThetaK THEN CAST(nb AS DOUBLE)
+        |         ELSE ${ThetaK - 1}.0 * CAST(1152921504606846976 AS DOUBLE)
         |              / CAST(thb AS DOUBLE) END AS eb,
         |    CAST(c_i AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
         |      / CAST(thi AS DOUBLE) AS ei,

@@ -393,8 +393,10 @@ class RelationalSpec extends AnyFunSuite {
       .collect().groupBy(_.getLong(0))
       .map { case (ck, rs) => ck -> rs.sortBy(_.getString(1)).map(_.getLong(2)) }
     val want = series.flatMap { case (ck, cents) =>
-      val dir = cents.sliding(2).map { case Array(a, b) =>
-        if (b > a) 1 else if (b < a) -1 else 0 }.toArray
+      // zip, not sliding(2): a single-month customer yields a partial
+      // 1-element window that an Array(a, b) match would crash on
+      val dir = cents.zip(cents.drop(1)).map { case (a, b) =>
+        if (b > a) 1 else if (b < a) -1 else 0 }
       // maximal runs as (dir, startIdx, len) — idx into the dir array
       val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
       var i = 0

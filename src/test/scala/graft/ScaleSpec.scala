@@ -241,7 +241,8 @@ class ScaleSpec extends AnyFunSuite {
       // relation
       if (Set("dedup_clusters", "graph_pagerank", "graph_ppr", "graph_bfs",
           "graph_components", "graph_labelprop", "mm_cluster",
-          "graph_sssp", "graph_kcore", "graph_hits", "graph_closeness")(k))
+          "graph_sssp", "graph_kcore", "graph_hits", "graph_closeness",
+          "ann_mmr")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
@@ -346,9 +347,10 @@ class ScaleSpec extends AnyFunSuite {
       // r13: the walk's lazy dump prints ~100 joins of cached-adjacency
       // fill provenance; the bounded run is the seed + 3 steps
       "graph_random_walk" -> 16,
-      // r13: ann_mmr's lazy dump prints ~31k exchanges (the 3^M greedy
-      // lineage × cache fill provenance); the run behind the per-step
-      // eager caches is the final sort over the cached selection table
+      // r13: ann_mmr's per-step localCheckpoints truncate both lineage
+      // and execution — the final query is a sort over the checkpointed
+      // selection table; the ceiling catches a dropped checkpoint
+      // re-deriving the 3^M greedy chain
       "ann_mmr" -> 6)
     ceilings.foreach { case (k, cap) =>
       spark.sharedState.cacheManager.clearCache()
