@@ -640,12 +640,19 @@ object Similarity {
     // DETERMINISTIC linear sample — vectors paired at a fixed prime id
     // stride, n−97 pairs via one co-partitioned equi-join on the
     // shifted id (O(n), reproducible across runs/engines; random
-    // sampling is neither, and all-pairs is quadratic). Cosines round
-    // to the 6dp grid BEFORE bucketing (floor of the same double on
-    // both engines), then a ≤41-row histogram in 0.05 steps with the
-    // survivor count accumulated from the high-similarity end — the
-    // cumulative column IS the calibration curve. Windows touch only
-    // the histogram.
+    // sampling is neither, and all-pairs is quadratic). Cosines
+    // micro-quantize to an exact long FIRST — floor(cos·1e6 + 0.5),
+    // pure IEEE multiply/add/floor, bit-identical across engines —
+    // then integer-floor-divide onto the 0.05 grid (50000 micro-units
+    // per bucket, via the pmod trick so negative cosines floor, not
+    // truncate). round(x, 6) would be the cross-engine half-boundary
+    // hazard the feat_pool_embeddings comment documents: decimal
+    // rescaling algorithms differ between engines, and a flip here
+    // moves a PAIR between histogram buckets (row-level hash
+    // mismatch), not just a presented digit. Then a ≤41-row histogram
+    // in 0.05 steps with the survivor count accumulated from the
+    // high-similarity end — the cumulative column IS the calibration
+    // curve. Windows touch only the histogram.
     "ann_calibrate" -> ((s, dir) => {
       val stride = 97
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -655,8 +662,10 @@ object Similarity {
       val w = Window.orderBy(col("bucket").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
       a.join(b, Seq("pid"))
-        .select(floor(round(GraftFunctions.cosineSim(col("emb_a"),
-          col("emb_b")), 6) * 20).cast("int").as("bucket"))
+        .select(floor(GraftFunctions.cosineSim(col("emb_a"), col("emb_b"))
+          * lit(1e6) + lit(0.5)).cast("long").as("q"))
+        .select(expr("CAST((q - pmod(q, 50000)) div 50000 AS INT)")
+          .as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
         .withColumn("cum_pairs", sum(col("n_pairs")).over(w))
         .select((col("bucket").cast("double") / 20.0).as("sim_lo"),
@@ -1823,16 +1832,20 @@ object Similarity {
       s"""SELECT query_id, neighbor_id, rank, dot, TRUE AS cascade_ok
          |FROM (${baseOracles("ann_mips")})
          |ORDER BY query_id, rank""".stripMargin) +
-    // Same stride pairing, same round-to-6dp-then-floor bucketing over
-    // identical doubles, same high-end cumulative.
+    // Same stride pairing, same exact micro-quantization
+    // (floor(cos·1e6 + 0.5) — pure IEEE ops, no round()) and the same
+    // integer floor-division onto the 0.05 grid over identical
+    // doubles, same high-end cumulative.
     ("ann_calibrate" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings),
         |p AS (
-        |  SELECT list_cosine_similarity(a.emb, b.emb) AS cos
+        |  SELECT CAST(floor(list_cosine_similarity(a.emb, b.emb)
+        |    * 1000000 + 0.5) AS BIGINT) AS q
         |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 97),
         |g AS (
-        |  SELECT CAST(floor(round(cos, 6) * 20) AS INTEGER) AS bucket,
+        |  SELECT CAST((q - ((q % 50000) + 50000) % 50000) // 50000
+        |      AS INTEGER) AS bucket,
         |    count(*) AS n_pairs
         |  FROM p GROUP BY 1)
         |SELECT CAST(bucket AS DOUBLE) / 20.0 AS sim_lo, n_pairs,

@@ -648,16 +648,24 @@ object StarSchema {
       val orders = t(s, dir, "orders")
       cust.filter(col("c_custkey") % 7 =!= 0)
         .write.mode("overwrite").parquet(s"$path/dim")
-      // fact load: inferred members for facts whose dim hasn't arrived
+      // fact load: inferred members for facts whose dim hasn't arrived.
+      // They land in a SIBLING dir, never appended to $path/dim inside
+      // the same action that reads it — a self-read-write on one path
+      // only works while the file index stays pinned at read time, and
+      // Spark doesn't guarantee that under a re-listing (AQE retry,
+      // recovered stage): each path here is either read-only or
+      // write-only per job, and dim v2 is the UNION of the two reads.
       val dimV1 = s.read.parquet(s"$path/dim")
       orders.select(col("o_custkey").as("c_custkey")).distinct()
         .join(dimV1, Seq("c_custkey"), "left_anti")
         .select(col("c_custkey"), lit("<inferred>").as("c_name"),
           lit(-1).cast("int").as("c_nationkey"),
           lit(0.0).as("c_acctbal"), lit("<inferred>").as("c_mktsegment"))
-        .write.mode("append").parquet(s"$path/dim")
+        .write.mode("overwrite").parquet(s"$path/dim_inferred")
       // late batch arrives: SCD1 backfill over the key
-      val backfilled = Lake.upsert(s.read.parquet(s"$path/dim"),
+      val dimV2 = s.read.parquet(s"$path/dim")
+        .unionByName(s.read.parquet(s"$path/dim_inferred"))
+      val backfilled = Lake.upsert(dimV2,
         cust.filter(col("c_custkey") % 7 === 0), Seq("c_custkey"))
       backfilled.write.mode("overwrite").parquet(s"$path/dim_final")
       val dim = s.read.parquet(s"$path/dim_final")

@@ -900,7 +900,10 @@ object Graph {
     // Landmark harmonic centrality (the scale path for closeness — the
     // exact version is all-pairs BFS, O(V·E), unrunnable at 100 TB;
     // k fixed landmarks bound it to k labeled BFS waves run TOGETHER):
-    // from the 8 lowest-key customers (keys 0-7), every node's truncated harmonic
+    // from the 8 lowest-key customers (keys 0-7: UNLIKE classic TPC-H,
+    // the synthetic testdata's custkeys start at 0 — verified
+    // min(c_custkey)=0 at every SF — so c_custkey < 8 selects exactly
+    // eight; GraphSpec pins a node that reaches all 8), every node's truncated harmonic
     // score Σ 1/d over landmarks within the 3-hop horizon, plus how
     // many landmarks reach it. One frontier-pruned multi-source BFS
     // with (landmark, node) composite state — per-sweep joins shuffle

@@ -1827,6 +1827,21 @@ object Relational {
         .orderBy(col("o_custkey"))
     }),
 
+    // Rank movers between half-years WITHOUT a global rank window: the
+    // per-part revenue table scales with the corpus (2M parts at
+    // sfx100), and `row_number() OVER (ORDER BY cents DESC)` is one
+    // task totally sorting it — the q48 anti-pattern. Top-k pruning
+    // can't help (a mover needs its FULL rank in both halves), so this
+    // is the text_zipf two-level rank transplanted to the cents domain
+    // (TextAnalysis text_zipf): bucket parts by the high bits of their
+    // cents sum (floor(cents / 2^20) — order-aligned: every part in a
+    // higher bucket outranks every part in a lower one, and cents ties
+    // can never straddle a bucket), cumsum the per-bucket counts over
+    // the SMALL bucket table (range/2^20 rows, data-scale-free),
+    // broadcast the offsets back, and rank = offset + row_number
+    // WITHIN the bucket ordered by (cents DESC, pk) — exact global
+    // ranks, max window partition = one ~$10.5k revenue band of parts
+    // instead of the whole part table.
     "q61_movers" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val li = t(s, dir, "lineitem")
@@ -1838,11 +1853,19 @@ object Relational {
           (col("o_orderdate") < lit("1997-07-01").cast("timestamp")).as("h1"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
       def half(flag: Boolean, rankCol: String) = {
-        val w = Window.orderBy(col("cents").desc, col("pk"))
-        li.filter(col("h1") === flag)
+        val agg = li.filter(col("h1") === flag)
           .groupBy(col("pk")).agg(sum(col("cents")).as("cents"))
-          .withColumn(rankCol, row_number().over(w))
-          .select(col("pk"), col(rankCol))
+          .withColumn("bkt", shiftright(col("cents"), 20))
+        val offsets = agg.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+          .withColumn("off", sum(col("c")).over(
+            Window.orderBy(col("bkt").desc)
+              .rowsBetween(Window.unboundedPreceding, 0)) - col("c"))
+          .select(col("bkt"), col("off"))
+        val wIn = Window.partitionBy(col("bkt"))
+          .orderBy(col("cents").desc, col("pk"))
+        agg.join(broadcast(offsets), Seq("bkt"))
+          .select(col("pk"),
+            (col("off") + row_number().over(wIn)).as(rankCol))
       }
       half(flag = true, "rank_h1").join(half(flag = false, "rank_h2"), Seq("pk"))
         .withColumn("delta", col("rank_h1") - col("rank_h2"))

@@ -399,8 +399,11 @@ class GraphSpec extends AnyFunSuite {
     rows.foreach { r =>
       val n = r.getAs[Long]("n_reached")
       val h = r.getAs[Double]("harmonic")
-      // 8 landmarks, hops 1..3: each reached landmark contributes
-      // 1/d ∈ [1/3, 1], so n/3 ≤ harmonic ≤ n (grid slack 1e-6)
+      // 8 landmarks (custkeys 0-7 — this testdata's keys start at 0,
+      // unlike classic TPC-H's 1, so < 8 selects exactly eight; the
+      // all-8 assert below proves the count empirically), hops 1..3:
+      // each reached landmark contributes 1/d ∈ [1/3, 1], so
+      // n/3 ≤ harmonic ≤ n (grid slack 1e-6)
       assert(n >= 1 && n <= 8, r.toString)
       assert(h >= n / 3.0 - 1e-6 && h <= n + 1e-6, r.toString)
     }
@@ -408,5 +411,9 @@ class GraphSpec extends AnyFunSuite {
     // (customer→supplier→customer), never 1 — so no landmark scores a
     // full 1.0 from another landmark; suppliers at hop 1 can
     assert(rows.exists(_.getAs[String]("node").startsWith("s")))
+    // and the landmark count is exactly 8 (keys 0-7): some node reaches
+    // all of them — this is the empirical pin for the keys-start-at-0
+    // comment above (ADVICE r13 assumed TPC-H's start-at-1)
+    assert(rows.exists(_.getAs[Long]("n_reached") == 8L))
   }
 }
