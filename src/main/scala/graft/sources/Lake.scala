@@ -438,20 +438,75 @@ object Lake {
     * exact table of last Tuesday") is a directory name. Writes stage
     * into a hidden temp sibling and RENAME into place — on HDFS/local a
     * metadata-atomic commit (on S3A, back the rename with a manifest
-    * commit; the staging discipline is the same). Returns the published
-    * version. Old versions are retired by an explicit vacuum (dropping
-    * `v=N` dirs past a retention horizon), never by the writer. */
+    * commit; the staging discipline is the same). Concurrent
+    * publishers are safe: the commit is the optimistic-conflict retry
+    * loop in [[commitStaged]], so two writers racing the same base
+    * land as DISTINCT consecutive versions (LakeSpec pins the race).
+    * Returns the published version. Old versions are retired by an
+    * explicit vacuum (dropping `v=N` dirs past a retention horizon),
+    * never by the writer. */
   def writeVersion(spark: SparkSession, df: DataFrame, base: String): Int = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
-    val next = listVersions(spark, base).lastOption.getOrElse(0) + 1
-    val stage = new org.apache.hadoop.fs.Path(base, s".staging-v$next")
+    val stage = stagingPath(basePath)
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    val dest = new org.apache.hadoop.fs.Path(base, s"v=$next")
-    require(fs.rename(stage, dest),
-      s"writeVersion: publish rename of $stage to $dest failed")
-    next
+    commitStaged(spark, fs, base, stage)
+  }
+
+  /** Bound on commit-conflict retries: each retry means ANOTHER writer
+    * published a version between our list and our rename, so hitting
+    * the bound takes this many concurrent publishers racing one call —
+    * at that point failing loudly beats spinning. */
+  private val MaxCommitRetries = 64
+
+  /** Writer-unique staging directory under `base`. The name carries a
+    * UUID, not the target version number: two concurrent publishers
+    * computing the same `next` must never collide on the STAGING dir
+    * either (same-named staging = both writers interleaving parquet
+    * files into one directory, corruption before the commit even
+    * races). Hidden (dot-prefixed), so list/read/vacuum — all keyed on
+    * the `v=` prefix — never see it. */
+  private def stagingPath(basePath: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(basePath,
+      s".staging-${java.util.UUID.randomUUID}")
+
+  /** Optimistic-concurrency commit of a staged directory as the next
+    * version (the Delta/Iceberg commit-conflict protocol, FS-rename
+    * flavored): LIST → compute `next` → rename stage onto `v=next`; if
+    * another publisher got there first, re-list and retry with the
+    * NEXT number, so both commits land as DISTINCT versions and
+    * readers never see a partial. Two conflict shapes exist because
+    * rename-onto-existing semantics differ by FS:
+    *  - HDFS-like: rename onto an existing path returns false → retry;
+    *  - POSIX/LocalFS-like: rename INTO an existing directory NESTS
+    *    the source inside it → detected by probing dest/stageName,
+    *    un-nested back to the staging path, then retried.
+    * A dest-exists pre-check short-circuits the common case; the
+    * post-rename nest probe is the correctness fence. */
+  private def commitStaged(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           base: String,
+                           stage: org.apache.hadoop.fs.Path,
+                           list: () => Seq[Int] = null,
+                           destName: Int => String = n => s"v=$n"): Int = {
+    val listFn = Option(list).getOrElse(() => listVersions(spark, base))
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val next = listFn().lastOption.getOrElse(0) + 1
+      val dest = new org.apache.hadoop.fs.Path(base, destName(next))
+      if (!fs.exists(dest) && fs.rename(stage, dest)) {
+        val nested = new org.apache.hadoop.fs.Path(dest, stage.getName)
+        if (!fs.exists(nested)) return next // clean commit
+        // lost the race on an FS that nests: pull our files back out
+        // and retry under the next number — dest belongs to the winner
+        require(fs.rename(nested, stage),
+          s"commitStaged: un-nest of $nested back to $stage failed")
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"commitStaged: gave up after $MaxCommitRetries commit conflicts at $base")
   }
 
   /** Published versions under `base`, ascending. One LIST of the base
@@ -493,16 +548,14 @@ object Lake {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
-    val next = listLayoutEpochs(spark, base).lastOption.getOrElse(0) + 1
-    val stage = new org.apache.hadoop.fs.Path(base, s".staging-layout$next")
+    val stage = stagingPath(basePath)
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(stage.toString)
     val sc = fs.create(new org.apache.hadoop.fs.Path(stage, "_layout"), true)
     sc.write(partitionCols.mkString(",").getBytes("UTF-8")); sc.close()
-    val dest = new org.apache.hadoop.fs.Path(base, s"layout=$next")
-    require(fs.rename(stage, dest),
-      s"writeLayoutEpoch: publish rename of $stage to $dest failed")
-    next
+    commitStaged(spark, fs, base, stage,
+      list = () => listLayoutEpochs(spark, base),
+      destName = n => s"layout=$n")
   }
 
   /** Layout epochs under `base`, ascending — one directory LIST. */
@@ -638,16 +691,12 @@ object Lake {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
-    val next = listVersions(spark, base).lastOption.getOrElse(0) + 1
-    val stage = new org.apache.hadoop.fs.Path(base, s".staging-v$next")
+    val stage = stagingPath(basePath)
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val report = audit(spark.read.parquet(stage.toString))
       .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
     if (report.forall(_._2 == 0L)) {
-      val dest = new org.apache.hadoop.fs.Path(base, s"v=$next")
-      require(fs.rename(stage, dest),
-        s"writeAudited: publish rename of $stage to $dest failed")
-      (report, Some(next))
+      (report, Some(commitStaged(spark, fs, base, stage)))
     } else {
       fs.delete(stage, true)
       (report, None)

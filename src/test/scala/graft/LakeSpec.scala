@@ -383,6 +383,60 @@ class LakeSpec extends AnyFunSuite {
     assert(dirs == Set("v=1", "v=2"), dirs.toString)
   }
 
+  test("concurrent publishers commit as distinct versions (optimistic fencing)") {
+    // r13 VERDICT missing-item #1: writeVersion computed `next` from a
+    // LIST then renamed — two concurrent publishers could compute the
+    // same `next`, and rename-onto-existing nests on some filesystems.
+    // The fence is the commitStaged retry loop; pin both conflict paths.
+    import spark.implicits._
+    val base = TestSpark.scratch("lake_race")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    assert(Lake.writeVersion(spark, Seq((1L, "seed")).toDF("k", "v"), base) == 1)
+    // deterministic conflict: a competing publisher lands v=2 between
+    // this writer's list and its rename — planted out-of-band
+    Seq((9L, "other")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/v=2")
+    val v = Lake.writeVersion(spark, Seq((2L, "mine")).toDF("k", "v"), base)
+    assert(v == 3, s"loser must re-list and take the NEXT slot, got v=$v")
+    assert(Lake.readVersion(spark, base, Some(2)).count() == 1) // winner intact
+    assert(Lake.readVersion(spark, base, Some(3))
+      .collect().head.getString(1) == "mine")
+    // live race: two writers publish at the same base simultaneously,
+    // a few rounds to widen the window
+    for (round <- 1 to 3) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new Array[Int](2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 to 1).map { i =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            results(i) = Lake.writeVersion(spark,
+              Seq((i.toLong, s"w$i-$round")).toDF("k", "v"), base)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, errs.toString)
+      assert(results(0) != results(1),
+        s"both writers claimed v=${results(0)} in round $round")
+    }
+    // every commit landed: versions are dense, readable, and no
+    // version directory hides a nested staging dir (the rename-into
+    // failure mode) or a staging leftover at the base
+    val vs = Lake.listVersions(spark, base)
+    assert(vs == (1 to vs.max), vs.toString)
+    vs.foreach { n =>
+      val names = new java.io.File(s"$base/v=$n").listFiles().map(_.getName)
+      assert(!names.exists(_.contains("staging")),
+        s"v=$n nests a staging dir: ${names.mkString(",")}")
+      assert(Lake.readVersion(spark, base, Some(n)).count() == 1)
+    }
+    val leftovers = new java.io.File(base).listFiles()
+      .map(_.getName).filter(_.contains("staging"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
   test("restoreVersion republishes the pinned snapshot without touching newer versions") {
     import spark.implicits._
     val base = TestSpark.scratch("lake_restore")
