@@ -99,6 +99,77 @@ object TextAnalysis {
     merges.reduce(_ unionByName _)
   }
 
+  /** BPE APPLY — encode every document with the merge table
+    * [[bpeMerges]] trains (rounds fixed at 3, matching text_bpe): per
+    * word, char-split to the space-delimited symbol sequence, then
+    * replay each merge IN TRAINING ORDER as the exact train-time
+    * rewrite (`replace(' pair ', ' merged ')`, one pass per round —
+    * the contract is merge REPLAY, so the counts are precisely the
+    * trainer's view of the corpus, and the same non-overlapping
+    * left-to-right replace both engines implement). Scale shape: the
+    * trained merges pivot to ONE row and broadcast; the encode itself
+    * is a per-document scalar fold (aggregate over the word array) —
+    * a narrow map over the corpus, nothing doc-sized ever shuffles.
+    * Emits per doc: word count, char-symbol count (the pre-merge
+    * token count), and the post-merge BPE token count — exact longs. */
+  private[graft] def bpeTokenCounts(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds == 3, "bpeTokenCounts replays the fixed 3-round text_bpe table")
+    val mergeRow = bpeMerges(docs, rounds)
+      .agg(max(when(col("round") === 1, col("pair"))).as("m1"),
+        max(when(col("round") === 2, col("pair"))).as("m2"),
+        max(when(col("round") === 3, col("pair"))).as("m3"))
+    docs
+      .crossJoin(broadcast(mergeRow))
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_words"),
+        expr(
+          """aggregate(split(text, ' '), named_struct('chars', 0L, 'toks', 0L),
+            |  (acc, w) -> named_struct(
+            |    'chars', acc.chars + size(split(w, '')),
+            |    'toks', acc.toks + size(split(trim(
+            |      replace(replace(replace(
+            |        concat(' ', concat_ws(' ', split(w, '')), ' '),
+            |        concat(' ', m1, ' '), concat(' ', replace(m1, ' ', ''), ' ')),
+            |        concat(' ', m2, ' '), concat(' ', replace(m2, ' ', ''), ' ')),
+            |        concat(' ', m3, ' '), concat(' ', replace(m3, ' ', ''), ' '))
+            |      ), ' '))))""".stripMargin).as("enc"))
+      .select(col("doc_id"), col("source"), col("n_words"),
+        col("enc.chars").as("n_chars"), col("enc.toks").as("n_tokens_bpe"))
+  }
+
+  /** The text_pack engine over an explicit (doc_id, source, n_tokens)
+    * budget table — factored out so text_pack_bpe packs on the REAL
+    * tokenizer counts through the identical plan. Two-level prefix sum
+    * (256 rank-prefix buckets per source, broadcast bucket offsets +
+    * in-bucket running sum): no stratum is ever sorted whole in one
+    * task, so the pack holds at 100 TB; bin arithmetic is integer
+    * `div`, identical in both engines. */
+  private[graft] def packBins(tokenTable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = tokenTable
+      .filter(col("n_tokens") > 0)
+      .withColumn("rank_key", md5(concat(lit("pack:"), col("doc_id").cast("string"))))
+      .withColumn("bkt", substring(col("rank_key"), 1, 2))
+    val wLocal = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("rank_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOffset = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("bkt_offset", coalesce(sum(col("bkt_tokens")).over(wOffset), lit(0L)))
+      .select(col("source"), col("bkt"), col("bkt_offset"))
+    base
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("source", "bkt"))
+      .withColumn("end_off", col("bkt_offset") + col("local_cum"))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
+        expr("start_off div 512").as("first_bin"),
+        expr("(end_off - 1) div 512 - start_off div 512 + 1").as("n_bins"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The text_winnowing engine over explicit documents — split out so
     * specs can plant known shared runs. k = 4 (gram width), w = 4
     * (window); any shared token run of ≥ w+k−1 = 7 yields a shared
@@ -645,32 +716,35 @@ object TextAnalysis {
     // prefix sum as text_mix (256 rank-prefix buckets per source) — no
     // stratum is ever sorted whole in one task, so the pack plan holds at
     // 100 TB; bin arithmetic is integer `div`, identical in both engines.
-    "text_pack" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), size(tokens(col("text"))).as("n_tokens"))
-        .filter(col("n_tokens") > 0)
-        .withColumn("rank_key", md5(concat(lit("pack:"), col("doc_id").cast("string"))))
-        .withColumn("bkt", substring(col("rank_key"), 1, 2))
-      val wLocal = Window.partitionBy(col("source"), col("bkt"))
-        .orderBy(col("rank_key"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOffset = Window.partitionBy(col("source")).orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy(col("source"), col("bkt"))
-        .agg(sum(col("n_tokens")).as("bkt_tokens"))
-        .withColumn("bkt_offset", coalesce(sum(col("bkt_tokens")).over(wOffset), lit(0L)))
-        .select(col("source"), col("bkt"), col("bkt_offset"))
-      base
-        .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
-        .join(broadcast(offsets), Seq("source", "bkt"))
-        .withColumn("end_off", col("bkt_offset") + col("local_cum"))
-        .withColumn("start_off", col("end_off") - col("n_tokens"))
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("start_off"),
-          expr("start_off div 512").as("first_bin"),
-          expr("(end_off - 1) div 512 - start_off div 512 + 1").as("n_bins"))
-        .orderBy(col("doc_id"))
-    }),
+    "text_pack" -> ((s, dir) =>
+      packBins(t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).as("n_tokens")))),
+
+    // Packing on the REAL tokenizer's counts (r13 VERDICT missing-item
+    // #3's second half): identical two-level pack plan, but the token
+    // budget comes from [[bpeTokenCounts]] — the trained-merge BPE
+    // replay — instead of the whitespace proxy, so the bin boundaries
+    // are the ones a trainer consuming this tokenizer would actually
+    // see. Costs one extra narrow map over the corpus (the merge
+    // replay); the pack's shuffle shape is unchanged.
+    "text_pack_bpe" -> ((s, dir) =>
+      packBins(bpeTokenCounts(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          col("n_tokens_bpe").as("n_tokens")))),
+
+    // BPE APPLY (r13 VERDICT missing-item #3): tokenize the corpus WITH
+    // text_bpe's trained merge table — the counts text_pack_bpe budgets
+    // on. Zero shuffle before the output sort: the 3-row merge table
+    // pivots to one broadcast row and the replay is a per-document
+    // scalar fold. All-integer output (saved = chars − tokens), no
+    // rounding grid anywhere.
+    "text_bpe_apply" -> ((s, dir) =>
+      bpeTokenCounts(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"),
+          col("n_tokens_bpe"),
+          (col("n_chars") - col("n_tokens_bpe")).as("n_saved"))
+        .orderBy(col("doc_id"))),
 
     // Deterministic weighted sampling (Efraimidis–Spirakis A-Res): draw
     // the top-25 documents by key ln(u)/w — the monotone-equivalent log
@@ -1604,6 +1678,33 @@ object TextAnalysis {
     // sentinel-space replace per round.
     "text_bpe" -> bpeSql(3),
 
+    // Same merge training, same ordered replace replay per word, same
+    // exact integer sums.
+    "text_bpe_apply" ->
+      s"""$bpeApplySql
+         |SELECT doc_id, n_words, n_chars, n_tokens_bpe,
+         |  n_chars - n_tokens_bpe AS n_saved
+         |FROM bpe ORDER BY doc_id""".stripMargin,
+
+    // Same BPE replay feeding the SAME pack arithmetic as text_pack —
+    // single-window prefix sum in the oracle (DuckDB's sort is exact at
+    // oracle scale; the Spark side's two-level sum is the scale path).
+    "text_pack_bpe" ->
+      s"""$bpeApplySql,
+         |d AS (
+         |  SELECT doc_id, source, n_tokens_bpe AS n_tokens,
+         |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS rank_key
+         |  FROM bpe),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rank_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |  FROM d WHERE n_tokens > 0)
+         |SELECT doc_id, source, n_tokens, end_off - n_tokens AS start_off,
+         |  (end_off - n_tokens) // 512 AS first_bin,
+         |  (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     // Identical gram hashing (md5 top-15 nibbles), identical window
     // minima and leftmost-tie positions via list comprehensions.
     "text_winnowing" ->
@@ -1673,7 +1774,10 @@ object TextAnalysis {
   /** The text_bpe oracle unrolls the merge rounds: one (pairs, top,
     * rewritten-vocab) CTE triple per round, the identical argmax
     * tie-break and sentinel-space replace. */
-  private def bpeSql(rounds: Int): String = {
+  /** The merge-training CTE body shared by the text_bpe oracle and the
+    * text_bpe_apply / text_pack_bpe replay oracles: v0 (char-split word
+    * vocab) plus per-round pair-count/top/rewrite stages t1..tN. */
+  private def bpeCtes(rounds: Int): String = {
     val stages = (1 to rounds).map { r =>
       val rewrite =
         if (r < rounds)
@@ -1693,18 +1797,49 @@ object TextAnalysis {
          |t$r AS (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1)$rewrite"""
         .stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds)
-      .map(r => s"SELECT $r AS round, pair, cnt FROM t$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT CAST(count(*) AS BIGINT) AS wc,
        |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  GROUP BY w),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  private def bpeSql(rounds: Int): String = {
+    val out = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, cnt FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(rounds)}
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  /** Per-doc BPE replay shared by the text_bpe_apply and text_pack_bpe
+    * oracles: trains the same 3 merges via [[bpeCtes]], then re-encodes
+    * every word with the same ordered ' pair '→' merged ' replaces the
+    * Spark fold applies — identical non-overlapping left-to-right
+    * replace semantics, exact integer counts. */
+  private def bpeApplySql: String =
+    s"""WITH ${bpeCtes(3)},
+       |m AS (SELECT (SELECT pair FROM t1) AS m1, (SELECT pair FROM t2) AS m2,
+       |             (SELECT pair FROM t3) AS m3),
+       |wds AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents),
+       |enc AS (
+       |  SELECT doc_id, source, len(string_split(w, '')) AS chars,
+       |    len(string_split(trim(
+       |      replace(replace(replace(
+       |        ' ' || array_to_string(string_split(w, ''), ' ') || ' ',
+       |        ' ' || m1 || ' ', ' ' || replace(m1, ' ', '') || ' '),
+       |        ' ' || m2 || ' ', ' ' || replace(m2, ' ', '') || ' '),
+       |        ' ' || m3 || ' ', ' ' || replace(m3, ' ', '') || ' ')
+       |      ), ' ')) AS toks
+       |  FROM wds CROSS JOIN m),
+       |bpe AS (
+       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(chars) AS BIGINT) AS n_chars,
+       |    CAST(sum(toks) AS BIGINT) AS n_tokens_bpe
+       |  FROM enc GROUP BY doc_id, source)""".stripMargin
 
   /** The corpus-gate oracle composes the component oracles verbatim as
     * subqueries — the same reuse-not-rederive contract as the Spark

@@ -283,6 +283,27 @@ class TextSpec extends AnyFunSuite {
       rows.mkString(","))
   }
 
+  test("bpe apply replays the trained merges on the planted vocab") {
+    import spark.implicits._
+    // same corpus as the merge test: merges land as "a a","a b","aa ab".
+    // aaab: ' a a a b ' -m1-> ' aa a b ' (left-to-right non-overlap)
+    //       -m2-> ' aa ab ' -m3-> ' aaab ' = 1 token from 4 chars.
+    // ab:   ' a b ' -m2-> ' ab ' = 1 token from 2 chars.
+    val docs = Seq((1L, "aaab aaab ab", "s1")).toDF("doc_id", "text", "source")
+    val r = functions.TextAnalysis.bpeTokenCounts(docs).collect().head
+    assert(r.getAs[Long]("n_words") == 3L, r.toString)
+    assert(r.getAs[Long]("n_chars") == 10L, r.toString)
+    assert(r.getAs[Long]("n_tokens_bpe") == 3L, r.toString)
+    // and the packer consumes the REAL counts: 3 bpe tokens ≪ 512 → one
+    // bin starting at offset 0
+    val p = functions.TextAnalysis.packBins(
+      functions.TextAnalysis.bpeTokenCounts(docs)
+        .select(col("doc_id"), col("source"),
+          col("n_tokens_bpe").as("n_tokens"))).collect().head
+    assert(p.getAs[Long]("n_tokens") == 3L && p.getAs[Long]("start_off") == 0L
+      && p.getAs[Long]("n_bins") == 1L, p.toString)
+  }
+
   test("temperature mix: smallest source keeps everything, thresholds fall with size") {
     val rows = functions.TextAnalysis.queries("text_mix_temperature")(spark, TestSpark.Sf)
       .collect()
