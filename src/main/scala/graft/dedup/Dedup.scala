@@ -558,10 +558,70 @@ object Dedup {
       .withColumn("keep", col("dup_frac") < thr)
   }
 
+  /** Span REWRITE — the write side of [[spanCoverage]] (Lee et al.
+    * 2022's ExactSubstr deletion, at the same word-6-gram granularity):
+    * every word covered by a corpus-duplicated gram (df ≥ 2) is DROPPED
+    * from the document, and the rewritten doc ships as a content hash
+    * plus removed-span counters (span = maximal run of covered words).
+    * Scale shape: gram → df reuses the spanCoverage discipline (one
+    * explicit hash(g) shuffle serves the (doc,gram) aggregate, the df
+    * rollup, and the df join — subset rule), then ONLY the duplicated
+    * gram START POSITIONS travel to the doc (collect_list bounded by
+    * doc length — the per-doc array the q41 calendar-bound class
+    * allows), and the rewrite itself is a per-row HOF fold over the
+    * word array: no pair enumeration, nothing doc-sized shuffles
+    * twice. A doc with no duplicated grams takes the left-join null
+    * path and survives verbatim (hash of its own text). */
+  private[graft] def spanRewrite(docs: DataFrame): DataFrame = {
+    val gramLen = 6
+    val gp = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= gramLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${gramLen - 1}), " +
+          s"i -> named_struct('i', i, 'g', concat_ws(' ', slice(ws, i, $gramLen))))"))
+        .as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+      // one hash(g) exchange serves the df derivation AND the df join
+      // (subset rule) — the spanCoverage shuffle discipline
+      .repartition(col("g"))
+      .cache()
+    gp.count() // eager — df rollup and position join both read it
+    val df = gp.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val dupStarts = gp.join(df.filter(col("df") >= 2), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("ss"))
+    docs
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        coalesce(col("ss"), expr("CAST(array() AS ARRAY<INT>)")).as("ss"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("transform(filter(sequence(1, size(ws)), " +
+          s"p -> size(filter(ss, s -> s <= p AND p <= s + ${gramLen - 1})) = 0), " +
+          "p -> element_at(ws, p))").as("kept"),
+        // size(ss)=1 is special-cased: Spark's sequence(2, 1) counts
+        // DOWN ([2,1]), and under ANSI the j=2 probe would throw on a
+        // 1-element array
+        expr("CASE WHEN size(ss) = 0 THEN 0L WHEN size(ss) = 1 THEN 1L " +
+          "ELSE 1L + size(filter(" +
+          s"sequence(2, size(ss)), j -> element_at(ss, j) > element_at(ss, j - 1) + $gramLen)) END")
+          .as("n_spans_removed"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("n_words") - size(col("kept"))).as("n_removed"),
+        col("n_spans_removed"),
+        md5(concat_ws(" ", col("kept"))).as("rewritten_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_containment" -> ((s, dir) =>
       containmentPairs(t(s, dir, "documents"), 0.8)
         .orderBy("doc_a", "doc_b")),
+
+    "dedup_span_rewrite" -> ((s, dir) =>
+      spanRewrite(t(s, dir, "documents")).orderBy("doc_id")),
 
     "dedup_spans" -> ((s, dir) =>
       spanCoverage(t(s, dir, "documents"), 0.5).orderBy("doc_id")),
@@ -868,6 +928,39 @@ object Dedup {
         |FROM g JOIN df USING (g)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // Same positional word-6-grams and df rollup as dedup_spans, same
+    // covered-word classification (p ∈ [s, s+5] for any duplicated
+    // start s), same merged-run counter (break at gap > gramLen), md5
+    // of the identical space-joined survivor string.
+    "dedup_span_rewrite" ->
+      """WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |              FROM documents),
+        |gp AS (SELECT doc_id, s.i AS i, s.g AS g FROM (
+        |  SELECT doc_id, unnest([{'i': i, 'g': array_to_string(ws[i:i+5], ' ')}
+        |                         for i in range(1, len(ws) - 4)]) AS s
+        |  FROM base WHERE len(ws) >= 6)),
+        |df AS (SELECT g, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, g FROM gp) GROUP BY g),
+        |st AS (SELECT doc_id, list_sort(list(i)) AS ss
+        |       FROM gp JOIN df USING (g) WHERE df.df >= 2 GROUP BY doc_id),
+        |rw AS (
+        |  SELECT b.doc_id, len(b.ws) AS n_words,
+        |    coalesce(st.ss, []) AS ss,
+        |    [b.ws[p] for p in range(1, len(b.ws) + 1)
+        |     if len(list_filter(coalesce(st.ss, []),
+        |          s -> s <= p AND p <= s + 5)) = 0] AS kept
+        |  FROM base b LEFT JOIN st ON b.doc_id = st.doc_id)
+        |SELECT doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(n_words - len(kept) AS BIGINT) AS n_removed,
+        |  CAST(CASE WHEN len(ss) = 0 THEN 0 WHEN len(ss) = 1 THEN 1
+        |    ELSE 1 + len([j for j in range(2, len(ss) + 1)
+        |                  if ss[j] > ss[j - 1] + 6]) END AS BIGINT)
+        |    AS n_spans_removed,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS rewritten_hash
+        |FROM rw ORDER BY doc_id""".stripMargin,
 
     // Same distinct word-8-gram sets (text_decontaminate's gram replay
     // + DISTINCT), same single gram equi-join intersection count, same

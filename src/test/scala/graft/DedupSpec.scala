@@ -257,6 +257,36 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(4L) == ((25L, 0.0, true)))
   }
 
+  test("span rewrite empties a fully-duplicated doc and passes a disjoint doc verbatim") {
+    import spark.implicits._
+    // docs 1/2 are verbatim copies → every word is covered by a
+    // duplicated 6-gram → both rewrite to the EMPTY doc (md5("") —
+    // one merged removed span covering all 10 words); doc 3 shares its
+    // first 6 words only → exactly words 1..6 drop (one span), the x
+    // tail survives; doc 4 shares nothing → survives verbatim, hash of
+    // its own text, zero spans removed.
+    val shared = (1 to 10).map(i => s"w$i").mkString(" ")
+    val tail = "x7 x8 x9 x10"
+    val d4text = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared), (2L, shared),
+      (3L, (1 to 6).map(i => s"w$i").mkString(" ") + " " + tail),
+      (4L, d4text)
+    ).toDF("doc_id", "text")
+    val rows = Dedup.spanRewrite(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_removed"), r.getAs[Long]("n_spans_removed"),
+          r.getAs[String]("rewritten_hash")))).toMap
+    def md5s(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(1L) == ((10L, 0L, 10L, 1L, md5s(""))), rows(1L).toString)
+    assert(rows(2L) == ((10L, 0L, 10L, 1L, md5s(""))), rows(2L).toString)
+    assert(rows(3L) == ((10L, 4L, 6L, 1L, md5s(tail))), rows(3L).toString)
+    assert(rows(4L) == ((30L, 30L, 0L, 0L, md5s(d4text))), rows(4L).toString)
+  }
+
   test("span coverage shares one gram exchange across count, df, and join") {
     // the explicit repartition(g) must be the only REQUIRED hash
     // exchange before the final doc_id rollup: the (doc, gram, cnt)
