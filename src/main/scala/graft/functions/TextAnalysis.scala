@@ -970,6 +970,38 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Markup extraction ([[extractMarkup]]): every corpus doc wrapped
+    // in the deterministic markup shell and stripped back — the
+    // roundtrip_ok column is a corpus-wide LOAD-BEARING TRUE (any strip
+    // regression flips it and the hash) — plus the planted fixtures
+    // covering entity/script/comment/no-op edges. The quality column
+    // composes the text_quality formula OVER THE EXTRACTED text,
+    // proving the strip feeds the quality screens (markup-free input =
+    // same score text_quality reports). Per-row scalar chain; the only
+    // shuffle is the output sort.
+    "text_extract" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents")
+        .select(col("doc_id"), wrapHtml(col("doc_id"), col("text")).as("tagged"),
+          col("text").as("clean"))
+        .unionByName(plantedHtml(s))
+      val extracted = extractMarkup(col("tagged"))
+      val ws = tokens(extracted)
+      val nTok = size(ws).cast("double")
+      val stopRatio = stopHits(ws, StopwordsEn) / nTok
+      val nPunct = length(regexp_replace(extracted, "[a-z0-9 ]", "")).cast("double")
+      val punctRatio = nPunct / length(extracted)
+      val uniqRatio = size(array_distinct(ws)).cast("double") / nTok
+      corpus.select(col("doc_id"),
+        regexp_count(col("tagged"), lit("<[^>]+>")).cast("long").as("n_tags"),
+        regexp_count(col("tagged"), lit("&(lt|gt|amp|quot|#39|nbsp);"))
+          .cast("long").as("n_entities"),
+        (extracted === col("clean")).as("roundtrip_ok"),
+        md5(extracted).as("extracted_hash"),
+        round(lit(0.4) * stopRatio + lit(0.4) * uniqRatio - lit(0.2) * punctRatio, 4)
+          .as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE merge training (see bpeMerges): the first 3 merge rounds of
     // the tokenizer trainer, over the char-split word vocabulary.
     "text_bpe" -> ((s, dir) =>
@@ -1181,6 +1213,60 @@ object TextAnalysis {
     "call +1 555-123-4567 or 555-987-6543 now",
     "email carol_jones@mail.example.org phone 800-555-0199",
     "no pii here just plain words")
+  /** Planted markup fixtures for text_extract (the plantedPii pattern:
+    * negative doc_ids unioned onto the corpus so the driver key
+    * exercises every strip rule on a fixed oracle-replayable input):
+    * entity decode incl. the amp-last single-decode ("&amp;amp;" must
+    * survive as "&amp;", never double-decode to "&"), script/style
+    * CONTENT removal (not just the tags), comments, nested tags with
+    * attributes, and a markup-free doc that must pass untouched. No
+    * single quotes — the strings embed verbatim in the oracle SQL. */
+  private[graft] val PlantedHtmlDocs: Seq[(Long, String, String)] = Seq(
+    (-1L, "<p>a &lt;tag&gt; &amp;amp; x</p>", "a <tag> &amp; x"),
+    (-2L, "<script>alert(1)</script><style>.c{color:red}</style>hello   world",
+      "hello world"),
+    (-3L, "<!-- note --><div class=\"a\"><p>nested <b>bold</b> text</p></div>",
+      "nested bold text"),
+    (-4L, "plain text no markup", "plain text no markup"))
+
+  private[graft] def plantedHtml(s: SparkSession): DataFrame = {
+    import s.implicits._
+    PlantedHtmlDocs.toDF("doc_id", "tagged", "clean")
+  }
+
+  /** The deterministic markup wrapper the text_extract corpus leg uses
+    * (both engines build the identical tagged string, so the strip is
+    * exercised corpus-wide with an exact roundtrip target): comment,
+    * content-bearing script block, attributes, and one entity that
+    * must decode to collapsible whitespace. */
+  private[graft] def wrapHtml(docId: Column, text: Column): Column =
+    concat(lit("<html><body id=\"d"), docId.cast("string"),
+      lit("\"><!-- c"), docId.cast("string"),
+      lit(" --><script>var x=1</script><p>&nbsp;"), text,
+      lit("</p></body></html>"))
+
+  /** Markup → text extraction kernel (r13 VERDICT missing-item #5 —
+    * the strip real crawl corpora need BEFORE any Gopher ratio is
+    * meaningful). Fixed rule order, all Java∩RE2-portable regex (the
+    * text_pii discipline — no backrefs, no lookaround; lazy
+    * quantifiers and inline (?s) are in both engines):
+    * comments → script blocks → style blocks → tags → entity decode
+    * (fixed set, plain substring replaces, &amp; LAST so already-
+    * escaped entities single-decode) → whitespace collapse + trim.
+    * Pure per-row scalar chain — a narrow map at any corpus size. */
+  private[graft] def extractMarkup(tagged: Column): Column = {
+    val noComment = regexp_replace(tagged, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   private[graft] def plantedPii(s: SparkSession): DataFrame = {
     val texts = PlantedPiiTexts.map(t => s"'$t'").mkString(", ")
     s.range(PlantedPiiTexts.size)
@@ -1337,6 +1423,60 @@ object TextAnalysis {
         |    / (CAST(n * sxx - sx * sx AS DOUBLE)
         |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
         |FROM m""".stripMargin,
+
+    // Same wrapped corpus + planted fixtures, same fixed-order strip
+    // chain (comments → script → style → tags → entity decode with
+    // &amp; last → whitespace collapse), same quality formula over the
+    // extracted text. Lazy quantifiers and inline (?s) parse
+    // identically in Java regex and RE2.
+    "text_extract" -> {
+      val plantedVals = PlantedHtmlDocs
+        .map { case (id, tagged, clean) => s"($id, '$tagged', '$clean')" }
+        .mkString(",\n    ")
+      s"""WITH planted AS (
+         |  SELECT * FROM (VALUES
+         |    $plantedVals) AS t(doc_id, tagged, clean)),
+         |corpus AS (
+         |  SELECT doc_id,
+         |    '<html><body id="d' || CAST(doc_id AS VARCHAR) || '"><!-- c'
+         |      || CAST(doc_id AS VARCHAR)
+         |      || ' --><script>var x=1</script><p>&nbsp;' || text
+         |      || '</p></body></html>' AS tagged,
+         |    text AS clean
+         |  FROM documents
+         |  UNION ALL SELECT doc_id, tagged, clean FROM planted),
+         |e AS (
+         |  SELECT doc_id, tagged, clean,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |          tagged,
+         |          '(?s)<!--.*?-->', ' ', 'g'),
+         |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+         |          '<[^>]+>', ' ', 'g'),
+         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |        '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+         |      '\\s+', ' ', 'g')) AS ext
+         |  FROM corpus),
+         |q AS (
+         |  SELECT doc_id, tagged, clean, ext, string_split(ext, ' ') AS ws,
+         |    CAST(len(string_split(ext, ' ')) AS DOUBLE) AS n_tok,
+         |    CAST(length(regexp_replace(ext, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      AS n_punct,
+         |    CAST(length(ext) AS DOUBLE) AS n_chars
+         |  FROM e)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(tagged, '<[^>]+>')) AS BIGINT) AS n_tags,
+         |  CAST(len(regexp_extract_all(tagged, '&(lt|gt|amp|quot|#39|nbsp);'))
+         |    AS BIGINT) AS n_entities,
+         |  ext = clean AS roundtrip_ok,
+         |  md5(ext) AS extracted_hash,
+         |  round(0.4 * (len(list_filter(ws, w -> w IN ($stopListSql))) / n_tok)
+         |      + 0.4 * (len(list_distinct(ws)) / n_tok)
+         |      - 0.2 * (n_punct / n_chars), 4) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
 
     "text_pii" ->
       s"""WITH $plantedPiiCte,

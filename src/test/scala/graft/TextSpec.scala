@@ -283,6 +283,35 @@ class TextSpec extends AnyFunSuite {
       rows.mkString(","))
   }
 
+  test("markup extraction: corpus roundtrips, fixtures strip per contract") {
+    val rows = functions.TextAnalysis.queries("text_extract")(
+      spark, TestSpark.Sf).collect()
+    def md5s(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // EVERY row roundtrips — corpus docs through the wrap/strip cycle,
+    // planted fixtures to their expected clean text
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("roundtrip_ok")),
+      rows.filterNot(_.getAs[Boolean]("roundtrip_ok")).mkString(","))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // script/style CONTENT dropped, runs of whitespace collapsed
+    assert(byId(-2L).getAs[String]("extracted_hash") == md5s("hello world"))
+    // entities decode once: &amp;amp; survives as &amp;
+    assert(byId(-1L).getAs[String]("extracted_hash") == md5s("a <tag> &amp; x"))
+    assert(byId(-1L).getAs[Long]("n_entities") == 3L)
+    // markup-free doc passes byte-identical with zero tags
+    assert(byId(-4L).getAs[Long]("n_tags") == 0L)
+    assert(byId(-4L).getAs[String]("extracted_hash") == md5s("plain text no markup"))
+    // the quality composition scores the EXTRACTED text: for a wrapped
+    // corpus doc it must equal text_quality's score of the raw doc
+    val q = functions.TextAnalysis.queries("text_quality")(spark, TestSpark.Sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    q.foreach { case (id, score) =>
+      assert(math.abs(byId(id).getAs[Double]("quality") - score) < 1e-9,
+        s"doc $id: extract-quality ${byId(id).getAs[Double]("quality")} != $score")
+    }
+  }
+
   test("bpe apply replays the trained merges on the planted vocab") {
     import spark.implicits._
     // same corpus as the merge test: merges land as "a a","a b","aa ab".
