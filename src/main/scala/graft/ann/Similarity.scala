@@ -325,73 +325,13 @@ object Similarity {
     // Maximal marginal relevance re-ranking (Carbonell & Goldstein 1998
     // — the diversification pass between retrieval and the context
     // window: near-duplicate passages burn prompt tokens, so the final
-    // slots trade relevance against redundancy): candidates = cosine
-    // top-20 per query (self excluded, the ann_bruteforce shape — the
-    // ONE corpus-touching pass, eagerly cached at queries×20 rows per
-    // the builder-cache discipline), then M=5 greedy selections
-    // maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s), λ=0.7. The
-    // greedy recurrence is a FIXED-DEPTH unrolled dataflow, not a
-    // driver loop and not a per-row NFA: each post-seed step is
-    // (remaining × selected-so-far) pairwise sims → per-candidate max
-    // → per-query argmax, all equi-joins on query_id over ≤20×5 rows
-    // per query — bounded algebra that scales with query count, never
-    // corpus². Each step's selection set is localCheckpoint'd eagerly
-    // (≤queries·M rows — the pagerank per-sweep lineage-truncation
-    // discipline), so BOTH the executed work and the logical plan stay
-    // linear in M; a plain cache() would bound execution but leave a
-    // 3^M-node lazy lineage (measured: a ~380k-line formatted dump).
-    // Argmaxes break ties by vec_id over bit-identical doubles, so the
-    // whole greedy trajectory replays exactly in the oracle.
-    "ann_mmr" -> ((s, dir) => {
-      val C = 20
-      val M = 5
-      val lam = lit(0.7)
-      val om = lit(0.3)
-      val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val wRel = Window.partitionBy(col("query_id"))
-        .orderBy(col("rel").desc, col("vec_id"))
-      val cand = emb.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("rel",
-          GraftFunctions.cosineSim(col("q_emb"), col("embedding")))
-        .withColumn("crn", row_number().over(wRel))
-        .filter(col("crn") <= C)
-        .select(col("query_id"), col("vec_id"), col("embedding"), col("rel"))
-        .cache()
-      cand.count()
-      val wPick = Window.partitionBy(col("query_id"))
-        .orderBy(col("mmr").desc, col("vec_id"))
-      var sel = cand
-        .withColumn("mmr", lam * col("rel"))
-        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-        .select(col("query_id"), col("vec_id"), col("embedding"),
-          col("mmr"), lit(1).as("step"))
-        .localCheckpoint(eager = true)
-      for (k <- 2 to M) {
-        val remaining = cand.join(
-          sel.select(col("query_id").as("qx"), col("vec_id").as("vx")),
-          col("query_id") === col("qx") && col("vec_id") === col("vx"),
-          "left_anti")
-        val msim = remaining
-          .join(sel.select(col("query_id"), col("embedding").as("s_emb")),
-            Seq("query_id"))
-          .groupBy(col("query_id"), col("vec_id"))
-          .agg(max(GraftFunctions.cosineSim(col("embedding"), col("s_emb")))
-            .as("msim"))
-        val pick = remaining.join(msim, Seq("query_id", "vec_id"))
-          .withColumn("mmr", lam * col("rel") - om * col("msim"))
-          .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
-          .select(col("query_id"), col("vec_id"), col("embedding"),
-            col("mmr"), lit(k).as("step"))
-        sel = sel.unionByName(pick).localCheckpoint(eager = true)
-      }
-      sel.select(col("query_id"), col("step"),
-          col("vec_id").as("neighbor_id"),
-          (round(col("mmr"), 6) + lit(0.0)).as("mmr_score"))
-        .orderBy(col("query_id"), col("step"))
-    }),
+    // slots trade relevance against redundancy). r14: candidates come
+    // from the GATED IVF RANKER (ivfScored composition) instead of a
+    // brute-force corpus rescan per query set — see [[mmrSelect]]; the
+    // brute-force top-C leg is retained as the per-query recall REPORT
+    // (the ann_recall discipline), riding every output row.
+    "ann_mmr" -> ((s, dir) =>
+      mmrSelect(t(s, dir, "embeddings"), nProbe = IvfProbe)),
 
     // SemDeDup (Abbas et al. 2023) — semantic dedup, registered beside
     // the dedup family in SURVEY §C: k-means clusters bound the
@@ -945,7 +885,12 @@ object Similarity {
     * [[trainCentroids]] — deterministic k-means the SQL oracle replays
     * sweep-for-sweep. The pruning topology, the broadcast of the (tiny)
     * centroid set, and the list-join shape carry unchanged to 100 TB. */
-  def ivfTopK(emb: DataFrame, queryIds: Int, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+  /** Pre-presentation IVF scoring: the probed-list candidate stream
+    * with the RAW full cosine and both embeddings still in flight —
+    * the composable middle of ivfTopK, split out so ann_mmr can source
+    * its candidates from the IVF ranker instead of a corpus rescan. */
+  private def ivfScored(emb: DataFrame, queryIds: Int, nCentroids: Int,
+                        nProbe: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     // already cached + materialized per sweep by trainCentroids, so
     // assignNearest and the probes read k rows, not the training lineage
@@ -960,14 +905,120 @@ object Similarity {
       .withColumn("p_rank", row_number().over(wProbe))
       .filter(col("p_rank") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("centroid_id"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_full").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("centroid_id"))
       .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("emb")))
+  }
+
+  def ivfTopK(emb: DataFrame, queryIds: Int, nCentroids: Int, nProbe: Int, k: Int): DataFrame = {
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("vec_id"))
+    ivfScored(emb, queryIds, nCentroids, nProbe)
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
               round(col("cos_full"), 6).as("cosine"))
+  }
+
+  /** MMR over IVF candidates — the full ann_mmr engine. Candidates =
+    * [[mmrCandidates]] (per-query top-C from the gated IVF ranker —
+    * the operator's contract is "re-rank a candidate list", so the
+    * candidate source is a drop-in; at 100 TB the ranker prunes to
+    * probed lists where the old brute-force leg rescanned the corpus
+    * per query set). The brute-force top-C is RETAINED as the recall
+    * gate: cand_recall = |IVF∩brute|/C per query rides every output
+    * row (the ann_recall report discipline — a number, not a TRUE
+    * assert, because recall < 1 at nProbe < nCentroids is the honest
+    * operating point). Then M=5 greedy selections maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s), λ=0.7, as a FIXED-DEPTH
+    * unrolled dataflow: each post-seed step is (remaining × selected)
+    * pairwise sims → per-candidate max → per-query argmax, equi-joins
+    * on query_id over ≤C×M rows per query — bounded algebra that
+    * scales with query count, never corpus². Each step's selection is
+    * localCheckpoint'd eagerly (≤queries·M rows — the pagerank
+    * per-sweep lineage-truncation discipline): a plain cache() would
+    * bound execution but leave a 3^M-node lazy lineage (measured:
+    * ~380k-line formatted dump). Argmaxes break ties by vec_id over
+    * bit-identical doubles, so the whole trajectory replays exactly
+    * in the oracle (which composes the ann_ivf k-means CTEs for the
+    * candidate leg). nProbe is a parameter so AnnSpec can pin the
+    * full-probe ≡ brute-force candidate equivalence. */
+  private[graft] def mmrSelect(emb: DataFrame, nProbe: Int): DataFrame = {
+    val C = 20
+    val M = 5
+    val lam = lit(0.7)
+    val om = lit(0.3)
+    val cand = mmrCandidates(emb, nProbe, C).cache()
+    cand.count() // eager — seed pick, every step, and the recall gate read it
+    // recall gate: the exact top-C leg, reported per query
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val brute = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rel", GraftFunctions.cosineSim(col("q_emb"), col("emb")))
+      .withColumn("crn", row_number().over(wRel))
+      .filter(col("crn") <= C)
+      .select(col("query_id"), col("vec_id"))
+    val recall = brute
+      .join(cand.select(col("query_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+        count(lit(1))).as("cand_recall"))
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("vec_id"))
+    var sel = cand
+      .withColumn("mmr", lam * col("rel"))
+      .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        col("mmr"), lit(1).as("step"))
+      .localCheckpoint(eager = true)
+    for (k <- 2 to M) {
+      val remaining = cand.join(
+        sel.select(col("query_id").as("qx"), col("vec_id").as("vx")),
+        col("query_id") === col("qx") && col("vec_id") === col("vx"),
+        "left_anti")
+      val msim = remaining
+        .join(sel.select(col("query_id"), col("embedding").as("s_emb")),
+          Seq("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(GraftFunctions.cosineSim(col("embedding"), col("s_emb")))
+          .as("msim"))
+      val pick = remaining.join(msim, Seq("query_id", "vec_id"))
+        .withColumn("mmr", lam * col("rel") - om * col("msim"))
+        .withColumn("rn", row_number().over(wPick)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("embedding"),
+          col("mmr"), lit(k).as("step"))
+      sel = sel.unionByName(pick).localCheckpoint(eager = true)
+    }
+    sel.join(broadcast(recall), Seq("query_id"))
+      .select(col("query_id"), col("step"),
+        col("vec_id").as("neighbor_id"),
+        (round(col("mmr"), 6) + lit(0.0)).as("mmr_score"),
+        col("cand_recall"))
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  /** The ann_mmr candidate stream: per-query top-C from the IVF ranker
+    * (the gated ann_ivf composition — the candidate source the MMR
+    * contract leaves pluggable), self-excluded, raw rel kept. Exposed
+    * so AnnSpec can pin candidate-source equivalence: at nProbe =
+    * nCentroids the probe covers every list, and this MUST equal the
+    * brute-force top-C exactly. */
+  private[graft] def mmrCandidates(emb: DataFrame, nProbe: Int, c: Int): DataFrame = {
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    ivfScored(emb, NumQueries, IvfCentroids, nProbe)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumnRenamed("cos_full", "rel")
+      .withColumn("crn", row_number().over(wRel))
+      .filter(col("crn") <= c)
+      .select(col("query_id"), col("vec_id"), col("emb").as("embedding"),
+        col("rel"))
   }
 
   /** Squared L2 distance between two double arrays, as a narrow HOF fold
@@ -1655,18 +1706,53 @@ object Similarity {
            |sel$k AS (SELECT * FROM sel$p UNION ALL SELECT * FROM s$k),"""
           .stripMargin
       }.mkString("\n")
-      s"""WITH cand AS (
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |${kmeansCtes(IvfCentroids, KmeansIters)},
+         |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
+         |assigned AS (
+         |  SELECT vec_id, emb, centroid_id FROM (
+         |    SELECT e.vec_id, e.emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c)
+         |  WHERE rnk = 1),
+         |probes AS (
+         |  SELECT query_id, q_emb, centroid_id FROM (
+         |    SELECT e.vec_id AS query_id, e.emb AS q_emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries)
+         |  WHERE rnk <= $IvfProbe),
+         |cand AS (
          |  SELECT query_id, vec_id, embedding, rel FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id, c.embedding,
-         |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-         |        CAST(c.embedding AS DOUBLE[])) AS rel,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-         |          CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS crn
-         |    FROM (SELECT * FROM embeddings WHERE vec_id < $NumQueries) q
-         |    CROSS JOIN embeddings c
-         |    WHERE c.vec_id <> q.vec_id)
+         |    SELECT p.query_id, a.vec_id, a.emb AS embedding,
+         |      list_cosine_similarity(p.q_emb, a.emb) AS rel,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY list_cosine_similarity(p.q_emb, a.emb) DESC,
+         |                 a.vec_id) AS crn
+         |    FROM assigned a JOIN probes p USING (centroid_id)
+         |    WHERE a.vec_id <> p.query_id)
          |  WHERE crn <= 20),
+         |bf AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, cc.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.emb, cc.emb) DESC,
+         |                 cc.vec_id) AS crn
+         |    FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q
+         |    CROSS JOIN e cc
+         |    WHERE cc.vec_id <> q.vec_id)
+         |  WHERE crn <= 20),
+         |rc AS (
+         |  SELECT bf.query_id,
+         |    CAST(sum(CASE WHEN cd.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |         AS DOUBLE) / count(*) AS cand_recall
+         |  FROM bf LEFT JOIN (SELECT query_id, vec_id FROM cand) cd
+         |    ON bf.query_id = cd.query_id AND bf.vec_id = cd.vec_id
+         |  GROUP BY bf.query_id),
          |s1 AS (
          |  SELECT query_id, vec_id, embedding, 0.7 * rel AS mmr, 1 AS step
          |  FROM (
@@ -1676,9 +1762,11 @@ object Similarity {
          |sel1 AS (SELECT * FROM s1),
          |$steps
          |final AS (SELECT * FROM sel5)
-         |SELECT query_id, CAST(step AS INTEGER) AS step,
-         |  vec_id AS neighbor_id, round(mmr, 6) + 0.0 AS mmr_score
-         |FROM final ORDER BY query_id, step""".stripMargin
+         |SELECT f.query_id, CAST(f.step AS INTEGER) AS step,
+         |  f.vec_id AS neighbor_id, round(f.mmr, 6) + 0.0 AS mmr_score,
+         |  rc.cand_recall
+         |FROM final f JOIN rc ON f.query_id = rc.query_id
+         |ORDER BY f.query_id, f.step""".stripMargin
     }) +
     // Same global symmetric scale (one max|x| scalar), same int codes
     // (identical doubles → identical round → identical integers), same
