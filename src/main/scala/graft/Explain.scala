@@ -28,7 +28,13 @@ object Explain {
     * cache — each gets a cache-truncated executed dump. */
   val executedDumpKeys: Set[String] =
     Set("ann_ivf", "ann_ivfpq", "ann_pq", "ann_sq8", "ann_cascade",
-      "dedup_semantic", "graph_random_walk", "ann_mmr")
+      "dedup_semantic", "graph_random_walk", "ann_mmr",
+      // r14: the graph lazy-checkpoint sweep chains (VERDICT r13 #6) —
+      // per-sweep localCheckpoints truncate execution the same way the
+      // ANN caches do, and the dumps prove the final query is a bounded
+      // aggregate over checkpointed state, not the unrolled sweep chain
+      "graph_pagerank", "graph_ppr", "graph_hits", "graph_bfs",
+      "graph_sssp", "graph_closeness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
