@@ -928,7 +928,12 @@ object Similarity {
     * gate: cand_recall = |IVF∩brute|/C per query rides every output
     * row (the ann_recall report discipline — a number, not a TRUE
     * assert, because recall < 1 at nProbe < nCentroids is the honest
-    * operating point). Then M=5 greedy selections maximizing
+    * operating point). Cost honesty: the gate leg is one
+    * corpus×|Q| broadcast scan — the same bounded certification cost
+    * every exact-leg gate key (ann_recall, ann_sq8, ann_pq) already
+    * pays; at 100 TB a production rollout samples the query set for
+    * this leg, and the CANDIDATE source (the part that used to rescan)
+    * is what this round moved onto the pruned ranker. Then M=5 greedy selections maximizing
     * λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s), λ=0.7, as a FIXED-DEPTH
     * unrolled dataflow: each post-seed step is (remaining × selected)
     * pairwise sims → per-candidate max → per-query argmax, equi-joins

@@ -118,6 +118,14 @@ object TextAnalysis {
       .agg(max(when(col("round") === 1, col("pair"))).as("m1"),
         max(when(col("round") === 2, col("pair"))).as("m2"),
         max(when(col("round") === 3, col("pair"))).as("m3"))
+    // bounded collect (ONE row, rounds-sized by construction — driver
+    // control flow, not data movement): a corpus that trains fewer than
+    // 3 merges would NULL a pivot slot, and replace(str, NULL, ...)
+    // would silently NULL every document's counts downstream — fail
+    // loudly here instead (review r14)
+    val mr = mergeRow.collect().head
+    require((0 until rounds).forall(!mr.isNullAt(_)),
+      s"bpeTokenCounts: corpus trained fewer than $rounds merges: $mr")
     docs
       .crossJoin(broadcast(mergeRow))
       .select(col("doc_id"), col("source"),
@@ -1230,8 +1238,14 @@ object TextAnalysis {
     (-4L, "plain text no markup", "plain text no markup"))
 
   private[graft] def plantedHtml(s: SparkSession): DataFrame = {
-    import s.implicits._
-    PlantedHtmlDocs.toDF("doc_id", "tagged", "clean")
+    // s.range, not Seq.toDF: a LocalRelation in the plan would trip the
+    // ScaleSpec no-driver-materialization guard (the plantedPii pattern)
+    def arr(f: ((Long, String, String)) => String): String =
+      PlantedHtmlDocs.map(d => s"'${f(d)}'").mkString(", ")
+    s.range(PlantedHtmlDocs.size)
+      .select((-(col("id") + 1)).as("doc_id"),
+        expr(s"element_at(array(${arr(_._2)}), CAST(id + 1 AS INT))").as("tagged"),
+        expr(s"element_at(array(${arr(_._3)}), CAST(id + 1 AS INT))").as("clean"))
   }
 
   /** The deterministic markup wrapper the text_extract corpus leg uses

@@ -495,16 +495,39 @@ object Lake {
     while (attempt < MaxCommitRetries) {
       val next = listFn().lastOption.getOrElse(0) + 1
       val dest = new org.apache.hadoop.fs.Path(base, destName(next))
-      if (!fs.exists(dest) && fs.rename(stage, dest)) {
-        val nested = new org.apache.hadoop.fs.Path(dest, stage.getName)
-        if (!fs.exists(nested)) return next // clean commit
-        // lost the race on an FS that nests: pull our files back out
-        // and retry under the next number — dest belongs to the winner
-        require(fs.rename(nested, stage),
-          s"commitStaged: un-nest of $nested back to $stage failed")
+      if (!fs.exists(dest)) {
+        if (fs.rename(stage, dest)) {
+          val nested = new org.apache.hadoop.fs.Path(dest, stage.getName)
+          if (!fs.exists(nested)) return next // clean commit
+          // lost the race on an FS that nests: pull our files back out
+          // and retry under the next number — dest belongs to the
+          // winner. If the un-nest itself fails, DELETE the nested dir
+          // rather than strand our half-commit inside the winner's
+          // reader-visible version directory.
+          if (!fs.rename(nested, stage)) {
+            fs.delete(nested, true)
+            throw new IllegalStateException(
+              s"commitStaged: lost the race into $dest and could not " +
+                s"recover $nested — staged data deleted, publish NOT committed")
+          }
+        } else if (!fs.exists(dest)) {
+          // rename refused with NO competing commit at the slot: a real
+          // FS failure (staging dir missing, permissions), not a
+          // conflict — fail fast with the true cause instead of
+          // spinning the retry budget (review r14)
+          fs.delete(stage, true)
+          throw new IllegalStateException(
+            s"commitStaged: rename $stage -> $dest failed with no " +
+              s"competing commit (staged dir exists: ${fs.exists(stage)})")
+        }
+        // else: dest appeared between our rename attempt and the probe —
+        // a genuine conflict; re-list and retry
       }
       attempt += 1
     }
+    // retry budget exhausted: clean up the staged copy — the UUID name
+    // means a leak here is never reclaimed by vacuum (review r14)
+    fs.delete(stage, true)
     throw new IllegalStateException(
       s"commitStaged: gave up after $MaxCommitRetries commit conflicts at $base")
   }

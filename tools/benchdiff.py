@@ -63,7 +63,9 @@ def main():
             if regressed or s1 < s0 - slack:
                 tag = "GREW" if regressed else "shrank"
                 print(f"shuf  {k}: {s0} -> {s1} {unit} ({tag})")
-            elif slack > 0:
+            elif unit == "records" and slack > 0:
+                # records-mode only: bytes-mode slack absorbs codec noise
+                # on nearly every key and logging it would bury the signal
                 print(f"shuf  {k}: {s0} -> {s1} {unit} "
                       f"(within slack {slack:.0f} — absorbed, not silent)")
             if regressed:

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Bounded DuckDB replay of graph_pagerank for derived-scale probes.
+
+The driver-shaped oracle (graph/Graph.scala pagerankSql) unrolls all six
+sweeps into one WITH query; at sfx100 DuckDB's planner keeps several
+MATERIALIZED iteration CTEs plus the reused weighted-edge subtree alive
+at once and the replay spills >70 GB of temp (exceeds disk) — an oracle
+INFRASTRUCTURE bound, not a semantics gap (SURVEY §6 r13). This probe
+replays the identical arithmetic ITERATIVELY instead: one TEMP TABLE per
+sweep, previous sweeps dropped as soon as they stop being referenced, so
+live state is O(nodes + edges) at any moment and the heaviest graph key
+carries real oracle evidence at sfx100 instead of compute-only.
+
+Replayed bit-for-bit from the Spark side's discipline:
+  - per-edge mass micro-quantizes to a LONG on the 1e-15 grid BEFORE the
+    grouped sum (order-free exact integer accumulation),
+  - rank = 0.15/n + 0.85 * cmass/1e15 in IEEE doubles,
+  - residual = round(max |r_k - r_{k-1}|, 9), presented rank rounds 6dp.
+
+Usage:
+    python3 tools/pagerank_probe.py <sf_dir> <spark_out_dir> [sweeps]
+
+<spark_out_dir> is graft.Verify's output dir containing
+graph_pagerank/*.parquet. Compares (a) FULL-table equality of
+(node, rank-6dp, residual) — strictly stronger than a sampled check once
+both tables are local — and (b) prints the fixed probe cohort (every
+997th key) so a partial mismatch is inspectable. Exits nonzero on any
+mismatch.
+
+Rounding stance: the gate compares Spark's round(rank, 6) against
+DuckDB's — exactly the comparison the driver's hash gate already makes
+for this key at sf0.01/sfx10, no stricter; the 1e-15 integer-mass
+discipline keeps the pre-round doubles bit-identical, and a rank landing
+on a 6dp half boundary would flip the driver gate identically (the known
+shared hazard, SURVEY §6 rule (b)).
+"""
+import sys
+import duckdb
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    sweeps = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sfdir}/orders.parquet'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sfdir}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{sfdir}/customer.parquet'")
+    con.execute(f"CREATE VIEW supplier AS SELECT * FROM '{sfdir}/supplier.parquet'")
+
+    print("[probe] building weighted edge table ...", file=sys.stderr, flush=True)
+    con.execute("""
+        CREATE TEMP TABLE e AS
+        WITH eb AS (
+          SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        SELECT a AS src, b AS dst FROM eb
+        UNION ALL SELECT b, a FROM eb""")
+    con.execute("""
+        CREATE TEMP TABLE w AS
+        SELECT e.src, e.dst, 1.0::DOUBLE / d.deg AS w
+        FROM e JOIN (SELECT src, count(*) AS deg FROM e GROUP BY src) d
+        USING (src)""")
+    con.execute("DROP TABLE e")
+    con.execute("""
+        CREATE TEMP TABLE nodes AS
+        SELECT 'c' || c_custkey AS node FROM customer
+        UNION ALL SELECT 's' || s_suppkey FROM supplier""")
+    n = con.execute("SELECT count(*) FROM nodes").fetchone()[0]
+
+    con.execute(f"CREATE TEMP TABLE r0 AS "
+                f"SELECT node, 1.0::DOUBLE / {n}::DOUBLE AS rank FROM nodes")
+    for i in range(1, sweeps + 1):
+        print(f"[probe] sweep {i}/{sweeps} ...", file=sys.stderr, flush=True)
+        con.execute(f"""
+            CREATE TEMP TABLE r{i} AS
+            SELECT nodes.node,
+              0.15::DOUBLE / {n}::DOUBLE + 0.85::DOUBLE *
+                (CAST(coalesce(m.cmass, 0) AS DOUBLE) / 1e15) AS rank
+            FROM nodes
+            LEFT JOIN (
+              SELECT w.dst AS node,
+                sum(CAST(round(r.rank * w.w * 1e15) AS BIGINT)) AS cmass
+              FROM w JOIN r{i-1} r ON w.src = r.node
+              GROUP BY w.dst) m ON m.node = nodes.node""")
+        if i >= 2:  # r_{i-2} has no further reader; residual needs i-1
+            con.execute(f"DROP TABLE r{i-2}")
+
+    residual = con.execute(
+        f"SELECT round(max(abs(a.rank - b.rank)), 9) FROM r{sweeps} a "
+        f"JOIN r{sweeps-1} b ON a.node = b.node").fetchone()[0]
+    if residual is None:
+        print("probe error: residual is NULL (empty sweep join?)")
+        return 1
+    print(f"[probe] residual = {residual}", file=sys.stderr, flush=True)
+
+    con.execute(
+        f"CREATE VIEW spark AS SELECT * FROM '{outdir}/graph_pagerank/*.parquet'")
+    cnt_spark, cnt_duck = con.execute(
+        f"SELECT (SELECT count(*) FROM spark), (SELECT count(*) FROM r{sweeps})"
+    ).fetchone()
+    # full-table gate: rounded rank AND the riding residual, every node
+    mism, = con.execute(f"""
+        SELECT count(*) FROM spark s
+        FULL OUTER JOIN (SELECT node, round(rank, 6) AS rank FROM r{sweeps}) d
+        ON s.node = d.node
+        WHERE s.node IS NULL OR d.node IS NULL
+           OR s.rank <> d.rank OR s.residual <> {residual!r}""").fetchone()
+    # inspectable fixed cohort: every 997th key by either family
+    cohort = con.execute(f"""
+        SELECT s.node, s.rank AS spark_rank, round(d.rank, 6) AS duck_rank
+        FROM spark s JOIN r{sweeps} d ON s.node = d.node
+        WHERE CAST(substr(s.node, 2) AS BIGINT) % 997 = 0
+        ORDER BY s.node LIMIT 20""").fetchall()
+    for row in cohort:
+        print(f"[cohort] {row}", file=sys.stderr)
+    print(f"nodes spark={cnt_spark} duck={cnt_duck} "
+          f"residual={residual} mismatches={mism}")
+    return 0 if (mism == 0 and cnt_spark == cnt_duck) else 1
+
+if __name__ == "__main__":
+    sys.exit(main())
