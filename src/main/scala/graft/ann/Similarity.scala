@@ -1715,7 +1715,7 @@ object Similarity {
          |           FROM embeddings),
          |${kmeansCtes(IvfCentroids, KmeansIters)},
          |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
-         |assigned AS (
+         |assigned AS MATERIALIZED (
          |  SELECT vec_id, emb, centroid_id FROM (
          |    SELECT e.vec_id, e.emb, c.centroid_id,
          |      row_number() OVER (PARTITION BY e.vec_id
@@ -1723,7 +1723,7 @@ object Similarity {
          |                 c.centroid_id) AS rnk
          |    FROM e CROSS JOIN c)
          |  WHERE rnk = 1),
-         |probes AS (
+         |probes AS MATERIALIZED (
          |  SELECT query_id, q_emb, centroid_id FROM (
          |    SELECT e.vec_id AS query_id, e.emb AS q_emb, c.centroid_id,
          |      row_number() OVER (PARTITION BY e.vec_id
@@ -1731,7 +1731,7 @@ object Similarity {
          |                 c.centroid_id) AS rnk
          |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries)
          |  WHERE rnk <= $IvfProbe),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT query_id, vec_id, embedding, rel FROM (
          |    SELECT p.query_id, a.vec_id, a.emb AS embedding,
          |      list_cosine_similarity(p.q_emb, a.emb) AS rel,
