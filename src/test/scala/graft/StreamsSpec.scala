@@ -308,6 +308,39 @@ class StreamsSpec extends AnyFunSuite {
       "resumed AvailableNow state diverged from the full batch aggregate")
   }
 
+  test("source seam: the windowed aggregation runs unchanged on a rate source") {
+    // the second half of r13 missing-item #2: nothing in the streaming
+    // family depends on the source BEING files — the same watermarked
+    // windowed-agg pipeline must accept any streaming relation. Pin it
+    // on Spark's built-in rate source (the non-file source available in
+    // the sandbox; a Kafka reader presents the same interface). Weak
+    // asserts by design: the rate source is time-driven, so row counts
+    // are machine-dependent — what's pinned is that the pipeline is
+    // source-agnostic, not any specific aggregate value.
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .select(col("timestamp").as("ts"),
+        concat(lit("t"), pmod(col("value"), lit(3))).as("event_type"),
+        (col("value") % 100).cast("double").as("value"))
+    val agg = rate.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("sv_cents"))
+    val q = agg.writeStream.format("memory").queryName("graft_rate_seam")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      Thread.sleep(1500) // let the rate source generate a batch or two
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("graft_rate_seam").collect()
+    assert(rows.nonEmpty, "rate-source pipeline produced no windows")
+    assert(rows.forall(_.getAs[Long]("cnt") > 0))
+    // and the aggregate schema matches the file-source leg exactly
+    assert(spark.table("graft_rate_seam").schema.fieldNames.toSeq ==
+      Seq("w", "event_type", "cnt", "sv_cents"))
+  }
+
   test("checkpoint restart is exactly-once: redelivery-only leg leaves the sink unchanged") {
     // Harsher than the stream_recovery key's end-to-end gate: the
     // restarted leg carries NOTHING but redelivered rows, so any
