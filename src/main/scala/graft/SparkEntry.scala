@@ -42,7 +42,8 @@ object SparkEntry {
     "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc", "etl_ingest_avro",
     "etl_partitioned_write", "etl_zorder_read", "etl_incremental_read",
     "etl_incremental_agg", "etl_compact_read", "etl_delete",
-    "etl_snapshot_read", "etl_wap", "etl_snapshot_diff", "etl_evolve_read",
+    "etl_snapshot_read", "etl_asof_read", "etl_wap", "etl_snapshot_diff",
+    "etl_evolve_read",
     "etl_badrecords", "etl_stats_prune", "etl_dpp_join", "etl_ivm_join",
     "etl_delete_vector", "etl_restore", "etl_vacuum", "etl_clone",
     "etl_column_rename", "etl_late_arriving_dim",

@@ -537,6 +537,34 @@ object StarSchema {
       Lake.readVersion(s, path, Some(1)).orderBy(col("o_orderkey"))
     }),
 
+    // AS-OF-timestamp time travel end-to-end (§H readAsOf), run THROUGH
+    // THE MANIFEST COMMIT PATH (mode="manifest") so the object-store
+    // commit flavor is driver-gated, not just spec'd: v1 = a partial
+    // early load, v2 = the full table; the gate reads AS-OF the exact
+    // v1 commit instant, which must resolve to v1 (newest version with
+    // ts ≤ the query instant — the Delta timestampAsOf contract) even
+    // though LATEST differs. The clock is nudged past v1's millisecond
+    // before v2 publishes so the two commits can't share a timestamp
+    // (sub-millisecond double-publish would make the boundary read
+    // ambiguous by construction, not by bug — LakeSpec pins the strict
+    // boundary semantics either side). Resolution is pure metadata:
+    // version list + O(versions) tiny commit-record reads, then ONE
+    // data directory scanned.
+    "etl_asof_read" -> ((s, dir) => {
+      val path = scratch("etl_asof_read")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders.filter(col("o_orderkey") % 3 =!= 0),
+        path, mode = "manifest")
+      val ts1 = Lake.versionTimestamps(s, path).last._2
+      while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
+      Lake.writeVersion(s, orders, path, mode = "manifest")
+      Lake.readAsOf(s, path, ts1).orderBy(col("o_orderkey"))
+    }),
+
     // Version ROLLBACK end-to-end (the undo-a-bad-load leg of the
     // lifecycle — time travel reads around a bad version;
     // restoreVersion makes the rollback durable for every downstream
@@ -1186,6 +1214,13 @@ object StarSchema {
     "etl_snapshot_read" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // AS-OF the v1 commit instant resolves to the partial early load —
+    // recomputed from the source with the same % 3 split — never to
+    // the full LATEST table.
+    "etl_asof_read" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey""".stripMargin,
 
     // Restore must hand LATEST readers the exact pre-bad-load table —
     // the same plain-source projection the pinned read is held to.

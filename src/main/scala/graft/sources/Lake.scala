@@ -215,48 +215,80 @@ object Lake {
   def statsIndexPath(path: String): String = s"$path/_stats_index"
 
   /** Build the file-skipping stats index for a table: one row per data
-    * file with the min/max of `statCol` — the Delta `add.stats` /
-    * Iceberg manifest-metrics idea as a plain parquet sidecar. Built as
-    * ONE distributed pass (groupBy `input_file_name()`, map-side
-    * combined to a row per file per task before the tiny shuffle) at
-    * write/commit time, so the cost amortizes over every later read;
-    * the index itself is file-count-sized, orders of magnitude smaller
-    * than the table. Most useful after [[writeSorted]]/[[writeZOrdered]]
-    * on the same column, which gives files disjoint value ranges. */
-  def writeStatsIndex(spark: SparkSession, path: String, statCol: String): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    * file with the min / max / null count of EVERY indexed column — the
+    * Delta `add.stats` / Iceberg manifest-metrics idea as a plain
+    * parquet sidecar (Delta stats cover every leading column plus null
+    * counts per file; k columns here, caller-chosen). Built as ONE
+    * distributed pass regardless of k (groupBy `input_file_name()`,
+    * map-side combined to a row per file per task before the tiny
+    * shuffle) at write/commit time, so the cost amortizes over every
+    * later read; the index itself is file-count-sized, orders of
+    * magnitude smaller than the table. Sidecar schema: `file`, then
+    * `min_<c>` / `max_<c>` / `nulls_<c>` per indexed column. Most
+    * useful after [[writeSorted]]/[[writeZOrdered]] on the same
+    * columns, which gives files disjoint value ranges. */
+  def writeStatsIndex(spark: SparkSession, path: String,
+                      statCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, when}
+    require(statCols.nonEmpty, "writeStatsIndex: need at least one column")
+    val aggs = statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(when(col(c).isNull, lit(1))).as(s"nulls_$c"))
+    }
     spark.read.parquet(path)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(statCol)).as("min_v"), max(col(statCol)).as("max_v"))
+      .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(statsIndexPath(path))
   }
 
-  /** File-skipping read: consult the stats index and list ONLY the files
-    * whose [min,max] range intersects [lo,hi], then re-apply the exact
-    * predicate to the survivors (the index is a pruning accelerator, not
-    * the filter — min/max are exact so no false exclusions; false
-    * inclusions are caught by the predicate). The surviving file list is
-    * materialized on the driver deliberately: it is file-count-bounded
-    * metadata — the same thing Spark's own InMemoryFileIndex and every
-    * table format's manifest plan on the driver — never row data. Beats
-    * plain row-group skipping because excluded files are never opened:
-    * no footer decode, no object-store GET at all. */
-  def readSkippingBetween(spark: SparkSession, path: String, statCol: String,
-                          lo: Any, hi: Any): DataFrame = {
+  /** Single-column convenience overload. */
+  def writeStatsIndex(spark: SparkSession, path: String, statCol: String): Unit =
+    writeStatsIndex(spark, path, Seq(statCol))
+
+  /** File-skipping read over ANY subset of the indexed columns: consult
+    * the stats index and list ONLY the files whose per-column [min,max]
+    * ranges intersect EVERY requested band (predicates compose as AND —
+    * a file skips if it provably misses any one band), then re-apply
+    * the exact predicates to the survivors (the index is a pruning
+    * accelerator, not the filter — min/max are exact so no false
+    * exclusions; false inclusions are caught by the predicate). An
+    * all-null file has null min/max, which can't prove intersection —
+    * such files are skipped for that band, which is exact because every
+    * row in them fails a non-null range predicate anyway. The surviving
+    * file list is materialized on the driver deliberately: it is
+    * file-count-bounded metadata — the same thing Spark's own
+    * InMemoryFileIndex and every table format's manifest plan on the
+    * driver — never row data. Beats plain row-group skipping because
+    * excluded files are never opened: no footer decode, no object-store
+    * GET at all. */
+  def readSkipping(spark: SparkSession, path: String,
+                   bands: Seq[(String, Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(bands.nonEmpty, "readSkipping: need at least one band")
+    val intersects = bands.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
     val keep = spark.read.parquet(statsIndexPath(path))
-      .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
+      .filter(intersects)
       .select("file").collect().map(_.getString(0))
     if (keep.isEmpty)
       // Full prune: an empty relation with the table's schema — one
       // footer read for the schema, no data file ever listed in the plan.
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         spark.read.parquet(path).schema)
-    else
-      spark.read.parquet(keep.toIndexedSeq: _*)
-        .filter(col(statCol) >= lit(lo) && col(statCol) <= lit(hi))
+    else {
+      val exact = bands.map { case (c, lo, hi) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi)
+      }.reduce(_ && _)
+      spark.read.parquet(keep.toIndexedSeq: _*).filter(exact)
+    }
   }
+
+  /** Single-band convenience wrapper over [[readSkipping]]. */
+  def readSkippingBetween(spark: SparkSession, path: String, statCol: String,
+                          lo: Any, hi: Any): DataFrame =
+    readSkipping(spark, path, Seq((statCol, lo, hi)))
 
   /** Bucketed persistence: pre-shuffles the data into `buckets` stable
     * hash buckets on `bucketCol` at write time, so repeated joins /
@@ -432,26 +464,198 @@ object Lake {
 
   /** Versioned (time-travel) persistence — the snapshot layer a lake
     * needs before overwrites are safe: every publish lands as a NEW
-    * immutable directory `base/v=N`, so readers pinned to a version are
-    * never disturbed by a concurrent writer, a bad load is undone by
+    * immutable snapshot, so readers pinned to a version are never
+    * disturbed by a concurrent writer, a bad load is undone by
     * reading N−1 (no restore job), and reproducibility ("train on the
-    * exact table of last Tuesday") is a directory name. Writes stage
-    * into a hidden temp sibling and RENAME into place — on HDFS/local a
-    * metadata-atomic commit (on S3A, back the rename with a manifest
-    * commit; the staging discipline is the same). Concurrent
-    * publishers are safe: the commit is the optimistic-conflict retry
-    * loop in [[commitStaged]], so two writers racing the same base
-    * land as DISTINCT consecutive versions (LakeSpec pins the race).
-    * Returns the published version. Old versions are retired by an
-    * explicit vacuum (dropping `v=N` dirs past a retention horizon),
-    * never by the writer. */
-  def writeVersion(spark: SparkSession, df: DataFrame, base: String): Int = {
+    * exact table of last Tuesday") is a version number. Concurrent
+    * publishers are safe under BOTH commit flavors — two writers
+    * racing the same base land as DISTINCT consecutive versions
+    * (LakeSpec races both paths live). Returns the published version.
+    * Old versions are retired by an explicit vacuum, never by the
+    * writer.
+    *
+    * TWO commit paths, selected by `mode` (default "auto" = consult
+    * `spark.graft.lake.commit`, then dispatch on the FS scheme):
+    *
+    *  - `"rename"` (HDFS-class filesystems — hdfs/file/viewfs, where
+    *    directory rename is a metadata-atomic namespace operation):
+    *    stage into a hidden UUID temp sibling, RENAME onto `v=N`
+    *    through the optimistic-conflict retry loop in [[commitStaged]].
+    *    The commit timestamp travels INSIDE the staged directory as an
+    *    `_commit_ts` sidecar, so data + timestamp publish in the one
+    *    atomic rename.
+    *
+    *  - `"manifest"` (object stores — s3a/gs/abfs/…, where directory
+    *    rename is a non-atomic client-side copy and rename-onto-
+    *    existing can silently OVERWRITE a competing commit): data is
+    *    written once into an immutable `d-<uuid>` directory that is
+    *    NEVER renamed and is invisible to readers until committed;
+    *    the commit itself is a create-no-overwrite publish of a tiny
+    *    record `_commits/v=N.json` naming the data dir + timestamp
+    *    (the Delta-LogStore / Iceberg-metadata idea). Losing a commit
+    *    race is detected by the record's existence, never by rename
+    *    semantics — see [[putCommitRecord]] for the per-FS atomic
+    *    no-overwrite primitive. */
+  def writeVersion(spark: SparkSession, df: DataFrame, base: String,
+                   mode: String = "auto"): Int = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
-    val stage = stagingPath(basePath)
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-    commitStaged(spark, fs, base, stage)
+    commitMode(spark, fs, mode) match {
+      case "rename" =>
+        val stage = stagingPath(basePath)
+        df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        writeTsSidecar(fs, stage)
+        commitStaged(spark, fs, base, stage)
+      case "manifest" =>
+        val dataDir = new org.apache.hadoop.fs.Path(basePath,
+          s"d-${java.util.UUID.randomUUID}")
+        df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+        commitManifest(spark, fs, base, dataDir.getName)
+    }
+  }
+
+  /** FS schemes whose rename is a non-atomic copy (or overwrites an
+    * existing destination): these get the manifest commit path. */
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "oss", "cos", "swift")
+
+  /** Resolve the commit flavor: an explicit per-call mode wins, then the
+    * session conf `spark.graft.lake.commit` (rename|manifest|auto),
+    * then FS-scheme dispatch — object stores commit via manifest,
+    * rename-atomic filesystems via staged rename. */
+  private def commitMode(spark: SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         mode: String): String =
+    (mode match {
+      case "auto" => spark.conf.get("spark.graft.lake.commit", "auto")
+      case m => m
+    }) match {
+      case "auto" =>
+        val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+        if (ObjectStoreSchemes(scheme)) "manifest" else "rename"
+      case m @ ("rename" | "manifest") => m
+      case other => throw new IllegalArgumentException(
+        s"lake commit mode must be rename|manifest|auto, got $other")
+    }
+
+  /** Commit-timestamp sidecar written INSIDE a staged directory before
+    * the rename commit, so the timestamp publishes atomically with the
+    * data (underscore prefix = invisible to parquet scans, like
+    * _SUCCESS). Millis ASCII. */
+  private def writeTsSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_commit_ts"), true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Atomically publish a COMPLETE commit record at `rec`, returning
+    * false (not committing) if `rec` already exists — the primitive a
+    * manifest commit needs. One flavor per FS class, because no single
+    * Hadoop call gives atomic create-no-overwrite-with-content
+    * everywhere:
+    *  - `file://` — content staged to a temp sibling, then claimed via
+    *    hard LINK (POSIX link(2) is atomic and fails on an existing
+    *    dest, and the linked record is complete at claim time; a local
+    *    rename would silently overwrite a competing commit, and
+    *    create-no-overwrite through RawLocalFileSystem is a non-atomic
+    *    exists-then-open);
+    *  - object stores — direct create-no-overwrite: the conditional
+    *    PUT (If-None-Match) modern S3/GCS/ABFS give, where the object
+    *    becomes visible complete-or-not-at-all at close;
+    *  - HDFS-class others — temp sibling + rename-no-overwrite (an
+    *    atomic namespace op that returns false on an existing dest;
+    *    the renamed record is complete because it was closed before
+    *    the rename). */
+  private[graft] def putCommitRecord(fs: org.apache.hadoop.fs.FileSystem,
+                                     rec: org.apache.hadoop.fs.Path,
+                                     bytes: Array[Byte]): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val recNio = java.nio.file.Paths.get(rec.toUri.getPath)
+      java.nio.file.Files.createDirectories(recNio.getParent)
+      val tmp = recNio.resolveSibling(s".tmp-${java.util.UUID.randomUUID}")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try { java.nio.file.Files.createLink(recNio, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else if (ObjectStoreSchemes(scheme)) {
+      try {
+        val out = fs.create(rec, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(rec.getParent,
+        s".tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (fs.rename(tmp, rec)) true
+      else { fs.delete(tmp, true); false }
+    }
+  }
+
+  /** Optimistic-concurrency MANIFEST commit: LIST the committed
+    * versions → claim `_commits/v=next.json` via the atomic
+    * no-overwrite record put → a lost claim means another publisher
+    * landed that slot, so re-list and retry with the next number. The
+    * data directory is already in its final immutable location (never
+    * renamed), so this works on filesystems with no atomic rename at
+    * all. On retry exhaustion the un-committed data dir is deleted —
+    * a leaked `d-<uuid>` would otherwise be invisible to readers but
+    * never reclaimed (vacuum also sweeps unreferenced data dirs). */
+  private def commitManifest(spark: SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             base: String, dataDirName: String): Int = {
+    val commits = new org.apache.hadoop.fs.Path(base, CommitsDir)
+    fs.mkdirs(commits)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val next = listVersions(spark, base).lastOption.getOrElse(0) + 1
+      val rec = new org.apache.hadoop.fs.Path(commits, s"v=$next.json")
+      val json =
+        s"""{"v":$next,"dir":"$dataDirName","ts":${System.currentTimeMillis()}}"""
+      if (putCommitRecord(fs, rec, json.getBytes("UTF-8"))) return next
+      attempt += 1
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(base, dataDirName), true)
+    throw new IllegalStateException(
+      s"commitManifest: gave up after $MaxCommitRetries commit conflicts at $base")
+  }
+
+  private val CommitsDir = "_commits"
+
+  /** Parsed manifest commit records under `base/_commits`, ascending by
+    * version: (version, dataDirName, tsMillis). One LIST + one tiny
+    * read per record — commit records are O(100 bytes), and a 100 TB
+    * table has as many of them as it has versions, not files. */
+  private[graft] def manifestRecords(spark: SparkSession,
+                                     base: String): Seq[(Int, String, Long)] = {
+    val commits = new org.apache.hadoop.fs.Path(base, CommitsDir)
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) Seq.empty
+    else {
+      val Rec = """\{"v":(\d+),"dir":"([^"]+)","ts":(\d+)\}""".r
+      fs.listStatus(commits).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("v=") && p.getName.endsWith(".json"))
+        .map { p =>
+          val in = fs.open(p)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          body.trim match {
+            case Rec(v, dir, ts) => (v.toInt, dir, ts.toLong)
+            case other => throw new IllegalStateException(
+              s"manifestRecords: unparseable commit record $p: $other")
+          }
+        }
+        .sortBy(_._1)
+    }
   }
 
   /** Bound on commit-conflict retries: each retry means ANOTHER writer
@@ -514,11 +718,14 @@ object Lake {
           // rename refused with NO competing commit at the slot: a real
           // FS failure (staging dir missing, permissions), not a
           // conflict — fail fast with the true cause instead of
-          // spinning the retry budget (review r14)
+          // spinning the retry budget (review r14). Probe the staging
+          // dir BEFORE deleting it, or the diagnostic always prints
+          // false (r14 ADVICE).
+          val stagedExisted = fs.exists(stage)
           fs.delete(stage, true)
           throw new IllegalStateException(
             s"commitStaged: rename $stage -> $dest failed with no " +
-              s"competing commit (staged dir exists: ${fs.exists(stage)})")
+              s"competing commit (staged dir existed: $stagedExisted)")
         }
         // else: dest appeared between our rename attempt and the probe —
         // a genuine conflict; re-list and retry
@@ -532,27 +739,90 @@ object Lake {
       s"commitStaged: gave up after $MaxCommitRetries commit conflicts at $base")
   }
 
-  /** Published versions under `base`, ascending. One LIST of the base
-    * directory — version metadata is directory names, no file opens. */
+  /** Published versions under `base`, ascending — the UNION of
+    * rename-committed `v=N` directories and manifest-committed
+    * `_commits/v=N.json` records, so a table whose writers migrated
+    * between commit flavors still lists one dense history. One LIST of
+    * the base directory (+ one of `_commits` when present) — version
+    * metadata is names, no data-file opens. */
   def listVersions(spark: SparkSession, base: String): Seq[Int] = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(basePath)) Seq.empty
-    else fs.listStatus(basePath).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
-      .sorted
+    val renamed =
+      if (!fs.exists(basePath)) Seq.empty[Int]
+      else fs.listStatus(basePath).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
+    (renamed ++ manifestRecords(spark, base).map(_._1)).distinct.sorted
   }
 
+  /** Resolve a version number to its immutable data directory:
+    * manifest-committed versions read the directory the commit record
+    * names; rename-committed versions read `v=N`. Manifest wins when
+    * both somehow exist (the record is the commit of record). */
+  private def versionDataPath(spark: SparkSession, base: String,
+                              v: Int): String =
+    manifestRecords(spark, base).find(_._1 == v) match {
+      case Some((_, dir, _)) => s"$base/$dir"
+      case None => s"$base/v=$v"
+    }
+
   /** Time-travel read: the given version, or the latest when None. Only
-    * the one `v=N` directory is listed/scanned. */
+    * the one version's data directory is listed/scanned. */
   def readVersion(spark: SparkSession, base: String,
                   version: Option[Int] = None): DataFrame = {
     val vs = listVersions(spark, base)
     require(vs.nonEmpty, s"readVersion: no published versions under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"readVersion: version $v not in $vs")
-    spark.read.parquet(s"$base/v=$v")
+    spark.read.parquet(versionDataPath(spark, base, v))
+  }
+
+  /** Commit timestamps per published version, ascending by version and
+    * NORMALIZED MONOTONE (running max): manifest commits carry their
+    * timestamp in the commit record; rename commits in the `_commit_ts`
+    * sidecar the stage published atomically with the data; versions
+    * published before the sidecar existed fall back to the directory's
+    * FS modification time (= the rename instant on HDFS-class
+    * filesystems). Raw wall-clocks can run backwards across writers
+    * (clock skew, a staler writer winning a later slot), so AS-OF
+    * resolution uses the running max — the same adjustment Delta makes
+    * to its commit timestamps. */
+  def versionTimestamps(spark: SparkSession, base: String): Seq[(Int, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = manifestRecords(spark, base).map(r => r._1 -> r._3).toMap
+    val raw = listVersions(spark, base).map { v =>
+      val ts = manifest.getOrElse(v, {
+        val dir = new org.apache.hadoop.fs.Path(base, s"v=$v")
+        val sidecar = new org.apache.hadoop.fs.Path(dir, "_commit_ts")
+        if (fs.exists(sidecar)) {
+          val in = fs.open(sidecar)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+          finally in.close()
+        } else fs.getFileStatus(dir).getModificationTime
+      })
+      (v, ts)
+    }
+    raw.foldLeft(Vector.empty[(Int, Long)]) { case (acc, (v, ts)) =>
+      acc :+ (v, acc.lastOption.fold(ts)(prev => math.max(prev._2, ts)))
+    }
+  }
+
+  /** AS-OF time travel (the Delta `timestampAsOf` / Iceberg
+    * `as-of-timestamp` read path): resolve to the NEWEST version whose
+    * (monotone-normalized) commit timestamp is ≤ `tsMillis` and read
+    * it. A timestamp before the first commit has no table to serve and
+    * raises — the same contract as Delta. Resolution is pure metadata
+    * (version list + O(versions) tiny timestamp reads); only the one
+    * resolved version's data directory is scanned. */
+  def readAsOf(spark: SparkSession, base: String, tsMillis: Long): DataFrame = {
+    val ts = versionTimestamps(spark, base)
+    require(ts.nonEmpty, s"readAsOf: no published versions under $base")
+    val hit = ts.filter(_._2 <= tsMillis)
+    require(hit.nonEmpty,
+      s"readAsOf: $tsMillis predates the first commit (${ts.head._2}) at $base")
+    readVersion(spark, base, Some(hit.last._1))
   }
 
   /** Partition-scheme EVOLUTION (Iceberg's partition evolution — the
@@ -617,8 +887,9 @@ object Lake {
     * write (a crash mid-restore leaves latest untouched). The
     * superseded versions retire later through the ordinary retention
     * vacuum. Returns the newly published version. */
-  def restoreVersion(spark: SparkSession, base: String, version: Int): Int =
-    writeVersion(spark, readVersion(spark, base, Some(version)), base)
+  def restoreVersion(spark: SparkSession, base: String, version: Int,
+                     mode: String = "auto"): Int =
+    writeVersion(spark, readVersion(spark, base, Some(version)), base, mode)
 
   /** Zero-copy shallow clone of a published version: the clone is a
     * MANIFEST (one text file of absolute data-file paths) — no data
@@ -629,7 +900,8 @@ object Lake {
     * retention contract Iceberg/Delta shallow clones carry. */
   def cloneVersion(spark: SparkSession, base: String, version: Int,
                    dest: String): Unit = {
-    val src = new org.apache.hadoop.fs.Path(base, s"v=$version")
+    val src = new org.apache.hadoop.fs.Path(
+      versionDataPath(spark, base, version))
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(src), s"cloneVersion: $src does not exist")
     val files = fs.listStatus(src).toSeq.map(_.getPath.toString)
@@ -654,9 +926,21 @@ object Lake {
   }
 
   /** Retention vacuum for versioned tables: drop every published
-    * version except the newest `keep`. Never run by writers — retention
-    * is an explicit policy decision, and outstanding shallow clones of
-    * a vacuumed version break by design (the Iceberg/Delta contract).
+    * version except the newest `keep` — data directory AND (for
+    * manifest commits) the commit record. Never run by writers — and
+    * never run CONCURRENTLY with one: retention is an explicit policy
+    * decision, outstanding shallow clones of a vacuumed version break
+    * by design (the Iceberg/Delta contract), and the orphan sweep
+    * below would reclaim a publisher's not-yet-committed data dir.
+    * Also sweeps two crash-window leaks no retention horizon ever
+    * reclaims on its own (both names are UUID-fresh per attempt, so
+    * nothing live ever matches):
+    *  - `.staging-*` dirs stranded INSIDE a published `v=N` by a
+    *    losing rename publisher that crashed between nesting and the
+    *    un-nest recovery (non-Spark consumers of v=N would see the
+    *    foreign data);
+    *  - `d-<uuid>` data dirs no commit record references — a manifest
+    *    publisher that crashed between the data write and the commit.
     * Returns the dropped version numbers. */
   def vacuumVersions(spark: SparkSession, base: String, keep: Int): Seq[Int] = {
     require(keep >= 1, s"vacuumVersions: keep must be >= 1, got $keep")
@@ -664,9 +948,32 @@ object Lake {
     val drop = vs.dropRight(keep)
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val records = manifestRecords(spark, base)
+    val byVersion = records.map(r => r._1 -> r._2).toMap
     drop.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true)
+      byVersion.get(v) match {
+        case Some(dir) =>
+          fs.delete(new org.apache.hadoop.fs.Path(base, dir), true)
+          fs.delete(new org.apache.hadoop.fs.Path(base,
+            s"$CommitsDir/v=$v.json"), false)
+        case None =>
+          fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true)
+      }
     }
+    // crash-window sweeps over the SURVIVORS
+    val kept = vs.takeRight(keep)
+    kept.filterNot(byVersion.contains).foreach { v =>
+      val dir = new org.apache.hadoop.fs.Path(base, s"v=$v")
+      fs.listStatus(dir).foreach { st =>
+        if (st.getPath.getName.startsWith(".staging-"))
+          fs.delete(st.getPath, true)
+      }
+    }
+    val referenced = records.map(_._2).toSet
+    fs.listStatus(basePath)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("d-") && !referenced(p.getName))
+      .foreach(fs.delete(_, true))
     drop
   }
 
@@ -710,16 +1017,27 @@ object Lake {
     * batch can never become visible to readers. Returns the report and
     * the published version (None = refused). */
   def writeAudited(spark: SparkSession, df: DataFrame, base: String,
-                   audit: DataFrame => DataFrame): (Seq[(String, Long)], Option[Int]) = {
+                   audit: DataFrame => DataFrame,
+                   mode: String = "auto"): (Seq[(String, Long)], Option[Int]) = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
-    val stage = stagingPath(basePath)
+    val manifestMode = commitMode(spark, fs, mode) == "manifest"
+    // In manifest mode the staged dir IS the final immutable data dir
+    // (invisible to readers until a commit record names it — nothing
+    // to rename); in rename mode it is the hidden temp sibling.
+    val stage =
+      if (manifestMode)
+        new org.apache.hadoop.fs.Path(basePath, s"d-${java.util.UUID.randomUUID}")
+      else stagingPath(basePath)
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val report = audit(spark.read.parquet(stage.toString))
       .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
     if (report.forall(_._2 == 0L)) {
-      (report, Some(commitStaged(spark, fs, base, stage)))
+      val v =
+        if (manifestMode) commitManifest(spark, fs, base, stage.getName)
+        else { writeTsSidecar(fs, stage); commitStaged(spark, fs, base, stage) }
+      (report, Some(v))
     } else {
       fs.delete(stage, true)
       (report, None)

@@ -620,4 +620,266 @@ class LakeSpec extends AnyFunSuite {
       .select(unix_micros(col("ts"))).head.getLong(0)
     assert(micros == 1500000000123456L, micros.toString)
   }
+
+  test("manifest commit: immutable data dirs, commit records, no renames") {
+    import spark.implicits._
+    val base = TestSpark.scratch("lake_manifest")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    assert(Lake.writeVersion(spark,
+      Seq((1L, "a")).toDF("k", "v"), base, mode = "manifest") == 1)
+    assert(Lake.writeVersion(spark,
+      Seq((2L, "b")).toDF("k", "v"), base, mode = "manifest") == 2)
+    assert(Lake.listVersions(spark, base) == Seq(1, 2))
+    assert(Lake.readVersion(spark, base, Some(1)).head.getString(1) == "a")
+    assert(Lake.readVersion(spark, base, None).head.getString(1) == "b")
+    // layout: only d-<uuid> data dirs + the _commits log — no v= dirs,
+    // no staging leftovers
+    val names = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(names.count(_.startsWith("d-")) == 2, names.toString)
+    assert(names.contains("_commits") && !names.exists(_.startsWith("v=")),
+      names.toString)
+    val recs = new java.io.File(s"$base/_commits").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).toSet
+    assert(recs == Set("v=1.json", "v=2.json"), recs.toString)
+    // mixed history: a legacy rename-committed version extends the same
+    // table; the union listing stays dense and both flavors read back
+    assert(Lake.writeVersion(spark,
+      Seq((3L, "c")).toDF("k", "v"), base, mode = "rename") == 3)
+    assert(Lake.listVersions(spark, base) == Seq(1, 2, 3))
+    assert(Lake.readVersion(spark, base, Some(3)).head.getString(1) == "c")
+    assert(Lake.readVersion(spark, base, Some(1)).head.getString(1) == "a")
+  }
+
+  test("manifest commit: concurrent publishers land as distinct versions") {
+    import spark.implicits._
+    val base = TestSpark.scratch("lake_manifest_race")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    assert(Lake.writeVersion(spark,
+      Seq((1L, "seed")).toDF("k", "v"), base, mode = "manifest") == 1)
+    // deterministic conflict: a competing commit record claims v=2
+    // between this writer's list and its record put — planted out-of-band
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((9L, "other")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/d-planted")
+    assert(Lake.putCommitRecord(fs,
+      new org.apache.hadoop.fs.Path(base, "_commits/v=2.json"),
+      """{"v":2,"dir":"d-planted","ts":1}""".getBytes("UTF-8")))
+    val v = Lake.writeVersion(spark,
+      Seq((2L, "mine")).toDF("k", "v"), base, mode = "manifest")
+    assert(v == 3, s"loser must re-list and take the NEXT slot, got v=$v")
+    assert(Lake.readVersion(spark, base, Some(2)).head.getString(1) == "other")
+    assert(Lake.readVersion(spark, base, Some(3)).head.getString(1) == "mine")
+    // live race through the manifest path (the r14 CyclicBarrier shape)
+    for (round <- 1 to 3) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new Array[Int](2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 to 1).map { i =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            results(i) = Lake.writeVersion(spark,
+              Seq((i.toLong, s"w$i-$round")).toDF("k", "v"), base,
+              mode = "manifest")
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, errs.toString)
+      assert(results(0) != results(1),
+        s"both writers claimed v=${results(0)} in round $round")
+    }
+    val vs = Lake.listVersions(spark, base)
+    assert(vs == (1 to vs.max), vs.toString)
+    vs.foreach(n => assert(Lake.readVersion(spark, base, Some(n)).count() == 1))
+  }
+
+  test("manifest commit survives an object store whose rename overwrites") {
+    import spark.implicits._
+    // Simulated S3: a local-backed FileSystem whose rename onto an
+    // existing destination silently REPLACES it (PUT-copy last-writer-
+    // wins — the semantics that make rename-as-commit unsafe on object
+    // stores). Registered as the s3a:// implementation for this JVM.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[OverwritingRenameFs].getName)
+    val localBase = TestSpark.scratch("lake_s3sim")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(localBase))
+    val base = s"s3a://$localBase" // s3a:///root/... (empty authority)
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hc)
+    // pin the hazard first: two staged dirs renamed onto the SAME
+    // version slot — the second rename succeeds and DESTROYS the first
+    // commit, which is why rename-as-commit cannot fence writers here
+    val s1 = new org.apache.hadoop.fs.Path(s"$base/stage1")
+    val s2 = new org.apache.hadoop.fs.Path(s"$base/stage2")
+    val dst = new org.apache.hadoop.fs.Path(s"$base/vslot")
+    fs.mkdirs(s1); fs.create(new org.apache.hadoop.fs.Path(s1, "one"), true).close()
+    fs.mkdirs(s2); fs.create(new org.apache.hadoop.fs.Path(s2, "two"), true).close()
+    assert(fs.rename(s1, dst))
+    assert(fs.rename(s2, dst), "simulated store must overwrite on rename")
+    val slot = fs.listStatus(dst).map(_.getPath.getName).toSet
+    assert(slot == Set("two"), s"first commit should be LOST here, got $slot")
+    // the manifest path on the SAME filesystem: commit = create-no-
+    // overwrite record, data dirs never renamed — the planted conflict
+    // and a live race both land as distinct intact versions
+    assert(Lake.writeVersion(spark,
+      Seq((1L, "seed")).toDF("k", "v"), base, mode = "auto") == 1,
+      "auto mode must dispatch s3a to the manifest path")
+    assert(!new java.io.File(s"$localBase/v=1").exists(),
+      "no rename-committed v= dir may exist on an object store")
+    for (round <- 1 to 2) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new Array[Int](2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 to 1).map { i =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            results(i) = Lake.writeVersion(spark,
+              Seq((i.toLong, s"w$i-$round")).toDF("k", "v"), base)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, errs.toString)
+      assert(results(0) != results(1),
+        s"both writers claimed v=${results(0)} in round $round")
+    }
+    val vs = Lake.listVersions(spark, base)
+    assert(vs == (1 to vs.max) && vs.max == 5, vs.toString)
+    vs.foreach(n => assert(Lake.readVersion(spark, base, Some(n)).count() == 1))
+  }
+
+  test("readAsOf: boundary semantics and monotone timestamp normalization") {
+    import spark.implicits._
+    val base = TestSpark.scratch("lake_asof")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    def tick(after: Long): Unit =
+      while (System.currentTimeMillis() <= after) Thread.sleep(1)
+    Lake.writeVersion(spark, Seq((1L, "v1")).toDF("k", "v"), base)
+    val ts1 = Lake.versionTimestamps(spark, base).last._2
+    tick(ts1)
+    Lake.writeVersion(spark, Seq((2L, "v2")).toDF("k", "v"), base)
+    val ts = Lake.versionTimestamps(spark, base)
+    assert(ts.map(_._1) == Seq(1, 2) && ts(0)._2 < ts(1)._2, ts.toString)
+    // exactly AT a commit instant resolves to that commit (≤, not <)
+    assert(Lake.readAsOf(spark, base, ts(0)._2).head.getString(1) == "v1")
+    assert(Lake.readAsOf(spark, base, ts(1)._2).head.getString(1) == "v2")
+    // strictly between the two commits resolves to the OLDER one
+    assert(Lake.readAsOf(spark, base, ts(1)._2 - 1).head.getString(1) == "v1")
+    // after the newest commit resolves to LATEST
+    assert(Lake.readAsOf(spark, base, ts(1)._2 + 60000).head.getString(1) == "v2")
+    // before the first commit there is no table to serve
+    intercept[IllegalArgumentException] {
+      Lake.readAsOf(spark, base, ts(0)._2 - 1)
+    }
+    // clock-skew normalization: tamper v2's sidecar BACKWARDS — the
+    // effective timestamp clamps to the running max (v1's), so as-of
+    // v1's instant now resolves to v2 (the newest commit known to be
+    // ≤ that adjusted instant — the Delta monotone adjustment)
+    val sidecar = java.nio.file.Paths.get(s"$base/v=2/_commit_ts")
+    java.nio.file.Files.write(sidecar,
+      (ts(0)._2 - 99999).toString.getBytes("UTF-8"))
+    // the tamper bypassed ChecksumFileSystem — drop the stale crc sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$base/v=2/._commit_ts.crc"))
+    val norm = Lake.versionTimestamps(spark, base)
+    assert(norm == Seq(1 -> ts(0)._2, 2 -> ts(0)._2), norm.toString)
+    assert(Lake.readAsOf(spark, base, ts(0)._2).head.getString(1) == "v2")
+    // legacy fallback: a version published before the sidecar existed
+    // resolves through the directory's FS modification time
+    java.nio.file.Files.delete(sidecar)
+    val legacy = Lake.versionTimestamps(spark, base)
+    assert(legacy.map(_._1) == Seq(1, 2) && legacy(1)._2 >= legacy(0)._2)
+    assert(Lake.readAsOf(spark, base,
+      System.currentTimeMillis() + 60000).head.getString(1) == "v2")
+  }
+
+  test("vacuum: manifest versions, stranded staging dirs, orphan data dirs") {
+    import spark.implicits._
+    // (a) manifest table: vacuum drops old data dirs + commit records,
+    // and sweeps a crashed publisher's never-committed orphan data dir
+    val base = TestSpark.scratch("lake_vacuum_manifest")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    (1 to 3).foreach { i =>
+      Lake.writeVersion(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"),
+        base, mode = "manifest")
+    }
+    Seq((0L, "orphan")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/d-orphan-crashed")
+    assert(Lake.vacuumVersions(spark, base, keep = 1) == Seq(1, 2))
+    assert(Lake.listVersions(spark, base) == Seq(3))
+    assert(Lake.readVersion(spark, base, Some(3)).head.getString(1) == "v3")
+    val names = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(names.count(_.startsWith("d-")) == 1, names.toString)
+    assert(!names.contains("d-orphan-crashed"), names.toString)
+    val recs = new java.io.File(s"$base/_commits").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).toSet
+    assert(recs == Set("v=3.json"), recs.toString)
+    // (b) rename table: a losing publisher crashed between nesting into
+    // the winner's v=N and the un-nest recovery — vacuum sweeps the
+    // stranded hidden staging dir out of the published version
+    val rbase = TestSpark.scratch("lake_vacuum_staging")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rbase))
+    Lake.writeVersion(spark, Seq((1L, "a")).toDF("k", "v"), rbase)
+    Lake.writeVersion(spark, Seq((2L, "b")).toDF("k", "v"), rbase)
+    val stranded = new java.io.File(s"$rbase/v=2/.staging-deadbeef")
+    stranded.mkdirs()
+    java.nio.file.Files.write(stranded.toPath.resolve("junk"),
+      "x".getBytes("UTF-8"))
+    assert(Lake.vacuumVersions(spark, rbase, keep = 2).isEmpty)
+    assert(!stranded.exists(), "stranded staging dir must be swept")
+    assert(Lake.readVersion(spark, rbase, Some(2)).head.getString(1) == "b")
+  }
+
+  test("k-column stats index: skipping on any indexed column, null counts") {
+    // files are range-sorted on id; w is reverse-correlated with id, so
+    // per-file ranges are disjoint in BOTH — a band on either column
+    // must prune files, and a band on each composes (AND) to prune at
+    // least as hard as either alone
+    val p = TestSpark.scratch("lake_statsidx_k")
+    val df = spark.range(8000).select(col("id"),
+      (lit(16000L) - col("id") * 2).as("w"),
+      when(col("id") % 100 === 0, lit(null)).otherwise(col("id"))
+        .cast("long").as("n"))
+    Lake.writeSorted(df, p, Seq("id"), partitions = 8)
+    Lake.writeStatsIndex(spark, p, Seq("id", "w", "n"))
+    val idx = spark.read.parquet(Lake.statsIndexPath(p))
+    assert(idx.columns.toSet == Set("file",
+      "min_id", "max_id", "nulls_id", "min_w", "max_w", "nulls_w",
+      "min_n", "max_n", "nulls_n"), idx.columns.mkString(","))
+    assert(idx.agg(sum("nulls_n")).head.getLong(0) == 80L)
+    assert(idx.agg(sum("nulls_id")).head.getLong(0) == 0L)
+    val total = spark.read.parquet(p).inputFiles.length
+    def filesOpened(d: org.apache.spark.sql.DataFrame) = d.inputFiles.length
+    // skip on the FIRST indexed column
+    val byId = Lake.readSkippingBetween(spark, p, "id", 1000L, 1999L)
+    assert(filesOpened(byId) < total, s"${filesOpened(byId)} vs $total")
+    // skip on the SECOND indexed column — the r14 sidecar indexed one
+    // column only, so this prune was impossible
+    val byW = Lake.readSkippingBetween(spark, p, "w", 2000L, 3999L)
+    assert(filesOpened(byW) < total, s"${filesOpened(byW)} vs $total")
+    val fullW = spark.read.parquet(p).filter(col("w").between(2000L, 3999L))
+    assert(byW.exceptAll(fullW).isEmpty && fullW.exceptAll(byW).isEmpty)
+    // composed bands on two different columns still prune
+    val both = Lake.readSkipping(spark, p,
+      Seq(("id", 6000L, 7999L), ("w", 0L, 3999L)))
+    assert(filesOpened(both) < total, s"${filesOpened(both)} vs $total")
+    val fullBoth = spark.read.parquet(p)
+      .filter(col("id").between(6000L, 7999L) && col("w").between(0L, 3999L))
+    assert(both.exceptAll(fullBoth).isEmpty && fullBoth.exceptAll(both).isEmpty)
+  }
+}
+
+/** Simulated object store for LakeSpec: local-backed, but rename onto an
+  * existing destination silently REPLACES it (last-writer-wins PUT-copy
+  * semantics) — the FS class where rename-as-commit loses data and the
+  * manifest commit is mandatory. Registered under s3a:// by the spec. */
+class OverwritingRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (exists(dst)) delete(dst, true)
+    super.rename(src, dst)
+  }
 }
