@@ -29,6 +29,11 @@ object Explain {
   val executedDumpKeys: Set[String] =
     Set("ann_ivf", "ann_ivfpq", "ann_pq", "ann_sq8", "ann_cascade",
       "dedup_semantic", "graph_random_walk", "ann_mmr",
+      // r15 (VERDICT r14 next-round #2): the BPE chain — text_pack_bpe's
+      // FORMATTED dump prints 574 Exchange nodes of per-round trainer
+      // cache-fill provenance; the executed dumps prove the run behind
+      // the caches is the bounded merge-train + one broadcast replay
+      "text_bpe", "text_bpe_apply", "text_pack_bpe",
       // r14: the graph lazy-checkpoint sweep chains (VERDICT r13 #6) —
       // per-sweep localCheckpoints truncate execution the same way the
       // ANN caches do, and the dumps prove the final query is a bounded

@@ -415,7 +415,18 @@ class ScaleSpec extends AnyFunSuite {
       // measured sf0.001 counts (pagerank 4, ppr 3, hits 3, bfs 2,
       // sssp 4, closeness 2).
       "graph_pagerank" -> 8, "graph_ppr" -> 6, "graph_hits" -> 6,
-      "graph_bfs" -> 4, "graph_sssp" -> 8, "graph_closeness" -> 4)
+      "graph_bfs" -> 4, "graph_sssp" -> 8, "graph_closeness" -> 4,
+      // r15 (VERDICT r14 next-round #2): the BPE chain — per-round
+      // trainer caches print hundreds of fill-provenance Exchanges in
+      // the lazy dumps (text_pack_bpe 574); the executed run is the
+      // bounded merge training (per round: one pair-count aggregate +
+      // one top-1, behind eager caches) + a broadcast replay map, plus
+      // text_pack_bpe's two-level pack (bucket offsets + in-bucket
+      // window). Caps ~2× the measured sf0.001 counts (bpe 0 — the
+      // final union reads the per-round cached top-1 rows outright,
+      // apply 1 — the output sort, pack 4); a dropped trainer cache
+      // re-derives ≥ 2 exchanges per round and blows every cap.
+      "text_bpe" -> 2, "text_bpe_apply" -> 4, "text_pack_bpe" -> 8)
     ceilings.foreach { case (k, cap) =>
       spark.sharedState.cacheManager.clearCache()
       val df = SparkEntry.queries(k)(spark, TestSpark.Sf)
