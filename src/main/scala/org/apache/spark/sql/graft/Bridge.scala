@@ -11,4 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Logical plan → DataFrame (`Dataset.ofRows` is `private[sql]`).
+    * Used by the ScaleSpec surface-wide window audit to MEASURE the
+    * input cardinality of any unpartitioned rank window it finds —
+    * plan-shape asserts alone can't see row counts. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -383,6 +383,48 @@ class ScaleSpec extends AnyFunSuite {
       s"materializing entries without a query: ${(SparkEntry.materializingQueries -- q).toSeq.sorted}")
   }
 
+  test("no key ranks corpus-derived rows in an unpartitioned window (surface-wide audit)") {
+    // r15 (VERDICT r14 #7): the q48/zipf/q61 regression class — a
+    // rank/row_number window with an EMPTY partitionSpec funnels every
+    // input row through ONE task's sort, the classic 100×-scale killer.
+    // The per-key fixes whitelisted bounded spine/bucket tables by
+    // hand; this sweep makes the fence generic: walk EVERY key's
+    // optimized plan, and any unpartitioned rank-like window must
+    // (a) rank an AGGREGATION result (the bucket/bucket-count/spine
+    //     shape — bounded by construction: its cardinality is the
+    //     grouping domain, not the corpus), never raw corpus rows, and
+    // (b) measure small at test scale (≤ 4096 input rows — buckets are
+    //     ≤ 256 per stratum across the whole surface; corpus tables are
+    //     ≥ thousands of rows even at sf0.001, so a corpus-rank
+    //     regression trips this immediately and (a) structurally).
+    // Unpartitioned NON-rank windows (the cumsum over a bucket-count
+    // spine) are the q35/q41 spine contract, same boundedness, audited
+    // by the same (a)+(b) pair.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    var audited = 0
+    SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
+      spark.sharedState.cacheManager.clearCache()
+      val plan: LogicalPlan = SparkEntry.queries(k)(spark, TestSpark.Sf)
+        .queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          audited += 1
+          val aggBelow = w.child.exists {
+            case _: Aggregate => true
+            case _ => false
+          }
+          assert(aggBelow,
+            s"$k: unpartitioned window over NON-AGGREGATED rows — " +
+              s"a corpus-wide single-task sort at scale:\n${w.windowExpressions}")
+          val n = org.apache.spark.sql.graft.Bridge.ofRows(spark, w.child).count()
+          assert(n <= 4096,
+            s"$k: unpartitioned window ranks $n rows — not a bounded spine")
+        case _ =>
+      }
+    }
+    info(s"audited $audited unpartitioned windows across ${SparkEntry.queries.size} keys")
+  }
+
   test("cached ANN/dedup chains execute a bounded exchange count (not their printed lineage)") {
     // r11 watch item: ann_ivfpq's FORMATTED dump prints 1,128 Exchange
     // nodes — InMemoryRelation fill provenance re-printed per cache
