@@ -1708,13 +1708,7 @@ object Similarity {
   /** The recall oracle composes the exact and approximate oracles
     * verbatim as subqueries (the corpus-gate discipline) — a drift in
     * either component surfaces in both gates. */
-  /** Scratch area for the index-artifact round-trip; inside the repo
-    * target dir so nothing outside /root/repo is touched. */
-  private def scratch(name: String): String = {
-    val p = s"/root/repo/target/graft-scratch/$name"
-    new java.io.File(p).getParentFile.mkdirs()
-    p
-  }
+  private def scratch(name: String): String = Lake.scratch(name)
 
   val oracles: Map[String, String] = baseOracles +
     // The persisted-index serve must be EXACTLY the in-query-trained

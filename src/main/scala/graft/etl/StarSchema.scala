@@ -31,13 +31,7 @@ object StarSchema {
 
   private def t(s: SparkSession, dir: String, name: String) = Lake.table(s, dir, name)
 
-  /** Scratch area for lake round-trips; inside the repo target dir so
-    * nothing outside /root/repo is touched. */
-  private def scratch(name: String): String = {
-    val p = s"/root/repo/target/graft-scratch/$name"
-    new java.io.File(p).getParentFile.mkdirs()
-    p
-  }
+  private def scratch(name: String): String = Lake.scratch(name)
 
   /** Explicit schema for events — schema-on-read, never inference (a
     * schema-inference pass over 100 TB is a full extra scan). */

@@ -69,12 +69,20 @@ object TextAnalysis {
     * skips the rewrite nobody reads. Output = the merge table, one row
     * per round. */
   private[graft] def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    // Per-round LINEAGE TRUNCATION, not just caching (r15): each round's
+    // vocab is localCheckpoint'd eagerly — the unrolled-iterative-builder
+    // discipline ann_mmr and the graph sweeps established. A cache()
+    // bounds execution but leaves the full lazy lineage in the plan, and
+    // AQE re-renders that plan string per stage: at the r14 3-round pin
+    // it printed hundreds of fill-provenance Exchanges (tolerable); at
+    // the 16+ merges this trainer now supports, the rendered string
+    // itself OOMs the driver. The checkpoint truncates plan AND
+    // execution; each round costs one bounded vocab pass either way.
     var cur = docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(col("wc"),
         concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq"))
-      .cache()
-    cur.count()
+      .localCheckpoint(eager = true)
     val merges = (1 to rounds).map { r =>
       val top = cur
         .select(col("wc"), split(trim(col("seq")), " ").as("ss"))
@@ -84,15 +92,13 @@ object TextAnalysis {
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .cache()
+        .localCheckpoint(eager = true) // ONE row — read by the rewrite and the output
       if (r < rounds) {
-        val next = cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+        cur = cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
           .select(col("wc"), expr(
             "replace(seq, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))")
             .as("seq"))
-          .cache()
-        next.count() // eager — read by next round's count AND rewrite
-        cur = next
+          .localCheckpoint(eager = true)
       }
       top.select(lit(r).as("round"), col("pair"), col("cnt"))
     }

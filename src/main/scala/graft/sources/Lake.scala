@@ -14,6 +14,16 @@ import org.apache.spark.sql.types.StructType
   */
 object Lake {
 
+  /** Scratch area for driver-key lake round-trips — ONE home for the
+    * root so a relocation edits one line (review r15; StarSchema and
+    * Similarity previously each hardcoded it). Inside the repo target
+    * dir so nothing outside /root/repo is touched. */
+  private[graft] def scratch(name: String): String = {
+    val p = s"/root/repo/target/graft-scratch/$name"
+    new java.io.File(p).getParentFile.mkdirs()
+    p
+  }
+
   /** TPC-H-ish driver testdata tables, by scale-factor directory.
     *
     * The `events` table is written as parquet TIMESTAMP(NANOS), which Spark
@@ -562,9 +572,21 @@ object Lake {
     *    rename would silently overwrite a competing commit, and
     *    create-no-overwrite through RawLocalFileSystem is a non-atomic
     *    exists-then-open);
-    *  - object stores — direct create-no-overwrite: the conditional
-    *    PUT (If-None-Match) modern S3/GCS/ABFS give, where the object
-    *    becomes visible complete-or-not-at-all at close;
+    *  - object stores — create-no-overwrite, then a read-back OWNERSHIP
+    *    VERIFY. Honesty note (review r15): stock Hadoop object-store
+    *    connectors implement `create(path, overwrite=false)` as a
+    *    client-side exists-probe followed by an unconditional PUT — NOT
+    *    a server-side conditional PUT — so two racers can both pass the
+    *    probe and the last PUT's body wins. The verify closes most of
+    *    that window: the record body carries the data-dir name, which
+    *    is writer-unique (UUID), so reading the record back and
+    *    comparing tells the loser it lost. A truly linearizable commit
+    *    needs the store's If-None-Match conditional create (S3A's
+    *    conditional-write option, a DynamoDB-arbitrated LogStore, …) —
+    *    THIS function is the seam where that plugs in; the verify is
+    *    the best approximation expressible against the plain
+    *    FileSystem API, and the sandbox's simulated store exercises
+    *    exactly this branch;
     *  - HDFS-class others — temp sibling + rename-no-overwrite (an
     *    atomic namespace op that returns false on an existing dest;
     *    the renamed record is complete because it was closed before
@@ -583,12 +605,30 @@ object Lake {
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else if (ObjectStoreSchemes(scheme)) {
-      try {
-        val out = fs.create(rec, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      // SAME-JVM writers serialize on a process lock (the Delta
+      // HDFSLogStore discipline): a JVM lock can't fence writers on
+      // OTHER machines — the read-back verify below is what narrows
+      // that — but it removes the intra-process probe race entirely,
+      // and a real object store's PUT is whole-object-atomic so
+      // cross-JVM racers can overwrite but never interleave.
+      ObjectStoreCommitLock.synchronized {
+        val wrote =
+          try {
+            val out = fs.create(rec, false)
+            try out.write(bytes) finally out.close()
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          }
+        wrote && {
+          // ownership verify: the PUT we issued may have raced another
+          // MACHINE's writer past the connector's exists-probe —
+          // whoever's body is actually at the path owns the slot
+          val in = fs.open(rec)
+          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+          java.util.Arrays.equals(body.getBytes("UTF-8"), bytes)
+        }
       }
     } else {
       val tmp = new org.apache.hadoop.fs.Path(rec.getParent,
@@ -618,9 +658,21 @@ object Lake {
     while (attempt < MaxCommitRetries) {
       val next = listVersions(spark, base).lastOption.getOrElse(0) + 1
       val rec = new org.apache.hadoop.fs.Path(commits, s"v=$next.json")
+      val dir = new org.apache.hadoop.fs.Path(base, s"v=$next")
       val json =
         s"""{"v":$next,"dir":"$dataDirName","ts":${System.currentTimeMillis()}}"""
-      if (putCommitRecord(fs, rec, json.getBytes("UTF-8"))) return next
+      // cross-flavor fence (review r15, the mirror of commitStaged's):
+      // a RENAME publisher racing the same base claims slots by
+      // renaming `v=N` into existence, which writes no record — so
+      // pre-check the dir, and after a won record put, post-probe it:
+      // a dir that appeared inside our window means a rename writer
+      // may already have RETURNED success for this slot before our
+      // record existed, and since resolution prefers the record, we
+      // must retract it and retry rather than shadow their commit.
+      if (!fs.exists(dir) && putCommitRecord(fs, rec, json.getBytes("UTF-8"))) {
+        if (!fs.exists(dir)) return next
+        fs.delete(rec, false)
+      }
       attempt += 1
     }
     fs.delete(new org.apache.hadoop.fs.Path(base, dataDirName), true)
@@ -629,6 +681,10 @@ object Lake {
   }
 
   private val CommitsDir = "_commits"
+
+  /** Serializes same-JVM object-store commit-record puts (see
+    * [[putCommitRecord]]'s object-store branch). */
+  private object ObjectStoreCommitLock
 
   /** Parsed manifest commit records under `base/_commits`, ascending by
     * version: (version, dataDirName, tsMillis). One LIST + one tiny
@@ -695,24 +751,51 @@ object Lake {
                            list: () => Seq[Int] = null,
                            destName: Int => String = n => s"v=$n"): Int = {
     val listFn = Option(list).getOrElse(() => listVersions(spark, base))
+    // cross-flavor fence (review r15): a MANIFEST publisher racing the
+    // same base claims slots through `_commits/v=N.json`, which creates
+    // no `v=N` dir — so the rename path must treat an existing record
+    // as an occupied slot (pre-check), and must re-probe for a record
+    // AFTER its rename (post-probe): a record claimed inside the
+    // list→rename window wins (manifest is the resolution authority —
+    // versionDataPath prefers it), so this writer un-renames and
+    // retries. Both sides yielding in the same window is safe: both
+    // artifacts retract and both writers retry at a fresh slot.
+    // Layout-epoch commits (destName != v=) have no manifest flavor —
+    // their record probe is vacuously false.
+    def recordAt(n: Int): org.apache.hadoop.fs.Path =
+      new org.apache.hadoop.fs.Path(base, s"$CommitsDir/${destName(n)}.json")
+    val manifestFenced = destName(1) == "v=1"
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val next = listFn().lastOption.getOrElse(0) + 1
       val dest = new org.apache.hadoop.fs.Path(base, destName(next))
-      if (!fs.exists(dest)) {
+      if (!fs.exists(dest) && !(manifestFenced && fs.exists(recordAt(next)))) {
         if (fs.rename(stage, dest)) {
           val nested = new org.apache.hadoop.fs.Path(dest, stage.getName)
-          if (!fs.exists(nested)) return next // clean commit
-          // lost the race on an FS that nests: pull our files back out
-          // and retry under the next number — dest belongs to the
-          // winner. If the un-nest itself fails, DELETE the nested dir
-          // rather than strand our half-commit inside the winner's
-          // reader-visible version directory.
-          if (!fs.rename(nested, stage)) {
-            fs.delete(nested, true)
-            throw new IllegalStateException(
-              s"commitStaged: lost the race into $dest and could not " +
-                s"recover $nested — staged data deleted, publish NOT committed")
+          if (!fs.exists(nested)) {
+            if (!(manifestFenced && fs.exists(recordAt(next)))) return next
+            // a manifest writer claimed this slot inside our window:
+            // its record is the commit of record for version `next`,
+            // so retract our dir and retry under the next number. A
+            // failed retraction strands our data SHADOWED (readers
+            // resolve the slot to the manifest record) — fail loudly.
+            if (!fs.rename(dest, stage)) {
+              throw new IllegalStateException(
+                s"commitStaged: lost slot $next to a manifest commit and " +
+                  s"could not retract $dest — publish NOT committed cleanly")
+            }
+          } else {
+            // lost the race on an FS that nests: pull our files back out
+            // and retry under the next number — dest belongs to the
+            // winner. If the un-nest itself fails, DELETE the nested dir
+            // rather than strand our half-commit inside the winner's
+            // reader-visible version directory.
+            if (!fs.rename(nested, stage)) {
+              fs.delete(nested, true)
+              throw new IllegalStateException(
+                s"commitStaged: lost the race into $dest and could not " +
+                  s"recover $nested — staged data deleted, publish NOT committed")
+            }
           }
         } else if (!fs.exists(dest)) {
           // rename refused with NO competing commit at the slot: a real
@@ -745,7 +828,16 @@ object Lake {
     * between commit flavors still lists one dense history. One LIST of
     * the base directory (+ one of `_commits` when present) — version
     * metadata is names, no data-file opens. */
-  def listVersions(spark: SparkSession, base: String): Seq[Int] = {
+  def listVersions(spark: SparkSession, base: String): Seq[Int] =
+    listVersionsFrom(spark, base, manifestRecords(spark, base))
+
+  /** The version union against an already-parsed record list — every
+    * multi-step resolution path (readVersion, readAsOf) parses
+    * `_commits` ONCE and threads the records through, so an AS-OF read
+    * costs one LIST + one pass over the records, not four (review
+    * r15). */
+  private def listVersionsFrom(spark: SparkSession, base: String,
+                               recs: Seq[(Int, String, Long)]): Seq[Int] = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val renamed =
@@ -753,29 +845,34 @@ object Lake {
       else fs.listStatus(basePath).toSeq
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
-    (renamed ++ manifestRecords(spark, base).map(_._1)).distinct.sorted
+    (renamed ++ recs.map(_._1)).distinct.sorted
   }
 
   /** Resolve a version number to its immutable data directory:
     * manifest-committed versions read the directory the commit record
     * names; rename-committed versions read `v=N`. Manifest wins when
     * both somehow exist (the record is the commit of record). */
-  private def versionDataPath(spark: SparkSession, base: String,
-                              v: Int): String =
-    manifestRecords(spark, base).find(_._1 == v) match {
+  private def versionDataPathFrom(base: String, v: Int,
+                                  recs: Seq[(Int, String, Long)]): String =
+    recs.find(_._1 == v) match {
       case Some((_, dir, _)) => s"$base/$dir"
       case None => s"$base/v=$v"
     }
+
+  private def versionDataPath(spark: SparkSession, base: String,
+                              v: Int): String =
+    versionDataPathFrom(base, v, manifestRecords(spark, base))
 
   /** Time-travel read: the given version, or the latest when None. Only
     * the one version's data directory is listed/scanned. */
   def readVersion(spark: SparkSession, base: String,
                   version: Option[Int] = None): DataFrame = {
-    val vs = listVersions(spark, base)
+    val recs = manifestRecords(spark, base)
+    val vs = listVersionsFrom(spark, base, recs)
     require(vs.nonEmpty, s"readVersion: no published versions under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"readVersion: version $v not in $vs")
-    spark.read.parquet(versionDataPath(spark, base, v))
+    spark.read.parquet(versionDataPathFrom(base, v, recs))
   }
 
   /** Commit timestamps per published version, ascending by version and
@@ -788,11 +885,15 @@ object Lake {
     * (clock skew, a staler writer winning a later slot), so AS-OF
     * resolution uses the running max — the same adjustment Delta makes
     * to its commit timestamps. */
-  def versionTimestamps(spark: SparkSession, base: String): Seq[(Int, Long)] = {
+  def versionTimestamps(spark: SparkSession, base: String): Seq[(Int, Long)] =
+    versionTimestampsFrom(spark, base, manifestRecords(spark, base))
+
+  private def versionTimestampsFrom(spark: SparkSession, base: String,
+                                    recs: Seq[(Int, String, Long)]): Seq[(Int, Long)] = {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = manifestRecords(spark, base).map(r => r._1 -> r._3).toMap
-    val raw = listVersions(spark, base).map { v =>
+    val manifest = recs.map(r => r._1 -> r._3).toMap
+    val raw = listVersionsFrom(spark, base, recs).map { v =>
       val ts = manifest.getOrElse(v, {
         val dir = new org.apache.hadoop.fs.Path(base, s"v=$v")
         val sidecar = new org.apache.hadoop.fs.Path(dir, "_commit_ts")
@@ -817,12 +918,13 @@ object Lake {
     * (version list + O(versions) tiny timestamp reads); only the one
     * resolved version's data directory is scanned. */
   def readAsOf(spark: SparkSession, base: String, tsMillis: Long): DataFrame = {
-    val ts = versionTimestamps(spark, base)
+    val recs = manifestRecords(spark, base)
+    val ts = versionTimestampsFrom(spark, base, recs)
     require(ts.nonEmpty, s"readAsOf: no published versions under $base")
     val hit = ts.filter(_._2 <= tsMillis)
     require(hit.nonEmpty,
       s"readAsOf: $tsMillis predates the first commit (${ts.head._2}) at $base")
-    readVersion(spark, base, Some(hit.last._1))
+    spark.read.parquet(versionDataPathFrom(base, hit.last._1, recs))
   }
 
   /** Partition-scheme EVOLUTION (Iceberg's partition evolution — the

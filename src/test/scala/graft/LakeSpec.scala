@@ -695,6 +695,68 @@ class LakeSpec extends AnyFunSuite {
     vs.foreach(n => assert(Lake.readVersion(spark, base, Some(n)).count() == 1))
   }
 
+  test("cross-flavor commit fencing: rename and manifest writers share one slot authority") {
+    import spark.implicits._
+    // review r15: a rename writer fences on v=N dirs, a manifest writer
+    // on _commits records — without CROSS-flavor checks the two could
+    // both claim slot N and the manifest record would silently shadow
+    // the rename writer's committed data. Both planted-conflict
+    // directions, then a live mixed race.
+    val base = TestSpark.scratch("lake_crossflavor")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(Lake.writeVersion(spark, Seq((1L, "seed")).toDF("k", "v"), base) == 1)
+    // (a) a manifest RECORD occupies the slot a rename writer computes:
+    // the rename pre-check must treat it as taken and skip to the next
+    Seq((9L, "m2")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/d-planted2")
+    assert(Lake.putCommitRecord(fs,
+      new org.apache.hadoop.fs.Path(base, "_commits/v=2.json"),
+      """{"v":2,"dir":"d-planted2","ts":1}""".getBytes("UTF-8")))
+    val vr = Lake.writeVersion(spark, Seq((2L, "r")).toDF("k", "v"),
+      base, mode = "rename")
+    assert(vr == 3, s"rename writer must skip the record-claimed slot, got $vr")
+    assert(Lake.readVersion(spark, base, Some(2)).head.getString(1) == "m2")
+    assert(Lake.readVersion(spark, base, Some(3)).head.getString(1) == "r")
+    // (b) a v=N DIR occupies the slot a manifest writer computes: its
+    // pre-check must skip it (listVersions unions, and the dir probe
+    // narrows the race window)
+    Seq((8L, "r4")).toDF("k", "v").write.mode("overwrite").parquet(s"$base/v=4")
+    val vm = Lake.writeVersion(spark, Seq((5L, "m")).toDF("k", "v"),
+      base, mode = "manifest")
+    assert(vm == 5, s"manifest writer must skip the dir-claimed slot, got $vm")
+    // (c) live mixed race: one rename thread vs one manifest thread
+    for (round <- 1 to 3) {
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = new Array[Int](2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val modes = Seq("rename", "manifest")
+      val threads = (0 to 1).map { i =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            results(i) = Lake.writeVersion(spark,
+              Seq((i.toLong, s"${modes(i)}-$round")).toDF("k", "v"), base,
+              mode = modes(i))
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, errs.toString)
+      assert(results(0) != results(1),
+        s"cross-flavor writers both claimed v=${results(0)} in round $round")
+      // both commits READ BACK as what their writer published
+      (0 to 1).foreach { i =>
+        assert(Lake.readVersion(spark, base, Some(results(i)))
+          .head.getString(1) == s"${modes(i)}-$round",
+          s"round $round: v=${results(i)} does not serve its writer's data")
+      }
+    }
+    val vs = Lake.listVersions(spark, base)
+    assert(vs == (1 to vs.max), vs.toString)
+  }
+
   test("manifest commit survives an object store whose rename overwrites") {
     import spark.implicits._
     // Simulated S3: a local-backed FileSystem whose rename onto an

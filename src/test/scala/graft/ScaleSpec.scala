@@ -242,7 +242,10 @@ class ScaleSpec extends AnyFunSuite {
       if (Set("dedup_clusters", "graph_pagerank", "graph_ppr", "graph_bfs",
           "graph_components", "graph_labelprop", "mm_cluster",
           "graph_sssp", "graph_kcore", "graph_hits", "graph_closeness",
-          "ann_mmr")(k))
+          // r15: the BPE trainer checkpoints per round (16+ merge
+          // support — the cached lineage's AQE plan string OOM'd); its
+          // merge-table output reads only checkpointed tops
+          "ann_mmr", "text_bpe")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
@@ -399,8 +402,28 @@ class ScaleSpec extends AnyFunSuite {
     //     regression trips this immediately and (a) structurally).
     // Unpartitioned NON-rank windows (the cumsum over a bucket-count
     // spine) are the q35/q41 spine contract, same boundedness, audited
-    // by the same (a)+(b) pair.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Window => LWindow}
+    // by the same (a)+(b) pair. The structural check walks the
+    // window's DIRECT input chain (through row-preserving/row-reducing
+    // nodes and joins whose every leg is itself bounded) — an
+    // Aggregate merely EXISTING somewhere in the subtree (e.g. a
+    // corpus joined against an aggregated subquery, the q15 shape)
+    // does not bound the window's input and must not pass.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+      Generate, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sort,
+      SubqueryAlias, Window => LWindow}
+    def boundedInput(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true // cardinality = the grouping domain
+      case _: GlobalLimit | _: LocalLimit => true // bounded by the limit
+      case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
+                _: LWindow) => boundedInput(n.children.head)
+      // a Generate over a bounded seed is the date-spine shape
+      // (explode(sequence(min_day, max_day)) over a 1-row aggregate);
+      // its fan-out is calendar-bounded, which fence (b) measures. A
+      // corpus explode fails here because its child is a corpus scan.
+      case g: Generate => boundedInput(g.child)
+      case j: Join => j.children.forall(boundedInput)
+      case _ => false
+    }
     var audited = 0
     SparkEntry.queries.keys.toSeq.sorted.foreach { k =>
       spark.sharedState.cacheManager.clearCache()
@@ -409,15 +432,18 @@ class ScaleSpec extends AnyFunSuite {
       plan.foreach {
         case w: LWindow if w.partitionSpec.isEmpty =>
           audited += 1
-          val aggBelow = w.child.exists {
-            case _: Aggregate => true
-            case _ => false
-          }
-          assert(aggBelow,
-            s"$k: unpartitioned window over NON-AGGREGATED rows — " +
-              s"a corpus-wide single-task sort at scale:\n${w.windowExpressions}")
+          assert(boundedInput(w.child),
+            s"$k: unpartitioned window whose direct input is not an " +
+              s"aggregation/limit spine — a corpus-wide single-task sort " +
+              s"at scale:\n${w.windowExpressions}\n${w.child.treeString}")
           val n = org.apache.spark.sql.graft.Bridge.ofRows(spark, w.child).count()
-          assert(n <= 4096,
+          info(s"$k: unpartitioned window input $n rows")
+          // largest legitimate spine at sf0.001 is the 1094-row day
+          // spine (calendar-bounded — grows with the date SPAN, never
+          // the corpus); the smallest corpus table (orders, 1500 rows)
+          // sits above the ceiling, so a corpus rank trips empirically
+          // even when the structural fence is somehow satisfied
+          assert(n <= 1200,
             s"$k: unpartitioned window ranks $n rows — not a bounded spine")
         case _ =>
       }
