@@ -364,6 +364,29 @@ class TextSpec extends AnyFunSuite {
     assert(a.exceptAll(unrolled).isEmpty && unrolled.exceptAll(a).isEmpty)
   }
 
+  test("bpe trainer convergence: rounds stop when nothing is left to merge") {
+    import spark.implicits._
+    // "ab ab": round 1 merges 'a b' (cnt 2) → every word is one symbol,
+    // round 2 finds NO adjacent pair → the trainer must stop at 1 merge
+    // even with maxRounds 5 headroom
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m = functions.TextAnalysis.bpeMergesConverged(docs, maxRounds = 5,
+      minPairCount = 1L).collect()
+    assert(m.length == 1 && m.head.getAs[String]("pair") == "a b", m.mkString(","))
+    // minPairCount as the vocab-delta bound: on the planted "aaab aaab
+    // ab" vocab, round 3's best pair has cnt 2 — a minPairCount of 3
+    // stops after the two ≥3 merges
+    val docs2 = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val m2 = functions.TextAnalysis.bpeMergesConverged(docs2, maxRounds = 5,
+      minPairCount = 3L).collect().map(_.getAs[String]("pair")).toSeq
+    assert(m2 == Seq("a a", "a b"), m2.toString)
+    // and a corpus with nothing mergeable at all fails loudly
+    intercept[IllegalArgumentException] {
+      functions.TextAnalysis.bpeMergesConverged(
+        Seq((1L, "a b c")).toDF("doc_id", "text"), 3, minPairCount = 5L)
+    }
+  }
+
   test("bpe fold extends past the old 3-round pin: 16 trained merges replay") {
     // the r14 require(rounds == 3) is lifted; the fold's cost is O(1)
     // in the merge count (one broadcast array), so 16 here stands in
