@@ -1225,7 +1225,20 @@ object Similarity {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     // codebooks train locally on the bounded sample; the full corpus is
     // sliced exactly once, for encoding (no cache needed — single pass)
-    val cents = trainCodebooksLocal(e)
+    pqTopKWith(emb, trainCodebooksLocal(e), queryIds, k)
+  }
+
+  /** [[pqTopK]] against an EXTERNALLY SUPPLIED codebook param table
+    * (m, code, c_emb) — the PQ half of the r15 index lifecycle: like
+    * [[ivfScoredWith]] for centroids, this lets the trained codebooks
+    * publish once via Lake.writeVersion and serve from the read-back
+    * artifact with zero in-query training (AnnSpec pins served ≡
+    * trained). The 128-row table broadcasts into encode + LUT legs
+    * exactly like the in-query-trained one. */
+  private[graft] def pqTopKWith(emb: DataFrame, codebooks: DataFrame,
+                                queryIds: Int, k: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = codebooks
     val codes = assignCodes(subvectors(e, "vec_id"), cents)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")

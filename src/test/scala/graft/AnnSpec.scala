@@ -389,6 +389,33 @@ class AnnSpec extends AnyFunSuite {
     assert(sources.Lake.readVersion(spark, base, None).count() == 4)
   }
 
+  test("persisted PQ codebooks serve exactly what in-query training serves") {
+    // the PQ half of the r15 index lifecycle: the 128-row codebook
+    // param table (m, code, c_emb) publishes via Lake.writeVersion and
+    // the ADC path serves from the read-back artifact with zero
+    // training — row-identical to the in-query-trained ranker
+    val emb = sources.Lake.table(spark, TestSpark.Sf, "embeddings")
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val base = TestSpark.scratch("pq_codebook_artifact")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val trained = Similarity.trainCodebooksLocal(e)
+    sources.Lake.writeVersion(spark, trained, base)
+    assert(sources.Lake.listVersions(spark, base) == Seq(1))
+    val back = sources.Lake.readVersion(spark, base, None)
+    assert(back.columns.toSet == Set("m", "code", "c_emb"))
+    // param table round-trips bit-exact
+    val a = trained.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val b = back.collect().map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(a == b)
+    val served = Similarity.pqTopKWith(emb, back, queryIds = 10, k = 10)
+    val inQuery = Similarity.pqTopK(emb, queryIds = 10, k = 10)
+    assert(served.exceptAll(inQuery).isEmpty &&
+      inQuery.exceptAll(served).isEmpty)
+  }
+
   test("MMR gate query-sample knob: selections untouched, recall on the sample only") {
     // r14 ADVICE: the recall-gate leg is the one corpus-scan cost left
     // in ann_mmr; production samples the query set there. The knob must
