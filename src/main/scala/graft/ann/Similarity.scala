@@ -1235,10 +1235,9 @@ object Similarity {
     * artifact with zero in-query training (AnnSpec pins served ≡
     * trained). The 128-row table broadcasts into encode + LUT legs
     * exactly like the in-query-trained one. */
-  private[graft] def pqTopKWith(emb: DataFrame, codebooks: DataFrame,
+  private[graft] def pqTopKWith(emb: DataFrame, cents: DataFrame,
                                 queryIds: Int, k: Int): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val cents = codebooks
     val codes = assignCodes(subvectors(e, "vec_id"), cents)
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")

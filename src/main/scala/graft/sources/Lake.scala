@@ -623,11 +623,16 @@ object Lake {
         wrote && {
           // ownership verify: the PUT we issued may have raced another
           // MACHINE's writer past the connector's exists-probe —
-          // whoever's body is actually at the path owns the slot
-          val in = fs.open(rec)
-          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          java.util.Arrays.equals(body.getBytes("UTF-8"), bytes)
+          // whoever's body is actually at the path owns the slot. A
+          // record that VANISHED before the verify (a racing loser's
+          // retraction landing between our PUT and this read) is also a
+          // lost slot, not a crash (review r15 #2 variant).
+          try {
+            val in = fs.open(rec)
+            val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            java.util.Arrays.equals(body.getBytes("UTF-8"), bytes)
+          } catch { case _: java.io.FileNotFoundException => false }
         }
       }
     } else {
@@ -669,9 +674,28 @@ object Lake {
       // may already have RETURNED success for this slot before our
       // record existed, and since resolution prefers the record, we
       // must retract it and retry rather than shadow their commit.
+      // (Accepted retraction tradeoff, documented: a reader that
+      // snapshots the record inside this microseconds-wide window can
+      // serve the retracting writer's rows for slot N once — the same
+      // transient both flavors' losers expose; committed-and-settled
+      // versions never mutate.)
       if (!fs.exists(dir) && putCommitRecord(fs, rec, json.getBytes("UTF-8"))) {
         if (!fs.exists(dir)) return next
-        fs.delete(rec, false)
+        // retract ONLY if the record is still OURS: on an object store
+        // another machine's PUT may have raced past the create probe
+        // and overwritten the path with a record IT verified and owns —
+        // deleting then would erase a winning commit (review r15 #2).
+        val ownRetracted =
+          try {
+            val in = fs.open(rec)
+            val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+            if (body == json) fs.delete(rec, false) else true // theirs: leave it
+          } catch { case _: java.io.FileNotFoundException => true }
+        if (!ownRetracted) throw new IllegalStateException(
+          s"commitManifest: lost slot $next to a rename commit and could " +
+            s"not retract $rec — the stale record would shadow the rename " +
+            s"writer's data; publish NOT committed cleanly")
       }
       attempt += 1
     }
@@ -749,7 +773,8 @@ object Lake {
                            base: String,
                            stage: org.apache.hadoop.fs.Path,
                            list: () => Seq[Int] = null,
-                           destName: Int => String = n => s"v=$n"): Int = {
+                           destName: Int => String = n => s"v=$n",
+                           fenceManifest: Boolean = true): Int = {
     val listFn = Option(list).getOrElse(() => listVersions(spark, base))
     // cross-flavor fence (review r15): a MANIFEST publisher racing the
     // same base claims slots through `_commits/v=N.json`, which creates
@@ -760,11 +785,13 @@ object Lake {
     // versionDataPath prefers it), so this writer un-renames and
     // retries. Both sides yielding in the same window is safe: both
     // artifacts retract and both writers retry at a fresh slot.
-    // Layout-epoch commits (destName != v=) have no manifest flavor —
-    // their record probe is vacuously false.
+    // Layout-epoch commits opt OUT via the explicit fenceManifest
+    // parameter — they have no manifest flavor to race (a string-probe
+    // of destName would silently drop the fence on a naming tweak,
+    // review r15 #4).
     def recordAt(n: Int): org.apache.hadoop.fs.Path =
       new org.apache.hadoop.fs.Path(base, s"$CommitsDir/${destName(n)}.json")
-    val manifestFenced = destName(1) == "v=1"
+    val manifestFenced = fenceManifest
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val next = listFn().lastOption.getOrElse(0) + 1
@@ -950,7 +977,8 @@ object Lake {
     sc.write(partitionCols.mkString(",").getBytes("UTF-8")); sc.close()
     commitStaged(spark, fs, base, stage,
       list = () => listLayoutEpochs(spark, base),
-      destName = n => s"layout=$n")
+      destName = n => s"layout=$n",
+      fenceManifest = false)
   }
 
   /** Layout epochs under `base`, ascending — one directory LIST. */

@@ -413,7 +413,11 @@ class ScaleSpec extends AnyFunSuite {
       SubqueryAlias, Window => LWindow}
     def boundedInput(p: LogicalPlan): Boolean = p match {
       case _: Aggregate => true // cardinality = the grouping domain
-      case _: GlobalLimit | _: LocalLimit => true // bounded by the limit
+      case _: GlobalLimit => true // bounded by the limit
+      // a LocalLimit bounds rows PER PARTITION, not overall — at 1000
+      // executors a bare LocalLimit(k) still feeds k×partitions rows
+      // into the window, so it only passes if its own input is bounded
+      case l: LocalLimit => boundedInput(l.child)
       case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
                 _: LWindow) => boundedInput(n.children.head)
       // a Generate over a bounded seed is the date-spine shape
