@@ -153,20 +153,39 @@ object Lake {
     * conditional on the value already in hand, not an extra validation
     * pass over the table. */
   def mortonKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-                bits: Int = 21): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{format_string, lit, raise_error, shiftright, shiftleft, when}
-    require(bits >= 1 && bits <= 31, s"bits per dimension must be in [1,31], got $bits")
+                bits: Int = 21): org.apache.spark.sql.Column =
+    mortonKeyN(Seq(a, b), bits)
+
+  /** K-DIMENSIONAL Morton interleave (r15 — the k-column sibling the
+    * k-column stats sidecar pairs with): bit i of dimension j lands at
+    * position i·k + j, so sorting by the result clusters rows that are
+    * close in EVERY dimension at once. Same codegen'd bitwise column
+    * arithmetic and per-row range guard as the 2-D form (which
+    * delegates here — identical bit layout at k = 2). k·bits ≤ 62
+    * keeps the key positive in a long; at the default 21 bits that
+    * admits k ≤ 2, so multi-column callers trade per-dimension
+    * resolution for dimensions exactly like Delta's Z-order does
+    * (e.g. k = 3 → bits ≤ 20, k = 4 → 15). */
+  def mortonKeyN(cols: Seq[org.apache.spark.sql.Column],
+                 bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat_ws, format_string, lit, raise_error, shiftright, shiftleft, when}
+    val k = cols.length
+    require(k >= 2, s"mortonKeyN: need at least 2 dimensions, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"mortonKeyN: need 1 <= bits and k*bits <= 62, got k=$k bits=$bits")
     val max = (1L << bits) - 1
-    val (al, bl) = (a.cast("long"), b.cast("long"))
+    val longs = cols.map(_.cast("long"))
     val interleave = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      longs.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j))
+      }
     }
-    when(al.between(0L, max) && bl.between(0L, max), interleave)
+    val inRange = longs.map(_.between(0L, max)).reduce(_ && _)
+    when(inRange, interleave)
       .otherwise(raise_error(format_string(
-        s"mortonKey: key outside [0, 2^$bits): a=%s b=%s — pre-normalize " +
-          "keys into range or raise bits", al, bl)))
+        s"mortonKeyN: key outside [0, 2^$bits): (%s) — pre-normalize " +
+          "keys into range or raise bits",
+        concat_ws(", ", longs.map(_.cast("string")): _*))))
   }
 
   /** Z-ordered persistence: range-repartition + sort by the Morton key of
@@ -177,9 +196,19 @@ object Lake {
     * tables filtered by two independent columns (customer × date). The
     * helper key column is dropped from the written schema. */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-                    partitions: Int, bits: Int = 21): Unit = {
+                    partitions: Int, bits: Int = 21): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), partitions, bits)
+
+  /** K-column Z-ordered persistence (r15): range-repartition + sort by
+    * the k-dimensional Morton key, so each parquet file covers a small
+    * hyper-rectangle of the key space and row-group min/max stats (or
+    * the k-column stats sidecar) skip data for predicates on ANY of the
+    * k dimensions. Same contract as the 2-D overload, which delegates
+    * here. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    partitions: Int, bits: Int): Unit = {
     import org.apache.spark.sql.functions.col
-    df.withColumn("__z", mortonKey(col(colA), col(colB), bits))
+    df.withColumn("__z", mortonKeyN(zCols.map(col), bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

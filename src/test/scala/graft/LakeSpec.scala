@@ -621,6 +621,69 @@ class LakeSpec extends AnyFunSuite {
     assert(micros == 1500000000123456L, micros.toString)
   }
 
+  test("k-dimensional morton key: exact bit layout, 2-D compatibility, range guard") {
+    import spark.implicits._
+    // independent Scala reference: bit i of dim j lands at i*k + j
+    def ref(vals: Seq[Long], bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        vals.zipWithIndex.foldLeft(acc) { case (a, (v, j)) =>
+          a | (((v >> i) & 1L) << (i * vals.length + j))
+        }
+      }
+    val rows = Seq((5L, 3L, 9L), (0L, 0L, 0L), (1023L, 1L, 512L))
+    val got = rows.toDF("a", "b", "c")
+      .select(Lake.mortonKeyN(Seq(col("a"), col("b"), col("c")), 10).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == rows.map(t => ref(Seq(t._1, t._2, t._3), 10)), got.toString)
+    // the 2-D form delegates: identical layout at k = 2
+    val two = Seq((5L, 3L)).toDF("a", "b")
+    val viaOld = two.select(Lake.mortonKey(col("a"), col("b"), 10)).head.getLong(0)
+    assert(viaOld == ref(Seq(5L, 3L), 10))
+    // out-of-range raises per row, naming the offending tuple
+    val err = intercept[Exception] {
+      Seq((1L << 12, 1L, 1L)).toDF("a", "b", "c")
+        .select(Lake.mortonKeyN(Seq(col("a"), col("b"), col("c")), 10))
+        .collect()
+    }
+    assert(err.getMessage.contains("mortonKeyN"), err.getMessage)
+    intercept[IllegalArgumentException] {
+      Lake.mortonKeyN(Seq(col("a"), col("b"), col("c")), 21) // 63 bits
+    }
+  }
+
+  test("3-column z-order + k-column stats skip files on EVERY dimension") {
+    // the full multi-dimensional skipping story: cluster on three
+    // independent keys at once, sidecar-index all three, and a band on
+    // ANY one of them must prune files while staying result-invariant
+    val p = TestSpark.scratch("lake_zorder3")
+    val n = 32768L
+    val df = spark.range(n).select(
+      (col("id") % 32).as("x"),
+      ((col("id") / 32) % 32).as("y"),
+      ((col("id") / 1024) % 32).as("z"),
+      col("id").as("payload"))
+    Lake.writeZOrdered(df, p, Seq("x", "y", "z"), partitions = 8, bits = 5)
+    Lake.writeStatsIndex(spark, p, Seq("x", "y", "z"))
+    val total = spark.read.parquet(p).inputFiles.length
+    assert(total >= 8, s"need multiple files, got $total")
+    Seq("x", "y", "z").foreach { c =>
+      val pruned = Lake.readSkippingBetween(spark, p, c, 0L, 3L)
+      assert(pruned.inputFiles.length < total,
+        s"band on $c opened all $total files")
+      val full = spark.read.parquet(p).filter(col(c).between(0L, 3L))
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        s"band on $c not result-invariant")
+    }
+    // composed 3-D box prunes at least as hard as any single band
+    val box = Lake.readSkipping(spark, p,
+      Seq(("x", 0L, 3L), ("y", 0L, 3L), ("z", 0L, 3L)))
+    assert(box.inputFiles.length < total)
+    val fullBox = spark.read.parquet(p).filter(
+      col("x").between(0L, 3L) && col("y").between(0L, 3L) &&
+        col("z").between(0L, 3L))
+    assert(box.exceptAll(fullBox).isEmpty && fullBox.exceptAll(box).isEmpty)
+  }
+
   test("manifest commit: immutable data dirs, commit records, no renames") {
     import spark.implicits._
     val base = TestSpark.scratch("lake_manifest")
