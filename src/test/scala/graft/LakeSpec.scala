@@ -994,6 +994,208 @@ class LakeSpec extends AnyFunSuite {
       .filter(col("id").between(6000L, 7999L) && col("w").between(0L, 3999L))
     assert(both.exceptAll(fullBoth).isEmpty && fullBoth.exceptAll(both).isEmpty)
   }
+
+  test("OCC: conditional publish raises typed conflict; racing upserts converge (both flavors)") {
+    import graft.sources.VersionConflictException
+    for (mode <- Seq("rename", "manifest")) {
+      val base = TestSpark.scratch(s"lake_occ_$mode")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Lake.writeVersion(spark,
+        Seq((1L, 0L), (2L, 0L)).toDF("k", "n"), base, mode)
+      // deterministic stale snapshot: another publisher lands v2 after
+      // this writer read v1 — the conditional publish must fail typed,
+      // not land as v3 with a silent lost update
+      Lake.writeVersion(spark,
+        Seq((1L, 5L), (2L, 0L)).toDF("k", "n"), base, mode)
+      val c = intercept[VersionConflictException] {
+        Lake.writeVersion(spark, Seq((1L, 0L), (2L, 7L)).toDF("k", "n"),
+          base, mode, expectedLatest = Some(1))
+      }
+      assert(c.expected == 1 && c.found == 2, c.getMessage)
+      assert(Lake.listVersions(spark, base) == Seq(1, 2), "conflict must not publish")
+      // matching snapshot publishes exactly the pinned slot
+      assert(Lake.writeVersion(spark, Seq((1L, 5L), (2L, 7L)).toDF("k", "n"),
+        base, mode, expectedLatest = Some(2)) == 3)
+      // live race: two read-modify-write publishers increment DIFFERENT
+      // keys from the SAME snapshot — without OCC one increment is lost;
+      // through upsertVersion the loser re-reads, re-applies, converges
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq((1L, 10L), (2L, 100L)).map { case (key, inc) =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            Lake.upsertVersion(spark, base, df =>
+              df.withColumn("n",
+                when(col("k") === key, col("n") + inc).otherwise(col("n"))),
+              mode = mode)
+            ()
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, errs.toString)
+      val fin = Lake.readVersion(spark, base)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fin == Map(1L -> 15L, 2L -> 107L),
+        s"$mode: lost update — final state $fin")
+      val vs = Lake.listVersions(spark, base)
+      assert(vs == (1 to vs.max), s"$mode: versions not dense: $vs")
+      // no publisher leaked staging/data dirs past its commit or conflict
+      val leaks = new java.io.File(base).listFiles().map(_.getName)
+        .filter(n => n.contains("staging"))
+      assert(leaks.isEmpty, leaks.mkString(","))
+    }
+  }
+
+  test("compactInPlace preserves z-order clustering, rebuilds the sidecar, and swaps crash-safely") {
+    val p = TestSpark.scratch("lake_compact_layout")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    // incompressible payload so targetMB=1 yields several output files
+    val df = spark.range(200000).select(
+      (col("id") % 512).as("x"), (col("id") / 512).as("y"),
+      md5(col("id").cast("string")).as("pad"))
+    // stranded-small-file state, z-order layout, stats sidecar
+    Lake.writeZOrdered(df.repartition(64), p, Seq("x", "y"),
+      partitions = 64, bits = 10)
+    Lake.writeStatsIndex(spark, p, Seq("x", "y"))
+    val total0 = spark.read.parquet(p).inputFiles.length
+    val band = Seq(("x", 0L, 63L), ("y", 0L, 48L))
+    val prunedBefore = Lake.readSkipping(spark, p, band)
+    val openedBefore = prunedBefore.inputFiles.length
+    assert(openedBefore < total0, s"$openedBefore vs $total0")
+    val want = prunedBefore.groupBy(col("x")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // layout-preserving compaction: fewer files, SAME pruning power
+    Lake.compactInPlace(spark, p, targetMB = 1,
+      sortCols = Seq("x", "y"), zOrderBits = 10)
+    val total1 = spark.read.parquet(p).inputFiles.length
+    assert(total1 < total0 / 4, s"barely compacted: $total0 -> $total1")
+    assert(total1 >= 4, s"need a multi-file result to prove pruning: $total1")
+    val prunedAfter = Lake.readSkipping(spark, p, band)
+    assert(prunedAfter.inputFiles.length < total1,
+      s"compaction destroyed the clustering: opens " +
+        s"${prunedAfter.inputFiles.length} of $total1")
+    val got = prunedAfter.groupBy(col("x")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, "compaction changed query results")
+    // contrast: round-robin compaction (no layout columns) loses the
+    // clustering — every file's range covers everything, nothing prunes
+    Lake.compactInPlace(spark, p, targetMB = 1)
+    val totalRR = spark.read.parquet(p).inputFiles.length
+    if (totalRR >= 4)
+      assert(Lake.readSkipping(spark, p, band).inputFiles.length == totalRR,
+        "round-robin unexpectedly kept per-file locality")
+    // crash simulation: (a) tmp stranded while the table is present
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$p.compact-tmp-deadbeef")
+    fs.mkdirs(tmp)
+    Lake.recoverCompactSwap(spark, p)
+    assert(!fs.exists(tmp), "stranded tmp must be swept")
+    // (b) crash between the two swap renames: path absent, aside holds
+    // the complete table — recovery restores it mechanically
+    val rows = spark.read.parquet(p).count()
+    val aside = new org.apache.hadoop.fs.Path(s"$p.compact-old-deadbeef")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(p), aside))
+    Lake.recoverCompactSwap(spark, p)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p)) && !fs.exists(aside))
+    assert(spark.read.parquet(p).count() == rows)
+  }
+
+  test("manifest checkpoint: O(interval) resolution, record-file independence, vacuum consistency") {
+    spark.conf.set("spark.graft.lake.checkpointInterval", "4")
+    try {
+      val base = TestSpark.scratch("lake_ckpt")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      (1 to 10).foreach { i =>
+        assert(Lake.writeVersion(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"),
+          base, mode = "manifest") == i)
+      }
+      val commits = new java.io.File(s"$base/_commits").listFiles().map(_.getName)
+      assert(commits.contains("_checkpoint-4.json") &&
+        commits.contains("_checkpoint-8.json"), commits.mkString(","))
+      assert(Lake.listVersions(spark, base) == (1 to 10))
+      assert(Lake.readVersion(spark, base, Some(3)).head.getString(1) == "v3")
+      assert(Lake.readVersion(spark, base).head.getString(1) == "v10")
+      // resolution must READ the checkpoint: retire the per-version
+      // record files it folded — versions 1..8 still resolve
+      (1 to 8).foreach { i =>
+        new java.io.File(s"$base/_commits/v=$i.json").delete()
+      }
+      assert(Lake.listVersions(spark, base) == (1 to 10),
+        "checkpointed records must survive record-file retirement")
+      assert(Lake.readVersion(spark, base, Some(2)).head.getString(1) == "v2")
+      assert(Lake.readVersion(spark, base, Some(9)).head.getString(1) == "v9")
+      // vacuum re-folds the checkpoint to SURVIVORS — dropped versions
+      // must not resurrect through a stale checkpoint
+      assert(Lake.vacuumVersions(spark, base, keep = 3) == (1 to 7))
+      assert(Lake.listVersions(spark, base) == Seq(8, 9, 10))
+      (8 to 10).foreach { i =>
+        assert(Lake.readVersion(spark, base, Some(i)).head.getString(1) == s"v$i")
+      }
+      val after = new java.io.File(s"$base/_commits").listFiles().map(_.getName)
+        .filter(_.startsWith("_checkpoint-")).toSeq
+      assert(after == Seq("_checkpoint-10.json"), after.mkString(","))
+    } finally spark.conf.set("spark.graft.lake.checkpointInterval", "16")
+  }
+
+  test("readSkipping names the rebuild when the sidecar does not cover the band column") {
+    val p = TestSpark.scratch("lake_statsidx_legacy")
+    Lake.writeSorted(
+      spark.range(1000).select(col("id"), (col("id") * 2).as("w")),
+      p, Seq("id"), partitions = 2)
+    Lake.writeStatsIndex(spark, p, "id")
+    val ex = intercept[IllegalArgumentException] {
+      Lake.readSkippingBetween(spark, p, "w", 0L, 10L)
+    }
+    assert(ex.getMessage.contains("rebuild") && ex.getMessage.contains("w"),
+      ex.getMessage)
+  }
+
+  test("vacuum sweeps a shadowed v=N dir with its manifest record — no resurrection") {
+    val base = TestSpark.scratch("lake_vacuum_shadow")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    (1 to 3).foreach { i =>
+      Lake.writeVersion(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"),
+        base, mode = "manifest")
+    }
+    // the documented failed-retraction crash window: a v=1 dir beside
+    // the manifest record for the same slot
+    val shadow = new java.io.File(s"$base/v=1")
+    shadow.mkdirs()
+    java.nio.file.Files.write(shadow.toPath.resolve("stale"),
+      "x".getBytes("UTF-8"))
+    assert(Lake.vacuumVersions(spark, base, keep = 2) == Seq(1))
+    assert(!shadow.exists(),
+      "dropping the record alone would resurrect v=1 from the shadow dir")
+    assert(Lake.listVersions(spark, base) == Seq(2, 3))
+  }
+
+  test("compactPartitions rewrites only the planned partitions; untouched files byte-identical") {
+    val p = TestSpark.scratch("lake_compact_parts")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    spark.range(10000)
+      .select(col("id"), (col("id") % 10).cast("int").as("part"))
+      .repartition(4)
+      .write.mode("overwrite").partitionBy("part").parquet(p)
+    def listing(v: Int) = new java.io.File(s"$p/part=$v").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val untouched = (5 to 9).map(v => v -> listing(v)).toMap
+    val before = spark.read.parquet(p).groupBy(col("part"))
+      .agg(count(lit(1)), sum(col("id"))).collect().map(r => r.getInt(0) -> r).toMap
+    (0 to 4).foreach(v => assert(listing(v).size == 4, s"part=$v not fragmented"))
+    Lake.compactPartitions(spark, p, "part", jobs = Seq((0, 2), (3, 4)))
+    (0 to 4).foreach(v =>
+      assert(listing(v).size == 1, s"part=$v not compacted: ${listing(v)}"))
+    (5 to 9).foreach(v => assert(listing(v) == untouched(v),
+      s"untouched part=$v was rewritten"))
+    val after = spark.read.parquet(p).groupBy(col("part"))
+      .agg(count(lit(1)), sum(col("id"))).collect().map(r => r.getInt(0) -> r).toMap
+    assert(after.keySet == before.keySet)
+    after.keySet.foreach(k => assert(after(k) == before(k), s"part=$k changed"))
+  }
 }
 
 /** Simulated object store for LakeSpec: local-backed, but rename onto an
