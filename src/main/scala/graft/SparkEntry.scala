@@ -41,7 +41,8 @@ object SparkEntry {
   val materializingQueries: Set[String] = Set(
     "etl_ingest_json", "etl_ingest_csv", "etl_ingest_orc", "etl_ingest_avro",
     "etl_partitioned_write", "etl_zorder_read", "etl_incremental_read",
-    "etl_incremental_agg", "etl_compact_read", "etl_delete",
+    "etl_incremental_agg", "etl_compact_read", "etl_compact_exec",
+    "etl_txn_retry", "etl_hidden_partition", "etl_delete",
     "etl_snapshot_read", "etl_asof_read", "etl_wap", "etl_snapshot_diff",
     "etl_evolve_read",
     "etl_badrecords", "etl_stats_prune", "etl_dpp_join", "etl_ivm_join",

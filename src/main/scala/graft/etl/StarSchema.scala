@@ -439,6 +439,109 @@ object StarSchema {
         .orderBy(col("job_id"))
     }),
 
+    // OPTIMIZE executor (r16 — the execution half of the planner above,
+    // §A): events land date-partitioned as stranded small files, the
+    // planner's sequential-fill jobs are collected (a jobs-bounded
+    // METADATA collect — the plan table is O(days/target) rows), and
+    // Lake.compactPartitions rewrites ONLY the planned partitions into
+    // one file each through the touched-partition discipline (untouched
+    // partitions' files stay byte-identical — LakeSpec pins the
+    // listings). The oracle recomputes the per-day aggregate over the
+    // raw table: a rewrite that loses or duplicates a row cannot hash.
+    "etl_compact_exec" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val path = scratch("etl_compact_exec")
+      t(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(8)
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      val parts = s.read.parquet(path)
+        .groupBy(col("event_date")).agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy(col("event_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val jobs = parts
+        .withColumn("cum", sum(col("n_rows")).over(w))
+        .withColumn("job_id", expr(s"(cum - n_rows) div $CompactionTargetRows"))
+        .groupBy(col("job_id"))
+        .agg(min(col("event_date")).as("first_day"),
+          max(col("event_date")).as("last_day"))
+        .orderBy(col("job_id"))
+        .collect().map(r => (r.getDate(1): Any, r.getDate(2): Any)).toSeq
+      Lake.compactPartitions(s, path, "event_date", jobs)
+      s.read.parquet(path)
+        .groupBy(col("event_date").cast("date").as("event_date"))
+        .agg(count(lit(1)).as("cnt"),
+          round(gridSum(col("value"), 2), 2).as("sum_value"))
+        .orderBy(col("event_date"))
+    }),
+
+    // Transactional conflict-then-retry replay (r16 — the OCC layer as
+    // a query surface, §A): two read-modify-write publishers both read
+    // v1; B's conditional publish (expectedLatest=1) wins v2, A's
+    // conditional publish of its STALE merge raises the typed
+    // VersionConflictException — the lost update that plain slot
+    // fencing admits — and A's retry re-reads v2, re-applies, and lands
+    // v3 through Lake.upsertVersion. The key REQUIREs the conflict
+    // actually fired (a silent success would mean the guard is gone).
+    // The oracle replays both upserts sequentially over the raw table:
+    // the converged table must equal serialized execution, which is
+    // the whole point of OCC.
+    "etl_txn_retry" -> ((s, dir) => {
+      val path = scratch("etl_txn_retry")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      Lake.writeVersion(s, cust, path) // v1
+      val v1 = Lake.readVersion(s, path, Some(1))
+      def bump(df: DataFrame, nation: Int, delta: Double): DataFrame =
+        Lake.upsert(df,
+          df.filter(col("c_nationkey") === nation)
+            .withColumn("c_acctbal", round(col("c_acctbal") + delta, 2)),
+          Seq("c_custkey"))
+      // writer B publishes first, conditional on the v1 it read — wins v2
+      Lake.writeVersion(s, bump(v1, 7, 100.0), path, expectedLatest = Some(1))
+      // writer A's conditional publish of the stale v1 merge MUST conflict
+      var conflicted = false
+      try Lake.writeVersion(s, bump(v1, 3, -50.0), path, expectedLatest = Some(1))
+      catch { case _: graft.sources.VersionConflictException => conflicted = true }
+      require(conflicted,
+        "etl_txn_retry: the stale conditional publish did not conflict")
+      // ... and the retry loop converges: re-read latest, re-apply, publish
+      Lake.upsertVersion(s, path, df => bump(df, 3, -50.0))
+      Lake.readVersion(s, path)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(gridSum(col("c_acctbal"), 2), 2).as("sum_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Hidden partitioning end-to-end (r16 — Iceberg partition
+    // transforms, §A): events land partitioned by the DERIVED
+    // event_date = date(ts), and the reader filters on RAW ts only —
+    // readHiddenRange rewrites the raw range into the partition band
+    // [date(lo), date(hi)] (sound because date truncation is monotone),
+    // which constant-folds and prunes at FILE-LISTING time (ScaleSpec
+    // pins PartitionFilters on the scan), then re-applies the exact ts
+    // predicate to trim the boundary partitions' overshoot. Without the
+    // rewrite a raw-ts predicate silently full-scans — the usability
+    // failure hidden partitioning exists to close. The bounds sit
+    // mid-day on both ends so the boundary trim is actually exercised.
+    "etl_hidden_partition" -> ((s, dir) => {
+      val path = scratch("etl_hidden_partition")
+      Lake.writeHiddenPartitioned(
+        t(s, dir, "events").select("event_id", "ts", "event_type", "value"),
+        path, "ts", "event_date", to_date(_))
+      Lake.readHiddenRange(s, path, "ts", "event_date", to_date(_),
+        lit("2024-01-08 06:30:00").cast("timestamp"),
+        lit("2024-01-25 17:45:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(gridSum(col("value"), 2), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Targeted key erasure end-to-end (the GDPR/right-to-be-forgotten
     // maintenance pass — §A engine completeness beyond upsert): events
     // land bucket-partitioned on user_id (the stream_upsert state-store
@@ -1535,6 +1638,38 @@ object StarSchema {
          |  CAST(min(event_date) AS VARCHAR) AS first_day,
          |  CAST(max(event_date) AS VARCHAR) AS last_day
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Per-day aggregate over the raw table — the compacted rewrite must
+    // be row-for-row identical.
+    "etl_compact_exec" ->
+      """WITH ev AS (SELECT make_timestamp(epoch_us(ts)) AS ts, value FROM events)
+        |SELECT CAST(ts AS DATE) AS event_date, count(*) AS cnt,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Sequential replay of both upserts (B's nation-7 bump, then A's
+    // nation-3 debit) — OCC must make the racing execution equal this.
+    "etl_txn_retry" ->
+      """WITH c AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN c_nationkey = 7 THEN round(c_acctbal + 100.0, 2)
+        |         WHEN c_nationkey = 3 THEN round(c_acctbal - 50.0, 2)
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  round(CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_bal
+        |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // The raw-ts range over the unpartitioned table — the hidden-
+    // partition pruned read must be result-invariant to the layout.
+    "etl_hidden_partition" ->
+      """WITH ev AS (SELECT make_timestamp(epoch_us(ts)) AS ts, event_type, value FROM events)
+        |SELECT event_type, count(*) AS cnt,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
+        |FROM ev
+        |WHERE ts >= TIMESTAMP '2024-01-08 06:30:00'
+        |  AND ts <= TIMESTAMP '2024-01-25 17:45:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "etl_zorder_read" ->
       """SELECT count(*) AS n_orders, round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,

@@ -146,6 +146,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("etl_hidden_partition prunes on the DERIVED column from a raw-ts predicate") {
+    // the transform rewrite must reach the file listing: the scan's
+    // PartitionFilters carry the event_date band even though the query
+    // names only raw ts — without it, hidden partitioning is a full scan
+    val df = SparkEntry.queries("etl_hidden_partition")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"expected the rewritten band as a partition filter on the scan:\n$plan")
+    // and the filter is not vacuous: the scan's numFiles metric (the
+    // post-listing-prune count — inputFiles snapshots the UN-pruned
+    // listing) stays below the table's file count
+    assert(df.count() > 0)
+    val path = sources.Lake.scratch("etl_hidden_partition")
+    val total = spark.read.parquet(path).inputFiles.length
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metrics("numFiles").value)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val opened = scans(df.queryExecution.executedPlan)
+    assert(opened.nonEmpty && opened.forall(_ < total),
+      s"hidden-partition read opened $opened of $total files")
+  }
+
   test("etl_dpp_join prunes fact partitions at runtime (DPP)") {
     // the dim filter's surviving key set must reach the fact scan as a
     // runtime partition filter — without DPP the star join reads every
