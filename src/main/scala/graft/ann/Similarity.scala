@@ -361,6 +361,22 @@ object Similarity {
     "ann_mmr" -> ((s, dir) =>
       mmrSelect(t(s, dir, "embeddings"), nProbe = IvfProbe)),
 
+    // The PRODUCTION operating point of ann_mmr's certification leg
+    // (r16 — the r15 watch item made a green key): the recall gate runs
+    // on a deterministic md5-uniform HALF of the query set
+    // (gateQuerySample = 0.5), so the exact brute-force leg scans
+    // corpus × |Q|/2 instead of corpus × |Q| while the SELECTIONS are
+    // untouched (the gate is a report riding the output, never an input
+    // to the picks — AnnSpec pins selection equality with the full-gate
+    // run, and that uncertified queries carry NULL cand_recall, the
+    // honest "not certified this run" marker the oracle's sampled bf
+    // leg replays exactly). At 100 TB this is how the one remaining
+    // corpus-scan cost in the MMR pipeline is paid: on a sample, as a
+    // monitoring report, not per query.
+    "ann_mmr_sampled" -> ((s, dir) =>
+      mmrSelect(t(s, dir, "embeddings"), nProbe = IvfProbe,
+        gateQuerySample = 0.5)),
+
     // SemDeDup (Abbas et al. 2023) — semantic dedup, registered beside
     // the dedup family in SURVEY §C: k-means clusters bound the
     // quadratic, then WITHIN each cluster any vector with a lower-id
@@ -1087,6 +1103,105 @@ object Similarity {
         col("rel"))
   }
 
+  /** ann_mmr_sampled's deterministic gate-sample predicate, DuckDB side —
+    * the md5-top-15-nibble uniform draw [[mmrSelect]] makes with
+    * 'mmrgate:' salt (the text_sample_stratified parity: hex → BIGINT →
+    * /2^60 converts through the same 53-bit double rounding as Spark's
+    * conv-string → DOUBLE cast). */
+  private val MmrGateSamplePred =
+    " AND CAST(concat('0x', substr(md5('mmrgate:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) / 1152921504606846976.0 < 0.5"
+
+  /** The shared ann_mmr / ann_mmr_sampled oracle: the IVF candidate
+    * legs and the greedy MMR trajectory are IDENTICAL; `gateSamplePred`
+    * restricts only the brute-force certification leg's query set, and
+    * the final LEFT JOIN surfaces NULL cand_recall for queries the gate
+    * did not certify this run (for the full gate every query matches,
+    * so the left join degenerates to the old inner join). */
+  private def annMmrOracle(gateSamplePred: String): String = {
+    val steps = (2 to 5).map { k =>
+      val p = k - 1
+      s"""r$k AS (SELECT c.* FROM cand c ANTI JOIN sel$p s
+         |  ON c.query_id = s.query_id AND c.vec_id = s.vec_id),
+         |m$k AS (
+         |  SELECT r.query_id, r.vec_id,
+         |    max(list_cosine_similarity(CAST(r.embedding AS DOUBLE[]),
+         |      CAST(s.embedding AS DOUBLE[]))) AS msim
+         |  FROM r$k r JOIN sel$p s USING (query_id) GROUP BY 1, 2),
+         |s$k AS (
+         |  SELECT query_id, vec_id, embedding, mmr, $k AS step FROM (
+         |    SELECT r.query_id, r.vec_id, r.embedding,
+         |      0.7 * r.rel - 0.3 * m.msim AS mmr,
+         |      row_number() OVER (PARTITION BY r.query_id
+         |        ORDER BY (0.7 * r.rel - 0.3 * m.msim) DESC, r.vec_id) AS rn
+         |    FROM r$k r JOIN m$k m
+         |      ON r.query_id = m.query_id AND r.vec_id = m.vec_id)
+         |  WHERE rn = 1),
+         |sel$k AS (SELECT * FROM sel$p UNION ALL SELECT * FROM s$k),"""
+        .stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |${kmeansCtes(IvfCentroids, KmeansIters)},
+       |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, emb, centroid_id FROM (
+       |    SELECT e.vec_id, e.emb, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+       |                 c.centroid_id) AS rnk
+       |    FROM e CROSS JOIN c)
+       |  WHERE rnk = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, q_emb, centroid_id FROM (
+       |    SELECT e.vec_id AS query_id, e.emb AS q_emb, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+       |                 c.centroid_id) AS rnk
+       |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries)
+       |  WHERE rnk <= $IvfProbe),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, vec_id, embedding, rel FROM (
+       |    SELECT p.query_id, a.vec_id, a.emb AS embedding,
+       |      list_cosine_similarity(p.q_emb, a.emb) AS rel,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY list_cosine_similarity(p.q_emb, a.emb) DESC,
+       |                 a.vec_id) AS crn
+       |    FROM assigned a JOIN probes p USING (centroid_id)
+       |    WHERE a.vec_id <> p.query_id)
+       |  WHERE crn <= 20),
+       |bf AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, cc.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.emb, cc.emb) DESC,
+       |                 cc.vec_id) AS crn
+       |    FROM (SELECT * FROM e WHERE vec_id < $NumQueries$gateSamplePred) q
+       |    CROSS JOIN e cc
+       |    WHERE cc.vec_id <> q.vec_id)
+       |  WHERE crn <= 20),
+       |rc AS (
+       |  SELECT bf.query_id,
+       |    CAST(sum(CASE WHEN cd.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS DOUBLE) / count(*) AS cand_recall
+       |  FROM bf LEFT JOIN (SELECT query_id, vec_id FROM cand) cd
+       |    ON bf.query_id = cd.query_id AND bf.vec_id = cd.vec_id
+       |  GROUP BY bf.query_id),
+       |s1 AS (
+       |  SELECT query_id, vec_id, embedding, 0.7 * rel AS mmr, 1 AS step
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY (0.7 * rel) DESC, vec_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT * FROM s1),
+       |$steps
+       |final AS (SELECT * FROM sel5)
+       |SELECT f.query_id, CAST(f.step AS INTEGER) AS step,
+       |  f.vec_id AS neighbor_id, round(f.mmr, 6) + 0.0 AS mmr_score,
+       |  rc.cand_recall
+       |FROM final f LEFT JOIN rc ON f.query_id = rc.query_id
+       |ORDER BY f.query_id, f.step""".stripMargin
+  }
+
   /** Squared L2 distance between two double arrays, as a narrow HOF fold
     * (zip_with + aggregate — no explode, stays inside codegen). */
   private def l2sq(a: String, b: String): String =
@@ -1766,91 +1881,12 @@ object Similarity {
          |ORDER BY query_id, rk""".stripMargin) +
     // Same cosine candidates, same λ·rel − (1−λ)·max-sim objective in
     // the same spelled order, same (mmr DESC, vec_id) argmax — the
-    // greedy trajectory unrolled as one CTE block per step.
-    ("ann_mmr" -> {
-      val steps = (2 to 5).map { k =>
-        val p = k - 1
-        s"""r$k AS (SELECT c.* FROM cand c ANTI JOIN sel$p s
-           |  ON c.query_id = s.query_id AND c.vec_id = s.vec_id),
-           |m$k AS (
-           |  SELECT r.query_id, r.vec_id,
-           |    max(list_cosine_similarity(CAST(r.embedding AS DOUBLE[]),
-           |      CAST(s.embedding AS DOUBLE[]))) AS msim
-           |  FROM r$k r JOIN sel$p s USING (query_id) GROUP BY 1, 2),
-           |s$k AS (
-           |  SELECT query_id, vec_id, embedding, mmr, $k AS step FROM (
-           |    SELECT r.query_id, r.vec_id, r.embedding,
-           |      0.7 * r.rel - 0.3 * m.msim AS mmr,
-           |      row_number() OVER (PARTITION BY r.query_id
-           |        ORDER BY (0.7 * r.rel - 0.3 * m.msim) DESC, r.vec_id) AS rn
-           |    FROM r$k r JOIN m$k m
-           |      ON r.query_id = m.query_id AND r.vec_id = m.vec_id)
-           |  WHERE rn = 1),
-           |sel$k AS (SELECT * FROM sel$p UNION ALL SELECT * FROM s$k),"""
-          .stripMargin
-      }.mkString("\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |           FROM embeddings),
-         |${kmeansCtes(IvfCentroids, KmeansIters)},
-         |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
-         |assigned AS MATERIALIZED (
-         |  SELECT vec_id, emb, centroid_id FROM (
-         |    SELECT e.vec_id, e.emb, c.centroid_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
-         |                 c.centroid_id) AS rnk
-         |    FROM e CROSS JOIN c)
-         |  WHERE rnk = 1),
-         |probes AS MATERIALIZED (
-         |  SELECT query_id, q_emb, centroid_id FROM (
-         |    SELECT e.vec_id AS query_id, e.emb AS q_emb, c.centroid_id,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
-         |                 c.centroid_id) AS rnk
-         |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries)
-         |  WHERE rnk <= $IvfProbe),
-         |cand AS MATERIALIZED (
-         |  SELECT query_id, vec_id, embedding, rel FROM (
-         |    SELECT p.query_id, a.vec_id, a.emb AS embedding,
-         |      list_cosine_similarity(p.q_emb, a.emb) AS rel,
-         |      row_number() OVER (PARTITION BY p.query_id
-         |        ORDER BY list_cosine_similarity(p.q_emb, a.emb) DESC,
-         |                 a.vec_id) AS crn
-         |    FROM assigned a JOIN probes p USING (centroid_id)
-         |    WHERE a.vec_id <> p.query_id)
-         |  WHERE crn <= 20),
-         |bf AS (
-         |  SELECT query_id, vec_id FROM (
-         |    SELECT q.vec_id AS query_id, cc.vec_id,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY list_cosine_similarity(q.emb, cc.emb) DESC,
-         |                 cc.vec_id) AS crn
-         |    FROM (SELECT * FROM e WHERE vec_id < $NumQueries) q
-         |    CROSS JOIN e cc
-         |    WHERE cc.vec_id <> q.vec_id)
-         |  WHERE crn <= 20),
-         |rc AS (
-         |  SELECT bf.query_id,
-         |    CAST(sum(CASE WHEN cd.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-         |         AS DOUBLE) / count(*) AS cand_recall
-         |  FROM bf LEFT JOIN (SELECT query_id, vec_id FROM cand) cd
-         |    ON bf.query_id = cd.query_id AND bf.vec_id = cd.vec_id
-         |  GROUP BY bf.query_id),
-         |s1 AS (
-         |  SELECT query_id, vec_id, embedding, 0.7 * rel AS mmr, 1 AS step
-         |  FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY (0.7 * rel) DESC, vec_id) AS rn FROM cand)
-         |  WHERE rn = 1),
-         |sel1 AS (SELECT * FROM s1),
-         |$steps
-         |final AS (SELECT * FROM sel5)
-         |SELECT f.query_id, CAST(f.step AS INTEGER) AS step,
-         |  f.vec_id AS neighbor_id, round(f.mmr, 6) + 0.0 AS mmr_score,
-         |  rc.cand_recall
-         |FROM final f JOIN rc ON f.query_id = rc.query_id
-         |ORDER BY f.query_id, f.step""".stripMargin
-    }) +
+    // greedy trajectory unrolled as one CTE block per step. The sampled
+    // variant differs ONLY in the gate leg's query predicate (and the
+    // left join's NULLs for uncertified queries) — one builder, so the
+    // trajectories can't drift apart.
+    ("ann_mmr" -> annMmrOracle(gateSamplePred = "")) +
+    ("ann_mmr_sampled" -> annMmrOracle(gateSamplePred = MmrGateSamplePred)) +
     // Same global symmetric scale (one max|x| scalar), same int codes
     // (identical doubles → identical round → identical integers), same
     // exact long dot fold, same integer-deterministic ranking;
