@@ -337,6 +337,118 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }
 
+  /** Unigram-LM tokenizer trainer constants (text_unigram_lm). Words
+    * longer than the cap leave the vocab (a 100 TB corpus carries
+    * unbounded junk "words"; the cap bounds every per-word DP), bigram
+    * pieces need this much weighted support to enter the initial model,
+    * survive sweep-1 pruning with this many uses, and the key reports
+    * the top-K pieces. */
+  private val UnigramLenCap = 24
+  private val UnigramMinBigram = 5L
+  private val UnigramPruneMin = 5L
+  private val UnigramTopK = 30
+
+  /** Piece costs from counts: cost(p) = qln(Σcnt) − qln(cnt) in
+    * micro-nats — the −ln(p) unigram-LM cost, micro-quantized to a LONG
+    * over integer counts (the bigramLm/char-entropy discipline) so the
+    * Viterbi DP below is exact integer arithmetic and replays
+    * bit-identically in the oracle. */
+  private def withPieceCosts(pieces: DataFrame): DataFrame = {
+    val tot = pieces.agg(sum(col("cnt")).as("t"))
+    pieces.crossJoin(broadcast(tot))
+      .select(col("p"), col("plen"), col("cnt"),
+        (round(log(col("t").cast("double")) * 1e6).cast("long") -
+          round(log(col("cnt").cast("double")) * 1e6).cast("long")).as("cost"))
+  }
+
+  /** One unigram-LM E-step: Viterbi-segment every VOCAB word under the
+    * model's quantized piece costs and return weighted piece-usage
+    * counts. The model (≤ alphabet + admitted-bigram pieces) collapses
+    * to ONE broadcast map row; the forward min-cost DP and the backward
+    * path walk are per-word `aggregate` folds over char positions —
+    * narrow codegen'd passes over the vocab table, nothing corpus-sized
+    * anywhere (the bpe trainer's vocab-not-corpus tractability). Exact
+    * long costs ⇒ exact argmin; ties prefer the bigram (the backward
+    * walk checks the bigram leg first), which the oracle replays with
+    * the same CASE order. */
+  private[graft] def segmentUses(vocab: DataFrame, model: DataFrame): DataFrame = {
+    val mrow = model.agg(
+      map_from_entries(collect_list(struct(col("p"), col("cost")))).as("m"))
+    vocab.crossJoin(broadcast(mrow))
+      .withColumn("f", expr(
+        """aggregate(sequence(1, length(w)), array(0L),
+          |  (acc, i) -> array_append(acc, least(
+          |    element_at(acc, i) + try_element_at(m, substring(w, i, 1)),
+          |    IF(i >= 2 AND try_element_at(m, substring(w, i - 1, 2)) IS NOT NULL,
+          |       element_at(acc, i - 1) + try_element_at(m, substring(w, i - 1, 2)),
+          |       4611686018427387904L))))""".stripMargin))
+      .withColumn("ps", expr(
+        """aggregate(sequence(1, length(w)),
+          |  named_struct('pos', length(w), 'ps', cast(array() as array<string>)),
+          |  (acc, x) -> IF(acc.pos <= 0, acc,
+          |    IF(acc.pos >= 2
+          |       AND try_element_at(m, substring(w, acc.pos - 1, 2)) IS NOT NULL
+          |       AND element_at(f, acc.pos + 1) =
+          |           element_at(f, acc.pos - 1) +
+          |             try_element_at(m, substring(w, acc.pos - 1, 2)),
+          |       named_struct('pos', acc.pos - 2,
+          |         'ps', array_append(acc.ps, substring(w, acc.pos - 1, 2))),
+          |       named_struct('pos', acc.pos - 1,
+          |         'ps', array_append(acc.ps, substring(w, acc.pos, 1))))),
+          |  acc -> acc.ps)""".stripMargin))
+      .select(col("wc"), explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(sum(col("wc")).as("uses"))
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer — the OTHER
+    * production tokenizer family beside BPE (Kudo 2018): start from a
+    * candidate piece inventory (all chars + adjacent char bigrams with
+    * weighted support ≥ [[UnigramMinBigram]]) with MLE costs, then EM
+    * over the WORD-VOCAB table: E-step Viterbi-segments every vocab
+    * word under current costs ([[segmentUses]]); M-step re-estimates
+    * counts from the segmentations, PRUNES bigram pieces below
+    * [[UnigramPruneMin]] uses (single chars never prune — the
+    * SentencePiece guarantee that every string stays segmentable), and
+    * re-derives costs with +1 smoothing (an unused survivor must keep a
+    * finite cost). Two sweeps, fixed — the fixed-sweep replayability
+    * discipline of the k-means/pagerank family. Output = the final
+    * model's top-[[UnigramTopK]] pieces by sweep-2 usage with their
+    * exact micro-nat costs (all longs — no float leaves the engine).
+    * Scale: the trainer never iterates the corpus, only the vocab; the
+    * model broadcasts as one map row; each sweep is one narrow
+    * codegen'd pass + a piece-sized groupBy. */
+  private[graft] def unigramLm(docs: DataFrame): DataFrame = {
+    val vocab = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")).between(1, UnigramLenCap))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .cache() // read 4× (chars, bigrams, two sweeps); vocab-sized
+    val chars = vocab
+      .select(col("wc"), explode(split(col("w"), "")).as("p"))
+      .filter(length(col("p")) > 0)
+      .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
+      .withColumn("plen", lit(1))
+    val bis = vocab.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("p"))
+      .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
+      .filter(col("cnt") >= UnigramMinBigram)
+      .withColumn("plen", lit(2))
+    val model0 = withPieceCosts(chars.unionByName(bis))
+    val uses1 = segmentUses(vocab, model0)
+    val model1 = withPieceCosts(
+      model0.select("p", "plen").join(uses1, Seq("p"), "left")
+        .withColumn("uses", coalesce(col("uses"), lit(0L)))
+        .filter(col("plen") === 1 || col("uses") >= UnigramPruneMin)
+        .select(col("p"), col("plen"), (col("uses") + lit(1L)).as("cnt")))
+    val uses2 = segmentUses(vocab, model1)
+    model1.join(uses2, Seq("p"), "left")
+      .select(col("p").as("piece"),
+        coalesce(col("uses"), lit(0L)).as("n_uses"),
+        col("cost").as("cost_q"))
+      .orderBy(col("n_uses").desc, col("piece"))
+      .limit(UnigramTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting + char/word stats: whitespace tokens and a BPE-ish
@@ -1162,6 +1274,15 @@ object TextAnalysis {
     // the per-doc mean (logprob precedent).
     "text_bigram_lm" -> ((s, dir) => bigramLm(t(s, dir, "documents"))),
 
+    // Unigram-LM tokenizer training (Kudo 2018 — the SentencePiece
+    // family, closing the tokenizer surface beside BPE): see
+    // [[unigramLm]]. The oracle replays BOTH EM sweeps with recursive
+    // CTEs — the forward min-cost DP and backward path walk as linear
+    // recursions over char positions with the same quantized long
+    // costs and the same prefer-bigram tie-break, so the trained model
+    // hash-matches across engines.
+    "text_unigram_lm" -> ((s, dir) => unigramLm(t(s, dir, "documents"))),
+
     // The composed corpus gate — the C4/Gopher-shaped "assemble the
     // training corpus" decision, one row per document with the reason
     // flags a data audit needs: quality score over threshold (0.2 ≈ the
@@ -1877,6 +1998,83 @@ object TextAnalysis {
         |FROM dc JOIN bc USING (bigram)
         |JOIN cc ON string_split(dc.bigram, ' ')[1] = cc.w1
         |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin,
+
+    // Both EM sweeps replayed exactly: same vocab and candidate pieces,
+    // same micro-quantized long costs, forward min-cost DP and backward
+    // path walk as LINEAR RECURSIONS over char positions (one row per
+    // (word, pos) — the q62 recursion discipline), same prefer-bigram
+    // tie-break (the CASE's bigram leg first), same prune/+1-smooth
+    // re-estimation. All integers until nothing — the output is longs.
+    "text_unigram_lm" -> {
+      def sweep(sfx: String, costCte: String) =
+        s"""fwd$sfx AS (
+           |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b0
+           |  FROM vocab
+           |  UNION ALL
+           |  SELECT f.w, f.pos + 1,
+           |    least(f.b1 + cu.cost,
+           |      coalesce(f.b0 + cb.cost, CAST(4611686018427387904 AS BIGINT))),
+           |    f.b1
+           |  FROM fwd$sfx f
+           |  JOIN $costCte cu ON cu.plen = 1 AND cu.p = substring(f.w, f.pos + 1, 1)
+           |  LEFT JOIN $costCte cb ON cb.plen = 2 AND f.pos >= 1
+           |    AND cb.p = substring(f.w, f.pos, 2)
+           |  WHERE f.pos < length(f.w)),
+           |fb$sfx AS MATERIALIZED (SELECT w, pos, b1 AS best FROM fwd$sfx),
+           |bwd$sfx AS (
+           |  SELECT w, length(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM vocab
+           |  UNION ALL
+           |  SELECT b.w,
+           |    b.pos - CASE WHEN f2.best + cb.cost = f0.best THEN 2 ELSE 1 END,
+           |    CASE WHEN f2.best + cb.cost = f0.best
+           |         THEN substring(b.w, b.pos - 1, 2)
+           |         ELSE substring(b.w, b.pos, 1) END
+           |  FROM bwd$sfx b
+           |  JOIN fb$sfx f0 ON f0.w = b.w AND f0.pos = b.pos
+           |  LEFT JOIN fb$sfx f2 ON f2.w = b.w AND f2.pos = b.pos - 2
+           |  LEFT JOIN $costCte cb ON cb.plen = 2 AND b.pos >= 2
+           |    AND cb.p = substring(b.w, b.pos - 1, 2)
+           |  WHERE b.pos > 0),
+           |u$sfx AS (
+           |  SELECT b.piece AS p, CAST(sum(v.wc) AS BIGINT) AS uses
+           |  FROM bwd$sfx b JOIN vocab v ON v.w = b.w
+           |  WHERE b.piece IS NOT NULL GROUP BY 1)""".stripMargin
+      s"""WITH RECURSIVE
+         |v0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |vocab AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM v0
+         |  WHERE length(w) BETWEEN 1 AND $UnigramLenCap GROUP BY w),
+         |ch AS (
+         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt, 1 AS plen FROM (
+         |    SELECT wc, unnest(string_split(w, '')) AS p FROM vocab)
+         |  WHERE length(p) > 0 GROUP BY p),
+         |bi AS (
+         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt, 2 AS plen FROM (
+         |    SELECT wc, unnest(list_transform(range(1, length(w)),
+         |      i -> substring(w, CAST(i AS INTEGER), 2))) AS p
+         |    FROM vocab WHERE length(w) >= 2)
+         |  GROUP BY p HAVING CAST(sum(wc) AS BIGINT) >= $UnigramMinBigram),
+         |m0 AS (SELECT * FROM ch UNION ALL SELECT * FROM bi),
+         |c0 AS MATERIALIZED (
+         |  SELECT p, plen,
+         |    CAST(round(ln(t) * 1000000.0) AS BIGINT)
+         |      - CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost
+         |  FROM m0 CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM m0)),
+         |${sweep("1", "c0")},
+         |m1 AS (
+         |  SELECT c.p, c.plen, coalesce(u.uses, 0) + 1 AS cnt
+         |  FROM m0 c LEFT JOIN u1 u ON u.p = c.p
+         |  WHERE c.plen = 1 OR coalesce(u.uses, 0) >= $UnigramPruneMin),
+         |c1 AS MATERIALIZED (
+         |  SELECT p, plen,
+         |    CAST(round(ln(t) * 1000000.0) AS BIGINT)
+         |      - CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost
+         |  FROM m1 CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM m1)),
+         |${sweep("2", "c1")}
+         |SELECT c.p AS piece, coalesce(u2.uses, 0) AS n_uses, c.cost AS cost_q
+         |FROM c1 c LEFT JOIN u2 ON u2.p = c.p
+         |ORDER BY n_uses DESC, piece LIMIT $UnigramTopK""".stripMargin
+    },
 
     // Same unigram/bigram counts, same PMI arithmetic shape
     // ((cab/nb) / ((c1/nu)·(c2/nu)), one ln, 6dp round), same

@@ -591,4 +591,44 @@ class TextSpec extends AnyFunSuite {
       assert(vs.map(_.getAs[String]("keyword")).distinct.length == vs.length)
     }
   }
+
+  test("unigram-LM Viterbi: hand-computed segmentations, bigram-preferring ties") {
+    // planted model with EXPLICIT integer costs — no training, pure DP
+    def uses(words: Seq[(String, Long)], model: Seq[(String, Long)]) =
+      TextAnalysis.segmentUses(
+        words.toDF("w", "wc"),
+        model.toDF("p", "cost").withColumn("plen", length(col("p")))
+          .withColumn("cnt", lit(0L)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cheap bigram: "ab"=15 beats a+b=20
+    assert(uses(Seq(("ab", 1L)), Seq(("a", 10L), ("b", 10L), ("ab", 15L)))
+      == Map("ab" -> 1L))
+    // "aab": a+ab=25 beats a+a+b=30 — the bigram lands at the END
+    assert(uses(Seq(("aab", 1L)), Seq(("a", 10L), ("b", 10L), ("ab", 15L)))
+      == Map("a" -> 1L, "ab" -> 1L))
+    // exact tie a+b == ab: the bigram wins (the backward walk's
+    // documented tie-break, which the oracle replays with CASE order)
+    assert(uses(Seq(("ab", 3L)), Seq(("a", 10L), ("b", 10L), ("ab", 20L)))
+      == Map("ab" -> 3L))
+    // absent bigram: pure unigram fallback, weighted by wc
+    assert(uses(Seq(("ba", 2L)), Seq(("a", 10L), ("b", 10L), ("ab", 15L)))
+      == Map("a" -> 2L, "b" -> 2L))
+    // overlapping bigram "aa" in "aaa": exactly one use + one unigram
+    assert(uses(Seq(("aaa", 5L)), Seq(("a", 10L), ("aa", 15L)))
+      == Map("a" -> 5L, "aa" -> 5L))
+  }
+
+  test("unigram-LM trainer: EM replay on a planted corpus, chars never pruned") {
+    def qln(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
+    // one doc, six "ab" words: model0 = {a:6, b:6, ab:6}, sweep 1
+    // segments every word as [ab]; m1 = {a:1, b:1, ab:7} (+1 smoothing,
+    // chars kept at zero uses); sweep 2 still picks [ab]
+    val docs = Seq(("ab ab ab ab ab ab")).toDF("text")
+    val got = TextAnalysis.unigramLm(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("ab", 6L, qln(9) - qln(7)),
+      ("a", 0L, qln(9) - qln(1)),
+      ("b", 0L, qln(9) - qln(1))), got.mkString(", "))
+  }
 }
