@@ -253,6 +253,35 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Incremental index UPDATE (r16 — the ingest path between retrains,
+    // the ann_index_persist lifecycle's other half): the IVF index
+    // trains on the BASE corpus and persists BEFORE a batch of new
+    // vectors arrives; the new vectors join serving by ASSIGNMENT ONLY
+    // against the persisted stale-trained centroids (the FAISS `add`
+    // path — never a retrain per ingest batch), and search serves the
+    // union. The update slice deliberately intersects what a full
+    // retrain WOULD have sampled (vec_id % 16 == 12 ⊂ the % 4 == 0
+    // training split, kept off the seed ids so k stays fixed), so the
+    // served index provably differs from a retrained one — the oracle
+    // replays the stale training set exactly. At 100 TB this is the
+    // daily pattern: assignment is one broadcast-centroid scan of the
+    // new batch; retraining is a scheduled maintenance job.
+    "ann_ivf_update" -> ((s, dir) => {
+      val base = scratch("ann_ivf_update")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val emb = t(s, dir, "embeddings")
+      val isUpdate = col("vec_id") % 16 === 12 &&
+        col("vec_id") >= IvfCentroids * TrainMod
+      Lake.writeVersion(s,
+        trainCentroids(emb.filter(!isUpdate), IvfCentroids), base)
+      val served = Lake.readVersion(s, base, None)
+      ivfTopKWith(emb, served, queryIds = NumQueries,
+        nProbe = IvfProbe, k = K)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Product quantization + asymmetric distance computation, gated by
     // the in-query recall contract (see pqTopK — output is the exact
     // top-k plus a per-query pq_ok boolean, oracle expects exact + true).
@@ -1548,8 +1577,9 @@ object Similarity {
     * assignment, same per-dimension mean, same floor-based 1e-6
     * quantizer, so the trained centroids agree digit-for-digit. Expects
     * a CTE `e(vec_id, emb DOUBLE[])` to be in scope. */
-  private def kmeansCtes(nCentroids: Int, iters: Int): String = {
-    val init = s"""et AS (SELECT vec_id, emb FROM e WHERE vec_id % $TrainMod = 0),
+  private def kmeansCtes(nCentroids: Int, iters: Int,
+                         trainSrc: String = "e"): String = {
+    val init = s"""et AS (SELECT vec_id, emb FROM $trainSrc WHERE vec_id % $TrainMod = 0),
                   |cent0 AS (
                   |  SELECT vec_id AS centroid_id, emb AS c_emb
                   |  FROM et WHERE vec_id < ${nCentroids * TrainMod})""".stripMargin
@@ -1840,6 +1870,40 @@ object Similarity {
   val oracles: Map[String, String] = baseOracles +
     // The persisted-index serve must be EXACTLY the in-query-trained
     // ranker: same oracle verbatim — the hash gate IS the equality gate.
+    // The stale-trained index replayed exactly: k-means over the BASE
+    // corpus (the update slice excluded from et), search over the FULL
+    // corpus — the ann_ivf oracle with the train/serve sets split.
+    ("ann_ivf_update" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |eb AS (SELECT * FROM e
+         |       WHERE NOT (vec_id % 16 = 12 AND vec_id >= ${IvfCentroids * TrainMod})),
+         |${kmeansCtes(IvfCentroids, KmeansIters, trainSrc = "eb")},
+         |c AS (SELECT centroid_id, c_emb FROM cent$KmeansIters),
+         |assigned AS (
+         |  SELECT vec_id, emb, centroid_id FROM (
+         |    SELECT e.vec_id, e.emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c)
+         |  WHERE rnk = 1),
+         |probes AS (
+         |  SELECT query_id, q_emb, centroid_id FROM (
+         |    SELECT e.vec_id AS query_id, e.emb AS q_emb, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${CosQuantSql.format("list_cosine_similarity(e.emb, c.c_emb)")} DESC,
+         |                 c.centroid_id) AS rnk
+         |    FROM e CROSS JOIN c WHERE e.vec_id < $NumQueries)
+         |  WHERE rnk <= $IvfProbe)
+         |SELECT query_id, neighbor_id, rank, round(cos_full, 6) AS cosine
+         |FROM (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    list_cosine_similarity(p.q_emb, a.emb) AS cos_full,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY list_cosine_similarity(p.q_emb, a.emb) DESC, a.vec_id) AS rank
+         |  FROM assigned a JOIN probes p USING (centroid_id))
+         |WHERE rank <= $K
+         |ORDER BY query_id, rank""".stripMargin) +
     ("ann_index_persist" -> baseOracles("ann_ivf")) + ("ann_recall" ->
     s"""WITH ex AS (SELECT query_id, neighbor_id
        |           FROM (${baseOracles("ann_bruteforce")})),

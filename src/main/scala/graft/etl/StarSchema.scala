@@ -634,6 +634,39 @@ object StarSchema {
       Lake.readVersion(s, path, Some(1)).orderBy(col("o_orderkey"))
     }),
 
+    // Change-data-feed over the version history (r16 — Delta CDF /
+    // Iceberg changelog, §A): four versions land through the commit
+    // layer (base → price-bump upsert → keyed delete → restore of the
+    // deleted keys) and the feed replays versions 2..4 as tagged
+    // added/removed/changed rows — the incremental diet a downstream
+    // consumer reads instead of re-diffing snapshots. Each per-commit
+    // diff reads only its two immutable snapshots (cost scales with
+    // commits consumed, not table age). The oracle derives every
+    // change set from the raw table's key arithmetic: a feed that
+    // misses, duplicates, or misclassifies one row cannot hash.
+    "etl_change_feed" -> ((s, dir) => {
+      val path = scratch("etl_change_feed")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders, path) // v1
+      val bumped = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      Lake.writeVersion(s,
+        Lake.upsert(orders, bumped, Seq("o_orderkey")), path) // v2: changed
+      val v2 = Lake.readVersion(s, path, Some(2))
+      Lake.writeVersion(s,
+        v2.filter(col("o_orderkey") % 101 =!= 0), path) // v3: removed
+      Lake.writeVersion(s,
+        Lake.readVersion(s, path, Some(3))
+          .unionByName(v2.filter(col("o_orderkey") % 101 === 0)),
+        path) // v4: the deleted keys return — added
+      Lake.readChangeFeed(s, path, 1, 4, Seq("o_orderkey"))
+        .orderBy(col("version"), col("o_orderkey"))
+    }),
+
     // AS-OF-timestamp time travel end-to-end (§H readAsOf), run THROUGH
     // THE MANIFEST COMMIT PATH (mode="manifest") so the object-store
     // commit flavor is driver-gated, not just spec'd: v1 = a partial
@@ -1638,6 +1671,20 @@ object StarSchema {
          |  CAST(min(event_date) AS VARCHAR) AS first_day,
          |  CAST(max(event_date) AS VARCHAR) AS last_day
          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Every change set derives from the raw table's key arithmetic:
+    // v2 changed the %97 keys (price > 0, so the bump always differs),
+    // v3 removed the %101 keys, v4 added them back.
+    "etl_change_feed" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey, 'changed' AS change, 2 AS version
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'removed', 3 FROM orders WHERE o_orderkey % 101 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'added', 4 FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT o_orderkey, change, version FROM ch
+        |ORDER BY version, o_orderkey""".stripMargin,
 
     // Per-day aggregate over the raw table — the compacted rewrite must
     // be row-for-row identical.

@@ -371,7 +371,15 @@ object TextAnalysis {
     * long costs ⇒ exact argmin; ties prefer the bigram (the backward
     * walk checks the bigram leg first), which the oracle replays with
     * the same CASE order. */
-  private[graft] def segmentUses(vocab: DataFrame, model: DataFrame): DataFrame = {
+  private[graft] def segmentUses(vocab: DataFrame, model: DataFrame): DataFrame =
+    segmentPieces(vocab, model)
+      .select(col("wc"), explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(sum(col("wc")).as("uses"))
+
+  /** The per-word Viterbi segmentation itself: (w, wc, ps) with ps the
+    * piece array of w's min-cost path — factored out of [[segmentUses]]
+    * so [[unigramApply]] can read PATH LENGTHS per word. */
+  private[graft] def segmentPieces(vocab: DataFrame, model: DataFrame): DataFrame = {
     val mrow = model.agg(
       map_from_entries(collect_list(struct(col("p"), col("cost")))).as("m"))
     vocab.crossJoin(broadcast(mrow))
@@ -396,8 +404,7 @@ object TextAnalysis {
           |       named_struct('pos', acc.pos - 1,
           |         'ps', array_append(acc.ps, substring(w, acc.pos, 1))))),
           |  acc -> acc.ps)""".stripMargin))
-      .select(col("wc"), explode(col("ps")).as("p"))
-      .groupBy(col("p")).agg(sum(col("wc")).as("uses"))
+      .select(col("w"), col("wc"), col("ps"))
   }
 
   /** Unigram-LM (SentencePiece-style) tokenizer trainer — the OTHER
@@ -418,6 +425,20 @@ object TextAnalysis {
     * model broadcasts as one map row; each sweep is one narrow
     * codegen'd pass + a piece-sized groupBy. */
   private[graft] def unigramLm(docs: DataFrame): DataFrame = {
+    val (vocab, model1) = unigramModel(docs)
+    val uses2 = segmentUses(vocab, model1)
+    model1.join(uses2, Seq("p"), "left")
+      .select(col("p").as("piece"),
+        coalesce(col("uses"), lit(0L)).as("n_uses"),
+        col("cost").as("cost_q"))
+      .orderBy(col("n_uses").desc, col("piece"))
+      .limit(UnigramTopK)
+  }
+
+  /** The trainer's shared front half: (word vocab, sweep-1-refined
+    * model with costs) — factored out so [[unigramApply]] encodes with
+    * exactly the model [[unigramLm]] reports. */
+  private[graft] def unigramModel(docs: DataFrame): (DataFrame, DataFrame) = {
     val vocab = docs.select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")).between(1, UnigramLenCap))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
@@ -440,13 +461,39 @@ object TextAnalysis {
         .withColumn("uses", coalesce(col("uses"), lit(0L)))
         .filter(col("plen") === 1 || col("uses") >= UnigramPruneMin)
         .select(col("p"), col("plen"), (col("uses") + lit(1L)).as("cnt")))
-    val uses2 = segmentUses(vocab, model1)
-    model1.join(uses2, Seq("p"), "left")
-      .select(col("p").as("piece"),
-        coalesce(col("uses"), lit(0L)).as("n_uses"),
-        col("cost").as("cost_q"))
-      .orderBy(col("n_uses").desc, col("piece"))
-      .limit(UnigramTopK)
+    (vocab, model1)
+  }
+
+  /** Unigram-LM APPLY — encode every document under the model
+    * [[unigramLm]] trains (the text_bpe_apply sibling, completing the
+    * train→apply pair for the second tokenizer family): the trained
+    * model Viterbi-segments each UNIQUE vocab word once
+    * ([[segmentPieces]] — per-word work never repeats per occurrence),
+    * the per-word PATH LENGTH joins back to the documents' word
+    * multiset, and each doc reports word/char/token counts as exact
+    * longs. Words outside the vocab (over the length cap) fall back to
+    * char-count pieces — the byte-fallback rule production tokenizers
+    * apply to out-of-inventory input, replayed by the oracle. Scale:
+    * one vocab-sized segmentation pass + one (doc, word, count)
+    * aggregate and a vocab-sized hint-free join — nothing doc-sized
+    * shuffles beyond the per-doc word counts a tokenizer fundamentally
+    * needs. */
+  private[graft] def unigramApply(docs: DataFrame): DataFrame = {
+    val (vocab, model1) = unigramModel(docs)
+    val wtok = segmentPieces(vocab, model1)
+      .select(col("w"), size(col("ps")).cast("long").as("n_pieces"))
+    docs.select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(wtok, Seq("w"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("cnt") *
+          coalesce(col("n_pieces"), length(col("w")).cast("long")))
+          .as("n_tokens_unigram"))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1283,6 +1330,14 @@ object TextAnalysis {
     // hash-matches across engines.
     "text_unigram_lm" -> ((s, dir) => unigramLm(t(s, dir, "documents"))),
 
+    // Unigram-LM APPLY (r16 — the text_bpe_apply sibling, completing
+    // train→apply for the second tokenizer family): see [[unigramApply]].
+    // Per-word segmentation work happens ONCE per unique vocab word and
+    // joins back to the documents' word multiset; out-of-vocab words
+    // (over the length cap) char-count fallback, replayed by the shared
+    // oracle CTE chain.
+    "text_unigram_apply" -> ((s, dir) => unigramApply(t(s, dir, "documents"))),
+
     // The composed corpus gate — the C4/Gopher-shaped "assemble the
     // training corpus" decision, one row per document with the reason
     // flags a data audit needs: quality score over threshold (0.2 ≈ the
@@ -2005,76 +2060,31 @@ object TextAnalysis {
     // (word, pos) — the q62 recursion discipline), same prefer-bigram
     // tie-break (the CASE's bigram leg first), same prune/+1-smooth
     // re-estimation. All integers until nothing — the output is longs.
-    "text_unigram_lm" -> {
-      def sweep(sfx: String, costCte: String) =
-        s"""fwd$sfx AS (
-           |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b0
-           |  FROM vocab
-           |  UNION ALL
-           |  SELECT f.w, f.pos + 1,
-           |    least(f.b1 + cu.cost,
-           |      coalesce(f.b0 + cb.cost, CAST(4611686018427387904 AS BIGINT))),
-           |    f.b1
-           |  FROM fwd$sfx f
-           |  JOIN $costCte cu ON cu.plen = 1 AND cu.p = substring(f.w, f.pos + 1, 1)
-           |  LEFT JOIN $costCte cb ON cb.plen = 2 AND f.pos >= 1
-           |    AND cb.p = substring(f.w, f.pos, 2)
-           |  WHERE f.pos < length(f.w)),
-           |fb$sfx AS MATERIALIZED (SELECT w, pos, b1 AS best FROM fwd$sfx),
-           |bwd$sfx AS (
-           |  SELECT w, length(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM vocab
-           |  UNION ALL
-           |  SELECT b.w,
-           |    b.pos - CASE WHEN f2.best + cb.cost = f0.best THEN 2 ELSE 1 END,
-           |    CASE WHEN f2.best + cb.cost = f0.best
-           |         THEN substring(b.w, b.pos - 1, 2)
-           |         ELSE substring(b.w, b.pos, 1) END
-           |  FROM bwd$sfx b
-           |  JOIN fb$sfx f0 ON f0.w = b.w AND f0.pos = b.pos
-           |  LEFT JOIN fb$sfx f2 ON f2.w = b.w AND f2.pos = b.pos - 2
-           |  LEFT JOIN $costCte cb ON cb.plen = 2 AND b.pos >= 2
-           |    AND cb.p = substring(b.w, b.pos - 1, 2)
-           |  WHERE b.pos > 0),
-           |u$sfx AS (
-           |  SELECT b.piece AS p, CAST(sum(v.wc) AS BIGINT) AS uses
-           |  FROM bwd$sfx b JOIN vocab v ON v.w = b.w
-           |  WHERE b.piece IS NOT NULL GROUP BY 1)""".stripMargin
-      s"""WITH RECURSIVE
-         |v0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-         |vocab AS MATERIALIZED (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM v0
-         |  WHERE length(w) BETWEEN 1 AND $UnigramLenCap GROUP BY w),
-         |ch AS (
-         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt, 1 AS plen FROM (
-         |    SELECT wc, unnest(string_split(w, '')) AS p FROM vocab)
-         |  WHERE length(p) > 0 GROUP BY p),
-         |bi AS (
-         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt, 2 AS plen FROM (
-         |    SELECT wc, unnest(list_transform(range(1, length(w)),
-         |      i -> substring(w, CAST(i AS INTEGER), 2))) AS p
-         |    FROM vocab WHERE length(w) >= 2)
-         |  GROUP BY p HAVING CAST(sum(wc) AS BIGINT) >= $UnigramMinBigram),
-         |m0 AS (SELECT * FROM ch UNION ALL SELECT * FROM bi),
-         |c0 AS MATERIALIZED (
-         |  SELECT p, plen,
-         |    CAST(round(ln(t) * 1000000.0) AS BIGINT)
-         |      - CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost
-         |  FROM m0 CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM m0)),
-         |${sweep("1", "c0")},
-         |m1 AS (
-         |  SELECT c.p, c.plen, coalesce(u.uses, 0) + 1 AS cnt
-         |  FROM m0 c LEFT JOIN u1 u ON u.p = c.p
-         |  WHERE c.plen = 1 OR coalesce(u.uses, 0) >= $UnigramPruneMin),
-         |c1 AS MATERIALIZED (
-         |  SELECT p, plen,
-         |    CAST(round(ln(t) * 1000000.0) AS BIGINT)
-         |      - CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost
-         |  FROM m1 CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM m1)),
-         |${sweep("2", "c1")}
+    "text_unigram_lm" ->
+      s"""$UnigramOracleCtes
          |SELECT c.p AS piece, coalesce(u2.uses, 0) AS n_uses, c.cost AS cost_q
          |FROM c1 c LEFT JOIN u2 ON u2.p = c.p
-         |ORDER BY n_uses DESC, piece LIMIT $UnigramTopK""".stripMargin
-    },
+         |ORDER BY n_uses DESC, piece LIMIT $UnigramTopK""".stripMargin,
+
+    // Same trained model (the CTE chain is shared with the trainer's
+    // oracle), per-word path lengths off the sweep-2 backward walk,
+    // same out-of-vocab char-count fallback, exact long counts.
+    "text_unigram_apply" ->
+      s"""$UnigramOracleCtes,
+         |wseg AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+         |  FROM bwd2 WHERE piece IS NOT NULL GROUP BY w),
+         |dw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+         |       FROM documents),
+         |dc AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM dw GROUP BY 1, 2, 3)
+         |SELECT dc.doc_id, dc.source,
+         |  CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(cnt * coalesce(ws.n_pieces, length(w))) AS BIGINT)
+         |    AS n_tokens_unigram
+         |FROM dc LEFT JOIN wseg ws USING (w)
+         |GROUP BY 1, 2 ORDER BY dc.doc_id""".stripMargin,
 
     // Same unigram/bigram counts, same PMI arithmetic shape
     // ((cab/nb) / ((c1/nu)·(c2/nu)), one ln, 6dp round), same
@@ -2272,6 +2282,80 @@ object TextAnalysis {
        |    CAST(sum(chars) AS BIGINT) AS n_chars,
        |    CAST(sum(toks) AS BIGINT) AS n_tokens_bpe
        |  FROM enc GROUP BY doc_id, source)""".stripMargin
+  }
+
+  /** Shared DuckDB CTE chain for the unigram-LM family: vocab,
+    * candidate pieces, quantized costs, and BOTH EM sweeps (forward
+    * DP + backward walk as linear recursions over (word, pos)).
+    * text_unigram_lm appends its top-K select; text_unigram_apply
+    * appends the per-word path-length join over the documents —
+    * ONE chain, so trainer and encoder oracles cannot drift. */
+  private lazy val UnigramOracleCtes: String = {
+    def sweep(sfx: String, costCte: String) =
+        s"""fwd$sfx AS (
+           |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b0
+           |  FROM vocab
+           |  UNION ALL
+           |  SELECT f.w, f.pos + 1,
+           |    least(f.b1 + cu.cost,
+           |      coalesce(f.b0 + cb.cost, CAST(4611686018427387904 AS BIGINT))),
+           |    f.b1
+           |  FROM fwd$sfx f
+           |  JOIN $costCte cu ON cu.plen = 1 AND cu.p = substring(f.w, f.pos + 1, 1)
+           |  LEFT JOIN $costCte cb ON cb.plen = 2 AND f.pos >= 1
+           |    AND cb.p = substring(f.w, f.pos, 2)
+           |  WHERE f.pos < length(f.w)),
+           |fb$sfx AS MATERIALIZED (SELECT w, pos, b1 AS best FROM fwd$sfx),
+           |bwd$sfx AS (
+           |  SELECT w, length(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM vocab
+           |  UNION ALL
+           |  SELECT b.w,
+           |    b.pos - CASE WHEN f2.best + cb.cost = f0.best THEN 2 ELSE 1 END,
+           |    CASE WHEN f2.best + cb.cost = f0.best
+           |         THEN substring(b.w, b.pos - 1, 2)
+           |         ELSE substring(b.w, b.pos, 1) END
+           |  FROM bwd$sfx b
+           |  JOIN fb$sfx f0 ON f0.w = b.w AND f0.pos = b.pos
+           |  LEFT JOIN fb$sfx f2 ON f2.w = b.w AND f2.pos = b.pos - 2
+           |  LEFT JOIN $costCte cb ON cb.plen = 2 AND b.pos >= 2
+           |    AND cb.p = substring(b.w, b.pos - 1, 2)
+           |  WHERE b.pos > 0),
+           |u$sfx AS (
+           |  SELECT b.piece AS p, CAST(sum(v.wc) AS BIGINT) AS uses
+           |  FROM bwd$sfx b JOIN vocab v ON v.w = b.w
+           |  WHERE b.piece IS NOT NULL GROUP BY 1)""".stripMargin
+      s"""WITH RECURSIVE
+         |v0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |vocab AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM v0
+         |  WHERE length(w) BETWEEN 1 AND $UnigramLenCap GROUP BY w),
+         |ch AS (
+         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt, 1 AS plen FROM (
+         |    SELECT wc, unnest(string_split(w, '')) AS p FROM vocab)
+         |  WHERE length(p) > 0 GROUP BY p),
+         |bi AS (
+         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt, 2 AS plen FROM (
+         |    SELECT wc, unnest(list_transform(range(1, length(w)),
+         |      i -> substring(w, CAST(i AS INTEGER), 2))) AS p
+         |    FROM vocab WHERE length(w) >= 2)
+         |  GROUP BY p HAVING CAST(sum(wc) AS BIGINT) >= $UnigramMinBigram),
+         |m0 AS (SELECT * FROM ch UNION ALL SELECT * FROM bi),
+         |c0 AS MATERIALIZED (
+         |  SELECT p, plen,
+         |    CAST(round(ln(t) * 1000000.0) AS BIGINT)
+         |      - CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost
+         |  FROM m0 CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM m0)),
+         |${sweep("1", "c0")},
+         |m1 AS (
+         |  SELECT c.p, c.plen, coalesce(u.uses, 0) + 1 AS cnt
+         |  FROM m0 c LEFT JOIN u1 u ON u.p = c.p
+         |  WHERE c.plen = 1 OR coalesce(u.uses, 0) >= $UnigramPruneMin),
+         |c1 AS MATERIALIZED (
+         |  SELECT p, plen,
+         |    CAST(round(ln(t) * 1000000.0) AS BIGINT)
+         |      - CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS cost
+         |  FROM m1 CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM m1)),
+         |${sweep("2", "c1")}""".stripMargin
   }
 
   /** The corpus-gate oracle composes the component oracles verbatim as

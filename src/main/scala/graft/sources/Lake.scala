@@ -1537,6 +1537,28 @@ object Lake {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
+  /** Change-data-feed read over the version history (r16 — the Delta
+    * CDF / Iceberg changelog surface): the per-commit diffs of every
+    * consecutive version pair in (fromV, toV], each row tagged with the
+    * version that produced it — what an incremental downstream consumes
+    * instead of re-diffing snapshots itself. Pure composition of
+    * [[snapshotDiff]]: O(toV − fromV) co-partitioned full-outer diffs,
+    * each reading only its two immutable snapshot directories, so the
+    * feed's cost scales with the commits consumed, never the table's
+    * age. (A table with a write-side changelog — cdcApply's input — can
+    * serve this from the log directly; this is the fallback every
+    * versioned table supports with no writer cooperation.) */
+  def readChangeFeed(spark: SparkSession, base: String, fromV: Int, toV: Int,
+                     keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV < toV,
+      s"readChangeFeed: need fromV < toV, got ($fromV, $toV)")
+    (fromV until toV).map { v =>
+      snapshotDiff(spark, base, v, v + 1, keyCols)
+        .withColumn("version", lit(v + 1))
+    }.reduce(_ unionByName _)
+  }
+
   /** Write-audit-publish: stage the batch, audit THE STAGED FILES (what
     * was actually written, so writer bugs can't slip past), and publish
     * as the next version only if every check reports zero violations.

@@ -416,6 +416,23 @@ class AnnSpec extends AnyFunSuite {
       inQuery.exceptAll(served).isEmpty)
   }
 
+  test("ann_ivf_update: the stale-trained index provably differs from a full retrain") {
+    // the update slice (vec_id % 16 == 12, off the seed ids < 32)
+    // deliberately intersects the % 4 == 0 training split — training on
+    // the base corpus must therefore yield DIFFERENT centroids than
+    // retraining on the full one, or the incremental-update demo would
+    // be vacuous (assignment against an index identical to the retrain)
+    val emb = sources.Lake.table(spark, TestSpark.Sf, "embeddings")
+    val isUpdate = col("vec_id") % 16 === 12 && col("vec_id") >= 32
+    assert(emb.filter(isUpdate && col("vec_id") % 4 === 0).count() > 0,
+      "update slice no longer intersects the training split")
+    val stale = Similarity.trainCentroids(emb.filter(!isUpdate), 8)
+    val full = Similarity.trainCentroids(emb, 8)
+    assert(stale.count() == 8 && full.count() == 8, "k must stay fixed")
+    assert(stale.exceptAll(full).count() > 0,
+      "stale-trained centroids equal the retrain — vacuous update demo")
+  }
+
   test("MMR gate query-sample knob: selections untouched, recall on the sample only") {
     // r14 ADVICE: the recall-gate leg is the one corpus-scan cost left
     // in ann_mmr; production samples the query set there. The knob must

@@ -995,6 +995,21 @@ class LakeSpec extends AnyFunSuite {
     assert(both.exceptAll(fullBoth).isEmpty && fullBoth.exceptAll(both).isEmpty)
   }
 
+  test("readChangeFeed tags per-commit adds/removes/changes with their versions") {
+    val base = TestSpark.scratch("lake_cdf")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    Lake.writeVersion(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), base)
+    Lake.writeVersion(spark,
+      Lake.upsert(Lake.readVersion(spark, base, Some(1)),
+        Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k")), base)
+    Lake.writeVersion(spark,
+      Lake.readVersion(spark, base, Some(2)).filter(col("k") =!= 1L), base)
+    val feed = Lake.readChangeFeed(spark, base, 1, 3, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(feed == Set((2L, "changed", 2), (3L, "added", 2), (1L, "removed", 3)),
+      feed.toString)
+  }
+
   test("OCC: conditional publish raises typed conflict; racing upserts converge (both flavors)") {
     import graft.sources.VersionConflictException
     for (mode <- Seq("rename", "manifest")) {

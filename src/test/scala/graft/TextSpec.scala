@@ -618,6 +618,19 @@ class TextSpec extends AnyFunSuite {
       == Map("a" -> 5L, "aa" -> 5L))
   }
 
+  test("unigram-LM apply: per-doc token counts, out-of-vocab char fallback") {
+    val docs = Seq(
+      (1L, "s", "ab ab ab ab ab ab"),
+      (2L, "s", "a" * 30) // over the 24-char vocab cap → char fallback
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.unigramApply(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: six "ab" words, each one trained [ab] piece; doc 2: one
+    // capped word, 30 chars, 30 fallback pieces
+    assert(got == Map(1L -> ((6L, 12L, 6L)), 2L -> ((1L, 30L, 30L))),
+      got.toString)
+  }
+
   test("unigram-LM trainer: EM replay on a planted corpus, chars never pruned") {
     def qln(x: Long): Long = math.round(math.log(x.toDouble) * 1e6)
     // one doc, six "ab" words: model0 = {a:6, b:6, ab:6}, sweep 1
