@@ -34,6 +34,12 @@ object Explain {
       // cache-fill provenance; the executed dumps prove the run behind
       // the caches is the bounded merge-train + one broadcast replay
       "text_bpe", "text_bpe_apply", "text_pack_bpe",
+      // r16: the unigram-LM chain — same class as BPE: the vocab cache
+      // and broadcast model-map rows print fill provenance in the lazy
+      // dumps (text_unigram_lm 182 printed Exchanges); the executed
+      // run is two vocab-sized segmentation passes + piece-sized
+      // aggregates behind the eager vocab cache
+      "text_unigram_lm", "text_unigram_apply",
       // r14: the graph lazy-checkpoint sweep chains (VERDICT r13 #6) —
       // per-sweep localCheckpoints truncate execution the same way the
       // ANN caches do, and the dumps prove the final query is a bounded

@@ -454,13 +454,22 @@ object TextAnalysis {
       .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
       .filter(col("cnt") >= UnigramMinBigram)
       .withColumn("plen", lit(2))
+    // Each intermediate is PIECE-SIZED and read by 2-3 consumers (the
+    // model row-map per sweep, the prune join, the final report) —
+    // eager localCheckpoints bound both lineage and EXECUTION (the
+    // ann_mmr/BPE discipline: without them every consumer re-derives
+    // the whole chars+bigrams+cost chain — measured 52 executed
+    // exchanges at sf0.001; checkpointed, the run is the two
+    // segmentation passes the algorithm fundamentally needs).
     val model0 = withPieceCosts(chars.unionByName(bis))
-    val uses1 = segmentUses(vocab, model0)
+      .localCheckpoint(eager = true)
+    val uses1 = segmentUses(vocab, model0).localCheckpoint(eager = true)
     val model1 = withPieceCosts(
       model0.select("p", "plen").join(uses1, Seq("p"), "left")
         .withColumn("uses", coalesce(col("uses"), lit(0L)))
         .filter(col("plen") === 1 || col("uses") >= UnigramPruneMin)
         .select(col("p"), col("plen"), (col("uses") + lit(1L)).as("cnt")))
+      .localCheckpoint(eager = true)
     (vocab, model1)
   }
 

@@ -886,7 +886,12 @@ object Lake {
     *    THIS function is the seam where that plugs in; the verify is
     *    the best approximation expressible against the plain
     *    FileSystem API, and the sandbox's simulated store exercises
-    *    exactly this branch;
+    *    exactly this branch. Residual window (r15 ADVICE, accepted): a
+    *    cross-JVM PUT landing AFTER a successful verify still
+    *    overwrites unguarded — deployments with high cross-machine
+    *    contention should wire the conditional create, or add a second
+    *    verify after a settle delay proportional to the store's
+    *    PUT-visibility lag;
     *  - HDFS-class others — temp sibling + rename-no-overwrite (an
     *    atomic namespace op that returns false on an existing dest;
     *    the renamed record is complete because it was closed before

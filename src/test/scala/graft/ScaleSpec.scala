@@ -525,7 +525,16 @@ class ScaleSpec extends AnyFunSuite {
       // final union reads the per-round cached top-1 rows outright,
       // apply 1 — the output sort, pack 4); a dropped trainer cache
       // re-derives ≥ 2 exchanges per round and blows every cap.
-      "text_bpe" -> 2, "text_bpe_apply" -> 4, "text_pack_bpe" -> 8)
+      "text_bpe" -> 2, "text_bpe_apply" -> 4, "text_pack_bpe" -> 8,
+      // r16: the unigram-LM chain (the BPE discipline applied to the
+      // second tokenizer family) — the trainer's lazy dump prints 182
+      // fill-provenance Exchanges, and WITHOUT the piece-table
+      // checkpoints every consumer re-derived the chars+bigrams+cost
+      // chain (measured 52 executed at sf0.001). Behind the eager vocab
+      // cache + piece-table localCheckpoints the run is the sweep-2
+      // segmentation groupBy + the top-K sort (lm 2) / the doc-word
+      // aggregate + vocab join (apply 4). Caps ~2× measured.
+      "text_unigram_lm" -> 4, "text_unigram_apply" -> 8)
     ceilings.foreach { case (k, cap) =>
       spark.sharedState.cacheManager.clearCache()
       val df = SparkEntry.queries(k)(spark, TestSpark.Sf)
