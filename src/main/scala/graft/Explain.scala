@@ -39,7 +39,7 @@ object Explain {
       // dumps (text_unigram_lm 182 printed Exchanges); the executed
       // run is two vocab-sized segmentation passes + piece-sized
       // aggregates behind the eager vocab cache
-      "text_unigram_lm", "text_unigram_apply",
+      "text_unigram_lm", "text_unigram_apply", "text_unigram_pack",
       // r14: the graph lazy-checkpoint sweep chains (VERDICT r13 #6) —
       // per-sweep localCheckpoints truncate execution the same way the
       // ANN caches do, and the dumps prove the final query is a bounded

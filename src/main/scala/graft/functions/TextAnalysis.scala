@@ -1347,6 +1347,16 @@ object TextAnalysis {
     // oracle CTE chain.
     "text_unigram_apply" -> ((s, dir) => unigramApply(t(s, dir, "documents"))),
 
+    // Pack on the unigram tokenizer's REAL counts (r16 — the
+    // text_pack_bpe sibling, completing train→apply→pack parity for the
+    // second tokenizer family): identical two-level prefix-sum pack
+    // plan, token budgets from [[unigramApply]] instead of the
+    // whitespace proxy or the BPE replay.
+    "text_unigram_pack" -> ((s, dir) =>
+      packBins(unigramApply(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          col("n_tokens_unigram").as("n_tokens")))),
+
     // The composed corpus gate — the C4/Gopher-shaped "assemble the
     // training corpus" decision, one row per document with the reason
     // flags a data audit needs: quality score over threshold (0.2 ≈ the
@@ -2080,20 +2090,31 @@ object TextAnalysis {
     // same out-of-vocab char-count fallback, exact long counts.
     "text_unigram_apply" ->
       s"""$UnigramOracleCtes,
-         |wseg AS (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
-         |  FROM bwd2 WHERE piece IS NOT NULL GROUP BY w),
-         |dw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-         |       FROM documents),
-         |dc AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS cnt
-         |       FROM dw GROUP BY 1, 2, 3)
-         |SELECT dc.doc_id, dc.source,
-         |  CAST(sum(cnt) AS BIGINT) AS n_words,
-         |  CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
-         |  CAST(sum(cnt * coalesce(ws.n_pieces, length(w))) AS BIGINT)
-         |    AS n_tokens_unigram
-         |FROM dc LEFT JOIN wseg ws USING (w)
-         |GROUP BY 1, 2 ORDER BY dc.doc_id""".stripMargin,
+         |$UnigramApplyCtes
+         |SELECT doc_id, source, n_words, n_chars,
+         |  n_tokens AS n_tokens_unigram
+         |FROM ua ORDER BY doc_id""".stripMargin,
+
+    // Same unigram replay feeding the SAME pack arithmetic as
+    // text_pack/text_pack_bpe — single-window prefix sum in the oracle
+    // (exact at oracle scale; the Spark side's two-level sum is the
+    // scale path).
+    "text_unigram_pack" ->
+      s"""$UnigramOracleCtes,
+         |$UnigramApplyCtes,
+         |d AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS rank_key
+         |  FROM ua),
+         |pc AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY rank_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+         |  FROM d WHERE n_tokens > 0)
+         |SELECT doc_id, source, n_tokens, end_off - n_tokens AS start_off,
+         |  (end_off - n_tokens) // 512 AS first_bin,
+         |  (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1 AS n_bins
+         |FROM pc ORDER BY doc_id""".stripMargin,
 
     // Same unigram/bigram counts, same PMI arithmetic shape
     // ((cab/nb) / ((c1/nu)·(c2/nu)), one ln, 6dp round), same
@@ -2366,6 +2387,28 @@ object TextAnalysis {
          |  FROM m1 CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM m1)),
          |${sweep("2", "c1")}""".stripMargin
   }
+
+  /** The unigram APPLY legs appended to [[UnigramOracleCtes]]: per-word
+    * sweep-2 path lengths, the documents' word multiset, and the per-doc
+    * count rollup `ua` — shared by text_unigram_apply (reports it) and
+    * text_unigram_pack (budgets bins on it), so encoder and packer
+    * cannot drift. */
+  private lazy val UnigramApplyCtes: String =
+    """wseg AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+      |  FROM bwd2 WHERE piece IS NOT NULL GROUP BY w),
+      |dw AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |       FROM documents),
+      |dcw AS (SELECT doc_id, source, w, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM dw GROUP BY 1, 2, 3),
+      |ua AS (
+      |  SELECT dcw.doc_id, dcw.source,
+      |    CAST(sum(cnt) AS BIGINT) AS n_words,
+      |    CAST(sum(cnt * length(w)) AS BIGINT) AS n_chars,
+      |    CAST(sum(cnt * coalesce(ws.n_pieces, length(w))) AS BIGINT)
+      |      AS n_tokens
+      |  FROM dcw LEFT JOIN wseg ws USING (w)
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** The corpus-gate oracle composes the component oracles verbatim as
     * subqueries — the same reuse-not-rederive contract as the Spark

@@ -534,7 +534,10 @@ class ScaleSpec extends AnyFunSuite {
       // cache + piece-table localCheckpoints the run is the sweep-2
       // segmentation groupBy + the top-K sort (lm 2) / the doc-word
       // aggregate + vocab join (apply 4). Caps ~2× measured.
-      "text_unigram_lm" -> 4, "text_unigram_apply" -> 8)
+      "text_unigram_lm" -> 4, "text_unigram_apply" -> 8,
+      // pack composes apply's chain with the two-level pack windows
+      // (measured 10 at sf0.001)
+      "text_unigram_pack" -> 20)
     ceilings.foreach { case (k, cap) =>
       spark.sharedState.cacheManager.clearCache()
       val df = SparkEntry.queries(k)(spark, TestSpark.Sf)
