@@ -442,7 +442,12 @@ object TextAnalysis {
     val vocab = docs.select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")).between(1, UnigramLenCap))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .cache() // read 4× (chars, bigrams, two sweeps); vocab-sized
+      // read 4× (chars, bigrams, two sweeps); vocab-sized. An eager
+      // localCheckpoint, NOT .cache(): the CacheManager pins a cached
+      // plan for the session's lifetime unless explicitly unpersisted —
+      // every trainer invocation leaked a vocab-sized entry (r16
+      // ADVICE) — while checkpoint blocks free with the reference.
+      .localCheckpoint(eager = true)
     val chars = vocab
       .select(col("wc"), explode(split(col("w"), "")).as("p"))
       .filter(length(col("p")) > 0)

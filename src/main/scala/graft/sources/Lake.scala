@@ -327,9 +327,15 @@ object Lake {
             s"recoverCompactSwap: could not restore $aside to $path")
         }
     }
-    if (fs.exists(hPath))
+    if (fs.exists(hPath)) {
       siblings.filter(_.getName.startsWith(s"$name$CompactTmpSuffix-"))
         .foreach(fs.delete(_, true))
+      // a crash AFTER swap-in but BEFORE the aside delete leaves a full
+      // pre-compaction copy beside a live table — superseded bytes no
+      // retention horizon reclaims; sweep them too (r16 ADVICE)
+      siblings.filter(_.getName.startsWith(s"$name$CompactAsideSuffix-"))
+        .foreach(fs.delete(_, true))
+    }
   }
 
   /** Zero-window compaction for a VERSIONED table: publish the compacted
@@ -343,9 +349,9 @@ object Lake {
                      sortCols: Seq[String] = Nil, zOrderBits: Int = 0,
                      mode: String = "auto"): Int = {
     import org.apache.spark.sql.functions.col
-    val cur = readVersion(spark, base)
-    val curPath = versionDataPath(spark, base,
-      listVersions(spark, base).last)
+    val latest = listVersions(spark, base).last
+    val cur = readVersion(spark, base, Some(latest))
+    val curPath = versionDataPath(spark, base, latest)
     val fs = new org.apache.hadoop.fs.Path(curPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(curPath)).getLength
@@ -360,7 +366,17 @@ object Lake {
         cur.repartitionByRange(parts, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else cur.repartition(parts)
-    writeVersion(spark, laidOut, base, mode)
+    // OCC (r17 ADVICE): compaction is a read-modify-write publisher —
+    // republishing latest's re-layout UNCONDITIONALLY would silently
+    // revert a commit that landed between the read above and this
+    // publish (the exact lost update writeVersion(expectedLatest)
+    // exists to prevent). Compacting a snapshot that is no longer
+    // latest is DROPPABLE, not retryable: the new latest's layout is
+    // someone else's data, so return its version without publishing —
+    // the caller re-invokes against the new latest if it still wants
+    // the compaction.
+    try writeVersion(spark, laidOut, base, mode, expectedLatest = Some(latest))
+    catch { case c: VersionConflictException => c.found }
   }
 
   /** Stat columns of an existing `_stats_index` sidecar, recovered from
@@ -434,31 +450,118 @@ object Lake {
     * [lo, hi]; the job's partitions rewrite into one file per
     * partition value and UNTOUCHED partitions' files are never listed,
     * read, or rewritten (the deleteKeys/etl_delete discipline — their
-    * bytes stay identical). Survivors materialize first
-    * (localCheckpoint: the plan must not read `path` while we mutate
-    * it); the touched-value collect is partition METADATA, bounded by
-    * the job's partition count. Idempotent per job on re-run. Jobs
-    * must not overlap (the planner's are disjoint by construction). */
+    * bytes stay identical). The touched-value collect is partition
+    * METADATA, bounded by the job's partition count. Jobs must not
+    * overlap (the planner's are disjoint by construction).
+    *
+    * CRASH-SAFE per-partition SWAP (r17, closes the r16 weak — the
+    * first cut deleted the partitions while their only surviving copy
+    * was a non-fault-tolerant localCheckpoint, so a driver crash or
+    * executor loss between the delete and the append lost them
+    * permanently): the job's compacted output first lands COMPLETE and
+    * DURABLE in a hidden `.compact-tmp-<uuid>` sibling INSIDE the
+    * table (dot-prefixed = invisible to parquet listings, and the
+    * rename stays a same-FS metadata op), then each touched partition
+    * swaps via rename-aside → rename-in — two atomic namespace ops, so
+    * at EVERY crash point a complete copy of every partition's rows
+    * exists on the table's filesystem under a recoverable name — and
+    * only after ALL partitions swapped do the aside and tmp roots
+    * delete. [[recoverPartitionSwaps]] runs first, so a re-run
+    * self-heals any prior crash mechanically (roll FORWARD from tmp
+    * when a partition was already aside, roll BACK otherwise). */
   def compactPartitions(spark: SparkSession, path: String,
                         partitionCol: String, jobs: Seq[(Any, Any)]): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionSwaps(spark, path, partitionCol)
     jobs.foreach { case (lo, hi) =>
       val rows = spark.read.parquet(path)
         .filter(col(partitionCol) >= lit(lo) && col(partitionCol) <= lit(hi))
       val touched = rows.select(col(partitionCol)).distinct()
         .collect().map(_.get(0))
       if (touched.nonEmpty) {
-        val packed = rows.repartition(col(partitionCol))
-          .localCheckpoint(eager = true)
+        val uuid = java.util.UUID.randomUUID
+        val tmpRoot = new org.apache.hadoop.fs.Path(
+          s"$path/$PartSwapTmpPrefix$uuid")
+        val asideRoot = new org.apache.hadoop.fs.Path(
+          s"$path/$PartSwapAsidePrefix$uuid")
+        // durable complete copy FIRST — the table is untouched until
+        // this write finishes; a crash here leaves only a hidden tmp
+        // sibling for recovery to sweep
+        rows.repartition(col(partitionCol))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCol).parquet(tmpRoot.toString)
+        fs.mkdirs(asideRoot)
         touched.foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v"), true)
+          val live = new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v")
+          val aside = new org.apache.hadoop.fs.Path(asideRoot, s"$partitionCol=$v")
+          val packed = new org.apache.hadoop.fs.Path(tmpRoot, s"$partitionCol=$v")
+          require(fs.exists(packed),
+            s"compactPartitions: packed output missing for $partitionCol=$v")
+          require(fs.rename(live, aside),
+            s"compactPartitions: could not move $live aside (partition untouched)")
+          if (!fs.rename(packed, live)) {
+            require(fs.rename(aside, live),
+              s"compactPartitions: swap-in failed AND the aside restore " +
+                s"failed — recover manually by renaming $aside back to $live")
+            throw new IllegalStateException(
+              s"compactPartitions: swap of $packed into $live failed; " +
+                "partition restored from aside")
+          }
         }
-        packed.write.mode(SaveMode.Append)
-          .partitionBy(partitionCol).parquet(path)
+        fs.delete(asideRoot, true)
+        fs.delete(tmpRoot, true)
       }
     }
+  }
+
+  private val PartSwapTmpPrefix = ".compact-tmp-"
+  private val PartSwapAsidePrefix = ".compact-old-"
+
+  /** Mechanical recovery from a [[compactPartitions]] crash. For every
+    * stranded `.compact-old-<uuid>` aside root inside the table, each
+    * aside partition resolves one of three ways: the live partition
+    * exists → that swap completed, drop the aside copy; the live
+    * partition is absent and the matching `.compact-tmp-<uuid>` holds
+    * its compacted copy → roll FORWARD (rename it in); otherwise roll
+    * BACK (rename the aside copy home). Every branch leaves the
+    * partition complete and readable. Once all asides are resolved,
+    * both hidden roots delete — a tmp root with no aside sibling is a
+    * crash before any swap began, so the table never changed and the
+    * tmp is swept outright. Idempotent; runs automatically at the top
+    * of compactPartitions. */
+  def recoverPartitionSwaps(spark: SparkSession, path: String,
+                            partitionCol: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val children = fs.listStatus(root).toSeq.map(_.getPath)
+    children.filter(_.getName.startsWith(PartSwapAsidePrefix)).foreach { asideRoot =>
+      val uuid = asideRoot.getName.stripPrefix(PartSwapAsidePrefix)
+      val tmpRoot = new org.apache.hadoop.fs.Path(s"$path/$PartSwapTmpPrefix$uuid")
+      fs.listStatus(asideRoot).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(s"$partitionCol=")).foreach { aside =>
+          val live = new org.apache.hadoop.fs.Path(s"$path/${aside.getName}")
+          if (fs.exists(live)) fs.delete(aside, true) // swap completed
+          else {
+            val packed = new org.apache.hadoop.fs.Path(tmpRoot, aside.getName)
+            if (fs.exists(packed)) {
+              // crash between aside and swap-in: the compacted copy is
+              // complete (it was written before any swap began) — finish
+              require(fs.rename(packed, live),
+                s"recoverPartitionSwaps: could not roll $packed forward to $live")
+              fs.delete(aside, true)
+            } else
+              require(fs.rename(aside, live),
+                s"recoverPartitionSwaps: could not roll $aside back to $live")
+          }
+        }
+      fs.delete(asideRoot, true)
+      fs.delete(tmpRoot, true)
+    }
+    children.filter(_.getName.startsWith(PartSwapTmpPrefix))
+      .foreach(fs.delete(_, true))
   }
 
   /** Where [[writeStatsIndex]] publishes the per-file stats sidecar for a
@@ -1090,17 +1193,54 @@ object Lake {
 
   /** Fold the manifest log into `_checkpoint-<v>.json` when `v` lands on
     * the interval. Best-effort no-overwrite put — a racer writing the
-    * same checkpoint writes the same bytes. */
+    * same checkpoint writes the same bytes.
+    *
+    * Retract-window fence (r17 ADVICE): a record that LOSES the
+    * cross-flavor race is retracted by its writer shortly after it
+    * appears (commitManifest's documented transient) — folding it into
+    * a checkpoint would make the retracted record PERMANENT (resolution
+    * would serve the retracting writer's data dir forever). So before
+    * publishing, every record newer than the prior checkpoint is
+    * re-verified SETTLED: its record file still exists (not retracted
+    * between our read and this fold) and its slot has no competing
+    * `v=N` rename dir (the contested mid-race state). Any unsettled
+    * record skips THIS checkpoint entirely — a partial fold that
+    * dropped one record ≤ v would make that version invisible to
+    * checkpoint-based resolution, and a checkpoint is only an
+    * accelerator, so deferring to the next interval costs nothing.
+    * Records inherited from the prior checkpoint are settled by
+    * induction. */
   private def maybeCheckpoint(spark: SparkSession,
                               fs: org.apache.hadoop.fs.FileSystem,
                               base: String, v: Int): Unit = {
     val interval = checkpointInterval(spark)
     if (interval > 0 && v % interval == 0) {
       val recs = manifestRecords(spark, base).filter(_._1 <= v)
-      putCommitRecord(fs,
-        new org.apache.hadoop.fs.Path(base, s"$CommitsDir/_checkpoint-$v.json"),
-        checkpointBody(recs))
-      ()
+      val settled = recs.forall { r =>
+        val recFile = new org.apache.hadoop.fs.Path(base,
+          s"$CommitsDir/v=${r._1}.json")
+        val renameDir = new org.apache.hadoop.fs.Path(base, s"v=${r._1}")
+        // a checkpointed record's per-version file may be legitimately
+        // retired (LakeSpec pins this) — only TAIL records need the file
+        // re-probe, and the prior checkpoint's coverage bound is its
+        // name; cheapest sound check: file exists OR covered by any
+        // existing checkpoint, and never a competing rename dir
+        val covered = fs.exists(recFile) || {
+          val ckpts = fs.listStatus(
+            new org.apache.hadoop.fs.Path(base, CommitsDir))
+            .map(_.getPath.getName)
+            .collect { case n if n.matches("""_checkpoint-\d+\.json""") =>
+              n.stripPrefix("_checkpoint-").stripSuffix(".json").toInt }
+          ckpts.nonEmpty && r._1 <= ckpts.max
+        }
+        covered && !fs.exists(renameDir)
+      }
+      if (settled) {
+        putCommitRecord(fs,
+          new org.apache.hadoop.fs.Path(base, s"$CommitsDir/_checkpoint-$v.json"),
+          checkpointBody(recs))
+        ()
+      }
     }
   }
 

@@ -1211,6 +1211,90 @@ class LakeSpec extends AnyFunSuite {
     assert(after.keySet == before.keySet)
     after.keySet.foreach(k => assert(after(k) == before(k), s"part=$k changed"))
   }
+
+  test("compactPartitions crash points: every simulated state leaves all partitions complete") {
+    val p = TestSpark.scratch("lake_compact_parts_crash")
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def reset(): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      spark.range(3000)
+        .select(col("id"), (col("id") % 3).cast("int").as("part"))
+        .repartition(4)
+        .write.mode("overwrite").partitionBy("part").parquet(p)
+    }
+    def agg() = spark.read.parquet(p).groupBy(col("part"))
+      .agg(count(lit(1)), sum(col("id"))).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    reset()
+    val truth = agg()
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash point A: tmp written, no swap began — recovery sweeps the
+    // tmp, the table never changed
+    spark.read.parquet(p).filter(col("part") <= 1).repartition(col("part"))
+      .write.partitionBy("part").parquet(s"$p/.compact-tmp-aaaa")
+    Lake.recoverPartitionSwaps(spark, p, "part")
+    assert(!fs.exists(path(s"$p/.compact-tmp-aaaa")))
+    assert(agg() == truth, "crash point A changed data")
+    // crash point B: partition 0 moved aside, swap-in not reached — the
+    // compacted copy in tmp is complete, recovery rolls FORWARD
+    spark.read.parquet(p).filter(col("part") === 0).repartition(col("part"))
+      .write.partitionBy("part").parquet(s"$p/.compact-tmp-bbbb")
+    fs.mkdirs(path(s"$p/.compact-old-bbbb"))
+    assert(fs.rename(path(s"$p/part=0"), path(s"$p/.compact-old-bbbb/part=0")))
+    Lake.recoverPartitionSwaps(spark, p, "part")
+    assert(agg() == truth, "crash point B lost or duplicated rows")
+    assert(new java.io.File(s"$p/part=0").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1,
+      "roll-forward should install the compacted single file")
+    assert(!fs.exists(path(s"$p/.compact-old-bbbb")) &&
+      !fs.exists(path(s"$p/.compact-tmp-bbbb")))
+    // crash point C: swap completed for partition 1, aside copy remains
+    // — recovery drops the superseded aside and keeps the live bytes
+    reset()
+    fs.mkdirs(path(s"$p/.compact-old-cccc"))
+    spark.read.parquet(p).filter(col("part") === 1).repartition(col("part"))
+      .write.partitionBy("part").parquet(s"$p/.compact-tmp-cccc")
+    // simulate: the OLD fragmented partition went aside, the compacted
+    // copy already renamed in
+    assert(fs.rename(path(s"$p/part=1"), path(s"$p/.compact-old-cccc/part=1")))
+    assert(fs.rename(path(s"$p/.compact-tmp-cccc/part=1"), path(s"$p/part=1")))
+    Lake.recoverPartitionSwaps(spark, p, "part")
+    assert(agg() == truth, "crash point C changed data")
+    assert(!fs.exists(path(s"$p/.compact-old-cccc")) &&
+      !fs.exists(path(s"$p/.compact-tmp-cccc")))
+    // crash point D: aside exists and the tmp copy is gone — recovery
+    // rolls BACK (the original fragmented partition returns intact)
+    reset()
+    fs.mkdirs(path(s"$p/.compact-old-dddd"))
+    assert(fs.rename(path(s"$p/part=2"), path(s"$p/.compact-old-dddd/part=2")))
+    Lake.recoverPartitionSwaps(spark, p, "part")
+    assert(agg() == truth, "crash point D lost the aside partition")
+    // and the mid-run read during a healthy run never sees hidden dirs:
+    // a full compactPartitions pass over the healed table stays exact
+    Lake.compactPartitions(spark, p, "part", jobs = Seq((0, 2)))
+    assert(agg() == truth, "full pass after healing changed data")
+    (0 to 2).foreach { v =>
+      assert(new java.io.File(s"$p/part=$v").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1, s"part=$v not compacted")
+    }
+  }
+
+  test("recoverCompactSwap sweeps a stale aside when the table is live (post-swap crash)") {
+    val p = TestSpark.scratch("lake_compact_aside_live")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+    spark.range(100).select(col("id")).repartition(2)
+      .write.mode("overwrite").parquet(p)
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(s"$p.compact-old-feedface")
+    fs.mkdirs(aside)
+    val rows = spark.read.parquet(p).count()
+    Lake.recoverCompactSwap(spark, p)
+    assert(!fs.exists(aside),
+      "a superseded aside beside a live table leaks a full table copy")
+    assert(spark.read.parquet(p).count() == rows)
+  }
 }
 
 /** Simulated object store for LakeSpec: local-backed, but rename onto an
