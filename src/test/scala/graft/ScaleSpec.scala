@@ -272,7 +272,11 @@ class ScaleSpec extends AnyFunSuite {
           // r15: the BPE trainer checkpoints per round (16+ merge
           // support — the cached lineage's AQE plan string OOM'd); its
           // merge-table output reads only checkpointed tops
-          "ann_mmr", "text_bpe")(k))
+          // r17: the unigram trainer's vocab materializes via eager
+          // localCheckpoint instead of a session-lifetime cache entry
+          // (the r16 ADVICE leak) — its report plan reads only the
+          // checkpointed vocab/model, both distributed partitions
+          "ann_mmr", "text_bpe", "text_unigram_lm")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
