@@ -49,11 +49,12 @@ object SparkEntry {
     "etl_delete_vector", "etl_restore", "etl_vacuum", "etl_clone",
     "etl_column_rename", "etl_late_arriving_dim", "ann_index_persist",
     "etl_change_feed", "ann_ivf_update",
+    "etl_delta_upsert", "etl_constraints",
     "stream_window", "stream_session", "stream_session_native",
     "stream_dedup", "stream_join", "stream_delete",
     "stream_join_outer", "stream_content_dedup", "stream_trending",
     "stream_upsert", "stream_quality", "stream_recovery", "stream_sliding",
-    "stream_late_data", "stream_enrich")
+    "stream_late_data", "stream_enrich", "stream_txn_sink")
 
   /** DuckDB-runnable oracle SQL per query key (same column names, same
     * ordering, doubles rounded identically — SURVEY.md §6). */

@@ -634,16 +634,20 @@ object StarSchema {
       Lake.readVersion(s, path, Some(1)).orderBy(col("o_orderkey"))
     }),
 
-    // Change-data-feed over the version history (r16 — Delta CDF /
-    // Iceberg changelog, §A): four versions land through the commit
-    // layer (base → price-bump upsert → keyed delete → restore of the
-    // deleted keys) and the feed replays versions 2..4 as tagged
-    // added/removed/changed rows — the incremental diet a downstream
-    // consumer reads instead of re-diffing snapshots. Each per-commit
-    // diff reads only its two immutable snapshots (cost scales with
-    // commits consumed, not table age). The oracle derives every
-    // change set from the raw table's key arithmetic: a feed that
-    // misses, duplicates, or misclassifies one row cannot hash.
+    // Change-data-feed over the version history (r16, write-time fast
+    // path r17 — Delta CDF / Iceberg changelog, §A): four versions land
+    // through the commit layer and the feed replays versions 2..4 as
+    // tagged added/removed/changed rows. The three commits
+    // deliberately EXERCISE BOTH FEED PATHS: v2 is a
+    // Lake.upsertVersionDelta (its change set persisted as a _changes
+    // file at commit time — the feed serves it by scanning
+    // change-sized files, NO snapshot read; ScaleSpec pins the leg's
+    // inputFiles), v3 is a legacy full-snapshot writeVersion (the
+    // diff-on-read fallback every versioned table supports), and v4 is
+    // a Lake.appendVersion (write-time 'added' rows). The oracle
+    // derives every change set from the raw table's key arithmetic: a
+    // feed that misses, duplicates, or misclassifies one row — on
+    // either path — cannot hash.
     "etl_change_feed" -> ((s, dir) => {
       val path = scratch("etl_change_feed")
       val fs = new org.apache.hadoop.fs.Path(path)
@@ -654,17 +658,96 @@ object StarSchema {
       Lake.writeVersion(s, orders, path) // v1
       val bumped = orders.filter(col("o_orderkey") % 97 === 0)
         .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
-      Lake.writeVersion(s,
-        Lake.upsert(orders, bumped, Seq("o_orderkey")), path) // v2: changed
+      Lake.upsertVersionDelta(s, path, bumped,
+        Seq("o_orderkey")) // v2: changed — write-time change file
       val v2 = Lake.readVersion(s, path, Some(2))
       Lake.writeVersion(s,
-        v2.filter(col("o_orderkey") % 101 =!= 0), path) // v3: removed
-      Lake.writeVersion(s,
-        Lake.readVersion(s, path, Some(3))
-          .unionByName(v2.filter(col("o_orderkey") % 101 === 0)),
-        path) // v4: the deleted keys return — added
+        v2.filter(col("o_orderkey") % 101 =!= 0), path) // v3: removed (legacy)
+      Lake.appendVersion(s, v2.filter(col("o_orderkey") % 101 === 0), path,
+        cdfKeyCols = Seq("o_orderkey")) // v4: added — write-time change file
       Lake.readChangeFeed(s, path, 1, 4, Seq("o_orderkey"))
         .orderBy(col("version"), col("o_orderkey"))
+    }),
+
+    // File-level-reuse commits end-to-end (r17 — VERDICT r16 named the
+    // full-table rewrite per commit as the biggest 100 TB limit left in
+    // the lake layer, §A): orders publish as a multi-file v1; a delta
+    // MERGE (the %97 price bump) lands as v2 rewriting ONLY the files
+    // that contain a bumped key — every untouched file is SHARED
+    // byte-identical between v1 and v2 (ScaleSpec pins the listings) —
+    // and an append batch (synthetic follow-on orders under shifted
+    // keys) lands as v3 writing nothing but its own files. A 100 TB
+    // table with daily upserts commits delta-sized bytes, not 100 TB.
+    // The oracle replays bump + append sequentially over the raw
+    // table: a commit that lost, duplicated, or double-applied rows
+    // cannot hash.
+    "etl_delta_upsert" -> ((s, dir) => {
+      val path = scratch("etl_delta_upsert")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      Lake.writeVersion(s, orders.repartition(8), path) // v1, multi-file
+      val bumped = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+      Lake.upsertVersionDelta(s, path, bumped, Seq("o_orderkey")) // v2
+      val extra = orders.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+      Lake.appendVersion(s, extra, path) // v3
+      Lake.readVersion(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(gridSum(col("o_totalprice"), 2), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Declared-constraint commit gating end-to-end (r17 — the Delta
+    // CHECK-constraint contract, §A): the customer table publishes as
+    // v1 and declares its constraints ONCE; a violating update batch
+    // (a 5000-unit debit that drives balances under the -1000 floor)
+    // is REQUIREd to refuse with the typed
+    // ConstraintViolationException — latest stays v1, the staging is
+    // cleaned — then the CONFORMING batch (the same debit clamped at
+    // the floor) lands as v2 through the same delta-upsert path. The
+    // per-call audit lambda (etl_wap) catches what one caller checks;
+    // a declared constraint is enforced by EVERY future write path
+    // forever, which is what makes it a table property rather than a
+    // convention. The oracle applies only the conforming update: an
+    // engine that let the bad batch through, or dropped the good one,
+    // cannot hash.
+    "etl_constraints" -> ((s, dir) => {
+      val path = scratch("etl_constraints")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      Lake.writeVersion(s, cust, path) // v1
+      Lake.declareConstraints(s, path, Seq(
+        ("acctbal_floor", "c_acctbal >= -1000.0"),
+        ("custkey_notnull", "c_custkey IS NOT NULL")))
+      val debit = cust.filter(col("c_nationkey") === 5)
+      var refused = false
+      try Lake.upsertVersionDelta(s, path,
+        debit.withColumn("c_acctbal", round(col("c_acctbal") - 5000.0, 2)),
+        Seq("c_custkey"))
+      catch {
+        case _: graft.sources.ConstraintViolationException => refused = true
+      }
+      require(refused,
+        "etl_constraints: the violating batch was not refused")
+      require(Lake.listVersions(s, path) == Seq(1),
+        "etl_constraints: a refused batch must leave latest unchanged")
+      Lake.upsertVersionDelta(s, path,
+        debit.withColumn("c_acctbal",
+          greatest(round(col("c_acctbal") - 5000.0, 2), lit(-1000.0))),
+        Seq("c_custkey")) // v2: conforming
+      Lake.readVersion(s, path)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(gridSum(col("c_acctbal"), 2), 2).as("sum_bal"))
+        .orderBy(col("c_nationkey"))
     }),
 
     // AS-OF-timestamp time travel end-to-end (§H readAsOf), run THROUGH
@@ -1685,6 +1768,35 @@ object StarSchema {
         |  SELECT o_orderkey, 'added', 4 FROM orders WHERE o_orderkey % 101 = 0)
         |SELECT o_orderkey, change, version FROM ch
         |ORDER BY version, o_orderkey""".stripMargin,
+
+    // Sequential replay of the delta merge (%97 bump) and the append
+    // (%89 keys shifted) — the file-sharing commits must equal it.
+    "etl_delta_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice * 1.1, 2)
+        |         ELSE o_totalprice END AS p
+        |  FROM orders),
+        |extra AS (
+        |  SELECT o_orderstatus, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 89 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM extra)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(round(p * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_price
+        |FROM allr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Only the CONFORMING (clamped) debit applies — the violating batch
+    // was refused by the declared constraint.
+    "etl_constraints" ->
+      """WITH c AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN c_nationkey = 5
+        |         THEN greatest(round(c_acctbal - 5000.0, 2), -1000.0)
+        |         ELSE c_acctbal END AS bal
+        |  FROM customer)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  round(CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_bal
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Per-day aggregate over the raw table — the compacted rewrite must
     // be row-for-row identical.

@@ -713,6 +713,67 @@ object Streams {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Exactly-once TRANSACTIONAL sink into the versioned lake (r17 —
+    // the foreachBatch → idempotent versioned commit pattern Delta's
+    // txnVersion exists for, §G × §A): every micro-batch commits
+    // through Lake.commitStreamBatch, an add-only file-manifest commit
+    // whose record carries the batch id, so the lake gains one
+    // immutable version per batch with no table rewrite. After the run
+    // the ENTIRE delivered feed REPLAYS (what restart recovery does —
+    // at-least-once delivery) and every replayed commit is REQUIREd to
+    // skip on its already-committed id; the manifest log is REQUIREd
+    // to hold exactly one commit per batch id. The oracle aggregates
+    // the raw events table: a duplicated or dropped batch cannot hash
+    // — at-least-once delivery, exactly-once effects.
+    "stream_txn_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val key = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val base = s"/root/repo/target/graft-scratch/stream_txn_sink-$key"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val feed = readEventsStream(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val delivered = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]
+      val q = feed.writeStream
+        .foreachBatch((batch: Dataset[Row], id: Long) => {
+          if (!batch.isEmpty) {
+            graft.sources.Lake.commitStreamBatch(s, base, batch.toDF(), id)
+            delivered.add(id); ()
+          }
+        })
+        .start()
+      try {
+        q.processAllAvailable()
+        captureMicroBatchPlan("graft_stream_txn_sink", q)
+      } finally q.stop()
+      val ids = {
+        val it = delivered.iterator()
+        val b = Seq.newBuilder[Long]
+        while (it.hasNext) b += it.next().toLong
+        b.result().distinct.sorted
+      }
+      require(ids.nonEmpty, "stream_txn_sink: no batches delivered")
+      // restart-recovery replay: every batch id re-delivers, all must
+      // skip on the committed log (the data argument is never read on
+      // a skip, so an empty frame stands in for the re-delivered batch)
+      ids.foreach { id =>
+        require(graft.sources.Lake.commitStreamBatch(s, base,
+          graft.sources.Lake.readVersion(s, base).limit(0), id).isEmpty,
+          s"stream_txn_sink: replayed batch $id double-committed")
+      }
+      val committed = graft.sources.Lake.manifestRecords(s, base)
+        .flatMap(_.batch).sorted
+      require(committed == ids,
+        s"stream_txn_sink: one commit per batch id expected, " +
+          s"log=$committed delivered=$ids")
+      graft.sources.Lake.readVersion(s, base)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gap sessionization through Spark's NATIVE session_window state
     // store — the built-in operator beside stream_session's custom
     // flatMapGroupsWithState fold: one watermarked session-window
@@ -971,6 +1032,18 @@ object Streams {
         |   WHERE event_type = 'error' AND user_id % 10 = 7)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+
+    // The whole feed aggregated once: exactly-once commits make the
+    // versioned table equal the raw events however the stream was
+    // sliced into batches, and however often recovery replayed them.
+    "stream_txn_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // Batch equivalent of the landing-zone content dedup: one row per
     // distinct normalized-content hash (columns are hash-determined, so

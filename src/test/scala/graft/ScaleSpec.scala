@@ -580,4 +580,55 @@ class ScaleSpec extends AnyFunSuite {
         s"ann_ivfpq shuffled $n records for a $corpus-vector corpus — super-linear blowup")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("etl_change_feed: write-time legs scan only change files, never a snapshot") {
+    // run the driver key (builds its scratch table: v2 delta-upsert,
+    // v3 legacy snapshot, v4 append — both feed paths live)
+    SparkEntry.queries("etl_change_feed")(spark, TestSpark.Sf).collect()
+    val base = "/root/repo/target/graft-scratch/etl_change_feed"
+    // the v2 and v4 legs were committed with change files: their feed
+    // plans must read change-sized _changes files ONLY — a 100 TB
+    // table's feed costs O(changed rows), not two full scans per commit
+    Seq((1, 2), (3, 4)).foreach { case (lo, hi) =>
+      val leg = sources.Lake.readChangeFeed(spark, base, lo, hi, Seq("o_orderkey"))
+      assert(leg.inputFiles.nonEmpty &&
+        leg.inputFiles.forall(_.contains("/_changes/")),
+        s"feed leg ($lo,$hi) read a snapshot: ${leg.inputFiles.mkString(",")}")
+    }
+    // the v3 leg is a legacy snapshot commit — the diff-on-read
+    // fallback must still serve it (from the two snapshots)
+    val legacy = sources.Lake.readChangeFeed(spark, base, 2, 3, Seq("o_orderkey"))
+    assert(legacy.inputFiles.exists(!_.contains("/_changes/")),
+      "legacy leg should fall back to snapshot diff")
+  }
+
+  test("etl_delta_upsert: commits share unchanged files byte-identical across versions") {
+    SparkEntry.queries("etl_delta_upsert")(spark, TestSpark.Sf).collect()
+    val base = "/root/repo/target/graft-scratch/etl_delta_upsert"
+    def files(v: Int) = sources.Lake.versionFiles(spark, base, v)
+    val (f1, f2, f3) = (files(1).toSet, files(2).toSet, files(3).toSet)
+    // the delta merge rewrote only touched files: most of v1 is shared
+    // INTO v2's manifest, and the shared files are the same bytes
+    val shared12 = f1.intersect(f2)
+    assert(shared12.nonEmpty, "v2 shares no files with v1 — full rewrite")
+    assert(f2 != f1, "v2 must differ from v1 (the merge touched something)")
+    // shared entries are the SAME path — one copy on disk, referenced by
+    // both manifests; immutable data dirs make byte-identity structural
+    shared12.foreach(f => assert(new java.io.File(s"$base/$f").exists, f))
+    // v1's files still resolve after v2 (time travel intact, zero copies)
+    assert(f1.subsetOf(dataFilesOnDisk(base)), "v1 files vanished")
+    // the append added files and removed NONE
+    assert(f2.subsetOf(f3), "append must not drop prior files")
+    assert((f3 -- f2).nonEmpty && (f3 -- f2).forall(_.startsWith("d-")),
+      "append's delta must be its own new files")
+  }
+
+  private def dataFilesOnDisk(base: String): Set[String] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      if (!d.exists) Nil
+      else d.listFiles().toSeq.flatMap(f =>
+        if (f.isDirectory) walk(f) else Seq(f))
+    walk(new java.io.File(base)).filter(_.getName.endsWith(".parquet"))
+      .map(_.getPath.stripPrefix(s"$base/")).toSet
+  }
 }
