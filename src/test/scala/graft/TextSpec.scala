@@ -616,6 +616,37 @@ class TextSpec extends AnyFunSuite {
     // overlapping bigram "aa" in "aaa": exactly one use + one unigram
     assert(uses(Seq(("aaa", 5L)), Seq(("a", 10L), ("aa", 15L)))
       == Map("a" -> 5L, "aa" -> 5L))
+    // MULTI-CHAR pieces (r17): a 4-char piece "abcd"=18 beats every
+    // composition (a+b+c+d=40, ab+cd=30, abc+d=28) — hand-computed
+    assert(uses(Seq(("abcd", 1L)), Seq(("a", 10L), ("b", 10L), ("c", 10L),
+      ("d", 10L), ("ab", 15L), ("cd", 15L), ("abc", 18L), ("abcd", 18L)))
+      == Map("abcd" -> 1L))
+    // a 3-char piece mid-word: "xabcy" → x + abc + y (10+18+10=38)
+    // beats x+ab+c+y=45 and all-chars=50
+    assert(uses(Seq(("xabcy", 1L)), Seq(("a", 10L), ("b", 10L), ("c", 10L),
+      ("x", 10L), ("y", 10L), ("ab", 15L), ("abc", 18L)))
+      == Map("x" -> 1L, "abc" -> 1L, "y" -> 1L))
+    // exact tie abc == ab+c (25 each with abc=25): LONGEST piece wins
+    // (the backward walk's documented tie order; the oracle replays the
+    // same CASE order, longest leg first)
+    assert(uses(Seq(("abc", 2L)), Seq(("a", 10L), ("b", 10L), ("c", 10L),
+      ("ab", 15L), ("abc", 25L)))
+      == Map("abc" -> 2L))
+  }
+
+  test("unigram-LM trainer admits a >=3-char piece end-to-end (planted corpus)") {
+    // ten "abcd" words give every substring support 10 ≥ the 5-cut;
+    // the 4-char piece costs one −ln(10/T) where the char path pays
+    // four — the trained model must segment "abcd" as the single piece
+    val docs = Seq.fill(10)("abcd").mkString(" ")
+    val (vocab, model1) = TextAnalysis.unigramModel(Seq(docs).toDF("text"))
+    val ps = TextAnalysis.segmentPieces(vocab, model1)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(ps("abcd") == Seq("abcd"), ps.toString)
+    // and the reported top pieces carry it with full usage weight
+    val top = TextAnalysis.unigramLm(Seq(docs).toDF("text")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top("abcd") == 10L, top.toString)
   }
 
   test("unigram-LM apply: per-doc token counts, out-of-vocab char fallback") {
