@@ -695,6 +695,9 @@ object StarSchema {
       val extra = orders.filter(col("o_orderkey") % 89 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
       Lake.appendVersion(s, extra, path) // v3
+      Lake.deleteVersionKeys(s, path,
+        orders.filter(col("o_orderkey") % 93 === 0).select("o_orderkey"),
+        Seq("o_orderkey")) // v4: keyed delete, touched files only
       Lake.readVersion(s, path)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
@@ -1769,14 +1772,15 @@ object StarSchema {
         |SELECT o_orderkey, change, version FROM ch
         |ORDER BY version, o_orderkey""".stripMargin,
 
-    // Sequential replay of the delta merge (%97 bump) and the append
-    // (%89 keys shifted) — the file-sharing commits must equal it.
+    // Sequential replay of the delta merge (%97 bump), the append
+    // (%89 keys shifted clear of the key space), and the keyed delete
+    // (%93 originals) — the file-sharing commits must equal it.
     "etl_delta_upsert" ->
       """WITH base AS (
         |  SELECT o_orderstatus,
         |    CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice * 1.1, 2)
         |         ELSE o_totalprice END AS p
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey % 93 <> 0),
         |extra AS (
         |  SELECT o_orderstatus, o_totalprice AS p
         |  FROM orders WHERE o_orderkey % 89 = 0),

@@ -1120,8 +1120,26 @@ object Lake {
                          changes: DataFrame, keyCols: Seq[String],
                          wsCol: Option[String] = None,
                          maxRetries: Int = 16): Int =
-    upsertVersionDelta(spark, base, changes, keyCols, wsCol, maxRetries,
-      beforeCommit = () => ())
+    deltaMutate(spark, base, changes, keyCols, wsCol, maxRetries,
+      beforeCommit = () => (), isDelete = false)
+
+  /** File-level-reuse KEYED DELETE commit (r17 — the third delta
+    * mutation beside [[appendVersion]]/[[upsertVersionDelta]],
+    * completing the write-time CDF triangle): rows whose key appears
+    * in `keys` leave the table; only the files actually CONTAINING a
+    * doomed key rewrite (their survivors land in one fresh dir),
+    * every untouched file is shared byte-identical through the delta
+    * record, and the commit persists its `removed` change rows for
+    * [[readChangeFeed]]. Keys absent from the table are no-ops and do
+    * not appear in the change file (snapshotDiff parity). Same
+    * write-set conflict refinement as the delta upsert — `keys` must
+    * carry the `wsCol` column when one is named. */
+  def deleteVersionKeys(spark: SparkSession, base: String,
+                        keys: DataFrame, keyCols: Seq[String],
+                        wsCol: Option[String] = None,
+                        maxRetries: Int = 16): Int =
+    deltaMutate(spark, base, keys, keyCols, wsCol, maxRetries,
+      beforeCommit = () => (), isDelete = true)
 
   /** Counts of delta-upsert MERGE computations and conflict REBASES —
     * test observables (LakeSpec pins that two disjoint-partition
@@ -1138,7 +1156,21 @@ object Lake {
                                         changes: DataFrame, keyCols: Seq[String],
                                         wsCol: Option[String],
                                         maxRetries: Int,
-                                        beforeCommit: () => Unit): Int = {
+                                        beforeCommit: () => Unit): Int =
+    deltaMutate(spark, base, changes, keyCols, wsCol, maxRetries,
+      beforeCommit, isDelete = false)
+
+  /** The shared delta-mutation core behind [[upsertVersionDelta]]
+    * (isDelete = false: changes replace/insert) and
+    * [[deleteVersionKeys]] (isDelete = true: keyed rows leave). Both
+    * probe → rewrite-touched-only → delta-commit → write-time CDF →
+    * write-set-refined conflict handling. */
+  private def deltaMutate(spark: SparkSession, base: String,
+                          changes: DataFrame, keyCols: Seq[String],
+                          wsCol: Option[String],
+                          maxRetries: Int,
+                          beforeCommit: () => Unit,
+                          isDelete: Boolean): Int = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, input_file_name, lit, when}
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1165,19 +1197,29 @@ object Lake {
         else Some(spark.read.parquet(touchedAbs: _*))
       val dataDir = new org.apache.hadoop.fs.Path(basePath,
         s"d-${java.util.UUID.randomUUID}")
-      val out = touchedRows
-        .map(_.join(broadcast(keyed), keyCols, "left_anti").unionByName(ch))
-        .getOrElse(ch)
-      out.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-      enforceConstraints(spark, base,
-        spark.read.parquet(dataDir.toString),
-        () => { fs.delete(dataDir, true); () })
-      val added = listDataFiles(fs, base, dataDir.getName)
+      // upsert: touched survivors + the change rows; delete: touched
+      // survivors only (nothing to write when no file holds a doomed
+      // key — the commit is then a pure no-op version)
+      val out =
+        if (isDelete) touchedRows.map(_.join(broadcast(keyed), keyCols, "left_anti"))
+        else Some(touchedRows
+          .map(_.join(broadcast(keyed), keyCols, "left_anti").unionByName(ch))
+          .getOrElse(ch))
+      val added = out match {
+        case Some(o) =>
+          o.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+          enforceConstraints(spark, base,
+            spark.read.parquet(dataDir.toString),
+            () => { fs.delete(dataDir, true); () })
+          listDataFiles(fs, base, dataDir.getName)
+        case None => Nil
+      }
       // write-time CDF: classify each change key against its preimage
       // (the touched rows with that key) — exactly snapshotDiff's
-      // added/changed classes, computed from data already in hand
-      // instead of two full snapshot scans at read time. Unchanged
-      // (no-op) upsert rows drop out, matching the diff-on-read path.
+      // added/changed/removed classes, computed from data already in
+      // hand instead of two full snapshot scans at read time. No-op
+      // rows (unchanged upserts, deletes of absent keys) drop out,
+      // matching the diff-on-read path.
       val nonKey = snap.columns.filterNot(keyCols.contains).toSeq
       def canon(df: DataFrame, as: String) = df.select(
         keyCols.map(col) :+
@@ -1185,13 +1227,18 @@ object Lake {
             coalesce(col(c).cast("string"), lit("\u0002"))): _*).as(as): _*)
       val pre = touchedRows
         .map(t => canon(t.join(broadcast(keyed), keyCols, "left_semi"), "rs_old"))
-      val cdfDf = pre.map(_.join(canon(ch, "rs_new"), keyCols, "full_outer"))
-        .getOrElse(canon(ch, "rs_new").withColumn("rs_old", lit(null: String)))
-        .withColumn("change",
-          when(col("rs_old").isNull, "added")
-            .when(col("rs_old") =!= col("rs_new"), "changed"))
-        .filter(col("change").isNotNull)
-        .select(keyCols.map(col) :+ col("change"): _*)
+      val cdfDf =
+        if (isDelete)
+          pre.map(_.select(keyCols.map(col): _*).distinct()
+            .withColumn("change", lit("removed")))
+            .getOrElse(keyed.limit(0).withColumn("change", lit("removed")))
+        else pre.map(_.join(canon(ch, "rs_new"), keyCols, "full_outer"))
+          .getOrElse(canon(ch, "rs_new").withColumn("rs_old", lit(null: String)))
+          .withColumn("change",
+            when(col("rs_old").isNull, "added")
+              .when(col("rs_old") =!= col("rs_new"), "changed"))
+          .filter(col("change").isNotNull)
+          .select(keyCols.map(col) :+ col("change"): _*)
       val cdfName = s"c-${java.util.UUID.randomUUID}"
       cdfDf.write.mode(SaveMode.Overwrite)
         .parquet(s"$base/$ChangesDir/$cdfName")

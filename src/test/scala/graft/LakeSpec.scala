@@ -1542,6 +1542,44 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteVersionKeys rewrites only touched files; write-time 'removed' rows match snapshotDiff") {
+    val b = freshBase("lake_delete_delta")
+    Lake.writeVersion(spark, spark.range(1000)
+      .select(col("id"), (col("id") % 4).as("p"), lit(0L).as("bal"))
+      .repartition(8, col("p")), b) // v1: multi-file
+    val before = dataFileSet(b)
+    // delete ids 0-4 plus a key NOT in the table (a no-op)
+    val keys = spark.createDataFrame(
+      Seq(Tuple1(0L), Tuple1(1L), Tuple1(2L), Tuple1(3L), Tuple1(4L),
+        Tuple1(777777L))).toDF("id")
+    val v2 = Lake.deleteVersionKeys(spark, b, keys, Seq("id"))
+    assert(v2 == 2)
+    val v2df = Lake.readVersion(spark, b, Some(2))
+    assert(v2df.count() == 995)
+    assert(v2df.filter(col("id") <= 4).count() == 0)
+    // v1 untouched (time travel) and untouched files byte-identical
+    assert(Lake.readVersion(spark, b, Some(1)).count() == 1000)
+    val after = dataFileSet(b)
+    before.foreach { case (f, sig) =>
+      assert(after.get(f).contains(sig), s"prior file $f was rewritten") }
+    // write-time feed: only the five REAL deletions appear (the absent
+    // key is a no-op, dropped — snapshotDiff parity), read from change
+    // files only
+    val feed = Lake.readChangeFeed(spark, b, 1, 2, Seq("id"))
+    assert(feed.inputFiles.forall(_.contains("/_changes/")),
+      feed.inputFiles.mkString(","))
+    val got = feed.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (0L to 4L).map(i => (i, "removed")).toSet, got.toString)
+    val diff = Lake.snapshotDiff(spark, b, 1, 2, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == got, s"write-time $got != diff-on-read $diff")
+    // deleting keys that hit NO file commits a clean no-op version
+    val v3 = Lake.deleteVersionKeys(spark, b,
+      spark.createDataFrame(Seq(Tuple1(888888L))).toDF("id"), Seq("id"))
+    assert(Lake.readVersion(spark, b, Some(v3)).count() == 995)
+    assert(Lake.readChangeFeed(spark, b, 2, 3, Seq("id")).count() == 0)
+  }
+
   test("commitStreamBatch: exactly one commit per batch id under replay") {
     val b = freshBase("lake_stream_txn")
     val b0 = spark.range(5).select(col("id"))
