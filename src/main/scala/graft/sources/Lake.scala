@@ -789,18 +789,31 @@ object Lake {
     * anti-join, so the base never moves. Pair with partitioned
     * persistence to rewrite only the partitions that received changes. */
   def upsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val checked = requireKeyUnique(changes, keyCols, "Lake.upsert")
+    base.join(checked.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+        keyCols, "left_anti")
+      .unionByName(checked)
+  }
+
+  /** Per-row duplicate-key guard shared by [[upsert]] and
+    * [[upsertVersionDelta]] (r17 — the delta path previously admitted a
+    * duplicate-key batch and silently emitted duplicate rows): a keyed
+    * upsert is ill-defined on duplicate-key changes, so raise instead.
+    * The guard rides on a kept key column (column pruning can't elide
+    * it) and its window shuffles only the change side — the small side
+    * by construction. */
+  private def requireKeyUnique(changes: DataFrame, keyCols: Seq[String],
+                               who: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, concat_ws, count, format_string, lit, raise_error, when}
     val k0 = keyCols.head
     val perKey = count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*))
-    val checked = changes.withColumn(k0,
+    changes.withColumn(k0,
       when(perKey === 1, col(k0))
         .otherwise(raise_error(format_string(
-          s"Lake.upsert: duplicate key in change batch ((${keyCols.mkString(", ")}) = (%s)) — " +
+          s"$who: duplicate key in change batch ((${keyCols.mkString(", ")}) = (%s)) — " +
             "a keyed upsert is ill-defined on duplicate-key changes; dedup the batch first",
           concat_ws(", ", keyCols.map(c => col(c).cast("string")): _*)))))
-    base.join(checked.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(checked)
   }
 
   /** Apply a CDC changelog (the Debezium/binlog-replay shape: keyed
@@ -1177,8 +1190,13 @@ object Lake {
     val vs0 = listVersions(spark, base)
     require(vs0.nonEmpty, s"upsertVersionDelta: no published versions under $base")
     // the change batch is read several times (touched probe, anti-join,
-    // union, CDF classification) and is delta-sized by contract
-    val ch = changes.localCheckpoint(eager = true)
+    // union, CDF classification) and is delta-sized by contract; the
+    // upsert flavor enforces key-uniqueness per row (the eager
+    // checkpoint materializes the guard, so a duplicate-key batch
+    // fails HERE, before any file is probed or written)
+    val ch = (if (isDelete) changes
+      else requireKeyUnique(changes, keyCols, "Lake.upsertVersionDelta"))
+      .localCheckpoint(eager = true)
     val keyed = ch.select(keyCols.map(col): _*).distinct()
     val ws = wsCol.map(c => collectWriteSet(ch, c)).getOrElse(Nil)
 
@@ -1741,23 +1759,21 @@ object Lake {
     if (interval > 0 && v % interval == 0) {
       val allRecs = manifestRecords(spark, base)
       val recs = allRecs.filter(_.v <= v)
+      // ONE checkpoint listing for the whole settled sweep (not one per
+      // record): a checkpointed record's per-version file may be
+      // legitimately retired (LakeSpec pins this), so "covered" = file
+      // exists OR folded into an existing checkpoint
+      val ckptMax = fs.listStatus(
+        new org.apache.hadoop.fs.Path(base, CommitsDir))
+        .map(_.getPath.getName)
+        .collect { case n if n.matches("""_checkpoint-\d+\.json""") =>
+          n.stripPrefix("_checkpoint-").stripSuffix(".json").toInt }
+        .foldLeft(-1)(math.max)
       val settled = recs.forall { r =>
         val recFile = new org.apache.hadoop.fs.Path(base,
           s"$CommitsDir/v=${r.v}.json")
         val renameDir = new org.apache.hadoop.fs.Path(base, s"v=${r.v}")
-        // a checkpointed record's per-version file may be legitimately
-        // retired (LakeSpec pins this) — only TAIL records need the file
-        // re-probe, and the prior checkpoint's coverage bound is its
-        // name; cheapest sound check: file exists OR covered by any
-        // existing checkpoint, and never a competing rename dir
-        val covered = fs.exists(recFile) || {
-          val ckpts = fs.listStatus(
-            new org.apache.hadoop.fs.Path(base, CommitsDir))
-            .map(_.getPath.getName)
-            .collect { case n if n.matches("""_checkpoint-\d+\.json""") =>
-              n.stripPrefix("_checkpoint-").stripSuffix(".json").toInt }
-          ckpts.nonEmpty && r.v <= ckpts.max
-        }
+        val covered = r.v <= ckptMax || fs.exists(recFile)
         // a TOMBSTONE's rename dir legitimately coexists with its
         // record (that is the tombstone's whole job) — exempt it from
         // the contested-slot probe

@@ -1542,6 +1542,20 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertVersionDelta refuses a duplicate-key change batch before touching any file") {
+    val b = freshBase("lake_delta_dup")
+    Lake.writeVersion(spark, spark.range(10)
+      .select(col("id"), lit(0L).as("bal")), b)
+    val before = dataFileSet(b)
+    val dup = Seq((1L, 5L), (1L, 6L)).toDF("id", "bal")
+    val ex = intercept[Exception] {
+      Lake.upsertVersionDelta(spark, b, dup, Seq("id"))
+    }
+    assert(ex.getMessage.contains("duplicate key"), ex.getMessage)
+    assert(Lake.listVersions(spark, b) == Seq(1))
+    assert(dataFileSet(b) == before, "a refused batch must write nothing")
+  }
+
   test("deleteVersionKeys rewrites only touched files; write-time 'removed' rows match snapshotDiff") {
     val b = freshBase("lake_delete_delta")
     Lake.writeVersion(spark, spark.range(1000)
