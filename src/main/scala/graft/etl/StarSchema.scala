@@ -689,8 +689,12 @@ object StarSchema {
       val orders = t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       Lake.writeVersion(s, orders.repartition(8), path) // v1, multi-file
+      // additive bump: exact in doubles at any magnitude, so the
+      // engines compute bit-identical values (a multiplicative bump's
+      // last-ulp product differences flip a cent at sf0.1 — the
+      // etl_merge_upsert discipline)
       val bumped = orders.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("o_totalprice", round(col("o_totalprice") * 1.1, 2))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
       Lake.upsertVersionDelta(s, path, bumped, Seq("o_orderkey")) // v2
       val extra = orders.filter(col("o_orderkey") % 89 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
@@ -1772,13 +1776,14 @@ object StarSchema {
         |SELECT o_orderkey, change, version FROM ch
         |ORDER BY version, o_orderkey""".stripMargin,
 
-    // Sequential replay of the delta merge (%97 bump), the append
-    // (%89 keys shifted clear of the key space), and the keyed delete
-    // (%93 originals) — the file-sharing commits must equal it.
+    // Sequential replay of the delta merge (%97 additive bump — exact
+    // in doubles, bit-identical cross-engine), the append (%89 keys
+    // shifted clear of the key space), and the keyed delete (%93
+    // originals) — the file-sharing commits must equal it.
     "etl_delta_upsert" ->
       """WITH base AS (
         |  SELECT o_orderstatus,
-        |    CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice * 1.1, 2)
+        |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0
         |         ELSE o_totalprice END AS p
         |  FROM orders WHERE o_orderkey % 93 <> 0),
         |extra AS (

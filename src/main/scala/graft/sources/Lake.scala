@@ -44,7 +44,17 @@ final case class ConstraintViolationException(base: String,
   * Optional metadata: `wsCol`/`ws` = the write-set (partition column +
   * touched values) for conflict refinement; `batch` = the streaming
   * batch id for exactly-once sinks; `cdf` = the `_changes/<name>`
-  * change-file directory for write-time change-data-feed reads. */
+  * change-file directory for write-time change-data-feed reads.
+  *
+  * Honest scale bound: full-form records (checkpoints, vacuum
+  * re-folds) carry the complete file list inline — at ~40 bytes/file a
+  * million-file table folds to a ~40 MB checkpoint, which is exactly
+  * why Delta moved its checkpoints to parquet and Iceberg splits
+  * manifests behind a manifest LIST. The delta records writers publish
+  * stay change-sized; the seam for a chunked/columnar checkpoint is
+  * [[Lake.checkpointBody]] + the newest-checkpoint read in
+  * [[Lake.manifestRecords]], with nothing else caring about the
+  * encoding. */
 private[graft] final case class CommitRec(
     v: Int, ts: Long,
     dir: Option[String] = None,
