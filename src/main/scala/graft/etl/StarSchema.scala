@@ -542,6 +542,41 @@ object StarSchema {
         .orderBy(col("event_type"))
     }),
 
+    // Partitioned VERSION tables (r17 — time travel alone is not
+    // enough at 100 TB: a versioned snapshot the reader cannot
+    // partition-prune pays a full scan per query, §A): events publish
+    // as v1 partitioned by the derived event_date THROUGH the version
+    // layer (`writeVersion(partitionCols)` hive-lays the immutable
+    // data dir, so readVersion's scan partition-prunes natively), a
+    // delta upsert (additive %97 value bump) lands as v2 rewriting
+    // only files under the touched days while every other day's files
+    // stay shared, and the gate reads LATEST filtered to a date band —
+    // ScaleSpec pins PartitionFilters on the versioned scan AND the
+    // post-prune numFiles below the version's file count. The oracle
+    // replays bump + band over the raw table: layout must never change
+    // results.
+    "etl_version_prune" -> ((s, dir) => {
+      val path = scratch("etl_version_prune")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ev = t(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "event_date")
+      Lake.writeVersion(s, ev, path, partitionCols = Seq("event_date")) // v1
+      val bump = ev.filter(col("event_id") % 97 === 0)
+        .withColumn("value", col("value") + lit(100.0))
+      Lake.upsertVersionDelta(s, path, bump, Seq("event_id"),
+        partitionCols = Seq("event_date")) // v2: touched days only
+      Lake.readVersion(s, path)
+        .filter(col("event_date").between(
+          lit("2024-01-08").cast("date"), lit("2024-01-25").cast("date")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(gridSum(col("value"), 2), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // Targeted key erasure end-to-end (the GDPR/right-to-be-forgotten
     // maintenance pass — §A engine completeness beyond upsert): events
     // land bucket-partitioned on user_id (the stream_upsert state-store
@@ -1827,6 +1862,20 @@ object StarSchema {
         |SELECT c_nationkey, count(*) AS n_cust,
         |  round(CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_bal
         |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // The bump + date band replayed over the raw table — the
+    // partition-pruned versioned read must be layout-invariant.
+    "etl_version_prune" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN value + 100.0 ELSE value END AS v,
+        |    CAST(make_timestamp(epoch_us(ts)) AS DATE) AS event_date
+        |  FROM events)
+        |SELECT event_type, count(*) AS cnt,
+        |  round(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
+        |FROM ev
+        |WHERE event_date BETWEEN DATE '2024-01-08' AND DATE '2024-01-25'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The raw-ts range over the unpartitioned table — the hidden-
     // partition pruned read must be result-invariant to the layout.

@@ -990,7 +990,8 @@ object Lake {
     *    no-overwrite primitive. */
   def writeVersion(spark: SparkSession, df: DataFrame, base: String,
                    mode: String = "auto",
-                   expectedLatest: Option[Int] = None): Int = {
+                   expectedLatest: Option[Int] = None,
+                   partitionCols: Seq[String] = Nil): Int = {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
@@ -1014,7 +1015,9 @@ object Lake {
     commitMode(spark, fs, mode) match {
       case "rename" =>
         val stage = stagingPath(basePath)
-        df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+        val w = df.write.mode(SaveMode.Overwrite)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(stage.toString)
         // declared constraints gate EVERY publish path (r17): validated
         // on the staged files — what was actually written — before the
         // commit, so a violating batch never becomes a version
@@ -1025,7 +1028,9 @@ object Lake {
       case "manifest" =>
         val dataDir = new org.apache.hadoop.fs.Path(basePath,
           s"d-${java.util.UUID.randomUUID}")
-        df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+        val w = df.write.mode(SaveMode.Overwrite)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(dataDir.toString)
         enforceConstraints(spark, base, spark.read.parquet(dataDir.toString),
           () => { fs.delete(dataDir, true); () })
         commitManifest(spark, fs, base, dataDir.getName, pinnedSlot = pinned)
@@ -1080,14 +1085,17 @@ object Lake {
   def appendVersion(spark: SparkSession, df: DataFrame, base: String,
                     cdfKeyCols: Seq[String] = Nil,
                     wsCol: Option[String] = None,
-                    batch: Option[Long] = None): Int = {
+                    batch: Option[Long] = None,
+                    partitionCols: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.{col, lit}
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
     val dataDir = new org.apache.hadoop.fs.Path(basePath,
       s"d-${java.util.UUID.randomUUID}")
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataDir.toString)
     val staged = spark.read.parquet(dataDir.toString)
     enforceConstraints(spark, base, staged,
       () => { fs.delete(dataDir, true); () })
@@ -1142,9 +1150,11 @@ object Lake {
   def upsertVersionDelta(spark: SparkSession, base: String,
                          changes: DataFrame, keyCols: Seq[String],
                          wsCol: Option[String] = None,
-                         maxRetries: Int = 16): Int =
+                         maxRetries: Int = 16,
+                         partitionCols: Seq[String] = Nil): Int =
     deltaMutate(spark, base, changes, keyCols, wsCol, maxRetries,
-      beforeCommit = () => (), isDelete = false)
+      beforeCommit = () => (), isDelete = false,
+      partitionCols = partitionCols)
 
   /** File-level-reuse KEYED DELETE commit (r17 — the third delta
     * mutation beside [[appendVersion]]/[[upsertVersionDelta]],
@@ -1160,9 +1170,11 @@ object Lake {
   def deleteVersionKeys(spark: SparkSession, base: String,
                         keys: DataFrame, keyCols: Seq[String],
                         wsCol: Option[String] = None,
-                        maxRetries: Int = 16): Int =
+                        maxRetries: Int = 16,
+                        partitionCols: Seq[String] = Nil): Int =
     deltaMutate(spark, base, keys, keyCols, wsCol, maxRetries,
-      beforeCommit = () => (), isDelete = true)
+      beforeCommit = () => (), isDelete = true,
+      partitionCols = partitionCols)
 
   /** Counts of delta-upsert MERGE computations and conflict REBASES —
     * test observables (LakeSpec pins that two disjoint-partition
@@ -1181,7 +1193,7 @@ object Lake {
                                         maxRetries: Int,
                                         beforeCommit: () => Unit): Int =
     deltaMutate(spark, base, changes, keyCols, wsCol, maxRetries,
-      beforeCommit, isDelete = false)
+      beforeCommit, isDelete = false, partitionCols = Nil)
 
   /** The shared delta-mutation core behind [[upsertVersionDelta]]
     * (isDelete = false: changes replace/insert) and
@@ -1193,7 +1205,8 @@ object Lake {
                           wsCol: Option[String],
                           maxRetries: Int,
                           beforeCommit: () => Unit,
-                          isDelete: Boolean): Int = {
+                          isDelete: Boolean,
+                          partitionCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, input_file_name, lit, when}
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1219,10 +1232,10 @@ object Lake {
         .join(broadcast(keyed), keyCols, "left_semi")
         .select(col("__f")).distinct()
         .collect().map(_.getString(0)).toSeq.sorted
-      val removed = touchedAbs.map(relativeToBase)
+      val removed = touchedAbs.map(a => relativeToBase(base, a))
       val touchedRows =
         if (touchedAbs.isEmpty) None
-        else Some(spark.read.parquet(touchedAbs: _*))
+        else Some(readFilesWithLayout(spark, base, removed))
       val dataDir = new org.apache.hadoop.fs.Path(basePath,
         s"d-${java.util.UUID.randomUUID}")
       // upsert: touched survivors + the change rows; delete: touched
@@ -1235,11 +1248,18 @@ object Lake {
           .getOrElse(ch))
       val added = out match {
         case Some(o) =>
-          o.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-          enforceConstraints(spark, base,
-            spark.read.parquet(dataDir.toString),
-            () => { fs.delete(dataDir, true); () })
-          listDataFiles(fs, base, dataDir.getName)
+          val w = o.write.mode(SaveMode.Overwrite)
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+            .parquet(dataDir.toString)
+          val files = listDataFiles(fs, base, dataDir.getName)
+          // a mutation that empties every touched file writes NO data
+          // files (an empty partitioned write is just _SUCCESS) — there
+          // is nothing for a row constraint to violate
+          if (files.nonEmpty)
+            enforceConstraints(spark, base,
+              readFilesWithLayout(spark, base, files),
+              () => { fs.delete(dataDir, true); () })
+          files
         case None => Nil
       }
       // write-time CDF: classify each change key against its preimage
@@ -1340,21 +1360,56 @@ object Lake {
     else Some(appendVersion(spark, df, base, cdfKeyCols, batch = Some(batchId)))
   }
 
-  /** Relativize an `input_file_name()` URI to a version-layer data
-    * file's base-relative form: version data files always live exactly
-    * one directory under the table base (`d-<uuid>/f` or `v=N/f`), so
-    * the last two path segments ARE the relative path. */
-  private def relativeToBase(absUri: String): String =
-    absUri.split('/').takeRight(2).mkString("/")
+  /** Relativize an `input_file_name()` URI to its base-relative form —
+    * path-component exact (r17: partitioned version dirs nest data
+    * files under `<dir>/<col>=<v>/…`, so the old take-last-two-segments
+    * shortcut no longer holds). */
+  private def relativeToBase(base: String, absUri: String): String = {
+    val basePath = new org.apache.hadoop.fs.Path(base).toUri.getPath
+    val filePath =
+      try new org.apache.hadoop.fs.Path(new java.net.URI(absUri)).toUri.getPath
+      catch { case _: java.net.URISyntaxException =>
+        new org.apache.hadoop.fs.Path(absUri).toUri.getPath }
+    require(filePath.startsWith(basePath + "/"),
+      s"relativeToBase: $absUri is not under $base")
+    filePath.stripPrefix(basePath + "/")
+  }
 
-  /** The parquet data files of `base/<dirName>`, base-relative. */
+  /** The parquet data files of `base/<dirName>`, base-relative,
+    * RECURSIVE (r17): a partitioned data dir nests its files under
+    * `<col>=<v>/` levels; hidden (_/.) entries are skipped at every
+    * level, matching Spark's own listing rules. */
   private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-                            base: String, dirName: String): Seq[String] =
-    fs.listStatus(new org.apache.hadoop.fs.Path(base, dirName)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
-        !n.startsWith("."))
-      .sorted.map(n => s"$dirName/$n")
+                            base: String, dirName: String): Seq[String] = {
+    val basePrefix = new org.apache.hadoop.fs.Path(base).toUri.getPath + "/"
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet"))
+          Seq(st.getPath.toUri.getPath.stripPrefix(basePrefix))
+        else Nil
+      }
+    walk(new org.apache.hadoop.fs.Path(base, dirName)).sorted
+  }
+
+  /** Read a set of base-relative manifest files with their directory
+    * PARTITION LAYOUT intact (r17): files group by their commit dir and
+    * each group reads with `basePath` = that dir, so `<col>=<v>/`
+    * levels materialize back as partition columns (and prune on
+    * filters); flat dirs read identically (no partition levels → no
+    * extra columns). Groups union BY NAME — partition columns trail a
+    * partitioned read but sit inline in a flat delta file. Strict
+    * union (no missing-column backfill): delta mutations require a
+    * writer-stable schema, and a drift should fail loudly — schema
+    * evolution belongs to the layout-epoch machinery. */
+  private def readFilesWithLayout(spark: SparkSession, base: String,
+                                  files: Seq[String]): DataFrame =
+    files.groupBy(_.split('/').head).toSeq.sortBy(_._1).map { case (dir, fs) =>
+      spark.read.option("basePath", s"$base/$dir")
+        .parquet(fs.map(f => s"$base/$f"): _*)
+    }.reduce(_.unionByName(_))
 
   /** A commit's write-set: the distinct values of the write-set column
     * in the batch, canonicalized as strings — partition-value-sized
@@ -1971,10 +2026,7 @@ object Lake {
     def listRel(dirName: String): Seq[String] = {
       val d = new org.apache.hadoop.fs.Path(base, dirName)
       require(fs.exists(d), s"versionFiles: data dir $d does not exist")
-      fs.listStatus(d).toSeq.map(_.getPath.getName)
-        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
-          !n.startsWith("."))
-        .sorted.map(n => s"$dirName/$n")
+      listDataFiles(fs, base, dirName) // recursive: partitioned dirs nest
     }
     val byV = recs.map(r => r.v -> r).toMap
     val allVs = listVersionsFrom(spark, base, recs) // ONE list, reused per hop
@@ -2049,7 +2101,7 @@ object Lake {
         val files = versionFilesFrom(spark, base, v, recs)
         require(files.nonEmpty,
           s"readVersion: version $v of $base has an empty file manifest")
-        spark.read.parquet(files.map(f => s"$base/$f"): _*)
+        readFilesWithLayout(spark, base, files)
       case _ => spark.read.parquet(versionDataPathFrom(base, v, recs))
     }
 
@@ -2184,29 +2236,43 @@ object Lake {
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // resolve through the file manifest — a delta-committed version's
-    // files span multiple immutable data dirs, and the clone's contract
-    // (a flat list of absolute file paths) is exactly the manifest shape
-    val files = versionFiles(spark, base, version)
-      .map(f => fs.makeQualified(
-        new org.apache.hadoop.fs.Path(base, f)).toString)
-    require(files.nonEmpty, s"cloneVersion: version $version of $base is empty")
+    // files span multiple immutable data dirs. Each manifest line is
+    // `<data-dir>TAB<file>` (both absolute) so the reader can restore
+    // directory-encoded partition columns with a per-dir basePath
+    // (r17; a bare-path legacy line still reads flat).
+    val lines = versionFiles(spark, base, version).map { f =>
+      val dir = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(base, f.split('/').head)).toString
+      val abs = fs.makeQualified(new org.apache.hadoop.fs.Path(base, f)).toString
+      s"$dir\t$abs"
+    }
+    require(lines.nonEmpty, s"cloneVersion: version $version of $base is empty")
     val destPath = new org.apache.hadoop.fs.Path(dest)
     fs.mkdirs(destPath.getParent)
     val out = fs.create(destPath, true)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(lines.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Read a shallow clone: scan exactly the manifest's files. */
+  /** Read a shallow clone: scan exactly the manifest's files, grouped
+    * by their data dir so partition-dir columns materialize (legacy
+    * tab-less manifests read flat, as before). */
   def readClone(spark: SparkSession, manifest: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(manifest)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    val files = try scala.io.Source.fromInputStream(in, "UTF-8")
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toSeq
     finally in.close()
-    require(files.nonEmpty, s"readClone: empty manifest $manifest")
-    spark.read.parquet(files: _*)
+    require(lines.nonEmpty, s"readClone: empty manifest $manifest")
+    val (withDir, flat) = lines.partition(_.contains("\t"))
+    val reads =
+      withDir.map(l => (l.split('\t')(0), l.split('\t')(1)))
+        .groupBy(_._1).toSeq.sortBy(_._1).map { case (dir, fs2) =>
+          spark.read.option("basePath", dir).parquet(fs2.map(_._2): _*)
+        } ++
+        (if (flat.nonEmpty) Seq(spark.read.parquet(flat: _*)) else Nil)
+    reads.reduce(_.unionByName(_))
   }
 
   /** Retention vacuum for versioned tables: drop every published

@@ -1594,6 +1594,64 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.readChangeFeed(spark, b, 2, 3, Seq("id")).count() == 0)
   }
 
+  test("partitioned version commits: pruned reads, delta mutations keep the layout") {
+    val b = freshBase("lake_part_version")
+    def rows(a: Long, z: Long, v: Long) = spark.range(a, z)
+      .select(col("id"), pmod(col("id"), lit(5)).cast("int").as("day"),
+        lit(v).as("v"))
+    Lake.writeVersion(spark, rows(0, 1000, 1L), b,
+      partitionCols = Seq("day")) // v1: partitioned dir commit
+    // native partition pruning on the versioned read — PartitionFilters
+    // land on the scan and the post-prune numFiles metric stays below
+    // the version's file count (inputFiles snapshots the UN-pruned
+    // listing, so the executed metric is the honest probe)
+    val pruned = Lake.readVersion(spark, b, Some(1)).filter(col("day") === 3)
+    assert(pruned.count() == 200)
+    val pplan = pruned.queryExecution.executedPlan
+    assert(pplan.toString.contains("PartitionFilters") &&
+      pplan.toString.contains("day"), pplan.toString.take(2000))
+    def scanFiles(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanFiles(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metrics("numFiles").value)
+      case other => other.children.flatMap(scanFiles)
+    }
+    val total1 = Lake.readVersion(spark, b, Some(1)).inputFiles.length
+    val opened = scanFiles(pplan)
+    assert(opened.nonEmpty && opened.forall(_ < total1),
+      s"versioned pruned read opened $opened of $total1 files")
+    // delta upsert over the partitioned snapshot: only touched files
+    // rewrite, partition values survive through the mixed manifest
+    Lake.upsertVersionDelta(spark, b, rows(0, 3, 9L), Seq("id"),
+      partitionCols = Seq("day")) // v2
+    val v2 = Lake.readVersion(spark, b, Some(2))
+    assert(v2.count() == 1000)
+    assert(v2.filter(col("v") === 9).count() == 3)
+    assert(v2.filter(col("day").cast("long") =!= pmod(col("id"), lit(5)))
+      .count() == 0, "partition values corrupted through the delta read")
+    assert(v2.filter(col("day") === 0).count() == 200)
+    // partitioned append and keyed delete stack on top
+    Lake.appendVersion(spark, rows(2000, 2010, 2L), b,
+      partitionCols = Seq("day")) // v3
+    assert(Lake.readVersion(spark, b, Some(3)).count() == 1010)
+    Lake.deleteVersionKeys(spark, b,
+      rows(2000, 2010, 2L).select("id"), Seq("id"),
+      partitionCols = Seq("day")) // v4
+    assert(Lake.readVersion(spark, b, Some(4)).count() == 1000)
+    // time travel intact, clone restores partition columns
+    assert(Lake.readVersion(spark, b, Some(1)).filter(col("v") === 9).count() == 0)
+    Lake.cloneVersion(spark, b, 2, s"$b-clone/m.txt")
+    val cl = Lake.readClone(spark, s"$b-clone/m.txt")
+    assert(cl.count() == 1000 && cl.filter(col("day") === 3).count() == 200)
+    // vacuum stays file-granular over the nested partition paths
+    assert(Lake.vacuumVersions(spark, b, keep = 2) == Seq(1, 2))
+    assert(Lake.listVersions(spark, b) == Seq(3, 4))
+    val v4 = Lake.readVersion(spark, b, Some(4))
+    assert(v4.count() == 1000 && v4.filter(col("v") === 9).count() == 3)
+    assert(v4.filter(col("day") === 3).count() == 200)
+  }
+
   test("commitStreamBatch: exactly one commit per batch id under replay") {
     val b = freshBase("lake_stream_txn")
     val b0 = spark.range(5).select(col("id"))

@@ -602,6 +602,29 @@ class ScaleSpec extends AnyFunSuite {
       "legacy leg should fall back to snapshot diff")
   }
 
+  test("etl_version_prune: the versioned scan partition-prunes (PartitionFilters + numFiles)") {
+    val df = SparkEntry.queries("etl_version_prune")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters") &&
+      plan.toString.contains("event_date"),
+      s"expected event_date partition filters on the versioned scan:\n${plan.toString.take(2000)}")
+    assert(df.count() > 0)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metrics("numFiles").value)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    // latest is v2 by the key's construction (v1 seed + one delta upsert)
+    val base = "/root/repo/target/graft-scratch/etl_version_prune"
+    val total = sources.Lake.versionFiles(spark, base, 2).size
+    val opened = scans(plan)
+    assert(opened.nonEmpty && opened.forall(_ < total),
+      s"versioned pruned read opened $opened of $total files")
+  }
+
   test("etl_delta_upsert: commits share unchanged files byte-identical across versions") {
     SparkEntry.queries("etl_delta_upsert")(spark, TestSpark.Sf).collect()
     val base = "/root/repo/target/graft-scratch/etl_delta_upsert"
