@@ -542,6 +542,43 @@ object StarSchema {
         .orderBy(col("event_type"))
     }),
 
+    // Stats-skipping on VERSIONED reads (r17 — Iceberg manifest
+    // metrics / Delta add.stats composed with the file-manifest layer,
+    // §A): v1 publishes totalprice-SORTED orders through the version
+    // layer (narrow per-file ranges), `writeVersionStats` records each
+    // file's min/max ONCE (files are immutable — a delta commit pays
+    // stats for ITS files alone: the second call after the append
+    // covers only the new files), and `readVersionSkipping` serves a
+    // price band by opening ONLY the manifest files whose range
+    // intersects it — the appended out-of-band batch (prices shifted
+    // +600k, above any TPC-H total) is provably skipped (ScaleSpec
+    // pins post-prune numFiles below the manifest size). The oracle
+    // replays the band over the raw table; the shifted batch excludes
+    // itself on both engines.
+    "etl_version_skip" -> ((s, dir) => {
+      val path = scratch("etl_version_skip")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      Lake.writeVersion(s,
+        orders.repartitionByRange(16, col("o_totalprice"))
+          .sortWithinPartitions(col("o_totalprice")), path) // v1 sorted
+      Lake.writeVersionStats(s, path, Seq("o_totalprice"))
+      Lake.appendVersion(s,
+        orders.withColumn("o_orderkey", col("o_orderkey") + lit(900000000L))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(600000.0)),
+        path) // v2: out-of-band batch
+      Lake.writeVersionStats(s, path, Seq("o_totalprice")) // new files only
+      Lake.readVersionSkipping(s, path,
+        Seq(("o_totalprice", 50000.0, 100000.0)))
+        .agg(count(lit(1)).as("n_orders"),
+          round(gridSum(col("o_totalprice"), 2), 2).as("revenue"),
+          round(min(col("o_totalprice")), 2).as("min_tp"),
+          round(max(col("o_totalprice")), 2).as("max_tp"))
+    }),
+
     // Partitioned VERSION tables (r17 — time travel alone is not
     // enough at 100 TB: a versioned snapshot the reader cannot
     // partition-prune pays a full scan per query, §A): events publish
@@ -1862,6 +1899,16 @@ object StarSchema {
         |SELECT c_nationkey, count(*) AS n_cust,
         |  round(CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_bal
         |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // The band over the raw table — the +600k appended batch excludes
+    // itself, and the stats-pruned versioned read must be
+    // layout-invariant.
+    "etl_version_skip" ->
+      """SELECT count(*) AS n_orders,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+        |  round(min(o_totalprice), 2) AS min_tp,
+        |  round(max(o_totalprice), 2) AS max_tp
+        |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
 
     // The bump + date band replayed over the raw table — the
     // partition-pruned versioned read must be layout-invariant.

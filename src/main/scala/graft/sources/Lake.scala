@@ -1426,6 +1426,114 @@ object Lake {
     vals
   }
 
+  private val FileStatsDir = "_filestats"
+
+  /** Publish per-file MIN/MAX/null-count stats for a VERSION's manifest
+    * files (r17 — the Iceberg manifest-metrics / Delta add.stats idea,
+    * file-manifest flavored): data files are immutable, so each file's
+    * stats compute ONCE no matter how many versions share it — this
+    * call covers only the manifest files that lack a stats row (a
+    * delta commit's incremental cost is stats for ITS files alone) and
+    * appends them as an `_filestats/s-<uuid>` sidecar keyed by
+    * base-relative path. One distributed pass over the uncovered files
+    * regardless of column count; the row set is file-count-bounded
+    * METADATA (the readSkipping contract), so the relativization pass
+    * is a bounded driver fold, never row data. Stat columns must match
+    * the table's established set — a mismatched call names the rebuild
+    * instead of silently mixing schemas. */
+  def writeVersionStats(spark: SparkSession, base: String,
+                        statCols: Seq[String],
+                        version: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, when}
+    require(statCols.nonEmpty, "writeVersionStats: need at least one column")
+    val recs = manifestRecords(spark, base)
+    val vs = listVersionsFrom(spark, base, recs)
+    require(vs.nonEmpty, s"writeVersionStats: no published versions under $base")
+    val v = version.getOrElse(vs.last)
+    val files = versionFilesFrom(spark, base, v, recs)
+    val statsRoot = new org.apache.hadoop.fs.Path(base, FileStatsDir)
+    val fs = statsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val covered =
+      if (!fs.exists(statsRoot)) Set.empty[String]
+      else {
+        val idx = spark.read.option("recursiveFileLookup", "true")
+          .parquet(statsRoot.toString)
+        val missing = statCols.filter(c => !idx.schema.fieldNames.contains(s"min_$c"))
+        require(missing.isEmpty,
+          s"writeVersionStats: existing sidecar does not cover ${missing.mkString(",")} — " +
+            s"delete $statsRoot and rebuild with the full column set")
+        idx.select(col("file")).collect().map(_.getString(0)).toSet
+      }
+    val uncovered = files.filterNot(covered)
+    if (uncovered.nonEmpty) {
+      val aggs = statCols.flatMap { c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+          count(when(col(c).isNull, lit(1))).as(s"nulls_$c"))
+      }
+      val rows = readFilesWithLayout(spark, base, uncovered)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // file-count-bounded metadata
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType) +:
+          rows.headOption.map(_.schema.fields.drop(1)).getOrElse(Array.empty).toSeq)
+      val rel = rows.toSeq.map { r =>
+        org.apache.spark.sql.Row.fromSeq(
+          relativeToBase(base, r.getString(0)) +: r.toSeq.drop(1))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rel, 1), schema)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$base/$FileStatsDir/s-${java.util.UUID.randomUUID}")
+    }
+  }
+
+  /** Band read of a VERSION through the accumulated file stats (r17 —
+    * file skipping composed with time travel): only the manifest files
+    * whose per-column [min, max] intersects EVERY band are read (a
+    * file with no stats row reads conservatively — stats are a pruning
+    * accelerator, never the filter), then the exact predicates
+    * re-apply to the survivors. Min/max are exact so there are no
+    * false exclusions; an all-null file cannot prove intersection and
+    * skips, which is exact for a non-null range predicate. The
+    * pruning decision set is file-count-bounded metadata. */
+  def readVersionSkipping(spark: SparkSession, base: String,
+                          bands: Seq[(String, Any, Any)],
+                          version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(bands.nonEmpty, "readVersionSkipping: need at least one band")
+    val recs = manifestRecords(spark, base)
+    val vs = listVersionsFrom(spark, base, recs)
+    require(vs.nonEmpty, s"readVersionSkipping: no published versions under $base")
+    val v = version.getOrElse(vs.last)
+    val files = versionFilesFrom(spark, base, v, recs)
+    val statsRoot = new org.apache.hadoop.fs.Path(base, FileStatsDir)
+    val fs = statsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exact = bands.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    if (!fs.exists(statsRoot))
+      return readFilesWithLayout(spark, base, files).filter(exact)
+    // sidecars are append-only s-<uuid> subdirs — recurse the lookup
+    val idx = spark.read.option("recursiveFileLookup", "true")
+      .parquet(statsRoot.toString)
+    val missing = bands.map(_._1)
+      .filter(c => !idx.schema.fieldNames.contains(s"min_$c"))
+    require(missing.isEmpty,
+      s"readVersionSkipping: sidecar does not cover ${missing.mkString(",")} — " +
+        s"rebuild via writeVersionStats with the full column set")
+    val keep = bands.map { case (c, lo, hi) =>
+      col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo)
+    }.reduce(_ && _)
+    val statFiles = idx.select(col("file")).collect().map(_.getString(0)).toSet
+    val hit = idx.filter(keep).select(col("file"))
+      .collect().map(_.getString(0)).toSet
+    val survivors = files.filter(f => hit(f) || !statFiles(f))
+    if (survivors.isEmpty)
+      readFilesWithLayout(spark, base, files).filter(lit(false))
+    else readFilesWithLayout(spark, base, survivors).filter(exact)
+  }
+
   /** Declare table CONSTRAINTS once; every later publish path —
     * [[writeVersion]] (and everything routed through it: upserts,
     * restore, compaction), [[appendVersion]], [[upsertVersionDelta]],

@@ -1652,6 +1652,51 @@ class LakeSpec extends AnyFunSuite {
     assert(v4.filter(col("day") === 3).count() == 200)
   }
 
+  test("version file stats: reads open only intersecting files; deltas pay stats for their files alone") {
+    val b = freshBase("lake_vstats")
+    Lake.writeVersion(spark, spark.range(1000)
+      .select(col("id"), col("id").as("v"))
+      .repartitionByRange(8, col("v")).sortWithinPartitions("v"), b) // v1
+    Lake.writeVersionStats(spark, b, Seq("v"))
+    def statRows = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$b/_filestats").count()
+    val rows1 = statRows
+    assert(rows1 == Lake.versionFiles(spark, b, 1).size.toLong)
+    // an appended delta: the second stats call covers ONLY its files
+    Lake.appendVersion(spark, spark.range(5000, 5100)
+      .select(col("id"), col("id").as("v")), b) // v2
+    Lake.writeVersionStats(spark, b, Seq("v"))
+    val total2 = Lake.versionFiles(spark, b, 2).size
+    assert(statRows == total2.toLong, "stats must cover exactly the manifest")
+    assert(statRows - rows1 == total2 - Lake.versionFiles(spark, b, 1).size,
+      "the incremental call must add stats for the new files alone")
+    // a band inside v1's sorted range: the skipped read opens only the
+    // intersecting files (the explicit file list IS the pruned plan)
+    val r = Lake.readVersionSkipping(spark, b, Seq(("v", 100L, 200L)))
+    assert(r.count() == 101)
+    assert(r.inputFiles.nonEmpty && r.inputFiles.length < total2,
+      s"opened ${r.inputFiles.length} of $total2 files")
+    // the appended out-of-range batch (v in 5000..5100) is provably
+    // skipped: none of its files are opened for the 100..200 band
+    val appendedDir = Lake.versionFiles(spark, b, 2)
+      .diff(Lake.versionFiles(spark, b, 1)).head.split('/').head
+    assert(r.inputFiles.forall(!_.contains(appendedDir)),
+      "out-of-band appended files must be pruned")
+    // files WITHOUT stats read conservatively: a third append, no stats
+    Lake.appendVersion(spark, spark.range(150, 160)
+      .select((col("id") + 100000).as("id"), col("id").as("v")), b) // v3 in-band
+    val r3 = Lake.readVersionSkipping(spark, b, Seq(("v", 100L, 200L)))
+    assert(r3.count() == 111, "un-stats'd files must read conservatively")
+    // a band no file intersects returns empty, not an error
+    assert(Lake.readVersionSkipping(spark, b, Seq(("v", 90000L, 99000L)))
+      .count() == 0)
+    // a band column the sidecar lacks names the rebuild
+    val ex = intercept[IllegalArgumentException] {
+      Lake.readVersionSkipping(spark, b, Seq(("id", 0L, 1L)))
+    }
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+  }
+
   test("commitStreamBatch: exactly one commit per batch id under replay") {
     val b = freshBase("lake_stream_txn")
     val b0 = spark.range(5).select(col("id"))

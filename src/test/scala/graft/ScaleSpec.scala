@@ -625,6 +625,19 @@ class ScaleSpec extends AnyFunSuite {
       s"versioned pruned read opened $opened of $total files")
   }
 
+  test("etl_version_skip: the stats-pruned versioned read opens only intersecting files") {
+    val df = SparkEntry.queries("etl_version_skip")(spark, TestSpark.Sf)
+    assert(df.count() > 0)
+    val base = "/root/repo/target/graft-scratch/etl_version_skip"
+    val total = sources.Lake.versionFiles(spark, base, 2).size
+    val pruned = sources.Lake.readVersionSkipping(spark, base,
+      Seq(("o_totalprice", 50000.0, 100000.0)))
+    // the skipped read's file list is pruned BEFORE planning, so
+    // inputFiles is the honest probe here (unlike partition pruning)
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.length < total,
+      s"opened ${pruned.inputFiles.length} of $total manifest files")
+  }
+
   test("etl_delta_upsert: commits share unchanged files byte-identical across versions") {
     SparkEntry.queries("etl_delta_upsert")(spark, TestSpark.Sf).collect()
     val base = "/root/repo/target/graft-scratch/etl_delta_upsert"
