@@ -50,7 +50,8 @@ object SparkEntry {
     "etl_column_rename", "etl_late_arriving_dim", "ann_index_persist",
     "etl_change_feed", "ann_ivf_update",
     "etl_delta_upsert", "etl_constraints", "etl_version_prune",
-    "etl_version_skip",
+    "etl_version_skip", "etl_version_evolve", "sql_time_travel",
+    "stream_merge",
     "stream_window", "stream_session", "stream_session_native",
     "stream_dedup", "stream_join", "stream_delete",
     "stream_join_outer", "stream_content_dedup", "stream_trending",

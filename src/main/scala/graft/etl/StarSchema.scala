@@ -614,6 +614,87 @@ object StarSchema {
         .orderBy(col("event_type"))
     }),
 
+    // SQL TIME TRAVEL (r18 — VERDICT r17 gap 4, the Delta `VERSION AS
+    // OF` surface): the versioned table publishes v1 and a price-bump
+    // v2 through the Scala API, then the GATE IS PURE SQL — one
+    // spark.sql text a JDBC/thrift client could send, reading v1
+    // through the `graft_version(path, 1)` table-valued function,
+    // LATEST through `graft_version(path)`, and v1 again through
+    // `graft_asof(path, ts)` at v1's commit instant. The TVFs resolve
+    // at analysis time to the same LogicalPlan Lake.readVersion
+    // produces (GraftExtensions.injectTableFunction), so pruning and
+    // codegen match the Scala API exactly. The oracle replays both
+    // snapshots from the raw table: the pinned-version legs must be
+    // change-blind, the latest leg change-aware.
+    "sql_time_travel" -> ((s, dir) => {
+      val path = scratch("sql_time_travel")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders, path) // v1
+      // additive bump — exact in doubles, bit-identical cross-engine
+      // (the lake-replay oracle discipline)
+      val changes = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      Lake.writeVersion(s, Lake.upsert(orders, changes, Seq("o_orderkey")), path) // v2
+      val tsv = Lake.versionTimestamps(s, path).toMap
+      require(tsv(2) > tsv(1),
+        "sql_time_travel: same-millisecond commits make the as-of leg ambiguous")
+      s.sql(
+        s"""SELECT v1.o_orderstatus, v1.n_orders, v1.rev_v1, v2.rev_latest, a.rev_asof
+           |FROM (SELECT o_orderstatus, count(*) AS n_orders,
+           |        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS rev_v1
+           |      FROM graft_version('$path', 1) GROUP BY o_orderstatus) v1
+           |JOIN (SELECT o_orderstatus,
+           |        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS rev_latest
+           |      FROM graft_version('$path') GROUP BY o_orderstatus) v2
+           |  ON v1.o_orderstatus = v2.o_orderstatus
+           |JOIN (SELECT o_orderstatus,
+           |        round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS rev_asof
+           |      FROM graft_asof('$path', ${tsv(1)}L) GROUP BY o_orderstatus) a
+           |  ON v1.o_orderstatus = a.o_orderstatus
+           |ORDER BY v1.o_orderstatus""".stripMargin)
+    }),
+
+    // SCHEMA EVOLUTION through the version layer (r18 — VERDICT r17
+    // gap 2, Delta's mergeSchema-on-commit): v1 publishes the
+    // two-column orders core; the follow-on feed starts carrying
+    // o_orderstatus, landing as a mergeSchema APPEND (v2) under
+    // shifted keys; then a mergeSchema MERGE (v3) back-fills the new
+    // column and bumps the price for the %5 slice of OLD keys. The
+    // latest read null-backfills o_orderstatus across the evolution
+    // boundary — pre-evolution files are never rewritten (LakeSpec
+    // pins the manifests). The oracle replays bump + append over the
+    // raw table with a CASE-split on the evolved column: a read that
+    // drops, duplicates, or mis-backfills one row cannot hash.
+    "etl_version_evolve" -> ((s, dir) => {
+      val path = scratch("etl_version_evolve")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+      Lake.writeVersion(s,
+        orders.select("o_orderkey", "o_totalprice"), path) // v1: old schema
+      Lake.appendVersion(s,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .select((col("o_orderkey") + lit(900000000L)).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")),
+        path, mergeSchema = true) // v2: the feed grew a column
+      Lake.upsertVersionDelta(s, path,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+            col("o_orderstatus")),
+        Seq("o_orderkey"), mergeSchema = true) // v3: evolved MERGE back-fill
+      Lake.readVersion(s, path)
+        .groupBy(coalesce(col("o_orderstatus"), lit("none")).as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(gridSum(col("o_totalprice"), 2), 2).as("revenue"))
+        .orderBy(col("status"))
+    }),
+
     // Targeted key erasure end-to-end (the GDPR/right-to-be-forgotten
     // maintenance pass — §A engine completeness beyond upsert): events
     // land bucket-partitioned on user_id (the stream_upsert state-store
@@ -1909,6 +1990,38 @@ object StarSchema {
         |  round(min(o_totalprice), 2) AS min_tp,
         |  round(max(o_totalprice), 2) AS max_tp
         |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
+
+    // Both snapshots replayed from the raw table: the pinned-version
+    // and as-of legs are change-blind, the latest leg change-aware.
+    "sql_time_travel" ->
+      """WITH v1 AS (
+        |  SELECT o_orderstatus, count(*) AS n_orders,
+        |    round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS rev_v1
+        |  FROM orders GROUP BY 1),
+        |v2 AS (
+        |  SELECT o_orderstatus,
+        |    round(CAST(sum(CAST(round(b * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS rev_latest
+        |  FROM (SELECT o_orderstatus,
+        |          CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0
+        |               ELSE o_totalprice END AS b
+        |        FROM orders) GROUP BY 1)
+        |SELECT v1.o_orderstatus, n_orders, rev_v1, rev_latest, rev_v1 AS rev_asof
+        |FROM v1 JOIN v2 USING (o_orderstatus) ORDER BY v1.o_orderstatus""".stripMargin,
+
+    // The evolved table replayed flat: old keys (price-bumped and
+    // status-backfilled on the %5 slice, null-status otherwise) plus
+    // the shifted %3 append that carried the new column.
+    "etl_version_evolve" ->
+      """WITH cur AS (
+        |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_orderstatus END AS st
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_totalprice, o_orderstatus AS st FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(st, 'none') AS status, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
+        |FROM cur GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The bump + date band replayed over the raw table — the
     // partition-pruned versioned read must be layout-invariant.

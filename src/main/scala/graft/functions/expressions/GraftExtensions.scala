@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal integer seed argument, got $other")
   }
 
+  /** String literal (table paths in the time-travel TVFs). */
+  private def strLit(fn: String, e: Expression): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string path argument, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
@@ -93,6 +101,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => es match {
         case Seq(a, b) => SortedSetJaccard(a, b)
         case _ => throw new IllegalArgumentException("sorted_set_jaccard takes (a, b)")
+      }))
+
+    // SQL TIME TRAVEL (r18 — VERDICT r17 gap 4): table-valued
+    // functions over the versioned lake, so a pure-SQL client (JDBC /
+    // thrift, spark.sql) can time-travel without the Scala API — the
+    // Delta `VERSION AS OF` / Iceberg `FOR VERSION AS OF` surface,
+    // TVF-flavored. The builder resolves at ANALYSIS time to the same
+    // LogicalPlan Lake.readVersion/readAsOf produce, so the full
+    // Catalyst pipeline (partition pruning on hive-laid version dirs,
+    // filter pushdown, codegen) applies exactly as through the Scala
+    // API; arguments must be literals, which is what a SQL text query
+    // supplies by construction.
+    e.injectTableFunction((FunctionIdentifier("graft_version"),
+      info("graft_version",
+        "graft_version(path[, version]) - time-travel read of a graft versioned table (latest when omitted)"),
+      (es: Seq[Expression]) => {
+        val s = org.apache.spark.sql.SparkSession.active
+        val df = es match {
+          case Seq(p) =>
+            graft.sources.Lake.readVersion(s, strLit("graft_version", p))
+          case Seq(p, v) =>
+            graft.sources.Lake.readVersion(s, strLit("graft_version", p),
+              Some(intLit("graft_version", v)))
+          case _ => throw new IllegalArgumentException(
+            "graft_version takes (path[, version])")
+        }
+        df.queryExecution.analyzed
+      }))
+    e.injectTableFunction((FunctionIdentifier("graft_asof"),
+      info("graft_asof",
+        "graft_asof(path, ts_millis) - as-of-timestamp read of a graft versioned table"),
+      (es: Seq[Expression]) => es match {
+        case Seq(p, ts) =>
+          graft.sources.Lake.readAsOf(
+            org.apache.spark.sql.SparkSession.active,
+            strLit("graft_asof", p), longLit("graft_asof", ts))
+            .queryExecution.analyzed
+        case _ => throw new IllegalArgumentException(
+          "graft_asof takes (path, ts_millis)")
       }))
   }
 }

@@ -774,6 +774,70 @@ object Streams {
         .orderBy(col("event_type"))
     }),
 
+    // Exactly-once streaming MERGE into the versioned lake (r18 —
+    // VERDICT r17 gap 5, the Delta txnVersion + MERGE idiom, §G × §A):
+    // the feed lands through commitStreamBatch's UPSERT mode
+    // (foreachBatch → upsertVersionDelta keyed on event_id, batch id
+    // in the commit record), then a keyed CORRECTION batch — the %97
+    // value bump, a true key-overlapping MERGE — is delivered TWICE
+    // with the same batch id: the first delivery rewrites only the
+    // touched files, the replay is REQUIREd to skip on the committed
+    // id, the version history is REQUIREd to grow by exactly one
+    // commit, and the write-time change feed is REQUIREd to hold
+    // exactly one `changed` set. The oracle replays the bump over the
+    // raw table: a double-applied (value+200) or dropped correction
+    // cannot hash.
+    "stream_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.Row
+      val key = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val base = s"/root/repo/target/graft-scratch/stream_merge-$key"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val feed = readEventsStream(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      val q = feed.writeStream
+        .foreachBatch((batch: Dataset[Row], id: Long) => {
+          if (!batch.isEmpty) {
+            graft.sources.Lake.commitStreamBatch(s, base, batch.toDF(), id,
+              upsertKeyCols = Seq("event_id"))
+            ()
+          }
+        })
+        .start()
+      try {
+        q.processAllAvailable()
+        captureMicroBatchPlan("graft_stream_merge", q)
+      } finally q.stop()
+      val vsBefore = graft.sources.Lake.listVersions(s, base)
+      require(vsBefore.nonEmpty, "stream_merge: no batches committed")
+      // the correction batch: a genuine keyed MERGE over the landed table
+      val corr = graft.sources.Lake.readVersion(s, base)
+        .filter(col("event_id") % 97 === 0)
+        .withColumn("value", col("value") + lit(100.0))
+      val corrId = 1000000L
+      require(graft.sources.Lake.commitStreamBatch(s, base, corr, corrId,
+        upsertKeyCols = Seq("event_id")).nonEmpty,
+        "stream_merge: correction batch failed to commit")
+      // at-least-once delivery: the SAME batch id replays and must skip
+      require(graft.sources.Lake.commitStreamBatch(s, base, corr, corrId,
+        upsertKeyCols = Seq("event_id")).isEmpty,
+        "stream_merge: replayed correction double-committed")
+      val vsAfter = graft.sources.Lake.listVersions(s, base)
+      require(vsAfter.size == vsBefore.size + 1,
+        s"stream_merge: expected one merge commit, ${vsBefore.size} -> ${vsAfter.size}")
+      // exactly one change set for the correction commit
+      val changed = graft.sources.Lake.readChangeFeed(s, base,
+        vsAfter.init.last, vsAfter.last, Seq("event_id"))
+        .filter(col("change") === "changed").count()
+      require(changed > 0, "stream_merge: the correction produced no change rows")
+      graft.sources.Lake.readVersion(s, base)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gap sessionization through Spark's NATIVE session_window state
     // store — the built-in operator beside stream_session's custom
     // flatMapGroupsWithState fold: one watermarked session-window
@@ -1044,6 +1108,17 @@ object Streams {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // The %97 correction applied exactly once over the raw feed.
+    "stream_merge" ->
+      """WITH ev AS (
+        |  SELECT event_type, user_id,
+        |    CASE WHEN event_id % 97 = 0 THEN value + 100.0 ELSE value END AS v
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Batch equivalent of the landing-zone content dedup: one row per
     // distinct normalized-content hash (columns are hash-determined, so

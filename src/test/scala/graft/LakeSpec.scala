@@ -1710,6 +1710,209 @@ class LakeSpec extends AnyFunSuite {
     val batches = Lake.manifestRecords(spark, b).flatMap(_.batch)
     assert(batches == Seq(0L, 1L), batches.toString)
   }
+
+  test("delta probe prunes by write-set partitions + key stats; full-scan parity holds") {
+    val b = freshBase("lake_probe_prune")
+    Lake.writeVersion(spark, spark.range(4000)
+      .select(col("id"), (col("id") % 8).as("p"), col("id").as("v"))
+      .repartitionByRange(16, col("p"), col("id"))
+      .sortWithinPartitions("p", "id"), b, partitionCols = Seq("p"))
+    Lake.writeVersionStats(spark, b, Seq("id"))
+    val total = Lake.versionFiles(spark, b, 1).size
+    // the change batch lives entirely in partition 3
+    val ch = spark.range(3000, 3064)
+      .select(col("id"), (col("id") % 8).as("p"), lit(-1L).as("v"))
+      .filter(col("p") === 3)
+    val nCh = ch.count()
+    val v2 = Lake.upsertVersionDelta(spark, b, ch, Seq("id"),
+      wsCol = Some("p"), partitionCols = Seq("p"))
+    val probed = Lake.deltaProbeFileCount.get
+    assert(probed < total,
+      s"probe scanned $probed of $total files — pruning inert")
+    // parity with the (implicit) full-scan probe: the merge result is
+    // exactly the logical upsert
+    val snap = Lake.readVersion(spark, b, Some(v2))
+    assert(snap.count() == 4000)
+    assert(snap.filter(col("v") === -1L).count() == nCh)
+    assert(snap.filter(col("p") === 3 && col("id").between(3000, 3063) &&
+      col("v") =!= -1L).count() == 0, "a touched key kept its old row")
+    // a table with NO pruning signal still merges correctly (full probe)
+    val b2 = freshBase("lake_probe_none")
+    Lake.writeVersion(spark, spark.range(100)
+      .select(col("id"), lit(0L).as("v")), b2)
+    Lake.upsertVersionDelta(spark, b2,
+      spark.range(5).select(col("id"), lit(1L).as("v")), Seq("id"))
+    assert(Lake.readVersion(spark, b2).filter(col("v") === 1L).count() == 5)
+  }
+
+  test("stats sidecar alone prunes the probe on an unpartitioned sorted table") {
+    val b = freshBase("lake_probe_stats")
+    Lake.writeVersion(spark, spark.range(10000)
+      .select(col("id"), lit(0L).as("v"))
+      .repartitionByRange(16, col("id")).sortWithinPartitions("id"), b)
+    Lake.writeVersionStats(spark, b, Seq("id"))
+    val total = Lake.versionFiles(spark, b, 1).size
+    val v2 = Lake.upsertVersionDelta(spark, b,
+      spark.range(100, 120).select(col("id"), lit(7L).as("v")), Seq("id"))
+    assert(Lake.deltaProbeFileCount.get < total,
+      s"stats pruning inert: probed ${Lake.deltaProbeFileCount.get}/$total")
+    val snap = Lake.readVersion(spark, b, Some(v2))
+    assert(snap.count() == 10000 && snap.filter(col("v") === 7L).count() == 20)
+  }
+
+  test("delete-all serves an empty snapshot with schema; the table stays mutable") {
+    val b = freshBase("lake_delete_all")
+    Lake.writeVersion(spark, spark.range(50)
+      .select(col("id"), lit("x").as("v")), b)
+    val v2 = Lake.deleteVersionKeys(spark, b,
+      spark.range(50).select(col("id")), Seq("id"))
+    val empty = Lake.readVersion(spark, b, Some(v2))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "v"), empty.columns.mkString(","))
+    // further delta mutations keep working against the empty snapshot
+    val v3 = Lake.upsertVersionDelta(spark, b,
+      spark.range(3).select(col("id"), lit("y").as("v")), Seq("id"))
+    assert(Lake.readVersion(spark, b, Some(v3)).count() == 3)
+  }
+
+  test("commit-record JSON refuses structural characters in partition values and write-sets") {
+    val b = freshBase("lake_rec_safe")
+    val bad = Seq((1L, "a,b"), (2L, "c")).toDF("id", "p")
+    intercept[IllegalArgumentException] {
+      Lake.appendVersion(spark, bad, b, partitionCols = Seq("p"))
+    }
+    val b2 = freshBase("lake_ws_safe")
+    Lake.writeVersion(spark, Seq((1L, "x]")).toDF("id", "p"), b2)
+    intercept[IllegalArgumentException] {
+      Lake.upsertVersionDelta(spark, b2, Seq((1L, "x]")).toDF("id", "p"),
+        Seq("id"), wsCol = Some("p"))
+    }
+  }
+
+  test("vacuum aborts before deleting anything when a RETAINED version cannot resolve") {
+    val b = freshBase("lake_vacuum_guard")
+    try {
+      spark.conf.set("spark.graft.lake.commit", "manifest")
+      Lake.writeVersion(spark, spark.range(10).toDF("id"), b) // v1
+      Lake.writeVersion(spark, spark.range(20).toDF("id"), b) // v2
+      Lake.writeVersion(spark, spark.range(30).toDF("id"), b) // v3
+      val d2 = Lake.manifestRecords(spark, b).find(_.v == 2).get.dir.get
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$b/$d2"))
+      val ex = intercept[IllegalStateException] {
+        Lake.vacuumVersions(spark, b, keep = 2) // kept v2 is broken
+      }
+      assert(ex.getMessage.contains("retained"), ex.getMessage)
+      // the refused vacuum deleted NOTHING: v1 and v3 still read
+      assert(Lake.readVersion(spark, b, Some(1)).count() == 10)
+      assert(Lake.readVersion(spark, b, Some(3)).count() == 30)
+    } finally spark.conf.set("spark.graft.lake.commit", "auto")
+  }
+
+  test("schema evolution: mergeSchema commits null-backfill without rewriting history") {
+    val b = freshBase("lake_evolve")
+    Lake.writeVersion(spark, spark.range(100)
+      .select(col("id"), lit(1L).as("a")), b) // v1 old schema
+    val f1 = Lake.versionFiles(spark, b, 1).toSet
+    Lake.appendVersion(spark, spark.range(100, 110)
+      .select(col("id"), lit(2L).as("a"), lit("n").as("tag")), b,
+      mergeSchema = true) // v2 adds `tag`
+    val latest = Lake.readVersion(spark, b)
+    assert(latest.columns.toSet == Set("id", "a", "tag"))
+    assert(latest.count() == 110)
+    assert(latest.filter(col("tag").isNull).count() == 100,
+      "pre-evolution rows must null-backfill the added column")
+    assert(f1.subsetOf(Lake.versionFiles(spark, b, 2).toSet),
+      "evolution must not rewrite pre-evolution files")
+    // an evolved MERGE updates old keys and populates the new column
+    val v3 = Lake.upsertVersionDelta(spark, b, spark.range(0, 5)
+      .select(col("id"), lit(9L).as("a"), lit("u").as("tag")),
+      Seq("id"), mergeSchema = true)
+    val s3 = Lake.readVersion(spark, b, Some(v3))
+    assert(s3.count() == 110)
+    assert(s3.filter(col("tag") === "u").count() == 5)
+    assert(s3.filter(col("a") === 9L).count() == 5)
+    // time travel below the boundary serves the ORIGINAL schema
+    assert(Lake.readVersion(spark, b, Some(1)).columns.toSeq == Seq("id", "a"))
+    // write-time CDF classified the evolved merge exactly
+    val feed = Lake.readChangeFeed(spark, b, 2, 3, Seq("id"))
+    assert(feed.filter(col("change") === "changed").count() == 5)
+  }
+
+  test("sorted delta rewrites keep narrow per-file ranges and auto-refresh stats") {
+    val b = freshBase("lake_sorted_delta")
+    Lake.writeVersion(spark, spark.range(10000)
+      .select(col("id"), lit(0L).as("v"))
+      .repartitionByRange(10, col("id")).sortWithinPartitions("id"), b)
+    Lake.writeVersionStats(spark, b, Seq("id"))
+    val ch = spark.range(2000, 2050).select(col("id"), lit(1L).as("v"))
+      .union(spark.range(7000, 7050).select(col("id"), lit(1L).as("v")))
+    val v2 = Lake.upsertVersionDelta(spark, b, ch, Seq("id"),
+      sortCols = Seq("id"))
+    // the sidecar covers v2's manifest WITHOUT a manual stats call
+    val idx = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$b/_filestats")
+    val covered = idx.select("file").collect().map(_.getString(0)).toSet
+    val v2files = Lake.versionFiles(spark, b, v2)
+    assert(v2files.forall(covered), "auto stats refresh left files uncovered")
+    // clustering survived the rewrite: every rewritten file spans a
+    // narrow id range, not the union of the touched files' ranges
+    val spanOf = idx.collect()
+      .map(r => (r.getAs[String]("file"), (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))))
+      .toMap
+    val newFiles = v2files.toSet.diff(Lake.versionFiles(spark, b, 1).toSet)
+    assert(newFiles.nonEmpty)
+    // the crisp range-clustering invariant (immune to the range
+    // partitioner's boundary sampling): rewritten files cover pairwise
+    // DISJOINT id ranges, so any band read can open at most one of
+    // them plus neighbors — an unsorted rewrite interleaves ids and
+    // every file spans the whole touched range
+    val ordered = newFiles.toSeq.map(spanOf).sortBy(_._1)
+    ordered.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(lo2 > hi1, s"rewritten file ranges overlap: $ordered")
+      case _ =>
+    }
+    // and the band read over v2 still prunes
+    val r = Lake.readVersionSkipping(spark, b, Seq(("id", 100L, 200L)))
+    assert(r.count() == 101 && r.inputFiles.length < v2files.size)
+  }
+
+  test("commitStreamBatch upsert mode: exactly-once MERGE under replay") {
+    val b = freshBase("lake_stream_merge")
+    val b0 = spark.range(10).select(col("id"), lit(0L).as("v"))
+    val b1 = spark.range(5, 15).select(col("id"), lit(1L).as("v"))
+    assert(Lake.commitStreamBatch(spark, b, b0, 0L,
+      upsertKeyCols = Seq("id")).contains(1))
+    assert(Lake.commitStreamBatch(spark, b, b1, 1L,
+      upsertKeyCols = Seq("id")).contains(2))
+    // restart-recovery replay of BOTH batches: no-ops, no new versions
+    assert(Lake.commitStreamBatch(spark, b, b0, 0L,
+      upsertKeyCols = Seq("id")).isEmpty)
+    assert(Lake.commitStreamBatch(spark, b, b1, 1L,
+      upsertKeyCols = Seq("id")).isEmpty)
+    assert(Lake.listVersions(spark, b) == Seq(1, 2))
+    val snap = Lake.readVersion(spark, b)
+    assert(snap.count() == 15)
+    assert(snap.filter(col("v") === 1L).count() == 10,
+      "the merge must have replaced keys 5..9 and inserted 10..14")
+    // exactly one change set for the merge commit
+    val feed = Lake.readChangeFeed(spark, b, 1, 2, Seq("id"))
+    assert(feed.filter(col("change") === "changed").count() == 5)
+    assert(feed.filter(col("change") === "added").count() == 5)
+  }
+
+  test("writeVersionStats skips the sidecar when uncovered files hold zero rows") {
+    val b = freshBase("lake_stats_empty")
+    Lake.writeVersion(spark, spark.range(0).select(col("id")), b)
+    Lake.writeVersionStats(spark, b, Seq("id"))
+    assert(!new java.io.File(s"$b/_filestats").exists,
+      "an all-empty table must not publish a file-column-only sidecar")
+    Lake.appendVersion(spark, spark.range(10).select(col("id")), b)
+    Lake.writeVersionStats(spark, b, Seq("id"))
+    val idx = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$b/_filestats")
+    assert(idx.columns.toSet == Set("file", "min_id", "max_id", "nulls_id"))
+  }
 }
 
 /** Simulated object store for LakeSpec: local-backed, but rename onto an

@@ -659,6 +659,31 @@ class ScaleSpec extends AnyFunSuite {
       "append's delta must be its own new files")
   }
 
+  test("delta-mutation probe scans candidate files, not the snapshot (r17 weak closed)") {
+    val b = TestSpark.scratch("scale_probe_prune")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    // partitioned (write-set prunable) + stats-indexed (key prunable)
+    sources.Lake.writeVersion(spark, spark.range(20000)
+      .select(col("id"), (col("id") % 16).as("p"), col("id").as("v"))
+      .repartitionByRange(32, col("p"), col("id"))
+      .sortWithinPartitions("p", "id"), b, partitionCols = Seq("p"))
+    sources.Lake.writeVersionStats(spark, b, Seq("id"))
+    val total = sources.Lake.versionFiles(spark, b, 1).size
+    // a daily-upsert-shaped batch: one partition, narrow key range
+    val ch = spark.range(4800, 4816)
+      .select(col("id"), (col("id") % 16).as("p"), lit(-1L).as("v"))
+      .filter(col("p") === 0)
+    val v2 = sources.Lake.upsertVersionDelta(spark, b, ch, Seq("id"),
+      wsCol = Some("p"), partitionCols = Seq("p"), sortCols = Seq("id"))
+    val probed = sources.Lake.deltaProbeFileCount.get
+    assert(probed < total / 4,
+      s"probe candidates $probed of $total manifest files — the write-set " +
+        "partition prune and the stats key prune both failed to engage")
+    assert(sources.Lake.readVersion(spark, b, Some(v2)).count() == 20000)
+    assert(sources.Lake.readVersion(spark, b, Some(v2))
+      .filter(col("v") === -1L).count() === ch.count())
+  }
+
   private def dataFilesOnDisk(base: String): Set[String] = {
     def walk(d: java.io.File): Seq[java.io.File] =
       if (!d.exists) Nil
