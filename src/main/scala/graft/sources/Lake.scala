@@ -27,6 +27,21 @@ final case class ConstraintViolationException(base: String,
         .map { case (n, c) => s"$n ($c rows)" }.mkString(", ") +
       " — publish refused, latest version unchanged")
 
+/** Typed refusal for racing PLAIN-table mutators (r18 — VERDICT r17
+  * item 8): raised when an in-place mutation (deleteKeys,
+  * compactPartitions, compactInPlace, upsertBatch) finds another
+  * mutator's lock on the table. The versioned family serializes
+  * through commit-slot OCC; the plain family mutates directories in
+  * place, where silent interleaving means lost updates or clobbered
+  * swaps — so the second writer REFUSES instead. Carries the holder
+  * token so operators can tell a live writer from a crashed one
+  * (clear the latter with [[Lake.breakMutationLock]]). */
+final case class ConcurrentMutationException(path: String, holder: String)
+  extends RuntimeException(
+    s"concurrent mutation at $path: another in-place mutator holds the " +
+      s"table lock ($holder) — plain-table mutations are single-writer; " +
+      "retry after it finishes, or Lake.breakMutationLock if it crashed")
+
 /** One commit in a versioned table's manifest log (r17 — grew from the
   * (v, dir, ts) triple when commits gained FILE-LEVEL REUSE). Exactly
   * one of three shapes:
@@ -389,7 +404,8 @@ object Lake {
     * exist), with the stat columns recovered from the sidecar's own
     * schema. */
   def compactInPlace(spark: SparkSession, path: String, targetMB: Int = 128,
-                     sortCols: Seq[String] = Nil, zOrderBits: Int = 0): Unit = {
+                     sortCols: Seq[String] = Nil, zOrderBits: Int = 0): Unit =
+      withTableMutationLock(spark, path) {
     import org.apache.spark.sql.functions.col
     recoverCompactSwap(spark, path)
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -600,7 +616,8 @@ object Lake {
     * self-heals any prior crash mechanically (roll FORWARD from tmp
     * when a partition was already aside, roll BACK otherwise). */
   def compactPartitions(spark: SparkSession, path: String,
-                        partitionCol: String, jobs: Seq[(Any, Any)]): Unit = {
+                        partitionCol: String, jobs: Seq[(Any, Any)]): Unit =
+      withTableMutationLock(spark, path) {
     import org.apache.spark.sql.functions.{col, lit}
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -692,6 +709,52 @@ object Lake {
     }
     children.filter(_.getName.startsWith(PartSwapTmpPrefix))
       .foreach(fs.delete(_, true))
+  }
+
+  private val MutationLockFile = "_mutation.lock"
+
+  /** Single-writer FENCE for the plain-table mutators (r18 — VERDICT
+    * r17 item 8): the versioned family gets lost-update protection from
+    * commit-slot OCC, but [[deleteKeys]] / [[compactPartitions]] /
+    * [[compactInPlace]] / the streaming state fold mutate a directory
+    * IN PLACE, where two interleaved writers silently clobber each
+    * other's swaps. This makes the documented single-writer contract
+    * MECHANICAL: the mutation claims `_mutation.lock` through the same
+    * per-FS atomic no-overwrite primitive as commit records
+    * ([[putCommitRecord]] — POSIX link on file://, verified
+    * create-no-overwrite on object stores), runs, and releases; a
+    * competing mutator refuses with the typed
+    * [[ConcurrentMutationException]] instead of corrupting the table.
+    * A crashed holder leaves a stale lock on purpose — breaking a lock
+    * is an operator decision ([[breakMutationLock]]), exactly the
+    * vacuum-class judgement call, never an automatic timeout that
+    * could unfence a slow LIVE writer. */
+  private[graft] def withTableMutationLock[T](spark: SparkSession,
+                                              path: String)(body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+    val lock = new org.apache.hadoop.fs.Path(p, MutationLockFile)
+    val token =
+      s"${java.util.UUID.randomUUID} ${System.currentTimeMillis()}"
+    if (!putCommitRecord(fs, lock, token.getBytes("UTF-8"))) {
+      val holder =
+        try {
+          val in = fs.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "unreadable" }
+      throw ConcurrentMutationException(path, holder)
+    }
+    try body finally fs.delete(lock, false)
+  }
+
+  /** Remove a stale `_mutation.lock` left by a crashed mutator — the
+    * explicit operator override; returns false when no lock exists. */
+  def breakMutationLock(spark: SparkSession, path: String): Boolean = {
+    val lock = new org.apache.hadoop.fs.Path(path, MutationLockFile)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lock, false)
   }
 
   /** Where [[writeStatsIndex]] publishes the per-file stats sidecar for a
@@ -890,7 +953,8 @@ object Lake {
     * wasn't already safely materialized, and re-running the same erase
     * is idempotent. */
   def deleteKeys(spark: SparkSession, path: String, keyCol: String,
-                 bucketCol: String, keys: DataFrame, buckets: Int): Unit = {
+                 bucketCol: String, keys: DataFrame, buckets: Int): Unit =
+      withTableMutationLock(spark, path) {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val keyed = keys.select(col(keyCol))
       .withColumn(bucketCol, pmod(hash(col(keyCol)), lit(buckets)))

@@ -375,7 +375,8 @@ object Streams {
     * any partition prune), not data. localCheckpoint breaks lineage so
     * the overwrite doesn't read its own output path mid-write. */
   private[graft] def upsertBatch(s: SparkSession, statePath: String,
-                                 batch: DataFrame): Unit = {
+                                 batch: DataFrame): Unit =
+      graft.sources.Lake.withTableMutationLock(s, statePath) {
     val in = latestPerUser(batch)
       .withColumn("bucket", pmod(hash(col("user_id")), lit(UpsertBuckets)))
     val touched = in.select("bucket").distinct().collect().map(_.getInt(0)).toSeq

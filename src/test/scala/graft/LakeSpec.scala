@@ -1901,6 +1901,40 @@ class LakeSpec extends AnyFunSuite {
     assert(feed.filter(col("change") === "added").count() == 5)
   }
 
+  test("plain-table mutators are fenced: a racing mutator refuses typed, never interleaves") {
+    val b = freshBase("lake_mut_lock")
+    val buckets = 4
+    spark.range(100).select(col("id").as("user_id"), lit(1L).as("v"))
+      .withColumn("bucket", pmod(hash(col("user_id")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(b)
+    val erase = spark.range(5).select(col("id").as("user_id"))
+    // a competing mutator holds the table lock: both in-place mutators
+    // must refuse with the typed exception and leave the table alone
+    Lake.withTableMutationLock(spark, b) {
+      val ex = intercept[sources.ConcurrentMutationException] {
+        Lake.deleteKeys(spark, b, "user_id", "bucket", erase, buckets)
+      }
+      assert(ex.getMessage.contains("single-writer"))
+      assert(intercept[sources.ConcurrentMutationException] {
+        Lake.compactPartitions(spark, b, "bucket", Seq((0, buckets - 1)))
+      }.path == b)
+    }
+    assert(spark.read.parquet(b).count() == 100, "the refused mutation ran anyway")
+    // the lock released with the holder: the same mutation now succeeds
+    Lake.deleteKeys(spark, b, "user_id", "bucket", erase, buckets)
+    assert(spark.read.parquet(b).count() == 95)
+    // a crashed holder's stale lock clears only by the explicit break
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$b/_mutation.lock"),
+      "dead-writer 0".getBytes("UTF-8"))
+    intercept[sources.ConcurrentMutationException] {
+      Lake.deleteKeys(spark, b, "user_id", "bucket", erase, buckets)
+    }
+    assert(Lake.breakMutationLock(spark, b))
+    Lake.deleteKeys(spark, b, "user_id", "bucket", erase, buckets) // idempotent
+    assert(spark.read.parquet(b).count() == 95)
+  }
+
   test("writeVersionStats skips the sidecar when uncovered files hold zero rows") {
     val b = freshBase("lake_stats_empty")
     Lake.writeVersion(spark, spark.range(0).select(col("id")), b)
