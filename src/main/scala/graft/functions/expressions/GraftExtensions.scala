@@ -141,5 +141,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "graft_asof takes (path, ts_millis)")
       }))
+    e.injectTableFunction((FunctionIdentifier("graft_changes"),
+      info("graft_changes",
+        "graft_changes(path, from_v, to_v, key, ...) - change-data-feed rows of versions (from_v, to_v]"),
+      (es: Seq[Expression]) => es match {
+        case p +: f +: t +: keys if keys.nonEmpty =>
+          graft.sources.Lake.readChangeFeed(
+            org.apache.spark.sql.SparkSession.active,
+            strLit("graft_changes", p), intLit("graft_changes", f),
+            intLit("graft_changes", t),
+            keys.map(strLit("graft_changes", _)))
+            .queryExecution.analyzed
+        case _ => throw new IllegalArgumentException(
+          "graft_changes takes (path, from_v, to_v, key_col...)")
+      }))
   }
 }

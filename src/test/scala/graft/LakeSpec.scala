@@ -1901,6 +1901,31 @@ class LakeSpec extends AnyFunSuite {
     assert(feed.filter(col("change") === "added").count() == 5)
   }
 
+  test("graft_version/graft_asof/graft_changes serve the version layer to pure SQL") {
+    val b = freshBase("lake_sql_tvf")
+    Lake.writeVersion(spark, spark.range(100)
+      .select(col("id"), lit(0L).as("v")), b) // v1
+    Lake.upsertVersionDelta(spark, b, spark.range(10)
+      .select(col("id"), lit(1L).as("v")), Seq("id")) // v2
+    assert(spark.sql(s"SELECT count(*) c FROM graft_version('$b', 1) WHERE v = 1")
+      .head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) c FROM graft_version('$b') WHERE v = 1")
+      .head().getLong(0) == 10L)
+    val ts1 = Lake.versionTimestamps(spark, b).head._2
+    val ts2 = Lake.versionTimestamps(spark, b).last._2
+    if (ts2 > ts1)
+      assert(spark.sql(s"SELECT count(*) c FROM graft_asof('$b', ${ts1}L) WHERE v = 1")
+        .head().getLong(0) == 0L)
+    val ch = spark.sql(
+      s"SELECT change, count(*) n FROM graft_changes('$b', 1, 2, 'id') GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("changed" -> 10L), ch.toString)
+    // non-literal args refuse loudly instead of resolving garbage
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_version(concat('$b', ''), 1)").collect()
+    }
+  }
+
   test("plain-table mutators are fenced: a racing mutator refuses typed, never interleaves") {
     val b = freshBase("lake_mut_lock")
     val buckets = 4
