@@ -1427,13 +1427,23 @@ object Lake {
       }
       val candidates = pruneFilesByKeyStats(spark, base, wsPruned, keyed, keyCols)
       deltaProbeFileCount.set(candidates.size.toLong)
+      // nothing pruned → keep the r17 scan shape (dir/rename versions
+      // scan their one directory with a single LIST instead of an
+      // explicit 1M-path file index); pruned → scan exactly the
+      // candidate files
       val touchedAbs =
         if (candidates.isEmpty) Seq.empty[String]
-        else readFilesWithLayout(spark, base, candidates, allowMissing)
-          .withColumn("__f", input_file_name())
-          .join(broadcast(keyed), keyCols, "left_semi")
-          .select(col("__f")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        else {
+          val probeDf =
+            if (candidates.size == allFiles.size)
+              readVersion(spark, base, Some(latest))
+            else readFilesWithLayout(spark, base, candidates, allowMissing)
+          probeDf
+            .withColumn("__f", input_file_name())
+            .join(broadcast(keyed), keyCols, "left_semi")
+            .select(col("__f")).distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+        }
       val removed = touchedAbs.map(a => relativeToBase(base, a))
       val touchedRows =
         if (touchedAbs.isEmpty) None
