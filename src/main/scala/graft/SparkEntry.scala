@@ -51,7 +51,7 @@ object SparkEntry {
     "etl_change_feed", "ann_ivf_update",
     "etl_delta_upsert", "etl_constraints", "etl_version_prune",
     "etl_version_skip", "etl_version_evolve", "sql_time_travel",
-    "stream_merge", "etl_merge_pruned",
+    "stream_merge", "etl_merge_pruned", "etl_cdf_images",
     "stream_window", "stream_session", "stream_session_native",
     "stream_dedup", "stream_join", "stream_delete",
     "stream_join_outer", "stream_content_dedup", "stream_trending",

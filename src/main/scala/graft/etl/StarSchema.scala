@@ -614,6 +614,40 @@ object StarSchema {
         .orderBy(col("event_type"))
     }),
 
+    // CDF with ROW IMAGES (r18 — Delta's `_change_data` pre/post
+    // surface, §A): v2 is a cdfImages delta MERGE (%97 additive bump)
+    // and v3 a cdfImages keyed DELETE (%101), so the feed serves every
+    // change with its FULL old/new values — `changed` keys emit a
+    // `pre` row (old price) and a `post` row (bumped price), `removed`
+    // keys one `pre` row carrying the value they died with (bumped,
+    // for the %97·%101 overlap — the CASE the oracle replays). Both
+    // legs serve from write-time change files (change-sized scans);
+    // the snapshot-reconstruction fallback for image-less commits is
+    // LakeSpec-pinned equivalent. A consumer applying this feed
+    // downstream needs no other read of the table.
+    "etl_cdf_images" -> ((s, dir) => {
+      val path = scratch("etl_cdf_images")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders, path) // v1
+      val bump = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      Lake.upsertVersionDelta(s, path, bump, Seq("o_orderkey"),
+        cdfImages = true) // v2: changed, pre+post images
+      val doomed = Lake.readVersion(s, path)
+        .filter(col("o_orderkey") % 101 === 0).select("o_orderkey")
+      Lake.deleteVersionKeys(s, path, doomed, Seq("o_orderkey"),
+        cdfImages = true) // v3: removed, pre images
+      Lake.readChangeFeedImages(s, path, 1, 3, Seq("o_orderkey"))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderstatus"), col("version"), col("change"), col("image"))
+        .orderBy(col("version"), col("o_orderkey"), col("image"))
+    }),
+
     // The pruned MERGE end-to-end (r18 — the r17 `weak` exercised as a
     // first-class key, not just a spec pin, §A): events publish sorted
     // + date-partitioned through the version layer with an event_id
@@ -2035,6 +2069,29 @@ object StarSchema {
         |  round(min(o_totalprice), 2) AS min_tp,
         |  round(max(o_totalprice), 2) AS max_tp
         |FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0""".stripMargin,
+
+    // Every change row with its old/new values derived from the raw
+    // key arithmetic: %97 bumps (pre = original, post = +100), %101
+    // deletes (pre = the value the key died with — bumped when also
+    // %97). A feed that loses, duplicates, or mis-values one image
+    // row cannot hash.
+    "etl_cdf_images" ->
+      """WITH rows18 AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |         o_orderstatus, 2 AS version, 'changed' AS change, 'pre' AS image
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice + 100.0, 2), o_orderstatus,
+        |         2, 'changed', 'post'
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |         round(CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0
+        |                    ELSE o_totalprice END, 2),
+        |         o_orderstatus, 3, 'removed', 'pre'
+        |  FROM orders WHERE o_orderkey % 101 = 0)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus, version, change, image
+        |FROM rows18 ORDER BY version, o_orderkey, image""".stripMargin,
 
     // The one-day %3 bump replayed over the raw table — the pruned
     // probe, re-clustered rewrite, and auto stats must be

@@ -1192,7 +1192,8 @@ object Lake {
                     wsCol: Option[String] = None,
                     batch: Option[Long] = None,
                     partitionCols: Seq[String] = Nil,
-                    mergeSchema: Boolean = false): Int = {
+                    mergeSchema: Boolean = false,
+                    cdfImages: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{col, lit}
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1211,8 +1212,12 @@ object Lake {
       if (cdfKeyCols.isEmpty) None
       else {
         val name = s"c-${java.util.UUID.randomUUID}"
-        staged.select(cdfKeyCols.map(col) :+ lit("added").as("change"): _*)
-          .write.mode(SaveMode.Overwrite).parquet(s"$base/$ChangesDir/$name")
+        val rows =
+          if (cdfImages)
+            staged.withColumn("change", lit("added"))
+              .withColumn("image", lit("post"))
+          else staged.select(cdfKeyCols.map(col) :+ lit("added").as("change"): _*)
+        rows.write.mode(SaveMode.Overwrite).parquet(s"$base/$ChangesDir/$name")
         Some(name)
       }
     val v = commitRecordSlot(spark, fs, base,
@@ -1317,11 +1322,12 @@ object Lake {
                          partitionCols: Seq[String] = Nil,
                          sortCols: Seq[String] = Nil,
                          mergeSchema: Boolean = false,
-                         batch: Option[Long] = None): Int =
+                         batch: Option[Long] = None,
+                         cdfImages: Boolean = false): Int =
     deltaMutate(spark, base, changes, keyCols, wsCol, maxRetries,
       beforeCommit = () => (), isDelete = false,
       partitionCols = partitionCols, sortCols = sortCols,
-      mergeSchema = mergeSchema, batch = batch)
+      mergeSchema = mergeSchema, batch = batch, cdfImages = cdfImages)
 
   /** File-level-reuse KEYED DELETE commit (r17 — the third delta
     * mutation beside [[appendVersion]]/[[upsertVersionDelta]],
@@ -1340,11 +1346,12 @@ object Lake {
                         maxRetries: Int = 16,
                         partitionCols: Seq[String] = Nil,
                         sortCols: Seq[String] = Nil,
-                        batch: Option[Long] = None): Int =
+                        batch: Option[Long] = None,
+                        cdfImages: Boolean = false): Int =
     deltaMutate(spark, base, keys, keyCols, wsCol, maxRetries,
       beforeCommit = () => (), isDelete = true,
       partitionCols = partitionCols, sortCols = sortCols,
-      mergeSchema = false, batch = batch)
+      mergeSchema = false, batch = batch, cdfImages = cdfImages)
 
   /** Counts of delta-upsert MERGE computations and conflict REBASES —
     * test observables (LakeSpec pins that two disjoint-partition
@@ -1386,7 +1393,8 @@ object Lake {
                           partitionCols: Seq[String],
                           sortCols: Seq[String],
                           mergeSchema: Boolean,
-                          batch: Option[Long]): Int = {
+                          batch: Option[Long],
+                          cdfImages: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, concat_ws, input_file_name, lit, when}
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1524,8 +1532,31 @@ object Lake {
               .when(col("rs_old") =!= col("rs_new"), "changed"))
           .filter(col("change").isNotNull)
           .select(keyCols.map(col) :+ col("change"): _*)
+      // write-time ROW IMAGES (r18, opt-in — the Delta `_change_data`
+      // pre/post surface): the change file gains the full column
+      // values, one `post` row per added/changed key (the batch's
+      // values), one `pre` row per changed/removed key (the touched
+      // rows' old values). Data already in hand — delta-sized joins,
+      // never a snapshot scan. Off by default: the keys-only file is
+      // smaller and the keys-only feed filters images back out.
+      val cdfOut =
+        if (!cdfImages) cdfDf
+        else {
+          val post =
+            if (isDelete) None
+            else Some(ch.join(broadcast(cdfDf), keyCols)
+              .withColumn("image", lit("post")))
+          val pre = touchedRows.map(t =>
+            t.join(broadcast(
+              if (isDelete) cdfDf
+              else cdfDf.filter(col("change") === "changed")), keyCols)
+              .withColumn("image", lit("pre")))
+          (post.toSeq ++ pre.toSeq)
+            .reduceOption(_.unionByName(_, allowMissingColumns = true))
+            .getOrElse(cdfDf.withColumn("image", lit("post")))
+        }
       val cdfName = s"c-${java.util.UUID.randomUUID}"
-      cdfDf.write.mode(SaveMode.Overwrite)
+      cdfOut.write.mode(SaveMode.Overwrite)
         .parquet(s"$base/$ChangesDir/$cdfName")
       (dataDir, added, removed, cdfName)
     }
@@ -2976,7 +3007,15 @@ object Lake {
     (fromV until toV).map { v =>
       recs.find(_.v == v + 1).flatMap(_.cdf) match {
         case Some(name) =>
-          spark.read.parquet(s"$base/$ChangesDir/$name")
+          val raw = spark.read.parquet(s"$base/$ChangesDir/$name")
+          // an IMAGE-carrying change file (cdfImages commits) holds two
+          // rows per changed key (pre + post) — keep the canonical one
+          // per (key, change) so this keys-only surface is unchanged
+          val canonical =
+            if (raw.columns.contains("image"))
+              raw.filter(col("image") === "post" || col("change") === "removed")
+            else raw
+          canonical
             .select(keyCols.map(col) :+ col("change"): _*)
             .withColumn("version", lit(v + 1))
         case None =>
@@ -2984,6 +3023,57 @@ object Lake {
             .withColumn("version", lit(v + 1))
       }
     }.reduce(_ unionByName _)
+  }
+
+  /** Change-data-feed WITH ROW IMAGES (r18 — Delta's `_change_data`
+    * pre/post images, the surface a downstream MERGE consumer needs
+    * when the change class alone is not enough): every change row of
+    * versions in (fromV, toV] with its FULL column values — `added`
+    * keys carry one `post` row, `changed` keys a `pre` (old values)
+    * and a `post` (new values) row, `removed` keys one `pre` row —
+    * each tagged with the producing version. Commits published with
+    * `cdfImages = true` serve straight from their change files
+    * (change-sized scans, no snapshot read); commits without images
+    * (legacy, or images not requested) fall back to reconstructing
+    * the images from the two adjacent snapshots — the
+    * no-writer-cooperation floor, priced at two snapshot scans for
+    * exactly those commits. Columns across commits union BY NAME with
+    * null backfill, so the feed spans schema evolution. */
+  def readChangeFeedImages(spark: SparkSession, base: String,
+                           fromV: Int, toV: Int,
+                           keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromV < toV,
+      s"readChangeFeedImages: need fromV < toV, got ($fromV, $toV)")
+    val recs = manifestRecords(spark, base)
+    (fromV until toV).map { v =>
+      val fromFile = recs.find(_.v == v + 1).flatMap(_.cdf).flatMap { name =>
+        val raw = spark.read.parquet(s"$base/$ChangesDir/$name")
+        if (raw.columns.contains("image")) Some(raw) else None
+      }
+      fromFile.getOrElse(snapshotDiffImages(spark, base, v, v + 1, keyCols))
+        .withColumn("version", lit(v + 1))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[snapshotDiff]] with row images — the diff-on-read
+    * reconstruction behind [[readChangeFeedImages]]'s fallback: the
+    * keyed change classes join back to the two snapshots, old values
+    * serving `pre` rows (changed/removed), new values `post` rows
+    * (changed/added). Two snapshot scans + key-co-partitioned joins —
+    * the floor cost without writer cooperation. */
+  def snapshotDiffImages(spark: SparkSession, base: String,
+                         vOld: Int, vNew: Int,
+                         keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cls = snapshotDiff(spark, base, vOld, vNew, keyCols)
+    val pre = readVersion(spark, base, Some(vOld))
+      .join(cls.filter(col("change") =!= "added"), keyCols)
+      .withColumn("image", lit("pre"))
+    val post = readVersion(spark, base, Some(vNew))
+      .join(cls.filter(col("change") =!= "removed"), keyCols)
+      .withColumn("image", lit("post"))
+    pre.unionByName(post, allowMissingColumns = true)
   }
 
   /** Write-audit-publish: stage the batch, audit THE STAGED FILES (what

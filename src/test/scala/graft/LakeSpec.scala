@@ -1926,6 +1926,43 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("change-feed images: write-time files and snapshot reconstruction agree") {
+    val b = freshBase("lake_cdf_images")
+    Lake.writeVersion(spark, spark.range(100)
+      .select(col("id"), (col("id") * 2).as("v")), b) // v1
+    Lake.upsertVersionDelta(spark, b,
+      spark.range(10).select(col("id"), lit(-1L).as("v")), Seq("id"),
+      cdfImages = true) // v2: 10 changed
+    Lake.deleteVersionKeys(spark, b,
+      spark.range(5, 8).select(col("id")), Seq("id"),
+      cdfImages = true) // v3: 3 removed
+    val fromFiles = Lake.readChangeFeedImages(spark, b, 1, 3, Seq("id"))
+    val rebuilt = Lake.snapshotDiffImages(spark, b, 1, 2, Seq("id"))
+      .withColumn("version", lit(2))
+      .unionByName(Lake.snapshotDiffImages(spark, b, 2, 3, Seq("id"))
+        .withColumn("version", lit(3)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "v", "version", "change", "image")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(fromFiles) == canon(rebuilt),
+      "write-time images must equal the snapshot reconstruction")
+    assert(fromFiles.filter(col("change") === "changed").count() == 20) // pre+post
+    assert(fromFiles.filter(col("change") === "changed" &&
+      col("image") === "post" && col("v") === -1L).count() == 10)
+    assert(fromFiles.filter(col("change") === "removed" &&
+      col("image") === "pre").count() == 3)
+    // the keys-only feed is IMAGE-BLIND: still one row per (key, change)
+    val keysOnly = Lake.readChangeFeed(spark, b, 1, 3, Seq("id"))
+    assert(keysOnly.count() == 13, keysOnly.count().toString)
+    // appendVersion images: added keys carry their post row
+    Lake.appendVersion(spark, spark.range(200, 205)
+      .select(col("id"), lit(9L).as("v")), b,
+      cdfKeyCols = Seq("id"), cdfImages = true) // v4
+    val v4 = Lake.readChangeFeedImages(spark, b, 3, 4, Seq("id"))
+    assert(v4.filter(col("change") === "added" && col("image") === "post" &&
+      col("v") === 9L).count() == 5)
+  }
+
   test("plain-table mutators are fenced: a racing mutator refuses typed, never interleaves") {
     val b = freshBase("lake_mut_lock")
     val buckets = 4
