@@ -52,6 +52,8 @@ object SparkEntry {
     "etl_delta_upsert", "etl_constraints", "etl_version_prune",
     "etl_version_skip", "etl_version_evolve", "sql_time_travel",
     "stream_merge", "etl_merge_pruned", "etl_cdf_images",
+    "sql_merge", "etl_version_hidden", "etl_version_rename",
+    "stream_cdc_consume",
     "stream_window", "stream_session", "stream_session_native",
     "stream_dedup", "stream_join", "stream_delete",
     "stream_join_outer", "stream_content_dedup", "stream_trending",

@@ -737,6 +737,133 @@ object StarSchema {
            |ORDER BY v1.o_orderstatus""".stripMargin)
     }),
 
+    // SQL WRITE SURFACE (r19 — VERDICT r18 item 3, the Delta `MERGE
+    // INTO` capability as procedure TVFs, §A): after the Scala API
+    // publishes v1, EVERY write is pure SQL — a temp view of
+    // correction rows built over `graft_version`, one
+    // `graft_merge(path, view, batch_id, keys...)` statement MERGing
+    // it (v2), a doomed-keys view and one `graft_delete` statement
+    // removing them (v3). Both statements are IDEMPOTENT on their
+    // literal batch id: the key RETRIES the merge statement verbatim
+    // and REQUIREs the version history did not grow — the at-least-
+    // once SQL client contract. The gate reads latest through
+    // graft_version in pure SQL; the oracle replays bump + delete over
+    // the raw table, so a skipped, double-applied, or mis-keyed write
+    // cannot hash.
+    "sql_merge" -> ((s, dir) => {
+      val path = scratch("sql_merge")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders, path) // v1 — the last Scala-API touch
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW sql_merge_corr AS
+           |SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+           |       o_orderstatus
+           |FROM graft_version('$path') WHERE o_orderkey % 97 = 0""".stripMargin)
+      val mergeStmt =
+        s"SELECT version FROM graft_merge('$path', 'sql_merge_corr', 190001L, 'o_orderkey')"
+      val mv = s.sql(mergeStmt).collect()(0).getInt(0)
+      require(mv == 2, s"sql_merge: MERGE landed at v$mv, expected v2")
+      // the retried statement (at-least-once SQL client) must SKIP on
+      // its batch id — same version back, no new commit
+      val mv2 = s.sql(mergeStmt).collect()(0).getInt(0)
+      require(mv2 == 2 && Lake.listVersions(s, path).last == 2,
+        "sql_merge: a retried MERGE statement double-applied")
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW sql_merge_doom AS
+           |SELECT o_orderkey FROM graft_version('$path')
+           |WHERE o_orderkey % 101 = 0""".stripMargin)
+      val dv = s.sql(
+        s"SELECT version FROM graft_delete('$path', 'sql_merge_doom', 190002L, 'o_orderkey')")
+        .collect()(0).getInt(0)
+      require(dv == 3, s"sql_merge: DELETE landed at v$dv, expected v3")
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n_orders,
+           |  round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
+           |FROM graft_version('$path')
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // HIDDEN PARTITIONING on a VERSIONED table (r19 — VERDICT r18
+    // item 6, Iceberg partition transforms composed with the version
+    // layer, §A): events publish through writeVersionHidden — the
+    // ENGINE derives event_date = day(ts) and persists the transform
+    // spec, the writer names only `ts` — then a correction batch
+    // merges through the same hiddenStamp seam (write-set refinement
+    // on the derived column comes for free), and the gate reads a RAW
+    // ts band through readVersionHiddenRange: the band rewrites into
+    // a constant-folded event_date partition filter, so the versioned
+    // scan prunes its hive-laid day dirs at planning time (ScaleSpec
+    // pins PartitionFilters + post-prune numFiles below the manifest
+    // size). The oracle replays bump + band over the raw table —
+    // hidden layout must never change results.
+    "etl_version_hidden" -> ((s, dir) => {
+      val path = scratch("etl_version_hidden")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      Lake.writeVersionHidden(s, ev, path,
+        rawCol = "ts", transform = "day", partitionCol = "event_date") // v1
+      val bump = ev.filter(col("event_id") % 97 === 0)
+        .withColumn("value", col("value") + lit(100.0))
+      Lake.upsertVersionDelta(s, path, Lake.hiddenStamp(s, path, bump),
+        Seq("event_id"), wsCol = Some("event_date"),
+        partitionCols = Seq("event_date")) // v2: touched days only
+      Lake.readVersionHiddenRange(s, path,
+        lit("2024-01-08 00:00:00").cast("timestamp"),
+        lit("2024-01-25 23:59:59").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(gridSum(col("value"), 2), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // METADATA-ONLY COLUMN RENAME through the version layer (r19 —
+    // VERDICT r18 item 7, the Delta column-mapping idea, §A): v1
+    // publishes orders, v2 renames o_totalprice → price as a PURE
+    // commit record (the key REQUIREs v2's file manifest is
+    // byte-identical to v1's — zero files rewritten at any table
+    // size), v3 merges a price bump under the NEW name (its files
+    // carry `price` natively while v1's still spell o_totalprice on
+    // disk — the read projects both to the current schema). Time
+    // travel is schema travel: the key REQUIREs the pinned v1 read
+    // still serves the OLD name. The oracle replays the bump over the
+    // raw table under the new name: pre-rename values must flow
+    // through the mapping (a by-name read would zero them — the
+    // etl_column_rename discipline, versioned). LakeSpec pins the
+    // manifest equality and the vacuum tombstone carry.
+    "etl_version_rename" -> ((s, dir) => {
+      val path = scratch("etl_version_rename")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val orders = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      Lake.writeVersion(s, orders, path) // v1
+      Lake.renameColumnVersion(s, path, "o_totalprice", "price") // v2
+      val f1 = Lake.versionFiles(s, path, 1)
+      val f2 = Lake.versionFiles(s, path, 2)
+      require(f1 == f2,
+        s"etl_version_rename: the rename rewrote files (${f1.size} -> ${f2.size})")
+      require(Lake.readVersion(s, path, Some(1)).columns.contains("o_totalprice"),
+        "etl_version_rename: time travel below the rename must serve the old name")
+      val bump = Lake.readVersion(s, path)
+        .filter(col("o_orderkey") % 97 === 0)
+        .withColumn("price", col("price") + lit(100.0))
+      Lake.upsertVersionDelta(s, path, bump, Seq("o_orderkey")) // v3: new-name files
+      Lake.readVersion(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(gridSum(col("price"), 2), 2).as("revenue"),
+          round(min(col("price")), 2).as("min_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // SCHEMA EVOLUTION through the version layer (r18 — VERDICT r17
     // gap 2, Delta's mergeSchema-on-commit): v1 publishes the
     // two-column orders core; the follow-on feed starts carrying
@@ -2123,6 +2250,44 @@ object StarSchema {
         |        FROM orders) GROUP BY 1)
         |SELECT v1.o_orderstatus, n_orders, rev_v1, rev_latest, rev_v1 AS rev_asof
         |FROM v1 JOIN v2 USING (o_orderstatus) ORDER BY v1.o_orderstatus""".stripMargin,
+
+    // The SQL-only MERGE (+100 on %97) then DELETE (%101) replayed
+    // over the raw table — a skipped, double-applied, or mis-keyed
+    // statement cannot hash.
+    "sql_merge" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(round(b * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
+        |FROM (SELECT o_orderstatus,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0
+        |             ELSE o_totalprice END AS b
+        |      FROM orders WHERE o_orderkey % 101 <> 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The bump + RAW-ts band replayed over the unpartitioned table —
+    // the hidden-partitioned versioned read must be layout-invariant.
+    "etl_version_hidden" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS sum_value
+        |FROM (SELECT event_type, ts,
+        |        CASE WHEN event_id % 97 = 0 THEN value + 100.0 ELSE value END AS v
+        |      FROM events)
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+        |          AND TIMESTAMP '2024-01-25 23:59:59'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The renamed table replayed under the NEW name: nonzero revenue
+    // (and a positive min) in every status proves pre-rename file data
+    // flows through the name mapping — a by-name read of old files
+    // would null `price` wholesale.
+    "etl_version_rename" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(round(p * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+        |  round(min(p), 2) AS min_price
+        |FROM (SELECT o_orderstatus,
+        |        CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 100.0
+        |             ELSE o_totalprice END AS p
+        |      FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The evolved table replayed flat: old keys (price-bumped and
     // status-backfilled on the %5 slice, null-status otherwise) plus

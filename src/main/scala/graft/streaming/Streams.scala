@@ -839,6 +839,76 @@ object Streams {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING CDC consumption of a versioned table's change feed
+    // (r19 — VERDICT r18 item 1, the Delta readStream-on-CDF idiom,
+    // §G × §A): a producer lands three write-time-CDF commits (the
+    // founding append, a %97 MERGE bump, a %101 keyed DELETE); the
+    // consumer TAILS the commit log from its durable cursor
+    // (Lake.consumeChangeFeed — foreachBatch shape, version = batch
+    // id) and mirrors each commit's change rows into a landing dir.
+    // The key then REQUIREs the full streaming contract: (a) the
+    // first drain serves exactly versions 1..3; (b) a RESTARTED
+    // consumer (new call, same consumer id) re-serves NOTHING — the
+    // cursor is the checkpointed offset; (c) the table grows by a
+    // fourth commit while the consumer is offline and the next drain
+    // serves EXACTLY the new version — resume, not reprocess; (d) the
+    // changeFeedFallbackCount observable is unchanged, so every
+    // served batch read only _changes-sized inputs, never a snapshot.
+    // The gate is the accumulated consumer output; the oracle replays
+    // all four change sets from the raw table — a dropped, duplicated,
+    // or re-served batch cannot hash. (StreamsSpec additionally pins
+    // crash-redelivery: a process failure before the cursor advance
+    // redelivers that version — the at-least-once half.)
+    "stream_cdc_consume" -> ((s, dir) => {
+      val key = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val base = s"/root/repo/target/graft-scratch/stream_cdc_consume-$key"
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val src = s"$base/src"
+      val out = s"$base/consumed"
+      val orders = graft.sources.Lake.table(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      // founding commit is a CDF APPEND, so v1 serves from its
+      // write-time change file like every later commit
+      graft.sources.Lake.appendVersion(s, orders, src,
+        cdfKeyCols = Seq("o_orderkey")) // v1: all added
+      val bump = orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      graft.sources.Lake.upsertVersionDelta(s, src, bump,
+        Seq("o_orderkey")) // v2: changed
+      val doomed = graft.sources.Lake.readVersion(s, src)
+        .filter(col("o_orderkey") % 101 === 0).select("o_orderkey")
+      graft.sources.Lake.deleteVersionKeys(s, src, doomed,
+        Seq("o_orderkey")) // v3: removed
+      val fallbacks0 = graft.sources.Lake.changeFeedFallbackCount.get
+      def drain(): Seq[Int] =
+        graft.sources.Lake.consumeChangeFeed(s, src, "mirror",
+          Seq("o_orderkey")) { (batch, _) =>
+          batch.write.mode("append").parquet(out)
+        }
+      val first = drain()
+      require(first == Seq(1, 2, 3),
+        s"stream_cdc_consume: first drain served $first, expected 1..3")
+      // restart: the durable cursor is the offset — nothing re-serves
+      require(drain().isEmpty,
+        "stream_cdc_consume: a restarted consumer re-served processed versions")
+      // the table grows while the consumer is offline...
+      val bump2 = graft.sources.Lake.readVersion(s, src)
+        .filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(50.0))
+      graft.sources.Lake.upsertVersionDelta(s, src, bump2,
+        Seq("o_orderkey")) // v4: changed (survivors of the delete)
+      // ...and the next drain resumes from the cursor: exactly v4
+      val resumed = drain()
+      require(resumed == Seq(4),
+        s"stream_cdc_consume: resume served $resumed, expected exactly 4")
+      require(graft.sources.Lake.changeFeedFallbackCount.get == fallbacks0,
+        "stream_cdc_consume: a consumer leg fell back to snapshot diffing")
+      s.read.parquet(out)
+        .select(col("o_orderkey"), col("change"), col("version"))
+        .orderBy(col("version"), col("change"), col("o_orderkey"))
+    }),
+
     // Gap sessionization through Spark's NATIVE session_window state
     // store — the built-in operator beside stream_session's custom
     // flatMapGroupsWithState fold: one watermarked session-window
@@ -1032,6 +1102,21 @@ object Streams {
         |WHERE event_id % 17 <> 3
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // The consumed feed replayed from the raw table: v1 added every
+    // key, v2 changed the %97 bumps, v3 removed the %101 keys, v4
+    // changed the %89 survivors of the delete. A dropped, duplicated,
+    // or re-served batch (restart bugs) cannot hash.
+    "stream_cdc_consume" ->
+      """SELECT o_orderkey, 'added' AS change, 1 AS version FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'changed', 2 FROM orders WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'removed', 3 FROM orders WHERE o_orderkey % 101 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'changed', 4 FROM orders
+        |WHERE o_orderkey % 89 = 0 AND o_orderkey % 101 <> 0
+        |ORDER BY version, change, o_orderkey""".stripMargin,
 
     // The whole recovery choreography (stop, redeliver, restart) must
     // collapse to the plain batch aggregate — each event exactly once.

@@ -1986,8 +1986,10 @@ class LakeSpec extends AnyFunSuite {
     Lake.deleteKeys(spark, b, "user_id", "bucket", erase, buckets)
     assert(spark.read.parquet(b).count() == 95)
     // a crashed holder's stale lock clears only by the explicit break
+    // (the lock is a SIBLING of the table dir since r19 — it must
+    // survive compactInPlace's rename-aside of the dir itself)
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$b/_mutation.lock"),
+      java.nio.file.Paths.get(s"$b.mutation.lock"),
       "dead-writer 0".getBytes("UTF-8"))
     intercept[sources.ConcurrentMutationException] {
       Lake.deleteKeys(spark, b, "user_id", "bucket", erase, buckets)
@@ -1995,6 +1997,49 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.breakMutationLock(spark, b))
     Lake.deleteKeys(spark, b, "user_id", "bucket", erase, buckets) // idempotent
     assert(spark.read.parquet(b).count() == 95)
+  }
+
+  test("the mutation lock fences through a compaction's rename-aside window (r19 ADVICE)") {
+    val b = freshBase("lake_mut_lock_aside")
+    spark.range(50).select(col("id").as("user_id"),
+        (col("id") % 4).as("bucket"), lit(1L).as("v"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(b)
+    val erase = spark.range(5).select(col("id").as("user_id"))
+    val fs = new org.apache.hadoop.fs.Path(b)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Lake.withTableMutationLock(spark, b) {
+      // simulate compactInPlace mid-swap: the table dir is ABSENT,
+      // renamed aside — the old in-dir lock vanished with it, and a
+      // racer's mkdirs would recreate an empty dir and mutate it
+      // concurrently. The sibling lock must keep fencing.
+      val aside = new org.apache.hadoop.fs.Path(s"$b.compact-old-test")
+      assert(fs.rename(new org.apache.hadoop.fs.Path(b), aside))
+      try {
+        intercept[sources.ConcurrentMutationException] {
+          Lake.deleteKeys(spark, b, "user_id", "bucket", erase, 4)
+        }
+      } finally assert(fs.rename(aside, new org.apache.hadoop.fs.Path(b)))
+    }
+    assert(spark.read.parquet(b).count() == 50, "the fenced mutation ran anyway")
+  }
+
+  test("lock release is token-scoped: a stale holder never unfences a successor (r19 ADVICE)") {
+    val b = freshBase("lake_mut_lock_token")
+    new java.io.File(b).mkdirs()
+    val lock = java.nio.file.Paths.get(s"$b.mutation.lock")
+    Lake.withTableMutationLock(spark, b) {
+      // the operator judges THIS holder crashed and breaks its lock;
+      // a new legitimate writer then acquires its own
+      assert(Lake.breakMutationLock(spark, b))
+      java.nio.file.Files.write(lock, "successor-writer 1".getBytes("UTF-8"))
+    }
+    // the stale holder's finally must NOT have deleted the successor's
+    // lock — the successor is still fenced in
+    assert(java.nio.file.Files.exists(lock),
+      "the stale holder's release deleted the successor's lock")
+    assert(new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+      .startsWith("successor-writer"))
+    java.nio.file.Files.delete(lock)
   }
 
   test("writeVersionStats skips the sidecar when uncovered files hold zero rows") {
@@ -2008,6 +2053,207 @@ class LakeSpec extends AnyFunSuite {
     val idx = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$b/_filestats")
     assert(idx.columns.toSet == Set("file", "min_id", "max_id", "nulls_id"))
+  }
+
+  test("duplicate sidecar stat rows never duplicate reads or probe input (r19 ADVICE)") {
+    val b = freshBase("lake_stats_dup")
+    Lake.writeVersion(spark, spark.range(1000)
+      .select(col("id"), col("id").as("v"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id"), b)
+    Lake.writeVersionStats(spark, b, Seq("id"))
+    // simulate two racing refreshVersionStats both covering the same
+    // files: duplicate the whole sidecar subdir under a second name
+    val statsDir = new java.io.File(s"$b/_filestats")
+    val sub = statsDir.listFiles().filter(_.isDirectory).head
+    org.apache.commons.io.FileUtils.copyDirectory(sub,
+      new java.io.File(statsDir, s"s-dup-${sub.getName.stripPrefix("s-")}"))
+    // every file now has TWO stat rows — the skipped read must still
+    // serve each row exactly once
+    val banded = Lake.readVersionSkipping(spark, b, Seq(("id", 100L, 299L)))
+    assert(banded.count() == 200, s"duplicate sidecar rows duplicated the read")
+    assert(banded.select("id").distinct().count() == 200)
+    // and the delta-mutation probe must not double its candidate list
+    val ch = spark.range(150, 160).select(col("id"), lit(-1L).as("v"))
+    val v2 = Lake.upsertVersionDelta(spark, b, ch, Seq("id"))
+    val snap = Lake.readVersion(spark, b, Some(v2))
+    assert(snap.count() == 1000, "duplicate stats duplicated merged rows")
+    assert(snap.filter(col("v") === -1L).count() == 10)
+  }
+
+  test("ws prune skips path-unsafe partition value types — merge stays exact (r19 ADVICE)") {
+    val b = freshBase("lake_ws_ts")
+    // timestamp-valued partition column: its hive-path rendering and a
+    // plain string cast can disagree — the ws prune must stand down
+    // and the merge must still replace exactly the keyed rows
+    val seed = spark.range(400).select(col("id"),
+      timestamp_micros(lit(1700000000000000L) +
+        (col("id") % 4) * 3600000000L).as("bucket_ts"),
+      lit(0L).as("v"))
+    Lake.writeVersion(spark, seed, b, partitionCols = Seq("bucket_ts"))
+    val ch = seed.filter(col("id") % 10 === 0).withColumn("v", lit(-1L))
+    val v2 = Lake.upsertVersionDelta(spark, b, ch, Seq("id"),
+      wsCol = Some("bucket_ts"), partitionCols = Seq("bucket_ts"))
+    val snap = Lake.readVersion(spark, b, Some(v2))
+    assert(snap.count() == 400, "a wrongly pruned probe duplicated keys")
+    assert(snap.select("id").distinct().count() == 400)
+    assert(snap.filter(col("v") === -1L).count() == 40)
+  }
+
+  test("z-ordered versioned tables keep tight per-file rectangles through delta mutations (r19)") {
+    val b = freshBase("lake_zorder_delta")
+    import graft.sources.{Lake => L}
+    val grid = spark.range(40000).select(
+      (col("id") % 200).as("x"),
+      (col("id") / 200).cast("long").as("y"), // integer grid row
+      col("id"), lit(0L).as("v"))
+    L.writeVersion(spark, grid
+      .withColumn("__z", L.mortonKey(col("x"), col("y"), 16))
+      .repartitionByRange(16, col("__z")).sortWithinPartitions("__z")
+      .drop("__z"), b)
+    L.writeVersionStats(spark, b, Seq("x", "y"))
+    // MEAN per-file bounding rectangle: a z-range slice is near-square
+    // (mean ≈ 2500-6000 cells here, even though a slice straddling a
+    // quadrant boundary can have a wide bounding box), while an
+    // unclustered shuffle's files each span ~the full 200×200 grid
+    def meanArea(): Double = {
+      val idx = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$b/_filestats")
+      idx.select(((col("max_x") - col("min_x") + 1) *
+        (col("max_y") - col("min_y") + 1)).cast("double").as("a"))
+        .agg(avg(col("a"))).collect()(0).getDouble(0)
+    }
+    val area1 = meanArea()
+    assert(area1 < 200.0 * 200 / 3, s"seed layout not z-clustered: $area1")
+    // the delta rewrite re-interleaves with the SAME bits: rectangles
+    // stay tight instead of decaying to whatever the merge shuffled
+    val ch = grid.filter(col("id") % 7 === 0).withColumn("v", lit(-1L))
+    val v2 = L.upsertVersionDelta(spark, b, ch, Seq("id"),
+      sortCols = Seq("x", "y"), zOrderBits = 16)
+    val area2 = meanArea()
+    assert(area2 <= area1 * 2,
+      s"z-order decayed through the delta rewrite: $area1 -> $area2")
+    val snap = L.readVersion(spark, b, Some(v2))
+    assert(snap.count() == 40000)
+    assert(snap.filter(col("v") === -1L).count() === ch.count())
+    // and the rectangle pruning still bites: a small (x,y) window opens
+    // a strict minority of the manifest
+    val total = L.versionFiles(spark, b, v2).size
+    val pruned = L.readVersionSkipping(spark, b,
+      Seq(("x", 10L, 20L), ("y", 10L, 20L)), Some(v2))
+    assert(pruned.inputFiles.length < total,
+      s"opened ${pruned.inputFiles.length} of $total after the z-order rewrite")
+    assert(pruned.count() == 11L * 11)
+  }
+
+  test("_last_checkpoint pointer: resolution reads O(interval) records, zero full listings (r19)") {
+    val b = freshBase("lake_last_ckpt")
+    spark.conf.set("spark.graft.lake.checkpointInterval", "4")
+    try {
+      Lake.appendVersion(spark, spark.range(10).select(col("id")), b) // v1
+      (2 to 11).foreach { i =>
+        Lake.appendVersion(spark,
+          spark.range(i * 100, i * 100 + 10).select(col("id")), b)
+      } // v2..v11; checkpoints at 4 and 8, pointer at 8
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$b/_commits/_last_checkpoint")))
+      val lists0 = Lake.commitsFullListCount.get
+      val probes0 = Lake.commitsTailProbeCount.get
+      assert(Lake.listVersions(spark, b) == (1 to 11))
+      val lists = Lake.commitsFullListCount.get - lists0
+      val probes = Lake.commitsTailProbeCount.get - probes0
+      assert(lists == 0,
+        s"pointer-resolved history still paid $lists full _commits listings")
+      assert(probes <= 4,
+        s"resolution probed $probes tail records — more than one interval")
+      // the pointer is an accelerator, not the source of truth: with it
+      // gone, the listing fallback serves the identical history
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$b/_commits/_last_checkpoint"))
+      val lists1 = Lake.commitsFullListCount.get
+      assert(Lake.listVersions(spark, b) == (1 to 11))
+      assert(Lake.commitsFullListCount.get - lists1 >= 1)
+      assert(Lake.readVersion(spark, b).count() == 110)
+    } finally spark.conf.unset("spark.graft.lake.checkpointInterval")
+  }
+
+  test("column rename is metadata-only, chains, time-travels, and survives vacuum (r19)") {
+    val b = freshBase("lake_rename")
+    spark.conf.set("spark.graft.lake.checkpointInterval", "0")
+    try {
+      Lake.writeVersion(spark, spark.range(100)
+        .select(col("id"), (col("id") * 2).as("amount")), b) // v1
+      Lake.renameColumnVersion(spark, b, "amount", "value") // v2
+      assert(Lake.versionFiles(spark, b, 2) == Lake.versionFiles(spark, b, 1),
+        "rename rewrote data files")
+      // chained rename: value -> price (v3)
+      Lake.renameColumnVersion(spark, b, "value", "price") // v3
+      val latest = Lake.readVersion(spark, b)
+      assert(latest.columns.toSeq == Seq("id", "price"))
+      assert(latest.agg(sum(col("price"))).collect()(0).getLong(0) == 9900,
+        "pre-rename values did not flow through the chained mapping")
+      // time travel is schema travel: v1 serves the original name
+      assert(Lake.readVersion(spark, b, Some(1)).columns.toSeq == Seq("id", "amount"))
+      // mutations under the new name rewrite only touched files
+      val ch = spark.range(10).select(col("id"), lit(-5L).as("price"))
+      Lake.upsertVersionDelta(spark, b, ch, Seq("id")) // v4
+      val after = Lake.readVersion(spark, b)
+      assert(after.filter(col("price") === -5L).count() == 10)
+      assert(after.count() == 100)
+      // duplicate-name guards
+      intercept[IllegalArgumentException] {
+        Lake.renameColumnVersion(spark, b, "missing", "x")
+      }
+      intercept[IllegalArgumentException] {
+        Lake.renameColumnVersion(spark, b, "id", "price")
+      }
+      // vacuum past the rename commits: their mapping must survive as
+      // tombstones, because retained v4 still references v1-era files
+      // that spell `amount` on disk
+      val dropped = Lake.vacuumVersions(spark, b, keep = 1)
+      assert(dropped == Seq(1, 2, 3))
+      val v = Lake.readVersion(spark, b)
+      assert(v.columns.toSeq == Seq("id", "price"),
+        "vacuum dropped the rename mapping with the rename commits")
+      assert(v.agg(sum(col("price"))).collect()(0).getLong(0) == 9900 - 90 - 50,
+        "post-vacuum read lost pre-rename file data")
+    } finally spark.conf.unset("spark.graft.lake.checkpointInterval")
+  }
+
+  test("appendVersion requireNewKeys refuses duplicate keys typed; CDF column names are reserved (r19)") {
+    val b = freshBase("lake_append_guard")
+    // cdfImages without keys is a contract error, refused loudly
+    intercept[IllegalArgumentException] {
+      Lake.appendVersion(spark, spark.range(5).toDF(), b, cdfImages = true)
+    }
+    Lake.appendVersion(spark, spark.range(100)
+      .select(col("id"), col("id").as("v")), b,
+      cdfKeyCols = Seq("id")) // v1
+    Lake.writeVersionStats(spark, b, Seq("id"))
+    // a fresh-key append passes the probe
+    Lake.appendVersion(spark, spark.range(100, 140)
+      .select(col("id"), col("id").as("v")), b,
+      cdfKeyCols = Seq("id"), requireNewKeys = true) // v2
+    // an existing-key append refuses with the typed exception and
+    // leaves no version behind
+    val before = Lake.listVersions(spark, b)
+    val ex = intercept[sources.DuplicateKeyAppendException] {
+      Lake.appendVersion(spark, spark.range(130, 150)
+        .select(col("id"), col("id").as("v")), b,
+        cdfKeyCols = Seq("id"), requireNewKeys = true)
+    }
+    assert(ex.base == b)
+    assert(Lake.listVersions(spark, b) == before,
+      "a refused duplicate append still published a version")
+    assert(Lake.readVersion(spark, b).count() == 140)
+    // the feed's column names are reserved on every CDF-producing path
+    intercept[IllegalArgumentException] {
+      Lake.appendVersion(spark, spark.range(200, 210)
+        .select(col("id"), lit("x").as("change")), b, cdfKeyCols = Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Lake.upsertVersionDelta(spark, b, spark.range(5)
+        .select(col("id"), lit(1L).as("version")), Seq("id"))
+    }
   }
 }
 

@@ -684,6 +684,56 @@ class ScaleSpec extends AnyFunSuite {
       .filter(col("v") === -1L).count() === ch.count())
   }
 
+  test("etl_version_hidden: the raw-ts band partition-prunes the versioned scan (r19)") {
+    val df = SparkEntry.queries("etl_version_hidden")(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("PartitionFilters") &&
+      plan.toString.contains("event_date"),
+      s"expected derived-column partition filters from the raw-ts band:\n${plan.toString.take(2000)}")
+    assert(df.count() > 0)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metrics("numFiles").value)
+      case other => other.children.flatMap(scans) ++
+        other.subqueries.flatMap(scans)
+    }
+    val base = "/root/repo/target/graft-scratch/etl_version_hidden"
+    val total = sources.Lake.versionFiles(spark, base, 2).size
+    val opened = scans(plan)
+    assert(opened.nonEmpty && opened.forall(_ < total),
+      s"hidden-partitioned band read opened $opened of $total files")
+  }
+
+  test("appendVersion's requireNewKeys probe scans candidate files, not the snapshot (r19)") {
+    val b = TestSpark.scratch("scale_append_probe")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    sources.Lake.writeVersion(spark, spark.range(20000)
+      .select(col("id"), col("id").as("v"))
+      .repartitionByRange(32, col("id")).sortWithinPartitions("id"), b)
+    sources.Lake.writeVersionStats(spark, b, Seq("id"))
+    val total = sources.Lake.versionFiles(spark, b, 1).size
+    // an append whose key range overlaps a narrow slice of the table:
+    // the stats prune must bound the existence probe to that slice
+    val ex = intercept[sources.DuplicateKeyAppendException] {
+      sources.Lake.appendVersion(spark, spark.range(5000, 5016)
+        .select(col("id"), lit(-1L).as("v")), b,
+        cdfKeyCols = Seq("id"), requireNewKeys = true)
+    }
+    assert(ex.keyCols == Seq("id"))
+    val probed = sources.Lake.appendProbeFileCount.get
+    assert(probed < total / 4,
+      s"append existence probe scanned $probed of $total files — " +
+        "the stats prune failed to engage")
+    // and a disjoint-range append probes ZERO files (provably new keys)
+    sources.Lake.appendVersion(spark, spark.range(90000, 90016)
+      .select(col("id"), lit(-1L).as("v")), b,
+      cdfKeyCols = Seq("id"), requireNewKeys = true)
+    assert(sources.Lake.appendProbeFileCount.get == 0,
+      "a provably-disjoint append still probed files")
+  }
+
   private def dataFilesOnDisk(base: String): Set[String] = {
     def walk(d: java.io.File): Seq[java.io.File] =
       if (!d.exists) Nil

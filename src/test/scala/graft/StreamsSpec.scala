@@ -474,4 +474,76 @@ class StreamsSpec extends AnyFunSuite {
     assert(sinkIds() == Seq(1L, 2L, 3L, 4L, 5L, 6L),
       s"mixed restart not exactly-once: ${sinkIds()}")
   }
+
+  test("CDC consumer: crash before the cursor advance redelivers; idempotent sink dedups (r19)") {
+    import graft.sources.Lake
+    import org.apache.spark.sql.functions._
+    val b = TestSpark.scratch("streams_cdc_crash")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    val src = s"$b/src"
+    val mirror = s"$b/mirror"
+    // three write-time-CDF commits
+    Lake.appendVersion(spark, spark.range(100)
+      .select(col("id"), col("id").as("v")), src, cdfKeyCols = Seq("id")) // v1
+    Lake.upsertVersionDelta(spark, src, spark.range(0, 100, 10)
+      .select(col("id"), lit(-1L).as("v")), Seq("id")) // v2
+    Lake.deleteVersionKeys(spark, src, spark.range(0, 100, 25)
+      .select(col("id")), Seq("id")) // v3
+    // the downstream APPLY: exactly-once via the version-as-batch-id
+    // idempotent commit — redelivered versions must skip
+    def apply(batch: org.apache.spark.sql.DataFrame, v: Int): Unit = {
+      // `change` is a reserved feed column on CDF-producing writes —
+      // the downstream mirror renames it before committing
+      val keys = batch.select(col("id"), col("change").as("chg"))
+      Lake.commitStreamBatch(spark, mirror, keys, v.toLong,
+        cdfKeyCols = Seq("id"))
+      ()
+    }
+    // leg 1 CRASHES inside v2's process, after v1's cursor advanced
+    val crashed = intercept[RuntimeException] {
+      Lake.consumeChangeFeed(spark, src, "c1", Seq("id")) { (batch, v) =>
+        if (v == 2) throw new RuntimeException("sink died mid-batch")
+        apply(batch, v)
+      }
+    }
+    assert(crashed.getMessage.contains("sink died"))
+    assert(Lake.changeStreamCursor(spark, src, "c1").contains(1),
+      "the cursor must sit at the last FULLY processed version")
+    // restart: v2 REDELIVERS (at-least-once), then v3 — and v1, already
+    // applied AND committed to the mirror under its batch id, never re-lands
+    val resumed = Lake.consumeChangeFeed(spark, src, "c1", Seq("id")) {
+      (batch, v) => apply(batch, v)
+    }
+    assert(resumed == Seq(2, 3), s"restart served $resumed, expected 2..3")
+    // exactly-once downstream effects: one mirror commit per version
+    val committed = Lake.manifestRecords(spark, mirror).flatMap(_.batch).sorted
+    assert(committed == Seq(1L, 2L, 3L),
+      s"mirror holds $committed — a redelivered batch double-committed")
+    // and a fully drained consumer is idempotent
+    assert(Lake.consumeChangeFeed(spark, src, "c1", Seq("id")) {
+      (_, _) => fail("a drained consumer re-served a version")
+    }.isEmpty)
+  }
+
+  test("CDC consumer images flavor serves the readChangeFeedImages surface (r19)") {
+    import graft.sources.Lake
+    import org.apache.spark.sql.functions._
+    val b = TestSpark.scratch("streams_cdc_images")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b))
+    val src = s"$b/src"
+    Lake.appendVersion(spark, spark.range(50)
+      .select(col("id"), col("id").as("v")), src,
+      cdfKeyCols = Seq("id"), cdfImages = true) // v1
+    Lake.upsertVersionDelta(spark, src, spark.range(0, 50, 5)
+      .select(col("id"), lit(-1L).as("v")), Seq("id"), cdfImages = true) // v2
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+    Lake.consumeChangeFeed(spark, src, "ci", Seq("id"), images = true) {
+      (batch, _) => out ++= batch.collect()
+    }
+    val replay = Lake.readChangeFeedImages(spark, src, 0, 2, Seq("id")).collect()
+    def canon(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted
+    assert(canon(out.toSeq) == canon(replay.toSeq),
+      "the streamed image feed diverged from the batch replay")
+  }
 }
