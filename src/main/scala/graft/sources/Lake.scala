@@ -1923,15 +1923,16 @@ object Lake {
     }.reduce(_ && _)
     import spark.implicits._
     val manifest = files.toDF("__mf") // file-count-bounded metadata
-    // .distinct(): duplicate sidecar rows for one file (two concurrent
-    // writers' refreshVersionStats both covering it) must not emit the
-    // path twice — a duplicated candidate would be probed twice and a
-    // duplicated survivor READ twice, silently duplicating rows (r19
-    // ADVICE)
+    // .distinct AFTER the collect: duplicate sidecar rows for one file
+    // (two concurrent writers' refreshVersionStats both covering it)
+    // must not emit the path twice — a duplicated candidate would be
+    // probed twice and a duplicated survivor READ twice, silently
+    // duplicating rows (r19 ADVICE). Driver-side on the
+    // file-count-bounded list, so the fix adds zero shuffle.
     manifest.join(idx, manifest("__mf") === idx("file"), "left")
       .filter(idx("file").isNull || keep)
-      .select(manifest("__mf")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .select(manifest("__mf"))
+      .collect().map(_.getString(0)).toSeq.distinct.sorted
   }
 
   /** The parquet data files of `base/<dirName>`, base-relative,
@@ -2179,15 +2180,16 @@ object Lake {
     // full sidecar file column
     import spark.implicits._
     val manifest = files.toDF("__mf")
-    // .distinct(): a file covered by two sidecar rows (concurrent
-    // refreshVersionStats racers) must still read exactly once — the
-    // join would otherwise emit its path per coverage row and
-    // readFilesWithLayout would serve the rows twice (r19 ADVICE)
+    // .distinct AFTER the collect: a file covered by two sidecar rows
+    // (concurrent refreshVersionStats racers) must still read exactly
+    // once — the join would otherwise emit its path per coverage row
+    // and readFilesWithLayout would serve the rows twice (r19 ADVICE).
+    // Driver-side on file-count-bounded metadata: zero extra shuffle.
     val survivors = manifest
       .join(idx, manifest("__mf") === idx("file"), "left")
       .filter(idx("file").isNull || keep)
-      .select(manifest("__mf")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .select(manifest("__mf"))
+      .collect().map(_.getString(0)).toSeq.distinct.sorted
     if (survivors.isEmpty)
       readFilesWithLayout(spark, base, files, allowMissing, rens)
         .filter(lit(false))
