@@ -24,6 +24,18 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r19 (optimization): let the planner pick a SHUFFLED HASH JOIN
+      // when one side is provably small per partition instead of
+      // always sort-merge (guide §3.1/§9) — the size gate
+      // (autoBroadcastJoinThreshold × shuffle partitions per build
+      // side) still bounds the build's memory at any scale, explicit
+      // `merge`/`shuffle_hash` hints keep their force, and join
+      // RESULTS and shuffled records are identical either way; only
+      // the per-partition sort of both sides is saved. Measured at
+      // sf0.1/local[32]: −8% over a 20-key cross-family subset, up to
+      // −25% on the sweep-join-heavy graph/ann keys, no key slower
+      // beyond noise (OPTIMIZATION_r19.md).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.warehouse.dir", "/root/repo/target/graft-warehouse")

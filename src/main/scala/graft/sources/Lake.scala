@@ -644,48 +644,104 @@ object Lake {
   def compactPartitions(spark: SparkSession, path: String,
                         partitionCol: String, jobs: Seq[(Any, Any)]): Unit =
       withTableMutationLock(spark, path) {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{array, col, expr, lit}
+    import org.apache.spark.sql.functions.when
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverPartitionSwaps(spark, path, partitionCol)
-    jobs.foreach { case (lo, hi) =>
-      val rows = spark.read.parquet(path)
-        .filter(col(partitionCol) >= lit(lo) && col(partitionCol) <= lit(hi))
-      val touched = rows.select(col(partitionCol)).distinct()
-        .collect().map(_.get(0))
-      if (touched.nonEmpty) {
-        val uuid = java.util.UUID.randomUUID
-        val tmpRoot = new org.apache.hadoop.fs.Path(
-          s"$path/$PartSwapTmpPrefix$uuid")
-        val asideRoot = new org.apache.hadoop.fs.Path(
-          s"$path/$PartSwapAsidePrefix$uuid")
-        // durable complete copy FIRST — the table is untouched until
-        // this write finishes; a crash here leaves only a hidden tmp
-        // sibling for recovery to sweep
-        rows.repartition(col(partitionCol))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy(partitionCol).parquet(tmpRoot.toString)
-        fs.mkdirs(asideRoot)
-        touched.foreach { v =>
-          val live = new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v")
-          val aside = new org.apache.hadoop.fs.Path(asideRoot, s"$partitionCol=$v")
-          val packed = new org.apache.hadoop.fs.Path(tmpRoot, s"$partitionCol=$v")
-          require(fs.exists(packed),
-            s"compactPartitions: packed output missing for $partitionCol=$v")
-          require(fs.rename(live, aside),
-            s"compactPartitions: could not move $live aside (partition untouched)")
-          if (!fs.rename(packed, live)) {
-            require(fs.rename(aside, live),
-              s"compactPartitions: swap-in failed AND the aside restore " +
-                s"failed — recover manually by renaming $aside back to $live")
-            throw new IllegalStateException(
-              s"compactPartitions: swap of $packed into $live failed; " +
-                "partition restored from aside")
-          }
+    if (jobs.isEmpty) return
+    /** Write the job's rows durably into a fresh tmp root, then swap
+      * each touched partition in via rename-aside → rename-in (the
+      * crash-safe two-rename protocol documented above). */
+    def swapJob(rows: DataFrame, touched: Seq[Any]): Unit = {
+      val uuid = java.util.UUID.randomUUID
+      val tmpRoot = new org.apache.hadoop.fs.Path(
+        s"$path/$PartSwapTmpPrefix$uuid")
+      val asideRoot = new org.apache.hadoop.fs.Path(
+        s"$path/$PartSwapAsidePrefix$uuid")
+      // durable complete copy FIRST — the table is untouched until
+      // this write finishes; a crash here leaves only a hidden tmp
+      // sibling for recovery to sweep
+      rows.repartition(col(partitionCol))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCol).parquet(tmpRoot.toString)
+      fs.mkdirs(asideRoot)
+      touched.foreach { v =>
+        val live = new org.apache.hadoop.fs.Path(s"$path/$partitionCol=$v")
+        val aside = new org.apache.hadoop.fs.Path(asideRoot, s"$partitionCol=$v")
+        val packed = new org.apache.hadoop.fs.Path(tmpRoot, s"$partitionCol=$v")
+        require(fs.exists(packed),
+          s"compactPartitions: packed output missing for $partitionCol=$v")
+        require(fs.rename(live, aside),
+          s"compactPartitions: could not move $live aside (partition untouched)")
+        if (!fs.rename(packed, live)) {
+          require(fs.rename(aside, live),
+            s"compactPartitions: swap-in failed AND the aside restore " +
+              s"failed — recover manually by renaming $aside back to $live")
+          throw new IllegalStateException(
+            s"compactPartitions: swap of $packed into $live failed; " +
+              "partition restored from aside")
         }
-        fs.delete(asideRoot, true)
-        fs.delete(tmpRoot, true)
       }
+      fs.delete(asideRoot, true)
+      fs.delete(tmpRoot, true)
+    }
+    // ONE snapshot listing + ONE distinct pass answers every job's
+    // touched-value question (r19 optimization: the loop used to
+    // re-list the table and re-run a distinct-collect PER JOB —
+    // O(jobs) sequential listings and jobs for metadata a single pass
+    // provides; guide §1.2 "remove passes", §5 driver work). Range
+    // membership evaluates through the SAME Catalyst >=/<= predicate
+    // the row filter uses, so the value→job assignment cannot drift
+    // from the rows each job actually rewrites.
+    val snap = spark.read.parquet(path)
+    val tagged = snap.select(col(partitionCol).as("__v")).distinct()
+      .select(col("__v"), array(jobs.indices.map(i =>
+        when(col("__v") >= lit(jobs(i)._1) && col("__v") <= lit(jobs(i)._2),
+          lit(i))): _*).as("__tags"))
+      .select(col("__v"), expr("filter(__tags, t -> t IS NOT NULL)").as("__tags"))
+      .collect()
+      .map(r => r.get(0) -> r.getSeq[Int](1))
+    if (tagged.exists(_._2.length > 1)) {
+      // Out-of-contract OVERLAPPING ranges: keep the conservative
+      // sequential shape — each job re-lists the table so it sees the
+      // previous job's swapped-in files.
+      jobs.foreach { case (lo, hi) =>
+        val rows = spark.read.parquet(path)
+          .filter(col(partitionCol) >= lit(lo) && col(partitionCol) <= lit(hi))
+        val touched = rows.select(col(partitionCol)).distinct()
+          .collect().map(_.get(0)).toSeq
+        if (touched.nonEmpty) swapJob(rows, touched)
+      }
+    } else {
+      // Disjoint jobs rewrite disjoint partition sets against the SAME
+      // hoisted snapshot listing, and are independent end to end (each
+      // owns a private tmp/aside uuid root and its own partitions'
+      // renames; recovery resolves each root independently) — so
+      // overlap their Spark jobs with a small pool instead of letting
+      // every job's write tail idle the cluster (guide §2.6). A
+      // failing job surfaces after the pool drains; other jobs'
+      // partitions are each left complete (swapped or untouched).
+      val byJob = jobs.indices.map(i =>
+        tagged.collect { case (v, js) if js.contains(i) => v }.toSeq)
+      val live = jobs.indices.filter(byJob(_).nonEmpty)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(4, live.size)))
+      try {
+        val futs = live.map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              val (lo, hi) = jobs(i)
+              swapJob(snap.filter(
+                col(partitionCol) >= lit(lo) && col(partitionCol) <= lit(hi)),
+                byJob(i))
+            }
+          })
+        }
+        futs.foreach(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
     }
   }
 
@@ -2365,15 +2421,21 @@ object Lake {
 
   /** Enforce declared constraints on a staged batch; on violation run
     * `cleanup` (delete the staging) and refuse with the typed
-    * exception — the batch never becomes a version. */
+    * exception — the batch never becomes a version. `staged` is
+    * BY-NAME (r19 optimization): most tables declare no constraints,
+    * and several call sites pass a fresh `spark.read.parquet(...)` of
+    * the staging dir whose schema-inference footer read would
+    * otherwise be paid on every commit just to be discarded. */
   private def enforceConstraints(spark: SparkSession, base: String,
-                                 staged: DataFrame,
-                                 cleanup: () => Unit): Unit =
-    checkConstraints(spark, base, staged,
-      readDeclaredConstraints(spark, base)).foreach { report =>
-      cleanup()
-      throw ConstraintViolationException(base, report)
-    }
+                                 staged: => DataFrame,
+                                 cleanup: () => Unit): Unit = {
+    val declared = readDeclaredConstraints(spark, base)
+    if (declared.nonEmpty)
+      checkConstraints(spark, base, staged, declared).foreach { report =>
+        cleanup()
+        throw ConstraintViolationException(base, report)
+      }
+  }
 
   /** FS schemes whose rename is a non-atomic copy (or overwrites an
     * existing destination): these get the manifest commit path. */
