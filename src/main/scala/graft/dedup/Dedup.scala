@@ -348,19 +348,27 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // lazy cache: the pointer-jump self-join reads nbrMin twice in the
+      // SAME materialization job — block locks serialize the fill, so
+      // the grouped min computes once (r19: the separate eager count()
+      // job per sweep was pure job-launch latency)
       val nbrMin = edges.join(labels.select(col("doc_id").as("b"), col("label")), Seq("b"))
         .select(col("a").as("doc_id"), col("label"))
         .union(labels)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .cache()
-      nbrMin.count()
       // pointer jump: re-resolve each node's label through the sweep's
       // own label table (labels are always node ids, so the lookup hits;
-      // left join + coalesce keeps a miss a no-op, never a dropped row)
+      // left join + coalesce keeps a miss a no-op, never a dropped row).
+      // The PREVIOUS label rides along (one node-sized co-partitioned
+      // join) so the convergence probe below reads the checkpointed
+      // frame instead of running its own join job per sweep (r19:
+      // 3 jobs/sweep -> 2, same shuffles, identical fixpoint).
       val jumped = nbrMin.join(
           nbrMin.select(col("doc_id").as("label"), col("label").as("jump")),
           Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("jump"), col("label")).as("label"))
+        .join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
       // lineage truncation, the load-bearing half of iterative Spark: the
       // self-join references nbrMin twice, so without truncation the
       // logical plan DOUBLES per sweep and plan handling alone blows the
@@ -374,10 +382,9 @@ object Dedup {
           jumped.checkpoint(eager = true)
         else jumped.localCheckpoint(eager = true)
       nbrMin.unpersist()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).isEmpty
+      converged = next.filter(col("label") =!= col("old")).isEmpty
       labels.unpersist()
-      labels = next
+      labels = next.select(col("doc_id"), col("label"))
       i += 1
     }
     edges.unpersist()

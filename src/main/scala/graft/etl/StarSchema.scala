@@ -284,8 +284,14 @@ object StarSchema {
     "etl_bucketed_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
       val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-      Lake.writeBucketed(li, "graft_b_lineitem", 8, "l_orderkey", scratch("graft_b_lineitem"))
+      // the two bucketed writes are independent tables — overlap their
+      // jobs (guide §2.6) instead of letting each write's task tail
+      // idle the cluster; both complete before the join below reads
+      val liW = java.util.concurrent.CompletableFuture.runAsync(() =>
+        Lake.writeBucketed(li, "graft_b_lineitem", 8, "l_orderkey",
+          scratch("graft_b_lineitem")))
       Lake.writeBucketed(ord, "graft_b_orders", 8, "o_orderkey", scratch("graft_b_orders"))
+      liW.join()
       s.table("graft_b_lineitem").hint("merge")
         .join(s.table("graft_b_orders").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
