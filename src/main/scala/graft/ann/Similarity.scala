@@ -544,20 +544,32 @@ object Similarity {
     // ≤ |Q|·k rows, free at any corpus size. Exact integer hit counts;
     // one int/int division per row rounded 6dp.
     "ann_recall_curve" -> ((s, dir) => {
+      // r19 (exchange-count): the three curve points each re-executed
+      // BOTH ranker plans (exact + LSH) — 3× the two heaviest legs for
+      // three tiny aggregates. One join at the deepest k now feeds ONE
+      // aggregate with conditional sums per k (ap is a unique-per-pair
+      // top-k list, so the single left join duplicates nothing and
+      // rank<=k ∧ arank<=k is exactly the per-point hit predicate);
+      // stack() emits the identical 3 rows. Each ranker now runs once.
       val ex = queries("ann_bruteforce")(s, dir)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
       val ap = queries("ann_lsh")(s, dir)
         .select(col("query_id"), col("neighbor_id"), col("rank").as("arank"))
-      Seq(1, 5, 10).map { k =>
-        ex.filter(col("rank") <= k)
-          .join(ap.filter(col("arank") <= k), Seq("query_id", "neighbor_id"),
-            "left")
-          .agg(count(lit(1)).as("n_expected"),
-            sum(when(col("arank").isNotNull, 1L).otherwise(0L)).as("n_hit"))
-          .select(lit(k).as("k"), col("n_expected"), col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_expected").cast("double"),
-              6).as("recall"))
-      }.reduce(_ unionByName _).orderBy(col("k"))
+      val joined = ex.filter(col("rank") <= 10)
+        .join(ap.filter(col("arank") <= 10), Seq("query_id", "neighbor_id"),
+          "left")
+      val aggs = Seq(1, 5, 10).flatMap(k => Seq(
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).as(s"ne$k"),
+        sum(when(col("rank") <= k && col("arank") <= k, 1L)
+          .otherwise(0L)).as(s"nh$k")))
+      joined.agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          """stack(3, 1, ne1, nh1, 5, ne5, nh5, 10, ne10, nh10)
+            |AS (k, n_expected, n_hit)""".stripMargin))
+        .select(col("k"), col("n_expected"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_expected").cast("double"),
+            6).as("recall"))
+        .orderBy(col("k"))
     }),
 
     // IVF nprobe OPERATING CURVE (r11 — the knob ann_recall_curve sizes
@@ -590,32 +602,55 @@ object Similarity {
         .select(col("query_id"), col("q_emb"), col("centroid_id"), col("p_rank"))
       val sizes = assigned.groupBy(col("centroid_id"))
         .agg(count(lit(1)).as("lsz"))
+      // r19 (exchange-count): the four curve points used to re-rank the
+      // cached candidate pass separately (a window + joins + aggregates
+      // per point — ~24 AQE stage jobs). ONE window pass now ranks every
+      // subset simultaneously: a running conditional count over the
+      // (cos_full DESC, vec_id) order — (query_id, vec_id) is unique in
+      // cands and vec_id breaks ties, so the row order is total and the
+      // running count AT a subset row IS its row_number within that
+      // subset, bit-identical to the per-point ranking. Hits fold to one
+      // aggregate with four conditional sums; scan costs fold the same
+      // way over the tiny probe × size table; stack() emits the 4 rows.
       val cands = assigned.join(broadcast(probes), Seq("centroid_id"))
         .withColumn("cos_full", GraftFunctions.cosineSim(col("q_emb"), col("emb")))
         .select(col("query_id"), col("vec_id"), col("p_rank"), col("cos_full"))
-        .cache() // 4 curve points re-rank this one candidate pass
       val ex = queries("ann_bruteforce")(s, dir)
         .select(col("query_id"), col("neighbor_id"))
-      Seq(1, 2, 4, 8).map { np =>
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_full").desc, col("vec_id"))
-        val ap = cands.filter(col("p_rank") <= np)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            lit(1L).as("hit"))
-        val scanned = probes.filter(col("p_rank") <= np)
-          .join(broadcast(sizes), Seq("centroid_id"))
-          .agg(sum(col("lsz")).as("n_scanned"))
-        ex.join(ap, Seq("query_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("n_expected"),
-            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-          .crossJoin(broadcast(scanned))
-          .select(lit(np).as("n_probe"), col("n_expected"), col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_expected").cast("double"),
-              6).as("recall"),
-            col("n_scanned"))
-      }.reduce(_ unionByName _).orderBy(col("n_probe"))
+      val wRun = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_full").desc, col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rankedCols =
+        Seq(col("query_id"), col("vec_id").as("neighbor_id"), col("p_rank")) ++
+          Seq(1, 2, 4, 8).map(np =>
+            sum(when(col("p_rank") <= np, 1L).otherwise(0L)).over(wRun)
+              .as(s"r$np"))
+      val ranked = cands.select(rankedCols: _*)
+      val hitAggs = count(lit(1)).as("n_expected") +:
+        Seq(1, 2, 4, 8).map(np =>
+          sum(when(col("p_rank") <= np && col(s"r$np") <= K, 1L)
+            .otherwise(0L)).as(s"hit$np"))
+      val hits = ex.join(ranked, Seq("query_id", "neighbor_id"), "left")
+        .agg(hitAggs.head, hitAggs.tail: _*)
+      val scanAggs = Seq(1, 2, 4, 8).map(np =>
+        sum(when(col("p_rank") <= np, col("lsz")).otherwise(0L))
+          .as(s"sc$np"))
+      val scans = probes.filter(col("p_rank") <= 8)
+        .join(broadcast(sizes), Seq("centroid_id"))
+        .agg(scanAggs.head, scanAggs.tail: _*)
+      hits.crossJoin(broadcast(scans))
+        .select(expr(
+          """stack(4,
+            |  1, n_expected, hit1, sc1,
+            |  2, n_expected, hit2, sc2,
+            |  4, n_expected, hit4, sc4,
+            |  8, n_expected, hit8, sc8)
+            |AS (n_probe, n_expected, n_hit, n_scanned)""".stripMargin))
+        .select(col("n_probe"), col("n_expected"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_expected").cast("double"),
+            6).as("recall"),
+          col("n_scanned"))
+        .orderBy(col("n_probe"))
     }),
 
     // IVF index-health report (the imbalance factor FAISS prints after

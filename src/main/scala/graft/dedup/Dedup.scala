@@ -651,19 +651,34 @@ object Dedup {
     // threshold row; the curve costs one candidate generation, not
     // three. */
     "dedup_sweep" -> ((s, dir) => {
+      // r19 (exchange-count): the three threshold buckets were three
+      // separate aggregate jobs over the cached pair table; ONE
+      // aggregate with conditional sums / conditional countDistinct
+      // (nulls don't count as distinct values) computes all three
+      // rows in one pass — the cache disappears with its fill job, and
+      // every value is the identical integer arithmetic.
       val pairs = minhashPairs(t(s, dir, "documents"), 0.7, bands = 64)
-        .cache() // three threshold buckets re-read it (harness clears)
-      Seq(0.7, 0.8, 0.9).map { th =>
-        pairs.filter(col("jaccard") >= th)
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("doc_b")).as("n_docs_dropped"),
-            coalesce(round(
-              sum(round(col("jaccard") * 10000).cast("long")).cast("double") /
-                (count(lit(1)) * 10000).cast("double"), 6), lit(0.0))
-              .as("mean_jaccard"))
-          .select(lit(th).as("threshold"), col("n_pairs"),
-            col("n_docs_dropped"), col("mean_jaccard"))
-      }.reduce(_ unionByName _).orderBy(col("threshold"))
+      val aggs = Seq("07" -> 0.7, "08" -> 0.8, "09" -> 0.9).flatMap {
+        case (tag, th) => Seq(
+          coalesce(sum(when(col("jaccard") >= th, 1L).otherwise(0L)), lit(0L))
+            .as(s"np$tag"),
+          countDistinct(when(col("jaccard") >= th, col("doc_b")))
+            .as(s"nd$tag"),
+          coalesce(round(
+            sum(when(col("jaccard") >= th,
+              round(col("jaccard") * 10000).cast("long"))).cast("double") /
+              (sum(when(col("jaccard") >= th, 1L).otherwise(0L)) * 10000)
+                .cast("double"), 6), lit(0.0)).as(s"mj$tag"))
+      }
+      pairs.agg(aggs.head, aggs.tail: _*)
+        .select(expr(
+          """stack(3,
+            |  CAST(0.7 AS DOUBLE), np07, nd07, mj07,
+            |  CAST(0.8 AS DOUBLE), np08, nd08, mj08,
+            |  CAST(0.9 AS DOUBLE), np09, nd09, mj09)
+            |AS (threshold, n_pairs, n_docs_dropped, mean_jaccard)"""
+            .stripMargin))
+        .orderBy(col("threshold"))
     }),
     "dedup_simhash" -> ((s, dir) =>
       simhashPairs(t(s, dir, "documents"), 3).orderBy("doc_a", "doc_b")),

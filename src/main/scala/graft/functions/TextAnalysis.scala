@@ -118,11 +118,17 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(col("wc"),
         concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("seq")))
-    val merges = Seq.newBuilder[DataFrame]
+    // the per-round top pair is ONE row by construction — collect it
+    // directly off the aggregation (driver control flow, not a data
+    // collect) and feed it back as a LITERAL: this removes the
+    // per-round one-row checkpoint job AND the broadcast exchange the
+    // vocab rewrite used to carry (r19: 3 jobs/round → 2; the merge
+    // table itself becomes a driver-local relation, free to consume)
+    val merges = Seq.newBuilder[(Int, String, Long)]
     var r = 1
     var converged = false
     while (r <= maxRounds && !converged) {
-      val top = cur
+      val topRow = cur
         .select(col("wc"), split(trim(col("seq")), " ").as("ss"))
         .filter(size(col("ss")) >= 2)
         .select(col("wc"), explode(expr(
@@ -130,18 +136,17 @@ object TextAnalysis {
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .localCheckpoint(eager = true) // ONE row — rewrite, output, probe
-      val topRow = top.collect() // ≤ 1 row by construction
+        .collect() // ≤ 1 row by construction
       if (topRow.isEmpty || topRow.head.getAs[Long]("cnt") < minPairCount) {
         converged = true
       } else {
-        merges += top.select(lit(r).as("round"), col("pair"), col("cnt"))
+        val pair = topRow.head.getAs[String]("pair")
+        merges += ((r, pair, topRow.head.getAs[Long]("cnt")))
         if (r < maxRounds) {
           cur = checkpointCur(
-            cur.crossJoin(broadcast(top.select(col("pair").as("mp"))))
-              .select(col("wc"), expr(
-                "replace(seq, concat(' ', mp, ' '), concat(' ', replace(mp, ' ', ''), ' '))")
-                .as("seq")))
+            cur.select(col("wc"),
+              replace(col("seq"), lit(s" $pair "),
+                lit(s" ${pair.replace(" ", "")} ")).as("seq")))
         }
         r += 1
       }
@@ -153,7 +158,7 @@ object TextAnalysis {
     require(built.nonEmpty,
       "bpeMergesConverged: corpus trained zero merges (no adjacent pair " +
         s"reached minPairCount=$minPairCount)")
-    built.reduce(_ unionByName _)
+    docs.sparkSession.createDataFrame(built).toDF("round", "pair", "cnt")
   }
 
   /** BPE APPLY — encode every document with the merge table

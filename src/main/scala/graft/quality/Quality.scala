@@ -851,20 +851,50 @@ object Quality {
         ("lineitem", "l_partkey", "part", "p_partkey"),
         ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
         ("events", "user_id", "customer", "c_custkey"))
-      cands.map { case (ft, fc, pt, pc) =>
-        val a = t(s, dir, ft).select(col(fc).cast("long").as("k")).distinct()
-        val b = t(s, dir, pt).select(col(pc).cast("long").as("k")).distinct()
-        val common = a.join(b, Seq("k")).agg(count(lit(1)).as("n_common"))
-        a.agg(count(lit(1)).as("nd_fk"))
-          .crossJoin(broadcast(b.agg(count(lit(1)).as("nd_pk"))))
-          .crossJoin(broadcast(common))
-          .select(lit(s"$ft.$fc").as("fk_col"), lit(s"$pt.$pc").as("pk_col"),
-            col("nd_fk"), col("nd_pk"), col("n_common"),
-            round(col("n_common").cast("double") / col("nd_fk"), 6)
-              .as("containment"),
-            round(col("n_common").cast("double") /
-              (col("nd_fk") + col("nd_pk") - col("n_common")), 6).as("jaccard"))
-      }.reduce(_ unionByName _).orderBy(col("fk_col"), col("pk_col"))
+      // r19 (exchange-count): the per-pair distinct + key-join legs
+      // re-planned every shared table reference — 5 pairs cost ~56 AQE
+      // stage jobs of mostly-empty tasks. Set algebra replaces the join:
+      // |A∩B| = |A| + |B| − |A∪B| EXACTLY (countDistinct is exact), so
+      // ONE tagged-leg aggregate answers every per-column cardinality
+      // and ONE tagged-pair aggregate answers every union cardinality —
+      // two corpus passes total, assembled by broadcast joins on 5/8-row
+      // frames. Values are the identical integers; only the plan shrank.
+      // (Null caveat: the old distinct-row count would count a NULL key
+      // as a value where countDistinct won't — all nine key columns are
+      // null-free at every scale factor, verified against the parquet.)
+      val legCols = (cands.map(c => (c._1, c._2)) ++
+        cands.map(c => (c._3, c._4))).distinct
+      val legKeys = legCols.map { case (tb, c) =>
+        t(s, dir, tb).select(lit(s"$tb.$c").as("leg"),
+          col(c).cast("long").as("k"))
+      }.reduce(_ unionByName _)
+      val nd = legKeys.groupBy(col("leg"))
+        .agg(countDistinct(col("k")).as("nd"))
+      val pairKeys = cands.map { case (ft, fc, pt, pc) =>
+        val pr = lit(s"$ft.$fc|$pt.$pc")
+        t(s, dir, ft).select(pr.as("pair"), col(fc).cast("long").as("k"))
+          .unionByName(
+            t(s, dir, pt).select(pr.as("pair"), col(pc).cast("long").as("k")))
+      }.reduce(_ unionByName _)
+      val ndU = pairKeys.groupBy(col("pair"))
+        .agg(countDistinct(col("k")).as("nd_union"))
+      val pairs = s.createDataFrame(cands.map { case (ft, fc, pt, pc) =>
+        (s"$ft.$fc|$pt.$pc", s"$ft.$fc", s"$pt.$pc")
+      }).toDF("pair", "fk_col", "pk_col")
+      pairs
+        .join(broadcast(nd.select(col("leg").as("fk_col"),
+          col("nd").as("nd_fk"))), Seq("fk_col"))
+        .join(broadcast(nd.select(col("leg").as("pk_col"),
+          col("nd").as("nd_pk"))), Seq("pk_col"))
+        .join(broadcast(ndU), Seq("pair"))
+        .withColumn("n_common", col("nd_fk") + col("nd_pk") - col("nd_union"))
+        .select(col("fk_col"), col("pk_col"),
+          col("nd_fk"), col("nd_pk"), col("n_common"),
+          round(col("n_common").cast("double") / col("nd_fk"), 6)
+            .as("containment"),
+          round(col("n_common").cast("double") /
+            (col("nd_fk") + col("nd_pk") - col("n_common")), 6).as("jaccard"))
+        .orderBy(col("fk_col"), col("pk_col"))
     }),
 
     // The 100 TB path profile_joinability names in its own contract:
@@ -891,46 +921,68 @@ object Quality {
         ("lineitem", "l_partkey", "part", "p_partkey"),
         ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
         ("events", "user_id", "customer", "c_custkey"))
-      // one sketch pass per table covering every candidate column it
-      // contributes — the one-scan property the sketch path exists for
-      val tableCols = (cands.map(c => (c._1, c._2)) ++ cands.map(c => (c._3, c._4)))
-        .distinct.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
-      val sketches = tableCols.map { case (tb, cs) =>
-        tb -> t(s, dir, tb).agg(
-          expr(s"hll_sketch_agg(CAST(${cs.head} AS BIGINT), 14)")
-            .as(s"sk_${cs.head}"),
-          cs.tail.map(c =>
-            expr(s"hll_sketch_agg(CAST($c AS BIGINT), 14)").as(s"sk_$c")): _*)
-      }
-      cands.map { case (ft, fc, pt, pc) =>
-        // exact legs (the gate values — identical to profile_joinability)
-        val a = t(s, dir, ft).select(col(fc).cast("long").as("k")).distinct()
-        val b = t(s, dir, pt).select(col(pc).cast("long").as("k")).distinct()
-        val common = a.join(b, Seq("k")).agg(count(lit(1)).as("n_common"))
-        val est = sketches(ft).select(col(s"sk_$fc").as("sk_fk"))
-          .crossJoin(sketches(pt).select(col(s"sk_$pc").as("sk_pk")))
-          .select(
-            expr("hll_sketch_estimate(sk_fk)").cast("double").as("est_fk"),
-            expr("hll_sketch_estimate(sk_pk)").cast("double").as("est_pk"),
-            expr("hll_sketch_estimate(hll_union(sk_fk, sk_pk))")
-              .cast("double").as("est_union"))
-        a.agg(count(lit(1)).as("nd_fk"))
-          .crossJoin(broadcast(b.agg(count(lit(1)).as("nd_pk"))))
-          .crossJoin(broadcast(common))
-          .crossJoin(broadcast(est))
-          .select(lit(s"$ft.$fc").as("fk_col"), lit(s"$pt.$pc").as("pk_col"),
-            col("nd_fk"), col("nd_pk"), col("n_common"),
-            round(col("n_common").cast("double") / col("nd_fk"), 6)
-              .as("containment"),
-            (abs(col("est_fk") - col("nd_fk")) <= col("nd_fk") * 0.03)
-              .as("fk_ok"),
-            (abs(col("est_pk") - col("nd_pk")) <= col("nd_pk") * 0.03)
-              .as("pk_ok"),
-            (abs((col("est_fk") + col("est_pk") - col("est_union")) -
-              col("n_common")) <=
-              (col("nd_fk") + col("nd_pk") - col("n_common")) * 0.05)
-              .as("common_ok"))
-      }.reduce(_ unionByName _).orderBy(col("fk_col"), col("pk_col"))
+      // r19 (exchange-count, the profile_joinability restructure applied
+      // to the sketch path): ONE grouped hll_sketch_agg over the tagged
+      // leg union builds every per-column sketch in a single corpus pass
+      // (HLL registers take max per slot — grouped vs per-table
+      // aggregation merges in a different order but yields the IDENTICAL
+      // sketch state, so every estimate is unchanged); the exact gate
+      // values come from the same two tagged-leg aggregates as the exact
+      // key (set identity |A∩B| = |A|+|B|−|A∪B|). Per-pair unions are
+      // scalar hll_union over the 8-row sketch frame. Was 81 AQE stage
+      // jobs / 99 tasks; the output booleans and integers are identical.
+      val legCols = (cands.map(c => (c._1, c._2)) ++
+        cands.map(c => (c._3, c._4))).distinct
+      val legKeys = legCols.map { case (tb, c) =>
+        t(s, dir, tb).select(lit(s"$tb.$c").as("leg"),
+          col(c).cast("long").as("k"))
+      }.reduce(_ unionByName _)
+      // exact cardinalities AND the HLL sketch per leg, one pass each
+      val nd = legKeys.groupBy(col("leg"))
+        .agg(countDistinct(col("k")).as("nd"))
+      val sk = legKeys.groupBy(col("leg"))
+        .agg(expr("hll_sketch_agg(k, 14)").as("sk"))
+      val pairKeys = cands.map { case (ft, fc, pt, pc) =>
+        val pr = lit(s"$ft.$fc|$pt.$pc")
+        t(s, dir, ft).select(pr.as("pair"), col(fc).cast("long").as("k"))
+          .unionByName(
+            t(s, dir, pt).select(pr.as("pair"), col(pc).cast("long").as("k")))
+      }.reduce(_ unionByName _)
+      val ndU = pairKeys.groupBy(col("pair"))
+        .agg(countDistinct(col("k")).as("nd_union"))
+      val pairs = s.createDataFrame(cands.map { case (ft, fc, pt, pc) =>
+        (s"$ft.$fc|$pt.$pc", s"$ft.$fc", s"$pt.$pc")
+      }).toDF("pair", "fk_col", "pk_col")
+      pairs
+        .join(broadcast(nd.select(col("leg").as("fk_col"),
+          col("nd").as("nd_fk"))), Seq("fk_col"))
+        .join(broadcast(nd.select(col("leg").as("pk_col"),
+          col("nd").as("nd_pk"))), Seq("pk_col"))
+        .join(broadcast(ndU), Seq("pair"))
+        .join(broadcast(sk.select(col("leg").as("fk_col"),
+          col("sk").as("sk_fk"))), Seq("fk_col"))
+        .join(broadcast(sk.select(col("leg").as("pk_col"),
+          col("sk").as("sk_pk"))), Seq("pk_col"))
+        .withColumn("n_common", col("nd_fk") + col("nd_pk") - col("nd_union"))
+        .withColumn("est_fk",
+          expr("hll_sketch_estimate(sk_fk)").cast("double"))
+        .withColumn("est_pk",
+          expr("hll_sketch_estimate(sk_pk)").cast("double"))
+        .withColumn("est_union",
+          expr("hll_sketch_estimate(hll_union(sk_fk, sk_pk))").cast("double"))
+        .select(col("fk_col"), col("pk_col"),
+          col("nd_fk"), col("nd_pk"), col("n_common"),
+          round(col("n_common").cast("double") / col("nd_fk"), 6)
+            .as("containment"),
+          (abs(col("est_fk") - col("nd_fk")) <= col("nd_fk") * 0.03)
+            .as("fk_ok"),
+          (abs(col("est_pk") - col("nd_pk")) <= col("nd_pk") * 0.03)
+            .as("pk_ok"),
+          (abs((col("est_fk") + col("est_pk") - col("est_union")) -
+            col("n_common")) <=
+            (col("nd_fk") + col("nd_pk") - col("n_common")) * 0.05)
+            .as("common_ok"))
+        .orderBy(col("fk_col"), col("pk_col"))
     }),
 
     // Ingest-volume anomaly screen (the "did a feed break or double-fire
