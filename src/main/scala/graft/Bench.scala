@@ -102,7 +102,7 @@ object Bench {
     // passes to survive. Caches are cleared between queries so each
     // query pays its own materializations (intra-query caches still
     // work; only cross-query reuse is suppressed).
-    def timedPass(pass: Int): Seq[(String, Double, Boolean, Long, Long)] =
+    def timedPass(pass: Int): Seq[(String, Double, Boolean, Long, Long, Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
@@ -122,36 +122,43 @@ object Bench {
         val (idle1, steal1) = procStat()
         val shuf = exeShuffle.get - s0
         val shufRec = exeShufRec.get - sr0
-        System.err.println(f"[bench p$pass] $name%-22s ${sec}%7.3fs run=${exeRun.get - r0}%6dms cpu=${exeCpu.get - c0}%6dms taskgc=${exeGc.get - g0}%5dms shuffle=${shuf / 1024}%8dKiB idle=${idle1 - idle0}%5d steal=${steal1 - steal0}%4d")
-        (name, sec, ok, shuf, shufRec)
+        val cpuMs = exeCpu.get - c0
+        System.err.println(f"[bench p$pass] $name%-22s ${sec}%7.3fs run=${exeRun.get - r0}%6dms cpu=${cpuMs}%6dms taskgc=${exeGc.get - g0}%5dms shuffle=${shuf / 1024}%8dKiB idle=${idle1 - idle0}%5d steal=${steal1 - steal0}%4d")
+        (name, sec, ok, shuf, shufRec, cpuMs)
       }
     val p1 = timedPass(1)
     val p2 = timedPass(2)
     val results = p1.zip(p2).map {
-      case ((name, s1, ok1, sh1, r1), (_, s2, ok2, sh2, r2)) =>
+      case ((name, s1, ok1, sh1, r1, c1), (_, s2, ok2, sh2, r2, c2)) =>
         // time: min of two passes (noise-robust); shuffle bytes and
         // records: max — a deterministic plan shuffles identically in
         // both passes, so any difference is a dropped listener event,
-        // not noise
+        // not noise. Executor-CPU ms (r20, VERDICT r19 #10 — the
+        // committed channel that separates host drift from plan
+        // changes): min of two passes, the steady-state task cost, same
+        // convention as wall.
         (name, math.min(s1, s2), ok1 && ok2, math.max(sh1, sh2),
-          math.max(r1, r2))
+          math.max(r1, r2), math.min(c1, c2))
     }
     // A query that throws must not masquerade as a fast query: its timing is
     // reported as null and its name listed under "failed".
-    val qs = results.map { case (k, v, ok, _, _) =>
+    val qs = results.map { case (k, v, ok, _, _, _) =>
       "\"" + k + "\":" + (if (ok) v.toString else "null")
     }.mkString("{", ",", "}")
-    val shuffles = results.map { case (k, _, _, sh, _) =>
+    val shuffles = results.map { case (k, _, _, sh, _, _) =>
       "\"" + k + "\":" + sh
     }.mkString("{", ",", "}")
-    val shufRecs = results.map { case (k, _, _, _, rec) =>
+    val shufRecs = results.map { case (k, _, _, _, rec, _) =>
       "\"" + k + "\":" + rec
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
+    val cpuMsMap = results.map { case (k, _, _, _, _, c) =>
+      "\"" + k + "\":" + c
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     val totalShuffle = results.map(_._4).sum
-    val ok = results.collect { case (_, v, true, _, _) => v }
+    val ok = results.collect { case (_, v, true, _, _, _) => v }
     val geomean =
       if (ok.isEmpty) 0.0 else math.exp(ok.map(v => math.log(math.max(v, 1e-4))).sum / ok.size)
     // Full-fidelity per-query map: stderr + target/bench_full.json. The
@@ -166,7 +173,7 @@ object Bench {
     // the directory rides along separately as sf_dir
     val sfNum = new java.io.File(sfDir).getName.stripPrefix("sf")
       .toDoubleOption.getOrElse(-1.0)
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuffles,"shuffle_records":$shufRecs,"failed":$failed,"sf":$sfNum,"sf_dir":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$shuffles,"shuffle_records":$shufRecs,"cpu_ms":$cpuMsMap,"failed":$failed,"sf":$sfNum,"sf_dir":"$sfDir"}"""
     System.err.println(s"[bench] full: $fullLine")
     try {
       new java.io.File("target").mkdirs()
@@ -192,13 +199,13 @@ object Bench {
       "stream_upsert", "stream_recovery", "stream_sliding",
       "etl_compaction_plan", "profile_stats", "profile_corr", "profile_psi",
       "graph_pagerank", "graph_components", "graph_triangles")
-    val byName = results.map { case (k, v, o, _, _) => k -> (v, o) }.toMap
+    val byName = results.map { case (k, v, o, _, _, _) => k -> (v, o) }.toMap
     def fmt3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def line(keys: Seq[String]): String = {
       val hqs = keys.flatMap(k => byName.get(k).map { case (v, o) =>
         "\"" + k + "\":" + (if (o) fmt3(v) else "null")
       }).mkString("{", ",", "}")
-      val failedShort = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
+      val failedShort = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
         .take(8).mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$hqs,""" +
         s""""geomean":${fmt3(geomean)},"n_queries":${results.size},""" +

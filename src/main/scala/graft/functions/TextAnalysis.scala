@@ -158,6 +158,15 @@ object TextAnalysis {
     require(built.nonEmpty,
       "bpeMergesConverged: corpus trained zero merges (no adjacent pair " +
         s"reached minPairCount=$minPairCount)")
+    // The merge table re-enters the plan as a driver-local relation — the
+    // same sanction as the ann_pq/ann_ivfpq codebooks: it is BOUNDED by
+    // construction (one row per training round, r <= maxRounds), never
+    // corpus-sized. The explicit bound assertion keeps that claim loud if
+    // the loop structure ever changes; ScaleSpec whitelists these three
+    // consumers (text_bpe/text_bpe_apply/text_pack_bpe) on its strength.
+    require(built.size <= maxRounds,
+      s"bpeMergesConverged: merge table ${built.size} rows exceeds the " +
+        s"driver-local bound maxRounds=$maxRounds")
     docs.sparkSession.createDataFrame(built).toDF("round", "pair", "cnt")
   }
 

@@ -878,15 +878,17 @@ object Quality {
       }.reduce(_ unionByName _)
       val ndU = pairKeys.groupBy(col("pair"))
         .agg(countDistinct(col("k")).as("nd_union"))
-      val pairs = s.createDataFrame(cands.map { case (ft, fc, pt, pc) =>
-        (s"$ft.$fc|$pt.$pc", s"$ft.$fc", s"$pt.$pc")
-      }).toDF("pair", "fk_col", "pk_col")
-      pairs
+      // r20: the pair→(fk_col, pk_col) mapping is ENCODED in the pair
+      // tag — parse it back out of ndU instead of broadcast-joining a
+      // driver-built 5-row constant frame (one fewer join, and the plan
+      // stays free of driver-local relations: ScaleSpec's fence)
+      ndU
+        .withColumn("fk_col", substring_index(col("pair"), "|", 1))
+        .withColumn("pk_col", substring_index(col("pair"), "|", -1))
         .join(broadcast(nd.select(col("leg").as("fk_col"),
           col("nd").as("nd_fk"))), Seq("fk_col"))
         .join(broadcast(nd.select(col("leg").as("pk_col"),
           col("nd").as("nd_pk"))), Seq("pk_col"))
-        .join(broadcast(ndU), Seq("pair"))
         .withColumn("n_common", col("nd_fk") + col("nd_pk") - col("nd_union"))
         .select(col("fk_col"), col("pk_col"),
           col("nd_fk"), col("nd_pk"), col("n_common"),
@@ -937,11 +939,21 @@ object Quality {
         t(s, dir, tb).select(lit(s"$tb.$c").as("leg"),
           col(c).cast("long").as("k"))
       }.reduce(_ unionByName _)
-      // exact cardinalities AND the HLL sketch per leg, one pass each
-      val nd = legKeys.groupBy(col("leg"))
-        .agg(countDistinct(col("k")).as("nd"))
-      val sk = legKeys.groupBy(col("leg"))
-        .agg(expr("hll_sketch_agg(k, 14)").as("sk"))
+      // r20 (VERDICT #5): exact cardinality AND the HLL sketch per leg
+      // in ONE corpus pass — dedup (leg, k) first (map-side partial
+      // dedup, the exact physical shape countDistinct plans anyway),
+      // then count + sketch over the distinct keys. count(k) over the
+      // deduped pairs IS countDistinct(k) (both skip the null group —
+      // the same null-excluding semantics the oracle's count(DISTINCT)
+      // carries), and an HLL sketch built from each distinct value once
+      // has the IDENTICAL register state as one fed every duplicate
+      // (register updates are max-per-slot on hash(k): idempotent).
+      // r19 paid a second full scan of every leg table for the sketches;
+      // the two aggregates' exchange subtrees differed, so ReuseExchange
+      // could not fold them.
+      val ndsk = legKeys.distinct()
+        .groupBy(col("leg"))
+        .agg(count(col("k")).as("nd"), expr("hll_sketch_agg(k, 14)").as("sk"))
       val pairKeys = cands.map { case (ft, fc, pt, pc) =>
         val pr = lit(s"$ft.$fc|$pt.$pc")
         t(s, dir, ft).select(pr.as("pair"), col(fc).cast("long").as("k"))
@@ -950,19 +962,16 @@ object Quality {
       }.reduce(_ unionByName _)
       val ndU = pairKeys.groupBy(col("pair"))
         .agg(countDistinct(col("k")).as("nd_union"))
-      val pairs = s.createDataFrame(cands.map { case (ft, fc, pt, pc) =>
-        (s"$ft.$fc|$pt.$pc", s"$ft.$fc", s"$pt.$pc")
-      }).toDF("pair", "fk_col", "pk_col")
-      pairs
-        .join(broadcast(nd.select(col("leg").as("fk_col"),
-          col("nd").as("nd_fk"))), Seq("fk_col"))
-        .join(broadcast(nd.select(col("leg").as("pk_col"),
-          col("nd").as("nd_pk"))), Seq("pk_col"))
-        .join(broadcast(ndU), Seq("pair"))
-        .join(broadcast(sk.select(col("leg").as("fk_col"),
-          col("sk").as("sk_fk"))), Seq("fk_col"))
-        .join(broadcast(sk.select(col("leg").as("pk_col"),
-          col("sk").as("sk_pk"))), Seq("pk_col"))
+      // r20: parse the pair tag back into (fk_col, pk_col) instead of
+      // broadcast-joining a driver-built constant frame (see
+      // profile_joinability); nd and sk ride the same broadcast rows
+      ndU
+        .withColumn("fk_col", substring_index(col("pair"), "|", 1))
+        .withColumn("pk_col", substring_index(col("pair"), "|", -1))
+        .join(broadcast(ndsk.select(col("leg").as("fk_col"),
+          col("nd").as("nd_fk"), col("sk").as("sk_fk"))), Seq("fk_col"))
+        .join(broadcast(ndsk.select(col("leg").as("pk_col"),
+          col("nd").as("nd_pk"), col("sk").as("sk_pk"))), Seq("pk_col"))
         .withColumn("n_common", col("nd_fk") + col("nd_pk") - col("nd_union"))
         .withColumn("est_fk",
           expr("hll_sketch_estimate(sk_fk)").cast("double"))

@@ -251,13 +251,21 @@ class ScaleSpec extends AnyFunSuite {
     lakeQueries.foreach { k =>
       val plan = SparkEntry.queries(k)(spark, TestSpark.Sf)
         .queryExecution.optimizedPlan.toString
-      // ann_pq and ann_ivfpq are the sanctioned LocalRelations: their
-      // codebooks train driver-side on a bounded sample (FAISS
-      // train/assign split — see Similarity.trainCodebooksLocal /
-      // localKmeansCodebooks) and re-enter the plan as ≤128-row
-      // tables. The corpus legs must still be distributed lake scans,
-      // which the Relation assertion below enforces.
-      if (k != "ann_pq" && k != "ann_ivfpq")
+      // Sanctioned LocalRelations — bounded control tables, never
+      // corpus-sized data:
+      //  - ann_pq / ann_ivfpq: codebooks train driver-side on a bounded
+      //    sample (FAISS train/assign split — see
+      //    Similarity.trainCodebooksLocal / localKmeansCodebooks) and
+      //    re-enter the plan as ≤128-row tables.
+      //  - text_bpe / text_bpe_apply / text_pack_bpe: the BPE merge
+      //    table is ≤ maxRounds rows by construction (one row per
+      //    training round; bpeMergesConverged asserts the bound) — the
+      //    r19 trainer feeds each round's top pair back as a literal, so
+      //    the merge table itself is driver-built, same class as the
+      //    codebooks. The corpus legs must still be distributed lake
+      //    scans, which the Relation assertion below enforces.
+      if (!Set("ann_pq", "ann_ivfpq",
+          "text_bpe", "text_bpe_apply", "text_pack_bpe")(k))
         assert(!plan.contains("LocalRelation"), s"$k materializes on the driver")
       // dedup_clusters' label table, graph_pagerank's rank table,
       // graph_bfs's visited table, and graph_labelprop's label table
@@ -269,14 +277,14 @@ class ScaleSpec extends AnyFunSuite {
       if (Set("dedup_clusters", "graph_pagerank", "graph_ppr", "graph_bfs",
           "graph_components", "graph_labelprop", "mm_cluster",
           "graph_sssp", "graph_kcore", "graph_hits", "graph_closeness",
-          // r15: the BPE trainer checkpoints per round (16+ merge
-          // support — the cached lineage's AQE plan string OOM'd); its
-          // merge-table output reads only checkpointed tops
           // r17: the unigram trainer's vocab materializes via eager
           // localCheckpoint instead of a session-lifetime cache entry
           // (the r16 ADVICE leak) — its report plan reads only the
           // checkpointed vocab/model, both distributed partitions
-          "ann_mmr", "text_bpe", "text_unigram_lm")(k))
+          // (r19 moved text_bpe OUT of this set: the trainer now returns
+          // the bounded merge table as a sanctioned LocalRelation above,
+          // no checkpointed tops remain in its plan)
+          "ann_mmr", "text_unigram_lm")(k))
         assert(plan.contains("LogicalRDD"), k)
       else assert(plan.contains("Relation") || plan.contains("relation"), k)
     }
