@@ -16,15 +16,37 @@ object Microbench {
       SparkSession.builder().master("local[8]"), shufflePartitions = 8
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job/task/shuffle counters: the deterministic channels a per-key
+    // A/B reads alongside wall time (job count ≈ actions + AQE stages —
+    // the lever for the driver-latency-bound lake/stream keys)
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val tasks = new java.util.concurrent.atomic.AtomicLong()
+    val shufRec = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        tasks.addAndGet(sc.stageInfo.numTasks.toLong)
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) shufRec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    })
     // warm
     keys.foreach(k => SparkEntry.queries(k)(spark, sfDir)
       .write.format("noop").mode("overwrite").save())
     (1 to reps).foreach { r =>
       keys.foreach { k =>
         spark.sharedState.cacheManager.clearCache()
+        val (j0, t0n, s0) = (jobs.get, tasks.get, shufRec.get)
         val t0 = System.nanoTime()
         SparkEntry.queries(k)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        println(f"[micro r$r] $k%-22s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(60) // let straggling stage events land
+        println(f"[micro r$r] $k%-22s ${sec}%7.3fs jobs=${jobs.get - j0}%4d tasks=${tasks.get - t0n}%6d shufrec=${shufRec.get - s0}%9d")
       }
     }
     spark.stop()

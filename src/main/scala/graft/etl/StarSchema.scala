@@ -286,12 +286,23 @@ object StarSchema {
       val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
       // the two bucketed writes are independent tables — overlap their
       // jobs (guide §2.6) instead of letting each write's task tail
-      // idle the cluster; both complete before the join below reads
+      // idle the cluster; both complete before the join below reads.
+      // The async write is ALWAYS awaited (even when the synchronous
+      // write throws — no write may outlive the query), and its own
+      // failure unwraps from the CompletionException so the surfaced
+      // exception type matches the previous direct call (r19 ADVICE).
       val liW = java.util.concurrent.CompletableFuture.runAsync(() =>
         Lake.writeBucketed(li, "graft_b_lineitem", 8, "l_orderkey",
           scratch("graft_b_lineitem")))
-      Lake.writeBucketed(ord, "graft_b_orders", 8, "o_orderkey", scratch("graft_b_orders"))
-      liW.join()
+      try {
+        Lake.writeBucketed(ord, "graft_b_orders", 8, "o_orderkey",
+          scratch("graft_b_orders"))
+      } finally {
+        try liW.join()
+        catch { case e: java.util.concurrent.CompletionException =>
+          throw Option(e.getCause).getOrElse(e)
+        }
+      }
       s.table("graft_b_lineitem").hint("merge")
         .join(s.table("graft_b_orders").hint("merge"),
           col("l_orderkey") === col("o_orderkey"))

@@ -92,6 +92,23 @@ object TextAnalysis {
     * = 1 (the [[bpeMerges]] default) only stops on full exhaustion. */
   private[graft] def bpeMergesConverged(docs: DataFrame, maxRounds: Int,
                                         minPairCount: Long): DataFrame = {
+    val built = bpeMergesSeq(docs, maxRounds, minPairCount)
+    // The merge table re-enters the plan as a driver-local relation — the
+    // same sanction as the ann_pq/ann_ivfpq codebooks: it is BOUNDED by
+    // construction (one row per training round, r <= maxRounds), never
+    // corpus-sized. ScaleSpec whitelists the three consumers
+    // (text_bpe/text_bpe_apply/text_pack_bpe) on the strength of the
+    // bound bpeMergesSeq asserts.
+    docs.sparkSession.createDataFrame(built).toDF("round", "pair", "cnt")
+  }
+
+  /** The trainer's driver-side core: the rank-ordered merge list itself
+    * (rounds-sized by construction — asserted). [[bpeMergesConverged]]
+    * wraps it as the merge-table DataFrame; [[bpeTokenCounts]] consumes
+    * the Seq directly as a plan LITERAL, so the apply/pack chains pay no
+    * per-consumer aggregate/collect/broadcast over the merge table. */
+  private[graft] def bpeMergesSeq(docs: DataFrame, maxRounds: Int,
+                                  minPairCount: Long): Seq[(Int, String, Long)] = {
     // Checkpoint ROTATION (r15 ADVICE): each round's vocab checkpoint
     // supersedes the previous round's — once the new snapshot has
     // materialized, nothing can read the old one again (the lineage was
@@ -100,19 +117,31 @@ object TextAnalysis {
     // O(rounds) snapshots in block-manager storage across a 16+-merge
     // training. The id diff around the localCheckpoint call identifies
     // the new snapshot's RDD; training is single-threaded driver flow,
-    // so nothing else persists inside the window. The per-round `top`
-    // checkpoints (one row each) are NOT rotated — the returned merge
-    // table still reads them.
+    // so nothing else persists inside the window.
+    //
+    // LAZY checkpoints (r20): the next round's pair-count collect is the
+    // snapshot's first reader and materializes it inside its own job —
+    // the per-round eager fill job was pure job-launch latency (the
+    // connectedComponents r19 pattern; 2 jobs/round → 1). Rotation
+    // safety holds because the superseded snapshot is released only
+    // AFTER the collect has materialized its successor (releasePrev
+    // runs after the collect; the rewrite that READ the old snapshot has
+    // by then been computed and checkpointed).
     val sc = docs.sparkSession.sparkContext
     var curIds: Set[Int] = Set.empty
+    var prevIds: Set[Int] = Set.empty
     def checkpointCur(df: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet.toSet
-      val next = df.localCheckpoint(eager = true)
+      val next = df.localCheckpoint(eager = false)
       val fresh = sc.getPersistentRDDs.keySet.toSet -- before
-      curIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = prevIds ++ curIds
       curIds = fresh
       next
+    }
+    def releasePrev(): Unit = {
+      prevIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = Set.empty
     }
     var cur = checkpointCur(docs.select(explode(tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
@@ -137,6 +166,9 @@ object TextAnalysis {
         .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .collect() // ≤ 1 row by construction
+      // the collect above materialized cur's lazy checkpoint — the
+      // superseded snapshot can release now
+      releasePrev()
       if (topRow.isEmpty || topRow.head.getAs[Long]("cnt") < minPairCount) {
         converged = true
       } else {
@@ -151,23 +183,19 @@ object TextAnalysis {
         r += 1
       }
     }
-    // the final round's vocab snapshot has no further reader — release it
+    // nothing reads any vocab snapshot after training — release them all
+    releasePrev()
     curIds.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val built = merges.result()
     require(built.nonEmpty,
-      "bpeMergesConverged: corpus trained zero merges (no adjacent pair " +
+      "bpeMergesSeq: corpus trained zero merges (no adjacent pair " +
         s"reached minPairCount=$minPairCount)")
-    // The merge table re-enters the plan as a driver-local relation — the
-    // same sanction as the ann_pq/ann_ivfpq codebooks: it is BOUNDED by
-    // construction (one row per training round, r <= maxRounds), never
-    // corpus-sized. The explicit bound assertion keeps that claim loud if
-    // the loop structure ever changes; ScaleSpec whitelists these three
-    // consumers (text_bpe/text_bpe_apply/text_pack_bpe) on its strength.
+    // the driver-local bound every consumer's scale claim rests on
     require(built.size <= maxRounds,
-      s"bpeMergesConverged: merge table ${built.size} rows exceeds the " +
+      s"bpeMergesSeq: merge table ${built.size} rows exceeds the " +
         s"driver-local bound maxRounds=$maxRounds")
-    docs.sparkSession.createDataFrame(built).toDF("round", "pair", "cnt")
+    built
   }
 
   /** BPE APPLY — encode every document with the merge table
@@ -203,18 +231,17 @@ object TextAnalysis {
     * Emits per doc: word count, char-symbol count (the pre-merge token
     * count), and the post-merge BPE token count — exact longs. */
   private[graft] def bpeTokenCounts(docs: DataFrame, rounds: Int = 3): DataFrame = {
-    val mergeRow = bpeMerges(docs, rounds)
-      .agg(expr("transform(array_sort(collect_list(struct(round, pair))), m -> m.pair)")
-        .as("merges"))
-    // bounded collect (ONE row, rounds-sized by construction — driver
-    // control flow, not data movement): a corpus that trains fewer than
-    // `rounds` merges would under-fill the array and silently replay a
-    // shorter tokenizer — fail loudly here instead (review r14)
-    val trained = mergeRow.select(size(col("merges"))).collect().head.getInt(0)
-    require(trained == rounds,
-      s"bpeTokenCounts: corpus trained $trained merges, expected $rounds")
+    // r20: the trainer hands back the rank-ordered merge list as a
+    // driver Seq — the replay enters the encode plan as a LITERAL array
+    // instead of a crossJoin(broadcast(agg(merge table))): no
+    // per-consumer aggregate, no bounded collect, no broadcast exchange.
+    // A corpus that trains fewer than `rounds` merges would silently
+    // replay a shorter tokenizer — fail loudly instead (review r14).
+    val mergeSeq = bpeMergesSeq(docs, rounds, minPairCount = 1L)
+    require(mergeSeq.size == rounds,
+      s"bpeTokenCounts: corpus trained ${mergeSeq.size} merges, expected $rounds")
     docs
-      .crossJoin(broadcast(mergeRow))
+      .withColumn("merges", typedLit(mergeSeq.map(_._2)))
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_words"),
         expr(

@@ -644,12 +644,21 @@ object Lake {
   def compactPartitions(spark: SparkSession, path: String,
                         partitionCol: String, jobs: Seq[(Any, Any)]): Unit =
       withTableMutationLock(spark, path) {
-    import org.apache.spark.sql.functions.{array, col, expr, lit}
-    import org.apache.spark.sql.functions.when
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverPartitionSwaps(spark, path, partitionCol)
-    if (jobs.isEmpty) return
+    // plain guard, not an early `return`: a non-local return from inside
+    // the lock closure compiles to a NonLocalReturnControl throwable
+    // passing through the lock's try/finally (r19 ADVICE)
+    if (jobs.nonEmpty) runCompactJobs(spark, fs, path, partitionCol, jobs)
+  }
+
+  private def runCompactJobs(spark: SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, partitionCol: String,
+                             jobs: Seq[(Any, Any)]): Unit = {
+    import org.apache.spark.sql.functions.{array, col, expr, lit}
+    import org.apache.spark.sql.functions.when
     /** Write the job's rows durably into a fresh tmp root, then swap
       * each touched partition in via rename-aside → rename-in (the
       * crash-safe two-rename protocol documented above). */
@@ -738,9 +747,18 @@ object Lake {
             }
           })
         }
-        futs.foreach(_.get())
-      } catch {
-        case e: java.util.concurrent.ExecutionException => throw e.getCause
+        // await EVERY future before surfacing a failure: throwing on the
+        // first failed get() would exit the mutation-lock scope while
+        // later-submitted swapJobs are still renaming live partition
+        // dirs — a subsequent mutator (or its recovery sweep) could then
+        // race the in-flight renames (r19 ADVICE). Each job's own
+        // partitions stay individually consistent (swapped or
+        // untouched); the first failure rethrows after the pool drains.
+        val outcomes = futs.map(f => scala.util.Try(f.get()))
+        outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach {
+          case ee: java.util.concurrent.ExecutionException => throw ee.getCause
+          case other => throw other
+        }
       } finally pool.shutdown()
     }
   }
@@ -1626,6 +1644,15 @@ object Lake {
           .map(_.join(broadcast(keyed), keyCols, "left_anti")
             .unionByName(ch, allowMissingColumns = mergeSchema))
           .getOrElse(ch))
+      // r20 (VERDICT r19 #3 — the versioned-commit job inventory): the
+      // staged DATA write and the write-time CDF write are independent
+      // legs — both derive from (touchedRows, ch, keyed), neither reads
+      // the other's output — so they overlap (guide §2.6, the
+      // etl_bucketed_join pattern) instead of running as two sequential
+      // driver-serialized actions per commit. The CDF leg is defined
+      // below and submitted before the data write; both are awaited (and
+      // both outputs removed) on any failure, so no write outlives the
+      // merge and the crash/cleanup protocol is unchanged.
       // layout-preserving rewrite (r18, z-order r19 — VERDICT r18
       // item 2): re-cluster the touched rewrite so a sorted/z-ordered
       // table keeps narrow per-file ranges (tight per-file rectangles
@@ -1644,7 +1671,7 @@ object Lake {
           sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       }
-      val added = out match {
+      def writeData(): Seq[String] = out match {
         case Some(o) =>
           val w = o.write.mode(SaveMode.Overwrite)
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -1723,8 +1750,33 @@ object Lake {
             .getOrElse(cdfDf.withColumn("image", lit("post")))
         }
       val cdfName = s"c-${java.util.UUID.randomUUID}"
-      cdfOut.write.mode(SaveMode.Overwrite)
-        .parquet(s"$base/$ChangesDir/$cdfName")
+      val cdfPath = new org.apache.hadoop.fs.Path(s"$base/$ChangesDir/$cdfName")
+      val cdfW = java.util.concurrent.CompletableFuture.runAsync(() =>
+        cdfOut.write.mode(SaveMode.Overwrite).parquet(cdfPath.toString))
+      val added =
+        try writeData()
+        catch { case e: Throwable =>
+          // the data leg failed (constraint violation, write error):
+          // drain the CDF leg before leaving, then remove its output —
+          // the staged commit must vanish atomically from the caller's
+          // point of view
+          try cdfW.join() catch { case _: Throwable => () }
+          fs.delete(cdfPath, true)
+          throw e
+        }
+      try cdfW.join()
+      catch { case e: Throwable =>
+        // CDF leg failed: remove the already-written data dir so the
+        // failed merge leaves nothing staged, and surface the CDF
+        // write's own exception type (unwrap the CompletionException)
+        fs.delete(dataDir, true)
+        fs.delete(cdfPath, true)
+        throw (e match {
+          case ce: java.util.concurrent.CompletionException =>
+            Option(ce.getCause).getOrElse(ce)
+          case other => other
+        })
+      }
       (dataDir, added, removed, cdfName)
     }
 
