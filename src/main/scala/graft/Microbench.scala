@@ -12,26 +12,66 @@ object Microbench {
     val sfDir = args(0)
     val keys = args(1).split(',').toSeq
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.tune(
-      SparkSession.builder().master("local[8]"), shufflePartitions = 8
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = math.max(cpus, 4)
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B conf overrides (runtime-settable confs only):
+    //   SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=true;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
+    // SPARK_GRAFT_EXPLAIN=1: print each key's formatted plan instead of
+    // timing it (for before/after plan-diff evidence under conf A/Bs);
+    // =2 additionally EXECUTES the query and renders the cache-truncated
+    // executed plan (AQE-final join strategies, the ones a lazy-
+    // checkpointed sweep chain hides from the static plan)
+    sys.env.get("SPARK_GRAFT_EXPLAIN").foreach { mode =>
+      keys.foreach { k =>
+        println(s"==== $k ====")
+        val df = SparkEntry.queries(k)(spark, sfDir)
+        println(df.queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
+        if (mode == "2") {
+          df.collect()
+          println(s"==== $k EXECUTED (cache-truncated) ====")
+          println(plans.PlanAudit.render(df.queryExecution.executedPlan))
+        }
+      }
+      spark.stop()
+      return
+    }
     // job/task/shuffle counters: the deterministic channels a per-key
     // A/B reads alongside wall time (job count ≈ actions + AQE stages —
     // the lever for the driver-latency-bound lake/stream keys)
     val jobs = new java.util.concurrent.atomic.AtomicLong()
     val tasks = new java.util.concurrent.atomic.AtomicLong()
     val shufRec = new java.util.concurrent.atomic.AtomicLong()
+    val jobLog = sys.env.contains("SPARK_GRAFT_JOBLOG")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        if (jobLog) {
+          val names = j.stageInfos.map(s => s"${s.name}(${s.numTasks}t)")
+            .mkString(" | ")
+          System.err.println(s"[joblog] job=${j.jobId} stages=${j.stageIds.size} $names")
+        }
+        ()
       }
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         tasks.addAndGet(sc.stageInfo.numTasks.toLong)
         val m = sc.stageInfo.taskMetrics
-        if (m != null) shufRec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        if (m != null) {
+          shufRec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          if (jobLog)
+            System.err.println(f"[stagelog] stage=${sc.stageInfo.stageId}%4d tasks=${sc.stageInfo.numTasks}%3d cpu=${m.executorCpuTime / 1000000L}%7dms run=${m.executorRunTime}%7dms in=${m.inputMetrics.recordsRead}%10d shufR=${m.shuffleReadMetrics.recordsRead}%10d shufW=${m.shuffleWriteMetrics.recordsWritten}%10d ${sc.stageInfo.name.take(60)}")
+        }
         ()
       }
     })

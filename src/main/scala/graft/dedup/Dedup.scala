@@ -128,7 +128,11 @@ object Dedup {
     requireSoundBanding(threshold, bands)
     val sh = Lake.fanOut(docs)
       .select(col("doc_id"), shingles(col("text"), 3).as("g")).cache()
-    sh.count() // eager — read by the sig pass and both verification legs
+    // no eager fill job here (r20): the band-key cache fill inside
+    // lshCandidates is the FIRST reader of sh and fills this cache in
+    // the same single-threaded pass — the separate sh.count() was a
+    // redundant second full shingle pass; the verification legs below
+    // still read materialized blocks
     lshCandidates(sh, bands)
       .join(sh.select(col("doc_id").as("doc_a"), col("g").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("g").as("sh_b")), Seq("doc_b"))

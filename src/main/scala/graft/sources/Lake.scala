@@ -1594,7 +1594,13 @@ object Lake {
     val ch = (if (isDelete) changes
       else requireKeyUnique(changes, keyCols, "Lake.upsertVersionDelta"))
       .localCheckpoint(eager = true)
+    // r20: the distinct key set is broadcast by SEVERAL separate actions
+    // (probe, data-write anti-join, CDF classification) and each action
+    // used to re-run the distinct's two-stage shuffle before building
+    // its broadcast — checkpoint it once (lazy: the probe is the first
+    // reader and fills it inside its own job); key-sized by contract
     val keyed = ch.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(eager = false)
     val ws = wsCol.map(c => collectWriteSet(ch, c)).getOrElse(Nil)
 
     /** One merge against `latest`: stage survivors+changes, write the
@@ -1719,7 +1725,14 @@ object Lake {
           pre.map(_.select(keyCols.map(col): _*).distinct()
             .withColumn("change", lit("removed")))
             .getOrElse(keyed.limit(0).withColumn("change", lit("removed")))
-        else pre.map(_.join(canon(ch, "rs_new"), keyCols, "full_outer"))
+        // r20: pre's keys are a SUBSET of the batch's (pre = touched
+        // rows semi-joined to keyed, keyed = ch's distinct keys), so the
+        // full_outer is exactly a LEFT join from the batch side — and
+        // pre is delta-sized (the same class `keyed` already broadcasts
+        // everywhere in this path), so it broadcasts instead of
+        // shuffling BOTH delta-sized sides through a sort-merge (two
+        // exchanges + two AQE stage jobs gone per upsert commit)
+        else pre.map(p => canon(ch, "rs_new").join(broadcast(p), keyCols, "left"))
           .getOrElse(canon(ch, "rs_new").withColumn("rs_old", lit(null: String)))
           .withColumn("change",
             when(col("rs_old").isNull, "added")
