@@ -293,6 +293,36 @@ object Lake {
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Pre-write distribution for hive-partitioned VERSION writes (guide
+    * §6 — output file sizing): hash-distribute by the partition columns
+    * with an AQE REBALANCE hint so each partition value lands in as few
+    * advisory-sized writer tasks as its bytes need. A dynamic
+    * partitioned write straight off the scan otherwise fans out
+    * (scan tasks × partition values) tiny files — measured 31×30 ≈ 900
+    * files on etl_version_prune's founding commit, with the write stage
+    * 10× longer in run time than CPU (file open/close overhead).
+    * REBALANCE, not repartition: AQE splits an oversized value across
+    * several writers (one hot day never serializes into one task) and
+    * coalesces small ones — adaptive at any scale. */
+  private def distributeForPartitionedWrite(df: DataFrame,
+                                            partitionCols: Seq[String]): DataFrame =
+    if (partitionCols.isEmpty || callerLaidOut(df)) df
+    else df.hint("rebalance",
+      partitionCols.map(org.apache.spark.sql.functions.col): _*)
+
+  /** True when the caller handed this write an EXPLICIT layout — the
+    * plan's top is a sort or repartition (e.g. etl_merge_pruned's
+    * range-repartition + sortWithinPartitions clustering that the
+    * `_filestats` pruning depends on). Re-distributing such input would
+    * silently widen every file's min/max range and waste the sort. */
+  private def callerLaidOut(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{RebalancePartitions, RepartitionOperation, Sort}
+    df.queryExecution.analyzed match {
+      case _: Sort | _: RepartitionOperation | _: RebalancePartitions => true
+      case _ => false
+    }
+  }
+
   /** Small-file compaction: rewrite with bounded file count / records per
     * file. At 100 TB, ingest produces millions of small files; periodic
     * compaction keeps scan task counts sane. */
@@ -1220,7 +1250,8 @@ object Lake {
     commitMode(spark, fs, mode) match {
       case "rename" =>
         val stage = stagingPath(basePath)
-        val w = df.write.mode(SaveMode.Overwrite)
+        val w = distributeForPartitionedWrite(df, partitionCols)
+          .write.mode(SaveMode.Overwrite)
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(stage.toString)
         // declared constraints gate EVERY publish path (r17): validated
@@ -1233,7 +1264,8 @@ object Lake {
       case "manifest" =>
         val dataDir = new org.apache.hadoop.fs.Path(basePath,
           s"d-${java.util.UUID.randomUUID}")
-        val w = df.write.mode(SaveMode.Overwrite)
+        val w = distributeForPartitionedWrite(df, partitionCols)
+          .write.mode(SaveMode.Overwrite)
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(dataDir.toString)
         enforceConstraints(spark, base, spark.read.parquet(dataDir.toString),
@@ -1348,7 +1380,8 @@ object Lake {
     fs.mkdirs(basePath)
     val dataDir = new org.apache.hadoop.fs.Path(basePath,
       s"d-${java.util.UUID.randomUUID}")
-    val w = df.write.mode(SaveMode.Overwrite)
+    val w = distributeForPartitionedWrite(df, partitionCols)
+      .write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dataDir.toString)
     val staged = spark.read.parquet(dataDir.toString)
@@ -1679,7 +1712,13 @@ object Lake {
       }
       def writeData(): Seq[String] = out match {
         case Some(o) =>
-          val w = o.write.mode(SaveMode.Overwrite)
+          // sortCols/z-order rewrites already range-distribute; a plain
+          // partitioned rewrite gets the same rebalance as writeVersion
+          val laid =
+            if (sortCols.isEmpty && zOrderBits == 0)
+              distributeForPartitionedWrite(o, partitionCols)
+            else o
+          val w = laid.write.mode(SaveMode.Overwrite)
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .parquet(dataDir.toString)
           val files = listDataFiles(fs, base, dataDir.getName)
@@ -3308,7 +3347,8 @@ object Lake {
     val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(basePath)
     val stage = stagingPath(basePath)
-    df.write.mode(SaveMode.Overwrite)
+    distributeForPartitionedWrite(df, partitionCols).write
+      .mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(stage.toString)
     val sc = fs.create(new org.apache.hadoop.fs.Path(stage, "_layout"), true)
     sc.write(partitionCols.mkString(",").getBytes("UTF-8")); sc.close()
